@@ -1,0 +1,175 @@
+"""Deduplication operators for document corpora at 100 TB scale.
+
+Four strategies, in increasing fuzziness:
+
+- ``exact_dedup``: md5-of-normalized-text fingerprint, one hash
+  ``groupBy`` — the linear-cost first pass of every dedup pipeline.
+- ``ngram_jaccard_pairs``: exact near-dup pairs via an *inverted index*
+  self-join on shingles (never a cross join): candidate pairs are only
+  docs sharing >= 1 shingle, cost ~ sum over shingles of df^2, then
+  exact Jaccard on the candidates.
+- ``minhash_lsh_pairs``: the scale path — per-doc MinHash signature
+  (k md5-based hash functions, min over shingles), banded into b bands
+  of r rows; only band-key collisions become candidates (shuffle on
+  band key, not on shingle), then exact-Jaccard verification. All
+  hashing is md5 so results are deterministic and reproducible in
+  plain SQL (the DuckDB oracle replicates the whole scheme).
+- ``simhash_pairs``: 32-bit SimHash over word md5s; near-dups = equal
+  simhash bucket (cheap; hamming-distance variant is a later round).
+
+MinHash math: P(minhash collision) = Jaccard; P(band collision) =
+1 - (1 - j^r)^b. With k=12, b=6, r=2: j=0.8 -> 0.998, j=0.5 -> 0.82.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from oracle_cassandra_migrator_spark.operators.text import (
+    fingerprint_expr,
+    with_shingles,
+)
+
+MINHASH_K = 12
+LSH_BANDS = 6
+LSH_ROWS = 2  # k = bands * rows
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per distinct normalized text: representative (min id),
+    copy count, fingerprint. Single hash aggregation — no joins."""
+    return (
+        df.select(F.col(id_col), F.expr(fingerprint_expr(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).cast("bigint").alias("representative_id"),
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_copies"),
+        )
+    )
+
+
+def _jaccard_on_candidates(
+    candidates: DataFrame, shingled: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Join candidate (doc_a, doc_b) pairs back to shingle sets and
+    compute exact Jaccard; keep pairs >= threshold."""
+    sets_a = shingled.select(
+        F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sets_b = shingled.select(
+        F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        candidates.join(sets_a, "doc_a").join(sets_b, "doc_b")
+        .withColumn("n_common", F.expr("size(array_intersect(sh_a, sh_b))"))
+        .withColumn(
+            "jaccard",
+            F.expr(
+                "round(CAST(n_common AS DOUBLE) / "
+                "(size(sh_a) + size(sh_b) - n_common), 6)"
+            ),
+        )
+        .where(f"jaccard >= {threshold}")
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str,
+    n: int = 3, threshold: float = 0.5,
+) -> DataFrame:
+    """Exact near-duplicate pairs (id_a < id_b) with word-n-gram Jaccard
+    >= threshold, via inverted-index candidate generation."""
+    shingled = with_shingles(df.select(id_col, text_col), text_col, n)
+    exploded = shingled.select(F.col(id_col), F.explode("shingles").alias("sh"))
+    a = exploded.select(F.col(id_col).alias("doc_a"), "sh")
+    b = exploded.select(F.col(id_col).alias("doc_b"), "sh")
+    candidates = (
+        a.join(b, "sh")
+        .where("doc_a < doc_b")
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _jaccard_on_candidates(candidates, shingled, id_col, threshold)
+
+
+def minhash_signature(
+    shingled: DataFrame, id_col: str, k: int = MINHASH_K
+) -> DataFrame:
+    """k-column MinHash signature: for seed i, min over shingles of
+    md5(shingle || ':' || i). Lexicographic min over the hex digest is a
+    uniform-order statistic, and md5 keeps it engine-portable."""
+    exploded = shingled.select(F.col(id_col), F.explode("shingles").alias("sh"))
+    aggs = [
+        F.min(F.md5(F.concat(F.col("sh"), F.lit(f":{i}")))).alias(f"m{i}")
+        for i in range(k)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, text_col: str, id_col: str,
+    n: int = 3, threshold: float = 0.5,
+    bands: int = LSH_BANDS, rows: int = LSH_ROWS,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH banding, then exact-Jaccard
+    verification of the candidates. The only shuffles are the signature
+    groupBy and the band-key self-join — no all-pairs stage anywhere."""
+    shingled = with_shingles(df.select(id_col, text_col), text_col, n)
+    sig = minhash_signature(shingled, id_col, k=bands * rows)
+    band_keys = [
+        F.md5(F.concat(*[F.col(f"m{band * rows + r}") for r in range(rows)]))
+        .alias(f"b{band}")
+        for band in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_keys)
+    long = banded.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"b{i}") for i in range(bands)]))
+        .alias("band_idx", "band_key"),
+    )
+    a = long.select(F.col(id_col).alias("doc_a"), "band_idx", "band_key")
+    b = long.select(F.col(id_col).alias("doc_b"), "band_idx", "band_key")
+    candidates = (
+        a.join(b, ["band_idx", "band_key"])
+        .where("doc_a < doc_b")
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _jaccard_on_candidates(candidates, shingled, id_col, threshold)
+
+
+def simhash_expr(text_col: str, bits: int = 32) -> str:
+    """32-bit SimHash over distinct words: bit i of the hash is the sign
+    of sum over words of (+1 if bit i of md5(word) set else -1).
+    Pure built-ins: conv() maps the md5 hex prefix to a BIGINT whose low
+    ``bits`` bits we fold with aggregate()."""
+    word_h = "CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT)"
+    # acc is an array<int> of per-bit counters; fold words, then collapse
+    # each counter's sign into the output bits.
+    return (
+        f"aggregate("
+        f"  transform(array_distinct(split(trim(regexp_replace(lower({text_col}),"
+        f" '\\\\s+', ' ')), ' ')), x -> {word_h}),"
+        f"  array_repeat(0, {bits}),"
+        f"  (acc, h) -> zip_with(acc, sequence(0, {bits - 1}),"
+        f"    (c, i) -> c + CASE WHEN (h DIV CAST(pow(2, i) AS BIGINT)) % 2 = 1"
+        f"      THEN 1 ELSE -1 END),"
+        f"  acc -> aggregate(zip_with(acc, sequence(0, {bits - 1}),"
+        f"    (c, i) -> CASE WHEN c > 0 THEN CAST(pow(2, i) AS BIGINT)"
+        f"      ELSE CAST(0 AS BIGINT) END),"
+        f"    CAST(0 AS BIGINT), (s, v) -> s + v))"
+    )
+
+
+def simhash_buckets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Docs grouped by identical SimHash — candidate near-dup buckets."""
+    hashed = df.select(
+        F.col(id_col), F.expr(simhash_expr(text_col)).alias("simhash"))
+    return (
+        hashed.groupBy("simhash")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+            F.min(id_col).cast("bigint").alias("representative_id"),
+        )
+        .where("n_docs > 1")
+    )

@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k against one query vector.
+  The dot product is a JVM-side ``aggregate(zip_with(...))`` fold in
+  index order (deterministic, no Python). At cluster scale this is one
+  narrow map + TakeOrderedAndProject — no shuffle of the vectors.
+- ``cosine_pairs``: all-pairs near-duplicate detection above a cosine
+  threshold. Quadratic — correct for small/blocked inputs; the scale
+  path is ``lsh_bucketed_topk``.
+- ``lsh_bucketed_topk``: random-hyperplane (sign) LSH — hyperplanes are
+  derived deterministically from md5, vectors hash to a sign-bit
+  bucket, and search only compares within-bucket (approximate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DOUBLE_VEC = "transform({col}, x -> CAST(x AS DOUBLE))"
+
+
+def dot_expr(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def cosine_expr(a: str, b: str) -> str:
+    return (
+        f"({dot_expr(a, b)}) / "
+        f"(sqrt({dot_expr(a, a)}) * sqrt({dot_expr(b, b)}))"
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame, query: DataFrame, k: int = 10,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine against a single-row query DataFrame with
+    column ``q`` (array). Ties broken by id for determinism."""
+    e = DOUBLE_VEC.format(col=vec_col)
+    q = DOUBLE_VEC.format(col="q")
+    return (
+        embeddings.crossJoin(F.broadcast(query))
+        .withColumn("cosine", F.expr(f"round({cosine_expr(e, q)}, 6)"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, "cosine")
+    )
+
+
+def cosine_pairs(
+    embeddings: DataFrame, threshold: float,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """All pairs (a < b) with cosine >= threshold. O(n^2) compare —
+    use only on small or pre-blocked inputs; see lsh_bucketed_topk."""
+    a = embeddings.select(F.col(id_col).alias("id_a"),
+                          F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"),
+                          F.col(vec_col).alias("vb"))
+    ea = DOUBLE_VEC.format(col="va")
+    eb = DOUBLE_VEC.format(col="vb")
+    return (
+        a.join(b, F.expr("id_a < id_b"))
+        .withColumn("cosine", F.expr(f"round({cosine_expr(ea, eb)}, 6)"))
+        .where(f"cosine >= {threshold}")
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def hyperplane_expr(plane_idx: int, dim: int) -> str:
+    """Deterministic pseudo-random hyperplane: component j in {-1, +1}
+    from the parity of conv(md5('p<i>:<j>')). Rademacher hyperplanes
+    are a standard, provably LSH-valid choice for cosine."""
+    return (
+        f"transform(sequence(0, {dim - 1}), j -> "
+        f"CASE WHEN CAST(conv(substring(md5(concat('p{plane_idx}:', j)), 1, 15),"
+        f" 16, 10) AS BIGINT) % 2 = 0 THEN 1.0D ELSE -1.0D END)"
+    )
+
+
+def signbit_bucket_expr(vec_col: str, dim: int, n_planes: int = 8) -> str:
+    """Bucket id = concatenated sign bits of <v, plane_i>."""
+    bits = []
+    v = DOUBLE_VEC.format(col=vec_col)
+    for i in range(n_planes):
+        plane = hyperplane_expr(i, dim)
+        bits.append(f"CASE WHEN {dot_expr(v, plane)} >= 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame, query: DataFrame, dim: int,
+    k: int = 10, n_planes: int = 8,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: hash all vectors and the query into sign-bit
+    buckets, rank only within the query's bucket. At scale the bucket
+    column is a partition/cluster key so a probe touches one partition
+    instead of the full corpus."""
+    bucket = signbit_bucket_expr(vec_col, dim, n_planes)
+    hashed = embeddings.withColumn("bucket", F.expr(bucket))
+    q_hashed = query.withColumn(
+        "bucket", F.expr(signbit_bucket_expr("q", dim, n_planes)))
+    e = DOUBLE_VEC.format(col=vec_col)
+    q = DOUBLE_VEC.format(col="q")
+    return (
+        hashed.join(F.broadcast(q_hashed), "bucket")
+        .withColumn("cosine", F.expr(f"round({cosine_expr(e, q)}, 6)"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, "bucket", "cosine")
+    )

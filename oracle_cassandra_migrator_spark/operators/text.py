@@ -1,0 +1,120 @@
+"""Text-analysis building blocks: normalization, tokenization, word
+n-gram shingles, fingerprints, quality features, language heuristics.
+
+Everything is expressed as Spark SQL expression strings over built-in
+functions (whole-stage-codegen'd, no Python in the hot path) so the
+same logic scales to 100 TB and is mirrorable 1:1 in the DuckDB
+correctness oracles. Shingle indexing is deliberately 1-based
+(``element_at``) to match SQL list semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Collapse whitespace, lowercase, trim: the canonical form used by the
+# exact-dedup fingerprint and all shingle-based dedup.
+def normalize_expr(col: str) -> str:
+    return f"trim(regexp_replace(lower({col}), '\\\\s+', ' '))"
+
+
+def words_expr(col: str) -> str:
+    return f"split({normalize_expr(col)}, ' ')"
+
+
+def shingles_expr(col: str, n: int = 3) -> str:
+    """Distinct word n-gram shingles as an array<string> (empty when the
+    doc has fewer than n words)."""
+    w = f"({words_expr(col)})"
+    parts = ", ".join(f"element_at({w}, i + {k})" for k in range(n))
+    return (
+        f"CASE WHEN size({w}) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size({w}) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
+def with_shingles(df: DataFrame, text_col: str, n: int = 3,
+                  out: str = "shingles") -> DataFrame:
+    return df.withColumn(out, F.expr(shingles_expr(text_col, n)))
+
+
+def fingerprint_expr(col: str) -> str:
+    """Exact-dup fingerprint: md5 of the normalized text."""
+    return f"md5({normalize_expr(col)})"
+
+
+def token_count_expr(col: str) -> str:
+    return f"CAST(size({words_expr(col)}) AS BIGINT)"
+
+
+def bottomk_fingerprint_expr(col: str, k: int = 3) -> str:
+    """Bottom-k sketch fingerprint: the k smallest md5 hashes of the
+    distinct words, concatenated. A cheap locality-sensitive doc
+    signature (same idea as winnowing: stable under small edits)."""
+    return (
+        f"array_join(slice(array_sort(transform(array_distinct("
+        f"{words_expr(col)}), x -> md5(x))), 1, {k}), '')"
+    )
+
+
+STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is", "on", "for"]
+
+
+def stopword_count_expr(col: str, stopwords: list[str] | None = None) -> str:
+    stop = stopwords or STOPWORDS
+    lit = ", ".join(f"'{s}'" for s in stop)
+    return (
+        f"CAST(size(filter({words_expr(col)}, "
+        f"x -> array_contains(array({lit}), x))) AS BIGINT)"
+    )
+
+
+def quality_columns(text_col: str) -> dict[str, Column]:
+    """Deterministic quality features: length, token stats, alpha/digit
+    ratios, stopword ratio, and a composite score in [0, 1]."""
+    n_chars = f"CAST(length({text_col}) AS DOUBLE)"
+    n_alpha = f"CAST(length(regexp_replace({text_col}, '[^a-zA-Z]', '')) AS DOUBLE)"
+    n_digit = f"CAST(length(regexp_replace({text_col}, '[^0-9]', '')) AS DOUBLE)"
+    n_tokens = token_count_expr(text_col)
+    n_stop = stopword_count_expr(text_col)
+    return {
+        "n_tokens": F.expr(n_tokens),
+        "alpha_ratio": F.expr(f"round({n_alpha} / {n_chars}, 6)"),
+        "digit_ratio": F.expr(f"round({n_digit} / {n_chars}, 6)"),
+        "stopword_ratio": F.expr(f"round(CAST({n_stop} AS DOUBLE) / {n_tokens}, 6)"),
+        "quality_score": F.expr(
+            f"round(0.5 * ({n_alpha} / {n_chars}) "
+            f"+ 0.3 * (1.0 - {n_digit} / {n_chars}) "
+            f"+ 0.2 * least(CAST({n_stop} AS DOUBLE) / {n_tokens} * 5.0, 1.0), 6)"
+        ),
+    }
+
+
+# Tiny per-language stopword profiles for the n-gram/stopword language
+# heuristic. Deterministic function of the text (ties broken by the
+# fixed language order below).
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "es": ["el", "la", "que", "de", "es"],
+    "fr": ["le", "la", "et", "est", "les"],
+}
+
+
+def lang_guess_expr(text_col: str) -> str:
+    counts = {
+        lang: stopword_count_expr(text_col, words)
+        for lang, words in LANG_PROFILES.items()
+    }
+    greatest = "greatest(" + ", ".join(counts.values()) + ")"
+    case = " ".join(
+        f"WHEN {counts[lang]} = __g THEN '{lang}'" for lang in LANG_PROFILES
+    )
+    return (
+        f"CASE WHEN {greatest} = 0 THEN 'und' "
+        + case.replace("__g", greatest)
+        + " ELSE 'und' END"
+    )

@@ -1,0 +1,423 @@
+"""North-star extension queries (SURVEY.md §2.12 + BASELINE.json):
+dedup, similarity search, text analysis, multimodal plumbing, and the
+event-stream batch analyses. Each Spark implementation lives in
+``operators/``; the oracle replicates the exact same deterministic
+algorithm (md5-based hashing throughout) in DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from oracle_cassandra_migrator_spark.operators import dedup, multimodal, similarity
+from oracle_cassandra_migrator_spark.operators.text import (
+    lang_guess_expr,
+    bottomk_fingerprint_expr,
+    normalize_expr,
+    quality_columns,
+    token_count_expr,
+)
+from oracle_cassandra_migrator_spark.queries.registry import query
+from oracle_cassandra_migrator_spark.queries.relational import dsum
+from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+# --- shared DuckDB SQL fragments (mirror operators/text.py exactly) ---
+
+NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+WORDS_SQL = f"string_split({NORM_SQL}, ' ')"
+SHINGLES3_SQL = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
+)
+_SHINGLE_CTE = f"""
+    norm AS (SELECT doc_id, {WORDS_SQL} AS w FROM documents),
+    sh AS (SELECT doc_id, {SHINGLES3_SQL} AS shingles FROM norm)
+"""
+_JACCARD_SQL = """
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                 / (len(x.shingles) + len(y.shingles)
+                    - len(list_intersect(x.shingles, y.shingles))), 6) AS jaccard
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.doc_a
+    JOIN sh y ON y.doc_id = c.doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact_documents",
+    oracle=f"""
+    SELECT md5({NORM_SQL}) AS fingerprint,
+           CAST(min(doc_id) AS BIGINT) AS representative_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_documents(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "text", "doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    ex AS (SELECT doc_id, unnest(shingles) AS tok FROM sh),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id)
+    SELECT * FROM ({_JACCARD_SQL}) WHERE jaccard >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+
+
+def _minhash_oracle(bands: int = dedup.LSH_BANDS, rows: int = dedup.LSH_ROWS) -> str:
+    k = bands * rows
+    mins = ",\n           ".join(
+        f"min(md5(tok || ':{i}')) AS m{i}" for i in range(k))
+    band_selects = "\n    UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5({' || '.join(f'm{b * rows + r}' for r in range(rows))}) AS band_key "
+        f"FROM mh"
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_SHINGLE_CTE},
+    ex AS (SELECT doc_id, unnest(shingles) AS tok FROM sh),
+    mh AS (SELECT doc_id,
+           {mins}
+           FROM ex GROUP BY doc_id),
+    bands AS ({band_selects}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a
+             JOIN bands b ON a.band_idx = b.band_idx
+                         AND a.band_key = b.band_key
+                         AND a.doc_id < b.doc_id)
+    SELECT * FROM ({_JACCARD_SQL}) WHERE jaccard >= 0.5
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+
+
+@query(
+    "dedup_simhash_buckets",
+    oracle="""
+    WITH words AS (SELECT doc_id,
+           list_distinct(string_split(trim(regexp_replace(lower(text),
+               '\\s+', ' ', 'g')), ' ')) AS w
+           FROM documents),
+    h AS (SELECT doc_id,
+          list_transform(w, x ->
+              ('0x' || substring(md5(x), 1, 15))::BIGINT) AS hs
+          FROM words),
+    sh AS (SELECT doc_id,
+           list_reduce(list_transform(generate_series(0, 31), i ->
+               CASE WHEN len(list_filter(hs, v -> (v // (2**i)::BIGINT) % 2 = 1)) * 2
+                         > len(hs)
+                    THEN (2**i)::BIGINT ELSE CAST(0 AS BIGINT) END),
+               (a, b) -> a + b) AS simhash
+           FROM h)
+    SELECT simhash,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS representative_id
+    FROM sh GROUP BY simhash HAVING count(*) > 1
+    """,
+)
+def dedup_simhash_buckets(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.simhash_buckets(docs, "text", "doc_id")
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                 6) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                   * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                6) >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(emb, threshold=0.45)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+@query(
+    "sim_topk_bruteforce",
+    oracle="""
+    SELECT e.vec_id,
+           round(list_dot_product(e.embedding::DOUBLE[], q.q::DOUBLE[])
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.q::DOUBLE[], q.q::DOUBLE[]))), 6)
+             AS cosine
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding AS q FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def sim_topk_bruteforce(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id = 0").select(F.col("embedding").alias("q"))
+    return similarity.cosine_topk(emb.where("vec_id <> 0"), q, k=10)
+
+
+@query("sim_ann_lsh_bucketed")  # approximate: rows-only check by design
+def sim_ann_lsh_bucketed(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id = 0").select(F.col("embedding").alias("q"))
+    return similarity.lsh_bucketed_topk(emb, q, dim=64, k=10, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({WORDS_SQL}) AS BIGINT) AS n_tokens,
+           CAST(length({NORM_SQL}) AS BIGINT) AS n_norm_chars,
+           round(CAST(length(replace({NORM_SQL}, ' ', '')) AS DOUBLE)
+                 / len({WORDS_SQL}), 6) AS avg_token_len,
+           CAST(len(list_distinct({WORDS_SQL})) AS BIGINT) AS n_unique_tokens
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    norm = normalize_expr("text")
+    words = f"split({norm}, ' ')"
+    return read_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"{token_count_expr('text')} AS n_tokens",
+        f"CAST(length({norm}) AS BIGINT) AS n_norm_chars",
+        f"round(CAST(length(replace({norm}, ' ', '')) AS DOUBLE)"
+        f" / size({words}), 6) AS avg_token_len",
+        f"CAST(size(array_distinct({words})) AS BIGINT) AS n_unique_tokens",
+    )
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({WORDS_SQL}) AS BIGINT) AS n_tokens,
+           round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                 / length(text), 6) AS alpha_ratio,
+           round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                 / length(text), 6) AS digit_ratio,
+           round(CAST(len(list_filter({WORDS_SQL}, x -> list_contains(
+                     ['the','a','an','of','and','to','in','is','on','for'], x)))
+                 AS DOUBLE) / len({WORDS_SQL}), 6) AS stopword_ratio,
+           round(0.5 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                        / length(text))
+                 + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                          / length(text))
+                 + 0.2 * least(CAST(len(list_filter({WORDS_SQL}, x -> list_contains(
+                       ['the','a','an','of','and','to','in','is','on','for'], x)))
+                       AS DOUBLE) / len({WORDS_SQL}) * 5.0, 1.0), 6) AS quality_score
+    FROM documents
+    """,
+)
+def text_quality_scores(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    cols = quality_columns("text")
+    return docs.select(
+        "doc_id",
+        cols["n_tokens"].alias("n_tokens"),
+        cols["alpha_ratio"].alias("alpha_ratio"),
+        cols["digit_ratio"].alias("digit_ratio"),
+        cols["stopword_ratio"].alias("stopword_ratio"),
+        cols["quality_score"].alias("quality_score"),
+    )
+
+
+def _lang_count_sql(stopwords: list[str]) -> str:
+    lit = ", ".join(f"'{s}'" for s in stopwords)
+    return (
+        f"CAST(len(list_filter({WORDS_SQL}, x -> list_contains([{lit}], x)))"
+        f" AS BIGINT)"
+    )
+
+
+@query(
+    "text_lang_guess",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN greatest({_lang_count_sql(['the','and','of','to','is'])},
+                              {_lang_count_sql(['der','die','und','ist','das'])},
+                              {_lang_count_sql(['el','la','que','de','es'])},
+                              {_lang_count_sql(['le','la','et','est','les'])}) = 0
+                THEN 'und'
+                WHEN {_lang_count_sql(['the','and','of','to','is'])} =
+                     greatest({_lang_count_sql(['the','and','of','to','is'])},
+                              {_lang_count_sql(['der','die','und','ist','das'])},
+                              {_lang_count_sql(['el','la','que','de','es'])},
+                              {_lang_count_sql(['le','la','et','est','les'])}) THEN 'en'
+                WHEN {_lang_count_sql(['der','die','und','ist','das'])} =
+                     greatest({_lang_count_sql(['the','and','of','to','is'])},
+                              {_lang_count_sql(['der','die','und','ist','das'])},
+                              {_lang_count_sql(['el','la','que','de','es'])},
+                              {_lang_count_sql(['le','la','et','est','les'])}) THEN 'de'
+                WHEN {_lang_count_sql(['el','la','que','de','es'])} =
+                     greatest({_lang_count_sql(['the','and','of','to','is'])},
+                              {_lang_count_sql(['der','die','und','ist','das'])},
+                              {_lang_count_sql(['el','la','que','de','es'])},
+                              {_lang_count_sql(['le','la','et','est','les'])}) THEN 'es'
+                WHEN {_lang_count_sql(['le','la','et','est','les'])} =
+                     greatest({_lang_count_sql(['the','and','of','to','is'])},
+                              {_lang_count_sql(['der','die','und','ist','das'])},
+                              {_lang_count_sql(['el','la','que','de','es'])},
+                              {_lang_count_sql(['le','la','et','est','les'])}) THEN 'fr'
+                ELSE 'und' END AS guessed_lang
+    FROM documents
+    """,
+)
+def text_lang_guess(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "lang AS labeled_lang",
+        f"{lang_guess_expr('text')} AS guessed_lang",
+    )
+
+
+@query(
+    "text_fingerprint_bottomk",
+    oracle=f"""
+    SELECT doc_id,
+           array_to_string(
+               list_sort(list_transform(list_distinct({WORDS_SQL}),
+                                        x -> md5(x)))[1:3], '') AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint_bottomk(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{bottomk_fingerprint_expr('text', 3)} AS fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_decode_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CASE octet_length(encode(text)) % 3
+                WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS mm_format,
+           CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height
+    FROM documents
+    """,
+)
+def multimodal_decode_stats(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return multimodal.decode_binary_metadata(
+        multimodal.documents_as_binary(docs))
+
+
+# ---------------------------------------------------------------------------
+# Event-stream batch analyses (streaming equivalents live in streaming/)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN date_diff('microsecond',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) IS NULL
+                   OR date_diff('microsecond',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    s AS (
+      SELECT user_id, ts, event_id,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_num
+      FROM g)
+    SELECT user_id, session_num,
+           CAST(count(*) AS BIGINT) AS n_events,
+           date_diff('microsecond', min(ts), max(ts)) AS duration_us
+    FROM s GROUP BY user_id, session_num
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Gaps-and-islands sessionization (30 min inactivity gap): one
+    window pass per user partition, then one aggregation — the batch
+    analog of streaming session windows."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        read_table(spark, sf_dir, "events")
+        .withColumn("gap_us",
+                    F.expr("TIMESTAMPDIFF(MICROSECOND, lag(ts) OVER "
+                           "(PARTITION BY user_id ORDER BY ts, event_id), ts)"))
+        .withColumn("new_session",
+                    F.expr("CASE WHEN gap_us IS NULL OR gap_us > 1800000000 "
+                           "THEN 1 ELSE 0 END"))
+        .withColumn("session_num",
+                    F.sum("new_session").over(wsum).cast("bigint"))
+        .groupBy("user_id", "session_num")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_events"),
+            F.expr("TIMESTAMPDIFF(MICROSECOND, MIN(ts), MAX(ts))")
+            .alias("duration_us"),
+        )
+    )
+
+
+@query(
+    "events_daily_type_counts",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS event_day,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {dsum('value', 'total_value')}
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_daily_type_counts(spark, sf_dir):
+    """Tumbling daily windows in batch; the Structured Streaming twin
+    (window + watermark) is in streaming/windows.py."""
+    return (
+        read_table(spark, sf_dir, "events")
+        .groupBy(
+            F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("event_day"),
+            "event_type",
+        )
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_events"),
+            F.expr(dsum("value", "total_value")),
+        )
+    )

@@ -1,0 +1,761 @@
+"""Relational operator coverage (SURVEY.md §2.1–2.8), each query with a
+DuckDB oracle.
+
+The flagship reproduces the reference's whole pipeline shape —
+per-source predicate filters (verizon_table_migration_Rakesh_filters.py:118-122),
+aliased 4-table equi-join chain (py:133-142), ``selectExpr`` aliasing
+projection (py:146) — through the declarative pipeline compiler, mapped
+onto the TPC-H-ish testdata per FIXTURES.md §B.
+
+Exactness conventions: see queries.registry.query docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from oracle_cassandra_migrator_spark.plans.compiler import compile_transform
+from oracle_cassandra_migrator_spark.queries.registry import query
+from oracle_cassandra_migrator_spark.sources.testdata import load_tables, read_table
+
+
+def dsum(col: str, alias: str) -> str:
+    """Order-independent exact sum of a double column, surfaced as double."""
+    return f"CAST(SUM(CAST({col} AS DECIMAL(18,4))) AS DOUBLE) AS {alias}"
+
+
+def davg(col: str, alias: str) -> str:
+    return (
+        f"CAST(CAST(SUM(CAST({col} AS DECIMAL(18,4))) AS DOUBLE) / COUNT({col}) "
+        f"AS DOUBLE) AS {alias}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the reference pipeline shape (P1 filters + J1 join chain +
+# P2/P3 aliased projection), compiled from a declarative spec.
+# ---------------------------------------------------------------------------
+
+FLAGSHIP_FILTERS = {
+    "customer": "c_custkey >= 100 AND c_custkey <= 500000 "
+                "AND c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')",
+    "orders": "o_orderpriority IN ('1-URGENT', '2-HIGH')",
+    "lineitem": "l_linestatus = 'F'",
+    "supplier": "s_nationkey IN (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)",
+}
+
+FLAGSHIP_PROJECTION = [
+    "lineitem.l_orderkey AS order_key",
+    "lineitem.l_linenumber AS line_number",
+    "customer.c_custkey AS customer_id",
+    "customer.c_name AS customer_name",
+    "customer.c_mktsegment AS market_segment",
+    "customer.c_nationkey AS customer_nation",
+    "customer.c_acctbal AS account_balance",
+    "orders.o_orderstatus AS order_status",
+    "orders.o_totalprice AS order_total",
+    "CAST(orders.o_orderdate AS DATE) AS order_date",
+    "orders.o_orderpriority AS order_priority",
+    "lineitem.l_partkey AS part_id",
+    "lineitem.l_quantity AS quantity",
+    "lineitem.l_extendedprice AS extended_price",
+    "lineitem.l_discount AS discount",
+    "lineitem.l_tax AS tax",
+    "lineitem.l_returnflag AS return_flag",
+    "CAST(lineitem.l_shipdate AS DATE) AS ship_date",
+    "supplier.s_suppkey AS supplier_id",
+    "supplier.s_name AS supplier_name",
+]
+
+
+@query(
+    "flagship_payment_pipeline",
+    oracle=f"""
+    SELECT {', '.join(FLAGSHIP_PROJECTION)}
+    FROM customer
+    JOIN orders   ON customer.c_custkey = orders.o_custkey
+    JOIN lineitem ON orders.o_orderkey = lineitem.l_orderkey
+    JOIN supplier ON lineitem.l_suppkey = supplier.s_suppkey
+    WHERE ({FLAGSHIP_FILTERS['customer']})
+      AND ({FLAGSHIP_FILTERS['orders']})
+      AND ({FLAGSHIP_FILTERS['lineitem']})
+      AND ({FLAGSHIP_FILTERS['supplier']})
+    """,
+)
+def flagship_payment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sources = {
+        name: read_table(spark, sf_dir, name).where(flt)
+        for name, flt in FLAGSHIP_FILTERS.items()
+    }
+    transform = [
+        {"op": "join", "left": "customer", "right": "orders",
+         "on": "customer.c_custkey = orders.o_custkey", "as": "co"},
+        {"op": "join", "left": "co", "right": "lineitem",
+         "on": "orders.o_orderkey = lineitem.l_orderkey", "as": "col"},
+        # supplier is tiny (100 rows at sf0.01) -> explicit broadcast hint,
+        # the 100 TB-safe choice when the dim fits in memory.
+        {"op": "join", "left": "col", "right": "supplier",
+         "on": "lineitem.l_suppkey = supplier.s_suppkey",
+         "broadcast": "supplier", "as": "joined"},
+        {"op": "select", "input": "joined", "exprs": FLAGSHIP_PROJECTION},
+    ]
+    return compile_transform(spark, sources, transform)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A4)
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_global_lineitem",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           {dsum('l_extendedprice', 'total_price')},
+           {davg('l_quantity', 'avg_qty')}
+    FROM lineitem
+    """,
+)
+def agg_global_lineitem(spark, sf_dir):
+    return read_table(spark, sf_dir, "lineitem").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_rows"),
+        F.expr("CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)").alias("n_orders"),
+        F.expr(dsum("l_extendedprice", "total_price")),
+        F.expr(davg("l_quantity", "avg_qty")),
+    )
+
+
+@query(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum('l_quantity', 'sum_qty')},
+           {dsum('l_extendedprice', 'sum_base_price')},
+           {dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {davg('l_quantity', 'avg_qty')},
+           {davg('l_extendedprice', 'avg_price')},
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary (A2): map-side partial agg +
+    final agg, all JVM-side; Catalyst plans partial/final automatically."""
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .where("l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr(dsum("l_quantity", "sum_qty")),
+            F.expr(dsum("l_extendedprice", "sum_base_price")),
+            F.expr(dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")),
+            F.expr(davg("l_quantity", "avg_qty")),
+            F.expr(davg("l_extendedprice", "avg_price")),
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_distinct_per_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_distinct_per_segment(spark, sf_dir):
+    return (
+        read_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.expr("CAST(COUNT(DISTINCT c_nationkey) AS BIGINT)").alias("n_nations"),
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "rollup_acctbal_region_nation",
+    oracle=f"""
+    SELECT COALESCE(r_name, 'ALL') AS region_name,
+           COALESCE(n_name, 'ALL') AS nation_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {dsum('c_acctbal', 'total_acctbal')}
+    FROM (
+      SELECT r.r_name, n.n_name, c.c_acctbal
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    )
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def rollup_acctbal_region_nation(spark, sf_dir):
+    t = load_tables(spark, sf_dir, "customer", "nation", "region")
+    joined = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]),
+              t["customer"].c_nationkey == t["nation"].n_nationkey)
+        .join(F.broadcast(t["region"]),
+              t["nation"].n_regionkey == t["region"].r_regionkey)
+        .select("r_name", "n_name", "c_acctbal")
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_customers"),
+            F.expr(dsum("c_acctbal", "total_acctbal")),
+        )
+        .selectExpr(
+            "COALESCE(r_name, 'ALL') AS region_name",
+            "COALESCE(n_name, 'ALL') AS nation_name",
+            "n_customers",
+            "total_acctbal",
+        )
+    )
+
+
+@query(
+    "cube_orders_status_priority",
+    oracle=f"""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS order_status,
+           COALESCE(o_orderpriority, 'ALL') AS order_priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {dsum('o_totalprice', 'total_price')}
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders_status_priority(spark, sf_dir):
+    return (
+        read_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_orders"),
+            F.expr(dsum("o_totalprice", "total_price")),
+        )
+        .selectExpr(
+            "COALESCE(o_orderstatus, 'ALL') AS order_status",
+            "COALESCE(o_orderpriority, 'ALL') AS order_priority",
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-type breadth (J1-J5) + as-of (J4 custom)
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_left_order_counts",
+    oracle="""
+    SELECT c.c_custkey AS customer_id,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_urgent_orders
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+      ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left_order_counts(spark, sf_dir):
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    urgent = t["orders"].where("o_orderpriority = '1-URGENT'")
+    return (
+        t["customer"].join(urgent, t["customer"].c_custkey == urgent.o_custkey, "left")
+        .groupBy(t["customer"].c_custkey.alias("customer_id"))
+        .agg(F.expr("CAST(COUNT(o_orderkey) AS BIGINT)").alias("n_urgent_orders"))
+    )
+
+
+@query(
+    "join_full_nation_coverage",
+    oracle="""
+    SELECT COALESCE(c.nk, s.nk) AS nation_key,
+           COALESCE(c.n_cust, 0) AS n_customers,
+           COALESCE(s.n_supp, 0) AS n_suppliers
+    FROM (SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_cust
+          FROM customer GROUP BY c_nationkey) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_supp
+          FROM supplier GROUP BY s_nationkey) s
+      ON c.nk = s.nk
+    """,
+)
+def join_full_nation_coverage(spark, sf_dir):
+    t = load_tables(spark, sf_dir, "customer", "supplier")
+    c = (t["customer"].groupBy(F.col("c_nationkey").alias("nk"))
+         .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_cust")).alias("c"))
+    s = (t["supplier"].groupBy(F.col("s_nationkey").alias("nk"))
+         .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_supp")).alias("s"))
+    return (
+        c.join(s, F.expr("c.nk = s.nk"), "full")
+        .selectExpr(
+            "COALESCE(c.nk, s.nk) AS nation_key",
+            "COALESCE(n_cust, CAST(0 AS BIGINT)) AS n_customers",
+            "COALESCE(n_supp, CAST(0 AS BIGINT)) AS n_suppliers",
+        )
+    )
+
+
+@query(
+    "join_semi_urgent_customers",
+    oracle="""
+    SELECT c_custkey AS customer_id, c_name AS customer_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi_urgent_customers(spark, sf_dir):
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    urgent = t["orders"].where("o_orderpriority = '1-URGENT'")
+    return (
+        t["customer"]
+        .join(urgent, t["customer"].c_custkey == urgent.o_custkey, "left_semi")
+        .selectExpr("c_custkey AS customer_id", "c_name AS customer_name")
+    )
+
+
+@query(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey AS customer_id, c_mktsegment AS market_segment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti_customers_without_orders(spark, sf_dir):
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .join(t["orders"], t["customer"].c_custkey == t["orders"].o_custkey,
+              "left_anti")
+        .selectExpr("c_custkey AS customer_id", "c_mktsegment AS market_segment")
+    )
+
+
+@query(
+    "join_cross_region_pairs",
+    oracle="""
+    SELECT a.r_name AS region_a, b.r_name AS region_b
+    FROM region a CROSS JOIN region b
+    """,
+)
+def join_cross_region_pairs(spark, sf_dir):
+    r = read_table(spark, sf_dir, "region")
+    return (
+        r.alias("a").crossJoin(r.alias("b"))
+        .selectExpr("a.r_name AS region_a", "b.r_name AS region_b")
+    )
+
+
+@query(
+    "join_range_price_buckets",
+    oracle="""
+    SELECT b.bucket AS price_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN (VALUES ('low', 0.0, 150000.0),
+                 ('mid', 150000.0, 350000.0),
+                 ('high', 350000.0, 1e12)) AS b(bucket, lo, hi)
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.bucket
+    """,
+)
+def join_range_price_buckets(spark, sf_dir):
+    """Theta/range join (J4): orders against a tiny bucket dim on an
+    interval condition. Spark plans BroadcastNestedLoopJoin — correct
+    at scale only because the build side is rows-scale-small."""
+    orders = read_table(spark, sf_dir, "orders").alias("o")
+    buckets = spark.createDataFrame(
+        [("low", 0.0, 150000.0), ("mid", 150000.0, 350000.0),
+         ("high", 350000.0, 1e12)],
+        "bucket STRING, lo DOUBLE, hi DOUBLE",
+    ).alias("b")
+    return (
+        orders.join(F.broadcast(buckets),
+                    F.expr("o.o_totalprice >= b.lo AND o.o_totalprice < b.hi"))
+        .groupBy(F.col("b.bucket").alias("price_bucket"))
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_orders"))
+    )
+
+
+@query(
+    "asof_join_purchase_click",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           date_diff('microsecond',
+                     (SELECT max(c.ts) FROM events c
+                      WHERE c.user_id = p.user_id
+                        AND c.event_type = 'click'
+                        AND c.ts <= p.ts),
+                     p.ts) AS us_since_click
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def asof_join_purchase_click(spark, sf_dir):
+    """As-of (backward) join: for each purchase, the latest click by the
+    same user at or before it. Implemented the scale-correct way — a
+    single union + one window pass partitioned by user (no per-row
+    subquery, no cross product): O(n log n) within each user partition.
+    """
+    events = read_table(spark, sf_dir, "events")
+    tagged = events.where("event_type IN ('click', 'purchase')").select(
+        "event_id", "user_id", "ts",
+        F.expr("CAST(event_type = 'purchase' AS INT)").alias("is_purchase"),
+        F.expr("CASE WHEN event_type = 'click' THEN ts END").alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        # clicks (is_purchase=0) sort before purchases at equal ts,
+        # matching the oracle's `c.ts <= p.ts`.
+        .orderBy("ts", "is_purchase", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("last_click_ts",
+                          F.last("click_ts", ignorenulls=True).over(w))
+        .where("is_purchase = 1")
+        .selectExpr(
+            "event_id", "user_id",
+            "TIMESTAMPDIFF(MICROSECOND, last_click_ts, ts) AS us_since_click",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows (W1)
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_rank_top_orders",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey AS customer_id, o_orderkey AS order_key,
+             o_totalprice AS order_total,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank_in_customer
+      FROM orders
+    ) WHERE rank_in_customer <= 3
+    """,
+)
+def window_rank_top_orders(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        read_table(spark, sf_dir, "orders")
+        .withColumn("rank_in_customer", F.row_number().over(w).cast("int"))
+        .where("rank_in_customer <= 3")
+        .selectExpr("o_custkey AS customer_id", "o_orderkey AS order_key",
+                    "o_totalprice AS order_total", "rank_in_customer")
+    )
+
+
+@query(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey AS customer_id, o_orderkey AS order_key,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_total(spark, sf_dir):
+    return read_table(spark, sf_dir, "orders").selectExpr(
+        "o_custkey AS customer_id",
+        "o_orderkey AS order_key",
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER ("
+        " PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)"
+        " AS running_spend",
+    )
+
+
+@query(
+    "window_lag_event_gap",
+    oracle="""
+    SELECT event_id, user_id,
+           date_diff('microsecond',
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     ts) AS gap_us
+    FROM events
+    """,
+)
+def window_lag_event_gap(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        read_table(spark, sf_dir, "events")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .selectExpr("event_id", "user_id",
+                    "TIMESTAMPDIFF(MICROSECOND, prev_ts, ts) AS gap_us")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / top-k (O1-O2), set ops (O3)
+# ---------------------------------------------------------------------------
+
+@query(
+    "topk_order_revenue",
+    oracle="""
+    SELECT l_orderkey AS order_key,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey
+    ORDER BY revenue DESC, order_key
+    LIMIT 10
+    """,
+)
+def topk_order_revenue(spark, sf_dir):
+    """TPC-H Q3-shaped top-k: Spark plans TakeOrderedAndProject, which
+    takes per-partition top-k then merges on the driver — no global sort
+    shuffle even at 100 TB."""
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        t["customer"].where("c_mktsegment = 'BUILDING'")
+        .join(t["orders"], F.expr("c_custkey = o_custkey"))
+        .join(t["lineitem"], F.expr("o_orderkey = l_orderkey"))
+        .groupBy(F.col("l_orderkey").alias("order_key"))
+        .agg(F.expr(
+            "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))"
+            " AS DOUBLE)").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("order_key"))
+        .limit(10)
+    )
+
+
+@query(
+    "sort_top_customers_by_balance",
+    oracle="""
+    SELECT c_custkey AS customer_id, c_name AS customer_name,
+           c_acctbal AS account_balance
+    FROM customer
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 10
+    """,
+)
+def sort_top_customers_by_balance(spark, sf_dir):
+    return (
+        read_table(spark, sf_dir, "customer")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .limit(10)
+        .selectExpr("c_custkey AS customer_id", "c_name AS customer_name",
+                    "c_acctbal AS account_balance")
+    )
+
+
+@query(
+    "set_union_priority_buyers",
+    oracle="""
+    SELECT o_custkey AS customer_id FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION
+    SELECT o_custkey AS customer_id FROM orders WHERE o_orderpriority = '2-HIGH'
+    """,
+)
+def set_union_priority_buyers(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders")
+    a = orders.where("o_orderpriority = '1-URGENT'").selectExpr("o_custkey AS customer_id")
+    b = orders.where("o_orderpriority = '2-HIGH'").selectExpr("o_custkey AS customer_id")
+    return a.unionByName(b).distinct()
+
+
+@query(
+    "set_intersect_repeat_buyers",
+    oracle="""
+    SELECT o_custkey AS customer_id FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey AS customer_id FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_intersect_repeat_buyers(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders")
+    a = orders.where("o_orderstatus = 'F'").selectExpr("o_custkey AS customer_id")
+    b = orders.where("o_orderstatus = 'O'").selectExpr("o_custkey AS customer_id")
+    return a.intersect(b)
+
+
+@query(
+    "set_except_inactive_customers",
+    oracle="""
+    SELECT c_custkey AS customer_id FROM customer
+    EXCEPT
+    SELECT o_custkey AS customer_id FROM orders
+    """,
+)
+def set_except_inactive_customers(spark, sf_dir):
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"].selectExpr("c_custkey AS customer_id")
+        .subtract(t["orders"].selectExpr("o_custkey AS customer_id"))
+    )
+
+
+@query(
+    "distinct_segment_nation",
+    oracle="SELECT DISTINCT c_mktsegment AS market_segment, c_nationkey AS nation_key FROM customer",
+)
+def distinct_segment_nation(spark, sf_dir):
+    return (
+        read_table(spark, sf_dir, "customer")
+        .selectExpr("c_mktsegment AS market_segment", "c_nationkey AS nation_key")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions & derived expressions (F1, P4)
+# ---------------------------------------------------------------------------
+
+@query(
+    "scalar_string_functions",
+    oracle="""
+    SELECT c_custkey AS customer_id,
+           upper(c_name) AS name_upper,
+           CAST(length(c_name) AS INT) AS name_len,
+           substr(c_mktsegment, 1, 3) AS seg3,
+           concat(c_name, '/', c_mktsegment) AS name_seg,
+           CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num,
+           replace(lower(c_mktsegment), 'a', '_') AS seg_replaced,
+           trim(lpad(CAST(c_nationkey AS VARCHAR), 4, '0')) AS nation_padded
+    FROM customer
+    """,
+)
+def scalar_string_functions(spark, sf_dir):
+    return read_table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS customer_id",
+        "upper(c_name) AS name_upper",
+        "CAST(length(c_name) AS INT) AS name_len",
+        "substr(c_mktsegment, 1, 3) AS seg3",
+        "concat(c_name, '/', c_mktsegment) AS name_seg",
+        "CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num",
+        "replace(lower(c_mktsegment), 'a', '_') AS seg_replaced",
+        "trim(lpad(CAST(c_nationkey AS STRING), 4, '0')) AS nation_padded",
+    )
+
+
+@query(
+    "scalar_date_functions",
+    oracle="""
+    SELECT o_orderkey AS order_key,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month_start,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+                AS INT) AS days_since_epoch_start
+    FROM orders
+    """,
+)
+def scalar_date_functions(spark, sf_dir):
+    return read_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey AS order_key",
+        "CAST(year(o_orderdate) AS INT) AS order_year",
+        "CAST(month(o_orderdate) AS INT) AS order_month",
+        "CAST(quarter(o_orderdate) AS INT) AS order_quarter",
+        "CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month_start",
+        "date_add(CAST(o_orderdate AS DATE), 30) AS due_date",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS INT)"
+        " AS days_since_epoch_start",
+    )
+
+
+@query(
+    "scalar_math_functions",
+    oracle="""
+    SELECT l_orderkey AS order_key, l_linenumber AS line_number,
+           abs(l_discount - 0.05) AS discount_gap,
+           floor(l_extendedprice) AS price_floor,
+           ceil(l_quantity) AS qty_ceil,
+           sqrt(l_extendedprice) AS price_sqrt,
+           CAST(l_partkey % 13 AS BIGINT) AS part_mod,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged
+    FROM lineitem
+    """,
+)
+def scalar_math_functions(spark, sf_dir):
+    return read_table(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey AS order_key", "l_linenumber AS line_number",
+        "abs(l_discount - 0.05) AS discount_gap",
+        "floor(l_extendedprice) AS price_floor",
+        "ceil(l_quantity) AS qty_ceil",
+        "sqrt(l_extendedprice) AS price_sqrt",
+        "CAST(l_partkey % 13 AS BIGINT) AS part_mod",
+        "l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged",
+    )
+
+
+@query(
+    "case_when_price_tiers",
+    oracle=f"""
+    SELECT CASE WHEN o_totalprice < 100000 THEN 'bronze'
+                WHEN o_totalprice < 250000 THEN 'silver'
+                WHEN o_totalprice < 400000 THEN 'gold'
+                ELSE 'platinum' END AS tier,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {dsum('o_totalprice', 'tier_total')}
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def case_when_price_tiers(spark, sf_dir):
+    tier = (
+        "CASE WHEN o_totalprice < 100000 THEN 'bronze' "
+        "WHEN o_totalprice < 250000 THEN 'silver' "
+        "WHEN o_totalprice < 400000 THEN 'gold' "
+        "ELSE 'platinum' END"
+    )
+    return (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.expr(tier).alias("tier"))
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_orders"),
+            F.expr(dsum("o_totalprice", "tier_total")),
+        )
+    )
+
+
+@query(
+    "json_extract_event_props",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract_event_props(spark, sf_dir):
+    return (
+        read_table(spark, sf_dir, "events")
+        .withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_events"),
+            F.expr("CAST(SUM(k) AS BIGINT)").alias("sum_k"),
+            F.expr("CAST(MIN(k) AS BIGINT)").alias("min_k"),
+            F.expr("CAST(MAX(k) AS BIGINT)").alias("max_k"),
+        )
+    )

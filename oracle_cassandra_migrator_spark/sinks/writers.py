@@ -1,0 +1,80 @@
+"""Config-driven sinks.
+
+Generalizes the reference's three writers — Parquet staging
+``stage_raw_data_to_s3``/``stage_transformed_data_to_s3``
+(verizon_table_migration_Rakesh_filters.py:187-223, both
+``df.repartition(n).write.mode("overwrite").parquet(path)``) and the
+tuned Cassandra appender ``write_to_cassandra`` (py:303-373) — into one
+spec:
+
+    {"format": "parquet", "path": "/out/t", "mode": "overwrite",
+     "repartition": 10}
+    {"format": "org.apache.spark.sql.cassandra", "mode": "append",
+     "options": {"table": ..., "keyspace": ...,
+                 "spark.cassandra.output.concurrent.writes": "100"},
+     "repartition": {"partitions": 24}}
+
+Scale notes:
+- ``repartition`` controls output file count / sink parallelism, the
+  reference's one manual physical decision (py:196,216,345: fixed 10
+  for staging, nodes*8 for Cassandra). Accepted forms:
+    int                          -> round-robin repartition(n)
+    {"partitions": n, "by": [cols]}  -> hash repartition (co-locates keys,
+                                        e.g. Cassandra partition keys so the
+                                        connector batches by token range)
+    {"range_by": [cols], "partitions": n} -> repartitionByRange (sorted files)
+    "coalesce:n"                 -> narrow coalesce, no shuffle
+  When omitted, AQE's coalescePartitions sizes output — usually the
+  right default at 100 TB, where fixed small counts would bottleneck.
+- ``partition_by`` writes hive-style directory partitions, the standard
+  layout for pruning at scale (absent in the reference; essential here).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+from pyspark.sql import DataFrame
+
+WRITE_PATH_FORMATS = {"parquet", "csv", "json", "orc", "text", "avro"}
+
+
+def _apply_repartition(df: DataFrame, spec: Any) -> DataFrame:
+    if spec is None:
+        return df
+    if isinstance(spec, int):
+        return df.repartition(spec)
+    if isinstance(spec, str) and spec.startswith("coalesce:"):
+        return df.coalesce(int(spec.split(":", 1)[1]))
+    if isinstance(spec, Mapping):
+        n = spec.get("partitions")
+        if "range_by" in spec:
+            cols = [df[c] for c in spec["range_by"]]
+            return df.repartitionByRange(n, *cols) if n else df.repartitionByRange(*cols)
+        by = spec.get("by")
+        if by:
+            cols = [df[c] for c in by]
+            return df.repartition(n, *cols) if n else df.repartition(*cols)
+        if n:
+            return df.repartition(n)
+        return df
+    raise ValueError(f"bad repartition spec: {spec!r}")
+
+
+def write_sink(df: DataFrame, spec: Mapping[str, Any]) -> None:
+    """Write ``df`` per its sink spec dict. Triggers the job."""
+    fmt = spec.get("format", "parquet").lower()
+    df = _apply_repartition(df, spec.get("repartition"))
+
+    writer = df.write.format(fmt).mode(spec.get("mode", "overwrite"))
+    if spec.get("options"):
+        writer = writer.options(**{k: str(v) for k, v in spec["options"].items()})
+    if spec.get("partition_by"):
+        writer = writer.partitionBy(*spec["partition_by"])
+
+    if fmt in WRITE_PATH_FORMATS:
+        writer.save(spec["path"])
+    elif spec.get("path"):
+        writer.save(spec["path"])
+    else:
+        writer.save()

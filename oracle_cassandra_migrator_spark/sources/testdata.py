@@ -1,0 +1,54 @@
+"""Loader for the driver's parquet tables with nanosecond-timestamp repair.
+
+Spark rejects parquet INT64 TIMESTAMP(NANOS) columns outright
+(PARQUET_TYPE_ILLEGAL) — e.g. ``events.ts`` in the testdata. The fix:
+read with ``spark.sql.legacy.parquet.nanosAsLong=true`` (column arrives
+as bigint nanos) and rebuild a TIMESTAMP_NTZ by adding floor(ns/1000)
+microseconds to the NTZ epoch. NTZ keeps every downstream date/time
+expression independent of the session timezone, matching how DuckDB
+(naive microsecond timestamps, nanos truncated) sees the same file.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+@lru_cache(maxsize=256)
+def _nano_ts_columns(path: str) -> tuple[str, ...]:
+    """Names of timestamp[ns] columns, from the parquet footer only."""
+    import pyarrow.parquet as pq
+
+    schema = pq.ParquetFile(path).schema_arrow
+    return tuple(
+        field.name
+        for field in schema
+        if str(field.type).startswith("timestamp[ns")
+    )
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read ``<sf_dir>/<name>.parquet``, repairing nano-timestamps."""
+    path = f"{sf_dir}/{name}.parquet"
+    nano_cols = _nano_ts_columns(path)
+    if nano_cols:
+        spark.conf.set(NANOS_AS_LONG, "true")
+    df = spark.read.parquet(path)
+    for col in nano_cols:
+        df = df.withColumn(
+            col,
+            F.expr(
+                f"TIMESTAMPADD(MICROSECOND, CAST({col} DIV 1000 AS BIGINT), "
+                f"CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ))"
+            ),
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {name: read_table(spark, sf_dir, name) for name in names}

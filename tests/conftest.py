@@ -1,0 +1,17 @@
+import pytest
+
+from oracle_cassandra_migrator_spark.session import build_session
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MEDIUM = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    session = build_session(
+        app_name="ocm-spark-tests",
+        master="local[4]",
+        conf={"spark.sql.shuffle.partitions": "8"},
+    )
+    yield session
+    session.stop()

@@ -1,0 +1,73 @@
+"""Local replica of the driver's correctness gate: run every query on
+Spark and its oracle on DuckDB over the same parquet, compare row
+count, column names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from oracle_cassandra_migrator_spark.queries import ORACLES, QUERIES
+
+import os
+
+SF_DIR = os.environ.get("OCM_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    return v
+
+
+def normalize_rows(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted(
+        tuple(normalize_cell(r[i]) for i in order) for r in rows
+    )
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, name):
+    result = QUERIES[name](spark, SF_DIR)
+    spark_rows = [tuple(r) for r in result.collect()]
+    spark_cols = result.columns
+
+    if name not in ORACLES:
+        # rows-only contract for approximate ops
+        assert spark_rows is not None
+        return
+
+    con = duck_connection(SF_DIR)
+    oracle = con.sql(ORACLES[name])
+    duck_cols = [d[0] for d in oracle.description]
+    duck_rows = oracle.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}")
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}")
+    norm_spark = normalize_rows(spark_cols, spark_rows)
+    norm_duck = normalize_rows(duck_cols, duck_rows)
+    mismatches = [
+        (s, d) for s, d in zip(norm_spark, norm_duck) if s != d
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"

@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is forced with the no-op sink (df.write.format("noop")) so
+we measure full plan execution — scan, shuffle, compute — without
+driver-side collection or disk-write noise.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from oracle_cassandra_migrator_spark.queries import QUERIES
+from oracle_cassandra_migrator_spark.session import build_session
+
+HEADLINE = [
+    "flagship_payment_pipeline",
+    "pricing_summary",
+    "topk_order_revenue",
+    "rollup_acctbal_region_nation",
+    "window_rank_top_orders",
+    "asof_join_purchase_click",
+    "events_sessionize",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = build_session(
+        app_name="ocm-spark-bench",
+        master=f"local[{cpus}]",
+        conf={"spark.sql.shuffle.partitions": cpus,
+              "spark.driver.memory": "8g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warm-up on the smallest SF so per-query times measure
+    # the plan, not first-job initialization.
+    QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
+        "noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        start = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - start, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

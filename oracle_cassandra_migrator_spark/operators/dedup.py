@@ -35,6 +35,30 @@ MINHASH_K = 12
 LSH_BANDS = 6
 LSH_ROWS = 2  # k = bands * rows
 
+# Universal hashing over one md5 per shingle: base h = first 60 bits of
+# md5 as BIGINT, then h_i = (A_i * (h mod P) + B_i) mod P with P prime.
+# One string hash per shingle instead of k — the k derived hashes are
+# integer ops — and every value is exactly reproducible in ANSI SQL.
+HASH_P = 2_147_483_647  # 2^31 - 1, prime
+HASH_A = [1_000_003 + 7_919 * i for i in range(MINHASH_K)]
+HASH_B = [12_345 + 271 * i for i in range(MINHASH_K)]
+
+BASE_HASH_SPARK = (
+    "CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT)"
+)
+BASE_HASH_SQL = "('0x' || substring(md5(tok), 1, 15))::BIGINT"
+
+
+def minhash_term_spark(i: int) -> str:
+    return f"min(({HASH_A[i]} * (h %% {HASH_P}) + {HASH_B[i]}) %% {HASH_P})".replace("%%", "%")
+
+
+def minhash_term_sql(i: int) -> str:
+    return (
+        f"min(({HASH_A[i]} * (({BASE_HASH_SQL}) % {HASH_P}) + {HASH_B[i]})"
+        f" % {HASH_P})"
+    )
+
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """One row per distinct normalized text: representative (min id),
@@ -79,7 +103,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact near-duplicate pairs (id_a < id_b) with word-n-gram Jaccard
     >= threshold, via inverted-index candidate generation."""
-    shingled = with_shingles(df.select(id_col, text_col), text_col, n)
+    shingled = with_shingles(df.select(id_col, text_col), text_col, n).persist()
     exploded = shingled.select(F.col(id_col), F.explode("shingles").alias("sh"))
     a = exploded.select(F.col(id_col).alias("doc_a"), "sh")
     b = exploded.select(F.col(id_col).alias("doc_b"), "sh")
@@ -95,15 +119,15 @@ def ngram_jaccard_pairs(
 def minhash_signature(
     shingled: DataFrame, id_col: str, k: int = MINHASH_K
 ) -> DataFrame:
-    """k-column MinHash signature: for seed i, min over shingles of
-    md5(shingle || ':' || i). Lexicographic min over the hex digest is a
-    uniform-order statistic, and md5 keeps it engine-portable."""
+    """k-column MinHash signature via universal hashing: one md5 per
+    shingle, then k derived integer hash functions (min over shingles).
+    The whole signature is one partial-aggregating groupBy."""
     exploded = shingled.select(F.col(id_col), F.explode("shingles").alias("sh"))
+    hashed = exploded.withColumn("h", F.expr(BASE_HASH_SPARK))
     aggs = [
-        F.min(F.md5(F.concat(F.col("sh"), F.lit(f":{i}")))).alias(f"m{i}")
-        for i in range(k)
+        F.expr(minhash_term_spark(i)).alias(f"m{i}") for i in range(k)
     ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -115,9 +139,14 @@ def minhash_lsh_pairs(
     verification of the candidates. The only shuffles are the signature
     groupBy and the band-key self-join — no all-pairs stage anywhere."""
     shingled = with_shingles(df.select(id_col, text_col), text_col, n)
+    # the shingle table feeds both the signature and the verification
+    # join — persist it so normalization/shingling runs once (at scale
+    # this would be a staged intermediate table).
+    shingled = shingled.persist()
     sig = minhash_signature(shingled, id_col, k=bands * rows)
     band_keys = [
-        F.md5(F.concat(*[F.col(f"m{band * rows + r}") for r in range(rows)]))
+        F.md5(F.concat_ws(
+            ":", *[F.col(f"m{band * rows + r}") for r in range(rows)]))
         .alias(f"b{band}")
         for band in range(bands)
     ]

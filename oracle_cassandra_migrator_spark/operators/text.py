@@ -23,10 +23,13 @@ def words_expr(col: str) -> str:
     return f"split({normalize_expr(col)}, ' ')"
 
 
-def shingles_expr(col: str, n: int = 3) -> str:
-    """Distinct word n-gram shingles as an array<string> (empty when the
-    doc has fewer than n words)."""
-    w = f"({words_expr(col)})"
+def shingles_from_words_expr(words_col: str, n: int = 3) -> str:
+    """Distinct word n-gram shingles from an already-materialized words
+    array column (empty when the doc has fewer than n words). Taking a
+    *column* matters: inlining the split/regex expression here would
+    re-run the full-text regex once per element_at call — ~3x per
+    shingle — instead of once per document."""
+    w = words_col
     parts = ", ".join(f"element_at({w}, i + {k})" for k in range(n))
     return (
         f"CASE WHEN size({w}) >= {n} THEN "
@@ -38,7 +41,12 @@ def shingles_expr(col: str, n: int = 3) -> str:
 
 def with_shingles(df: DataFrame, text_col: str, n: int = 3,
                   out: str = "shingles") -> DataFrame:
-    return df.withColumn(out, F.expr(shingles_expr(text_col, n)))
+    tmp = f"__words_{out}"
+    return (
+        df.withColumn(tmp, F.expr(words_expr(text_col)))
+        .withColumn(out, F.expr(shingles_from_words_expr(tmp, n)))
+        .drop(tmp)
+    )
 
 
 def fingerprint_expr(col: str) -> str:

@@ -82,11 +82,11 @@ def dedup_ngram_jaccard(spark, sf_dir):
 def _minhash_oracle(bands: int = dedup.LSH_BANDS, rows: int = dedup.LSH_ROWS) -> str:
     k = bands * rows
     mins = ",\n           ".join(
-        f"min(md5(tok || ':{i}')) AS m{i}" for i in range(k))
+        f"{dedup.minhash_term_sql(i)} AS m{i}" for i in range(k))
     band_selects = "\n    UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_idx, "
-        f"md5({' || '.join(f'm{b * rows + r}' for r in range(rows))}) AS band_key "
-        f"FROM mh"
+        f"md5(concat_ws(':', {', '.join(f'm{b * rows + r}' for r in range(rows))}))"
+        f" AS band_key FROM mh"
         for b in range(bands)
     )
     return f"""

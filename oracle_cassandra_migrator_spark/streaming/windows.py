@@ -1,0 +1,93 @@
+"""Structured Streaming windowed aggregations (SURVEY.md §2.9 T1 —
+absent from the reference, which is strictly batch; its "checkpoints"
+are batch resume markers, not streaming state).
+
+These transformations are source-agnostic: they accept any streaming
+*or* batch DataFrame with an event-time column, so the same code is
+unit-testable in batch and deployable on ``readStream`` (Kafka, files,
+rate). Watermarks bound state for late data; at 100 TB/day scale the
+watermark delay is THE knob that caps state-store size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _with_event_time(df: DataFrame, ts_col: str, watermark: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (with local timezone); the testdata
+    arrives as TIMESTAMP_NTZ. Cast on both batch and streaming paths so
+    their results stay directly comparable."""
+    df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return df
+
+
+def tumbling_window_agg(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Non-overlapping event-time windows with counts and value sums.
+    Watermark lets Spark finalize+evict window state once event time
+    passes window_end + delay."""
+    df = _with_event_time(events, ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, window_duration), *group_cols)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *group_cols, "n_events", "total_value",
+        )
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide: str = "15 minutes",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Overlapping windows (each event lands in duration/slide windows)."""
+    df = _with_event_time(events, ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, window_duration, slide))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
+def session_window_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Data-driven session windows (close after ``gap`` inactivity) —
+    the streaming twin of the batch gaps-and-islands sessionization in
+    queries.extensions.events_sessionize."""
+    df = _with_event_time(events, ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap), key_col)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,100 @@
+"""Direct unit tests of the extension operators on synthetic rows
+(complementing the DuckDB-oracle equivalence checks in
+test_queries_vs_duckdb.py, these pin down the *semantics* on known
+inputs: planted duplicates must be found, disjoint items must not)."""
+
+from pyspark.sql import functions as F
+
+from oracle_cassandra_migrator_spark.operators import dedup, multimodal, similarity
+
+
+def docs_df(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog today"),  # near-dup of 1
+        (3, "completely different text about spark query engines"),
+        (4, "The  quick brown fox jumps over the lazy dog tonight"),  # exact dup of 1 modulo case/ws
+        (5, "tiny"),  # fewer than 3 words -> no shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+def test_exact_dedup_groups_normalized_copies(spark):
+    out = dedup.exact_dedup(docs_df(spark), "text", "doc_id").collect()
+    groups = {r.representative_id: r.n_copies for r in out}
+    assert groups[1] == 2           # docs 1 and 4 collapse
+    assert groups[2] == 1
+    assert len(out) == 4            # 5 docs -> 4 distinct fingerprints
+
+
+def test_ngram_jaccard_finds_planted_pair(spark):
+    pairs = dedup.ngram_jaccard_pairs(
+        docs_df(spark), "text", "doc_id", n=3, threshold=0.5).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (1, 4) in found          # identical after normalization -> j=1.0
+    assert (1, 2) in found          # one-word edit -> high overlap
+    assert all(3 not in p for p in found)
+    j = {(r.doc_a, r.doc_b): r.jaccard for r in pairs}
+    assert j[(1, 4)] == 1.0
+
+
+def test_minhash_lsh_matches_exact_on_planted_pairs(spark):
+    exact = {(r.doc_a, r.doc_b)
+             for r in dedup.ngram_jaccard_pairs(
+                 docs_df(spark), "text", "doc_id", threshold=0.5).collect()}
+    lsh = {(r.doc_a, r.doc_b)
+           for r in dedup.minhash_lsh_pairs(
+               docs_df(spark), "text", "doc_id", threshold=0.5).collect()}
+    # LSH candidates are a subset; identical docs always collide
+    assert lsh <= exact
+    assert (1, 4) in lsh
+
+
+def test_simhash_buckets_identical_docs(spark):
+    buckets = dedup.simhash_buckets(docs_df(spark), "text", "doc_id").collect()
+    assert any(b.n_docs == 2 and b.representative_id == 1 for b in buckets)
+
+
+def vectors_df(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal
+        (3, [-1.0, 0.0, 0.0]),  # opposite
+    ]
+    return spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+
+
+def test_cosine_topk_orders_by_similarity(spark):
+    emb = vectors_df(spark)
+    q = emb.where("vec_id = 0").select(F.col("embedding").alias("q"))
+    top = similarity.cosine_topk(emb.where("vec_id <> 0"), q, k=3).collect()
+    assert [r.vec_id for r in top] == [1, 2, 3]
+    assert top[0].cosine > 0.99
+    assert abs(top[1].cosine) < 1e-9
+    assert top[2].cosine == -1.0
+
+
+def test_cosine_pairs_threshold(spark):
+    pairs = similarity.cosine_pairs(vectors_df(spark), threshold=0.9).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
+
+
+def test_lsh_bucket_is_deterministic_and_groups_close_vectors(spark):
+    emb = vectors_df(spark)
+    bucket = similarity.signbit_bucket_expr("embedding", dim=3, n_planes=4)
+    rows = emb.withColumn("b", F.expr(bucket)).collect()
+    by_id = {r.vec_id: r.b for r in rows}
+    assert by_id[0] == by_id[1]       # near-identical vectors share bucket
+    assert by_id[0] != by_id[3]       # opposite vector flips every bit
+
+
+def test_multimodal_decode_plumbing(spark):
+    docs = docs_df(spark)
+    out = multimodal.decode_binary_metadata(
+        multimodal.documents_as_binary(docs)).collect()
+    assert len(out) == 5
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[5].n_bytes == 4      # "tiny"
+    assert by_id[5].mm_format in ("jpeg", "png", "webp")
+    assert 0 <= by_id[5].width < 640 and 0 <= by_id[5].height < 480

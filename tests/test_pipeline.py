@@ -1,0 +1,123 @@
+"""End-to-end tests of the phased resumable pipeline (reference
+``migrate_table`` semantics: gates A/B, per-file checkpoints, retry)."""
+
+import glob
+import os
+
+import pytest
+
+from oracle_cassandra_migrator_spark.pipeline import Pipeline, run_pipelines
+from oracle_cassandra_migrator_spark.reliability.state import LocalFSStateStore
+
+from tests.conftest import SF_SMALL
+
+
+def make_spec(tmp_path, name="t1"):
+    return {
+        "name": name,
+        "staging_dir": str(tmp_path / "staging"),
+        "sources": {
+            "customer": {
+                "format": "parquet",
+                "path": f"{SF_SMALL}/customer.parquet",
+                "filter": "c_acctbal > 0",
+                "alias": "customer",
+            },
+            "orders": {
+                "format": "parquet",
+                "path": f"{SF_SMALL}/orders.parquet",
+                "filter": "o_orderpriority = '1-URGENT'",
+                "alias": "orders",
+            },
+        },
+        "transform": [
+            {"op": "join", "left": "customer", "right": "orders",
+             "on": "customer.c_custkey = orders.o_custkey", "as": "j"},
+            {"op": "select", "input": "j",
+             "exprs": ["c_custkey AS customer_id", "c_name AS name",
+                       "o_orderkey AS order_key", "o_totalprice AS total"]},
+        ],
+        "sink": {"format": "parquet", "path": str(tmp_path / "sink")},
+        "retry": {"retries": 3, "delay": 0.0, "sleep": lambda s: None},
+    }
+
+
+def test_full_run_then_resume_skips_everything(spark, tmp_path):
+    spec = make_spec(tmp_path)
+    state = LocalFSStateStore()
+
+    r1 = Pipeline(spark, spec, state).run()
+    assert "transform" in r1.phases_run
+    assert r1.files_written >= 1
+
+    r2 = Pipeline(spark, spec, state).run()
+    assert r2.files_written == 0
+    assert r2.files_skipped == r1.files_written
+    assert "transform" not in r2.phases_run
+
+
+def test_partial_resume_rewrites_only_missing_file(spark, tmp_path):
+    spec = make_spec(tmp_path)
+    spec["transform_partitions"] = 3  # force multiple staged files
+    state = LocalFSStateStore()
+    r1 = Pipeline(spark, spec, state).run()
+    assert r1.files_written == 3
+
+    markers = glob.glob(
+        str(tmp_path / "staging/t1/transformed/*.parquet.checkpoint"))
+    os.remove(markers[0])
+    r2 = Pipeline(spark, spec, state).run()
+    assert r2.files_written == 1
+    assert r2.files_skipped == 2
+
+
+def test_sink_output_matches_direct_query(spark, tmp_path):
+    spec = make_spec(tmp_path)
+    Pipeline(spark, spec, LocalFSStateStore()).run()
+    sunk = spark.read.parquet(str(tmp_path / "sink"))
+
+    customer = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    expected = (
+        customer.where("c_acctbal > 0")
+        .join(orders.where("o_orderpriority = '1-URGENT'"),
+              customer.c_custkey == orders.o_custkey)
+    )
+    assert sunk.count() == expected.count()
+    assert set(sunk.columns) == {"customer_id", "name", "order_key", "total"}
+
+
+def test_retry_exhaustion_leaves_no_checkpoint(spark, tmp_path, monkeypatch):
+    spec = make_spec(tmp_path)
+    state = LocalFSStateStore()
+    pipe = Pipeline(spark, spec, state)
+    staged = pipe.stage_transformed(
+        __import__("oracle_cassandra_migrator_spark.pipeline",
+                   fromlist=["PipelineResult"]).PipelineResult(name="x"))
+
+    attempts = {"n": 0}
+
+    def always_fail(self, data_file, sink_spec):
+        attempts["n"] += 1
+        raise RuntimeError("sink down")
+
+    monkeypatch.setattr(Pipeline, "_write_one_file", always_fail)
+    from oracle_cassandra_migrator_spark.pipeline import PipelineResult
+    with pytest.raises(RuntimeError):
+        pipe.write_sink_checkpointed(staged, PipelineResult(name="t1"))
+    assert attempts["n"] == 3  # retried
+    assert not glob.glob(
+        str(tmp_path / "staging/t1/transformed/*.checkpoint"))
+
+
+def test_multi_table_driver_loop(spark, tmp_path):
+    config = {
+        "staging_dir": str(tmp_path / "staging"),
+        "tables": [
+            {**make_spec(tmp_path, "a")},
+            {**make_spec(tmp_path, "b")},
+        ],
+    }
+    results = run_pipelines(spark, config)
+    assert [r.name for r in results] == ["a", "b"]
+    assert all(r.files_written >= 1 for r in results)

@@ -1,0 +1,75 @@
+"""Structured Streaming tests: replay the events table as a file
+stream, run the windowed aggregations with watermarks, and check the
+streaming results against the identical batch computation."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from oracle_cassandra_migrator_spark.sources.testdata import read_table
+from oracle_cassandra_migrator_spark.streaming import (
+    session_window_counts,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, tmp_path_factory):
+    """events replayed as a file stream (2 parquet files = 2 micro-ish
+    batches with availableNow)."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    read_table(spark, SF_SMALL, "events").repartition(2).write.mode(
+        "overwrite").parquet(path)
+    batch = spark.read.parquet(path)
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    return stream, batch
+
+
+def run_to_completion(spark, streaming_df, name):
+    query = (
+        streaming_df.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    query.awaitTermination(120)
+    return spark.table(name)
+
+
+def as_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_tumbling_window_stream_matches_batch(spark, events_stream):
+    stream, batch = events_stream
+    got = run_to_completion(
+        spark, tumbling_window_agg(stream, "1 hour"), "tumbling")
+    expected = tumbling_window_agg(batch, "1 hour")
+    assert as_set(got) == as_set(expected)
+    assert got.count() > 0
+
+
+def test_sliding_windows_overlap(spark, events_stream):
+    stream, batch = events_stream
+    got = run_to_completion(
+        spark, sliding_window_agg(stream, "1 hour", "30 minutes"), "sliding")
+    expected = sliding_window_agg(batch, "1 hour", "30 minutes")
+    assert as_set(got) == as_set(expected)
+    # every event lands in duration/slide = 2 windows
+    n_events = batch.count()
+    assert (got.agg(F.sum("n_events")).collect()[0][0]) == 2 * n_events
+
+
+def test_session_windows_stream_matches_batch(spark, events_stream):
+    stream, batch = events_stream
+    got = run_to_completion(
+        spark, session_window_counts(stream, gap="30 minutes"), "sessions")
+    expected = session_window_counts(batch, gap="30 minutes")
+    assert as_set(got) == as_set(expected)
+    # session count should also agree with the batch gaps-and-islands op
+    from oracle_cassandra_migrator_spark.queries.extensions import (
+        events_sessionize,
+    )
+    n_sessions = events_sessionize(spark, SF_SMALL).count()
+    assert got.count() == n_sessions

@@ -759,3 +759,239 @@ def json_extract_event_props(spark, sf_dir):
             F.expr("CAST(MAX(k) AS BIGINT)").alias("max_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Coverage widening: grouping sets, exact stats, pivot, collected strings,
+# right join, *All set ops, window-function breadth, conditional scalars.
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS order_status,
+           COALESCE(o_orderpriority, 'ALL') AS order_priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS order_status,
+               COALESCE(o_orderpriority, 'ALL') AS order_priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+@query(
+    "agg_stats_per_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           min(c_acctbal) AS min_bal,
+           max(c_acctbal) AS max_bal,
+           round(median(c_acctbal), 4) AS median_bal,
+           round(sqrt(greatest(
+               (COUNT(*) * CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))
+                                    * CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                - CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                  * CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE))
+               / (COUNT(*) * (COUNT(*) - 1)), 0.0)), 4) AS stddev_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_stats_per_segment(spark, sf_dir):
+    """Exact order-statistics + a manually-decomposed sample stddev:
+    the sums are exact decimals so the result is order-independent
+    (a naive double stddev would drift with partitioning)."""
+    return (
+        read_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_customers"),
+            F.expr("min(c_acctbal)").alias("min_bal"),
+            F.expr("max(c_acctbal)").alias("max_bal"),
+            F.expr("round(median(c_acctbal), 4)").alias("median_bal"),
+            F.expr(
+                "round(sqrt(greatest("
+                " (COUNT(*) * CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))"
+                "                    * CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)"
+                "  - CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)"
+                "    * CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE))"
+                " / (COUNT(*) * (COUNT(*) - 1)), 0.0D)), 4)"
+            ).alias("stddev_bal"),
+        )
+    )
+
+
+@query("agg_approx_count_distinct")  # approximate by contract: rows-only
+def agg_approx_count_distinct(spark, sf_dir):
+    """HLL-sketch distinct (A3). Deterministic for fixed input but not
+    equal to DuckDB's approx implementation, so no value oracle."""
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .agg(F.approx_count_distinct("l_orderkey").alias("approx_orders"))
+    )
+
+
+@query(
+    "agg_collect_sorted_nations",
+    oracle="""
+    SELECT n_regionkey AS region_key,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_collect_sorted_nations(spark, sf_dir):
+    return (
+        read_table(spark, sf_dir, "nation")
+        .groupBy(F.col("n_regionkey").alias("region_key"))
+        .agg(F.expr(
+            "array_join(array_sort(collect_list(n_name)), ',')"
+        ).alias("nations"))
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority AS order_priority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark, sf_dir):
+    return (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("order_priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .selectExpr(
+            "order_priority",
+            "CAST(COALESCE(F, 0) AS BIGINT) AS n_f",
+            "CAST(COALESCE(O, 0) AS BIGINT) AS n_o",
+            "CAST(COALESCE(P, 0) AS BIGINT) AS n_p",
+        )
+    )
+
+
+@query(
+    "join_right_customer_orders",
+    oracle="""
+    SELECT o.o_orderkey AS order_key, c.c_custkey AS customer_id,
+           c.c_mktsegment AS market_segment
+    FROM (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_right_customer_orders(spark, sf_dir):
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    pending = t["orders"].where("o_orderstatus = 'P'")
+    return (
+        pending.join(t["customer"],
+                     pending.o_custkey == t["customer"].c_custkey, "right")
+        .selectExpr("o_orderkey AS order_key", "c_custkey AS customer_id",
+                    "c_mktsegment AS market_segment")
+    )
+
+
+@query(
+    "set_union_all_priorities",
+    oracle="""
+    SELECT o_custkey AS customer_id FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_custkey AS customer_id FROM orders WHERE o_orderpriority = '2-HIGH'
+    """,
+)
+def set_union_all_priorities(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders")
+    a = orders.where("o_orderpriority = '1-URGENT'").selectExpr("o_custkey AS customer_id")
+    b = orders.where("o_orderpriority = '2-HIGH'").selectExpr("o_custkey AS customer_id")
+    return a.unionAll(b)
+
+
+@query(
+    "set_intersect_all_buyers",
+    oracle="""
+    SELECT o_custkey AS customer_id FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey AS customer_id FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_intersect_all_buyers(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders")
+    a = orders.where("o_orderstatus = 'F'").selectExpr("o_custkey AS customer_id")
+    b = orders.where("o_orderstatus = 'O'").selectExpr("o_custkey AS customer_id")
+    return a.intersectAll(b)
+
+
+@query(
+    "set_except_all_buyers",
+    oracle="""
+    SELECT o_custkey AS customer_id FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey AS customer_id FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_except_all_buyers(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders")
+    a = orders.where("o_orderstatus = 'F'").selectExpr("o_custkey AS customer_id")
+    b = orders.where("o_orderstatus = 'O'").selectExpr("o_custkey AS customer_id")
+    return a.exceptAll(b)
+
+
+@query(
+    "window_rank_breadth",
+    oracle="""
+    SELECT o_orderkey AS order_key,
+           CAST(dense_rank() OVER w AS INT) AS price_dense_rank,
+           CAST(ntile(4) OVER w AS INT) AS price_quartile,
+           round(percent_rank() OVER w, 6) AS price_pct_rank,
+           CAST(lead(o_orderkey) OVER w AS BIGINT) AS next_order_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_rank_breadth(spark, sf_dir):
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o_orderkey AS order_key,
+               CAST(dense_rank() OVER w AS INT) AS price_dense_rank,
+               CAST(ntile(4) OVER w AS INT) AS price_quartile,
+               round(percent_rank() OVER w, 6) AS price_pct_rank,
+               CAST(lead(o_orderkey) OVER w AS BIGINT) AS next_order_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """)
+
+
+@query(
+    "scalar_conditional_functions",
+    oracle="""
+    SELECT c_custkey AS customer_id,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           greatest(c_acctbal, 0.0) AS bal_floor0,
+           least(c_acctbal, 5000.0) AS bal_cap5k,
+           CASE WHEN c_acctbal < 0 THEN 'overdrawn' ELSE 'ok' END AS bal_status,
+           CAST(c_acctbal >= 0 AS BOOLEAN) AS is_positive
+    FROM customer
+    """,
+)
+def scalar_conditional_functions(spark, sf_dir):
+    return read_table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS customer_id",
+        "coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other",
+        "greatest(c_acctbal, 0.0D) AS bal_floor0",
+        "least(c_acctbal, 5000.0D) AS bal_cap5k",
+        "CASE WHEN c_acctbal < 0 THEN 'overdrawn' ELSE 'ok' END AS bal_status",
+        "CAST(c_acctbal >= 0 AS BOOLEAN) AS is_positive",
+    )

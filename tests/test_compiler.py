@@ -1,0 +1,123 @@
+"""Plan-compiler tests: every op in plans.compiler.OPS compiles a spec
+step to the right DataFrame result."""
+
+import pytest
+
+from oracle_cassandra_migrator_spark.plans.compiler import (
+    OPS,
+    compile_pipeline,
+    compile_transform,
+)
+from oracle_cassandra_migrator_spark.sources.testdata import load_tables
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def tables(spark):
+    return load_tables(spark, SF_SMALL, "nation", "region", "customer")
+
+
+def test_every_op_is_exercised_here():
+    exercised = {
+        "filter", "select", "with_columns", "drop", "join", "aggregate",
+        "sort", "limit", "distinct", "drop_duplicates", "union",
+        "intersect", "except", "alias", "repartition", "sql",
+    }
+    assert exercised == set(OPS)
+
+
+def test_filter_select_with_columns_drop(spark, tables):
+    out = compile_transform(spark, tables, [
+        {"op": "filter", "input": "nation", "expr": "n_regionkey = 0"},
+        {"op": "with_columns", "columns": {"name_len": "length(n_name)"}},
+        {"op": "select", "exprs": ["n_name", "name_len", "n_regionkey"]},
+        {"op": "drop", "columns": ["n_regionkey"]},
+    ])
+    rows = out.collect()
+    assert out.columns == ["n_name", "name_len"]
+    assert all(r.name_len == len(r.n_name) for r in rows)
+
+
+def test_join_aggregate_sort_limit(spark, tables):
+    out = compile_transform(spark, tables, [
+        {"op": "join", "left": "nation", "right": "region",
+         "on": "nation.n_regionkey = region.r_regionkey",
+         "broadcast": "region", "as": "nr"},
+        {"op": "aggregate", "group_by": ["r_name"],
+         "aggs": ["CAST(COUNT(*) AS BIGINT) AS n_nations"]},
+        {"op": "sort", "by": ["n_nations DESC", "r_name"]},
+        {"op": "limit", "n": 3},
+    ])
+    rows = out.collect()
+    assert len(rows) == 3
+    assert rows[0].n_nations >= rows[-1].n_nations
+
+
+def test_aggregate_rollup_and_cube(spark, tables):
+    rollup = compile_transform(spark, tables, [
+        {"op": "aggregate", "input": "customer", "grouping": "rollup",
+         "group_by": ["c_mktsegment"], "aggs": ["COUNT(*) AS n"]},
+    ])
+    assert rollup.where("c_mktsegment IS NULL").count() == 1  # grand total
+    cube = compile_transform(spark, tables, [
+        {"op": "aggregate", "input": "customer", "grouping": "cube",
+         "group_by": ["c_mktsegment", "c_nationkey"], "aggs": ["COUNT(*) AS n"]},
+    ])
+    assert cube.count() > rollup.count()
+
+
+def test_set_ops_and_duplicates(spark, tables):
+    out = compile_transform(spark, tables, [
+        {"op": "select", "input": "nation", "exprs": ["n_regionkey"],
+         "as": "keys"},
+        {"op": "distinct", "input": "keys", "as": "d1"},
+        {"op": "drop_duplicates", "input": "keys", "by": ["n_regionkey"],
+         "as": "d2"},
+        {"op": "union", "inputs": ["d1", "d2"], "as": "u"},
+        {"op": "intersect", "inputs": ["d1", "d2"], "as": "i"},
+        {"op": "except", "inputs": ["d1", "d2"], "as": "e"},
+        {"op": "sql", "query": "SELECT (SELECT COUNT(*) FROM u) AS u_n, "
+                               "(SELECT COUNT(*) FROM i) AS i_n, "
+                               "(SELECT COUNT(*) FROM e) AS e_n"},
+    ])
+    row = out.collect()[0]
+    assert (row.u_n, row.i_n, row.e_n) == (10, 5, 0)
+
+
+def test_sql_step_sees_named_steps(spark, tables):
+    out = compile_transform(spark, tables, [
+        {"op": "filter", "input": "customer", "expr": "c_acctbal > 0",
+         "as": "positive"},
+        {"op": "sql", "query":
+            "SELECT c_mktsegment, COUNT(*) AS n FROM positive GROUP BY 1"},
+    ])
+    assert out.count() == 5
+
+
+def test_compile_pipeline_reads_sources_and_writes_sink(spark, tmp_path):
+    out_path = str(tmp_path / "sinked")
+    df = compile_pipeline(spark, {
+        "sources": {
+            "nation": {"format": "parquet",
+                       "path": f"{SF_SMALL}/nation.parquet",
+                       "filter": "n_regionkey IN (0, 1)"},
+        },
+        "transform": [
+            {"op": "select", "input": "nation",
+             "exprs": ["n_name AS name", "n_regionkey AS region_key"]},
+        ],
+        "sink": {"format": "parquet", "path": out_path},
+    })
+    assert spark.read.parquet(out_path).count() == df.count() == 10
+
+
+def test_unknown_op_raises(spark, tables):
+    with pytest.raises(ValueError, match="unknown op"):
+        compile_transform(spark, tables, [{"op": "nonesuch"}])
+
+
+def test_unknown_input_raises(spark, tables):
+    with pytest.raises(KeyError, match="unknown dataframe"):
+        compile_transform(spark, tables, [
+            {"op": "filter", "input": "missing", "expr": "1=1"}])

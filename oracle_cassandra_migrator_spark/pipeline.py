@@ -32,6 +32,7 @@ from typing import Any, Callable, Mapping
 from pyspark.sql import DataFrame, SparkSession
 
 from oracle_cassandra_migrator_spark.plans.compiler import compile_transform
+from oracle_cassandra_migrator_spark.reliability.progress import ProgressReporter
 from oracle_cassandra_migrator_spark.reliability.retry import retry
 from oracle_cassandra_migrator_spark.reliability.state import (
     LocalFSStateStore,
@@ -125,6 +126,9 @@ class Pipeline:
         files = [
             f for f in self.state.list(staged_path, suffix=".parquet")
         ]
+        # row totals from parquet footers: progress %, at metadata cost
+        # (the reference ran a count() job per file here — py:317-325)
+        progress = ProgressReporter(files, name=self.name)
         retry_conf = self.spec.get("retry", {})
         writer = retry(
             retries=retry_conf.get("retries", 3),
@@ -143,6 +147,7 @@ class Pipeline:
             writer(data_file, sink_spec)
             self.state.put_marker(marker)
             result.files_written += 1
+            progress.record(data_file)
             logger.info("[%s] sink progress: %d/%d files", self.name, idx, total)
         result.phases_run.append("sink")
 

@@ -421,3 +421,43 @@ def events_daily_type_counts(spark, sf_dir):
             F.expr(dsum("value", "total_value")),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pandas-UDF surface (SURVEY.md §2.10)
+# ---------------------------------------------------------------------------
+
+@query(
+    "udf_user_gap_median",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             date_diff('microsecond',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) AS gap_us
+      FROM events)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(median(gap_us) AS DOUBLE) AS median_gap_us
+    FROM g GROUP BY user_id
+    """,
+)
+def udf_user_gap_median(spark, sf_dir):
+    from oracle_cassandra_migrator_spark.operators.udfs import user_gap_median
+
+    return user_gap_median(read_table(spark, sf_dir, "events"))
+
+
+@query(
+    "udf_embedding_norms",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+             AS l2_norm
+    FROM embeddings
+    """,
+)
+def udf_embedding_norms(spark, sf_dir):
+    from oracle_cassandra_migrator_spark.operators.udfs import embedding_norms
+
+    return embedding_norms(read_table(spark, sf_dir, "embeddings"))

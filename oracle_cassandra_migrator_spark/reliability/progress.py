@@ -1,0 +1,37 @@
+"""Progress accounting (reference R4, py:317-325 + :355-364) without
+the reference's anti-pattern: it re-read every staged parquet file and
+ran ``df.count()`` — one full Spark job per file — just to log totals.
+
+Parquet already stores exact row counts in the file footer; reading the
+footer is a driver-side metadata call measured in milliseconds,
+independent of data volume. At 100 TB this is the difference between
+"free" and "a second full scan of the staging area"."""
+
+from __future__ import annotations
+
+import logging
+
+logger = logging.getLogger(__name__)
+
+
+def parquet_row_count(path: str) -> int:
+    """Exact row count from the parquet footer — no Spark job."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+class ProgressReporter:
+    """Tracks written-rows / total-rows across a per-file sink loop."""
+
+    def __init__(self, files: list[str], name: str = "pipeline"):
+        self.name = name
+        self.counts = {f: parquet_row_count(f) for f in files}
+        self.total = sum(self.counts.values())
+        self.done = 0
+
+    def record(self, data_file: str) -> None:
+        self.done += self.counts.get(data_file, 0)
+        pct = 100.0 * self.done / self.total if self.total else 100.0
+        logger.info("[%s] progress: %d/%d rows (%.1f%%)",
+                    self.name, self.done, self.total, pct)

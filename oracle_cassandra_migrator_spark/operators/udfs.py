@@ -28,7 +28,10 @@ def user_gap_median(events: DataFrame) -> DataFrame:
 
     def median_gap(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
-        gaps = pdf["ts"].diff().dropna().dt.total_seconds() * 1_000_000
+        # integer nanosecond arithmetic -> exact microsecond gaps
+        # (float total_seconds() would drift vs the SQL date_diff oracle)
+        ts_ns = pdf["ts"].astype("int64").to_numpy()
+        gaps = np.diff(ts_ns) // 1_000
         return pd.DataFrame({
             "user_id": [pdf["user_id"].iloc[0]],
             "n_events": [len(pdf)],

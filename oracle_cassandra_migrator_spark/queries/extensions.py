@@ -186,13 +186,6 @@ def sim_topk_bruteforce(spark, sf_dir):
     return similarity.cosine_topk(emb.where("vec_id <> 0"), q, k=10)
 
 
-@query("sim_ann_lsh_bucketed")  # approximate: rows-only check by design
-def sim_ann_lsh_bucketed(spark, sf_dir):
-    emb = read_table(spark, sf_dir, "embeddings")
-    q = emb.where("vec_id = 0").select(F.col("embedding").alias("q"))
-    return similarity.lsh_bucketed_topk(emb, q, dim=64, k=10, n_planes=6)
-
-
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -461,3 +454,111 @@ def udf_embedding_norms(spark, sf_dir):
     from oracle_cassandra_migrator_spark.operators.udfs import embedding_norms
 
     return embedding_norms(read_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe aggregation (salting) + exact-oracle ANN + BPE-ish tokens
+# ---------------------------------------------------------------------------
+
+@query(
+    "skew_salted_revenue_by_status",
+    oracle=f"""
+    SELECT o_orderstatus AS order_status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {dsum('o_totalprice', 'total_price')}
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def skew_salted_revenue_by_status(spark, sf_dir):
+    """Two-stage salted aggregation: identical result to a direct
+    groupBy (partials are exact decimals/counts), but a hot status key
+    fans out over 16 salt partitions first — the skew-safe plan."""
+    from oracle_cassandra_migrator_spark.operators.skew import salted_aggregate
+
+    return salted_aggregate(
+        read_table(spark, sf_dir, "orders")
+        .selectExpr("o_orderstatus AS order_status", "o_totalprice"),
+        key_cols=["order_status"],
+        partial_aggs=[
+            "COUNT(*) AS c",
+            "SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS s",
+        ],
+        final_aggs=[
+            "CAST(SUM(c) AS BIGINT) AS n_orders",
+            "CAST(SUM(s) AS DOUBLE) AS total_price",
+        ],
+        n_salts=16,
+    )
+
+
+def _plane_literal_sql(plane_idx: int, dim: int = 64) -> str:
+    """The same md5-parity Rademacher hyperplane as
+    similarity.hyperplane_expr, precomputed into a SQL array literal."""
+    import hashlib
+
+    signs = []
+    for j in range(dim):
+        h = int(hashlib.md5(f"p{plane_idx}:{j}".encode()).hexdigest()[:15], 16)
+        signs.append("1.0" if h % 2 == 0 else "-1.0")
+    return "[" + ", ".join(signs) + "]::DOUBLE[]"
+
+
+def _ann_lsh_oracle(dim: int = 64, n_planes: int = 6, k: int = 10) -> str:
+    bits = " || ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {_plane_literal_sql(i, dim)})"
+        f" >= 0 THEN '1' ELSE '0' END)"
+        for i in range(n_planes)
+    )
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, {bits} AS bucket FROM embeddings),
+    qb AS (SELECT bucket AS qbucket, embedding AS q FROM b WHERE vec_id = 0)
+    SELECT b.vec_id, b.bucket,
+           round(list_dot_product(b.embedding::DOUBLE[], qb.q::DOUBLE[])
+                 / (sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(qb.q::DOUBLE[], qb.q::DOUBLE[]))), 6)
+             AS cosine
+    FROM b JOIN qb ON b.bucket = qb.qbucket
+    ORDER BY cosine DESC, b.vec_id
+    LIMIT {k}
+    """
+
+
+@query("sim_ann_lsh_exact", oracle=_ann_lsh_oracle())
+def sim_ann_lsh_exact(spark, sf_dir):
+    """The LSH-bucketed ANN path with a full value oracle: hyperplanes
+    are md5-derived so the bucketing is deterministic and the DuckDB
+    oracle replicates it bit-for-bit (plane literals precomputed)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id = 0").select(F.col("embedding").alias("q"))
+    return similarity.lsh_bucketed_topk(emb, q, dim=64, k=10, n_planes=6)
+
+
+# same regex, two literal syntaxes: Spark SQL strings process backslash
+# escapes (so \s must be doubled); DuckDB strings do not.
+BPE_ISH_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+BPE_ISH_RE_SPARK = r"[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+@query(
+    "text_bpe_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{BPE_ISH_RE}')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(len(list_distinct(regexp_extract_all(lower(text), '{BPE_ISH_RE}')))
+             AS BIGINT) AS n_unique_bpe_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_counts(spark, sf_dir):
+    """BPE-style pre-tokenization (letter runs / digit runs / single
+    punctuation) via regexp_extract_all — the standard cheap token-count
+    proxy for LLM-corpus accounting."""
+    return read_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"CAST(size(regexp_extract_all(lower(text), '{BPE_ISH_RE_SPARK}', 0)) AS BIGINT)"
+        " AS n_bpe_tokens",
+        f"CAST(size(array_distinct(regexp_extract_all(lower(text), '{BPE_ISH_RE_SPARK}', 0)))"
+        " AS BIGINT) AS n_unique_bpe_tokens",
+    )

@@ -73,3 +73,60 @@ def test_session_windows_stream_matches_batch(spark, events_stream):
     )
     n_sessions = events_sessionize(spark, SF_SMALL).count()
     assert got.count() == n_sessions
+
+
+def test_stateful_running_totals_accumulate_across_batches(spark, tmp_path):
+    """applyInPandasWithState: totals must reflect ALL batches, proving
+    state persists across micro-batches (not per-batch aggregation)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+    from oracle_cassandra_migrator_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    events = read_table(spark, SF_SMALL, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "src")
+    events.where("event_id % 2 = 0").coalesce(1).write.mode(
+        "overwrite").parquet(src)
+
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", "1").parquet(src)
+    query = (
+        running_user_totals(stream)
+        .writeStream.format("memory").queryName("running_totals")
+        .outputMode("update").trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not spark.table(
+                "running_totals").count():
+            time.sleep(0.5)
+        # second batch: the odd half
+        events.where("event_id % 2 = 1").coalesce(1).write.mode(
+            "append").parquet(src)
+        expected = events.groupBy("user_id").count().count()
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            latest = spark.table("running_totals")
+            # update mode appends one row per (batch, user); take latest
+            if latest.count() >= expected:
+                time.sleep(1.5)
+                break
+            time.sleep(0.5)
+    finally:
+        query.stop()
+
+    from pyspark.sql.window import Window
+
+    out = spark.table("running_totals")
+    # the max n_events per user across updates == that user's full count
+    final = out.groupBy("user_id").agg(F.max("n_events").alias("n"))
+    truth = events.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n"))
+    assert {tuple(r) for r in final.collect()} == \
+        {tuple(r) for r in truth.collect()}

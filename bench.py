@@ -25,11 +25,18 @@ HEADLINE = [
     "topk_order_revenue",
     "rollup_acctbal_region_nation",
     "window_rank_top_orders",
+    "window_running_total",
     "asof_join_purchase_click",
     "events_sessionize",
+    "events_daily_type_counts",
     "dedup_exact_documents",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "sim_topk_bruteforce",
+    "sim_ann_lsh_exact",
+    "text_bpe_token_counts",
+    "udf_embedding_norms",
+    "skew_salted_revenue_by_status",
 ]
 
 
@@ -50,7 +57,7 @@ def main() -> None:
     # the plan, not first-job initialization (regex/md5/array kernels
     # and the pandas-UDF worker pool each JIT on first use).
     for warm in ("pricing_summary", "dedup_exact_documents",
-                 "sim_topk_bruteforce"):
+                 "sim_topk_bruteforce", "udf_embedding_norms"):
         QUERIES[warm](spark, "/root/testdata/sf0.001").write.format(
             "noop").mode("overwrite").save()
 

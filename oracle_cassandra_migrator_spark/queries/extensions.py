@@ -562,3 +562,38 @@ def text_bpe_token_counts(spark, sf_dir):
         f"CAST(size(array_distinct(regexp_extract_all(lower(text), '{BPE_ISH_RE_SPARK}', 0)))"
         " AS BIGINT) AS n_unique_bpe_tokens",
     )
+
+
+@query(
+    "sim_ivf_topk",
+    oracle="""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cvec
+      FROM embeddings WHERE vec_id % 43 = 0),
+    assign AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_dot_product(e.embedding::DOUBLE[],
+                                               c.cvec::DOUBLE[]), 6) DESC,
+                        c.cid) AS rn
+      FROM embeddings e CROSS JOIN cents c),
+    cells AS (
+      SELECT vec_id, embedding, CAST(cid AS BIGINT) AS cell_id
+      FROM assign WHERE rn = 1),
+    q AS (SELECT cell_id AS qcell, embedding AS qv FROM cells WHERE vec_id = 0)
+    SELECT c.vec_id, c.cell_id,
+           round(list_dot_product(c.embedding::DOUBLE[], q.qv::DOUBLE[])
+                 / (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 6)
+             AS cosine
+    FROM cells c JOIN q ON c.cell_id = q.qcell
+    ORDER BY cosine DESC, c.vec_id
+    LIMIT 10
+    """,
+)
+def sim_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantized ANN (the codebook here is a deterministic
+    id-sample so the DuckDB oracle can replicate assignment exactly; a
+    production codebook would come from k-means)."""
+    return similarity.ivf_topk(read_table(spark, sf_dir, "embeddings"))

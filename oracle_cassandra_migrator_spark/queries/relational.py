@@ -995,3 +995,179 @@ def scalar_conditional_functions(spark, sf_dir):
         "CASE WHEN c_acctbal < 0 THEN 'overdrawn' ELSE 'ok' END AS bal_status",
         "CAST(c_acctbal >= 0 AS BOOLEAN) AS is_positive",
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-adapted analytics (classic multi-join/agg shapes on the testdata
+# schema; lineitem lacks shipmode/commitdate so Q12-style predicates are
+# adapted to available columns)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name AS nation_name,
+           {dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table join where customer and supplier must
+    share a nation — the join-order stress test. Catalyst reorders;
+    nation/region broadcast."""
+    t = load_tables(spark, sf_dir,
+                    "customer", "orders", "lineitem", "supplier",
+                    "nation", "region")
+    return (
+        t["customer"].alias("c")
+        .join(t["orders"].alias("o"), F.expr("c.c_custkey = o.o_custkey"))
+        .join(t["lineitem"].alias("l"), F.expr("o.o_orderkey = l.l_orderkey"))
+        .join(t["supplier"].alias("s"),
+              F.expr("l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey"))
+        .join(F.broadcast(t["nation"].alias("n")),
+              F.expr("s.s_nationkey = n.n_nationkey"))
+        .join(F.broadcast(t["region"].alias("r")),
+              F.expr("n.n_regionkey = r.r_regionkey"))
+        .where("r.r_name IN ('ASIA', 'EUROPE')"
+               " AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"
+               " AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'")
+        .groupBy(F.expr("n.n_name").alias("nation_name"))
+        .agg(F.expr(dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")))
+    )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+    SELECT {dsum('l_extendedprice * l_discount', 'revenue')},
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 25
+    """,
+)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-filter-aggregate; every predicate must
+    reach the parquet scan (PushedFilters)."""
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .where("l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'"
+               " AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'"
+               " AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 25")
+        .agg(
+            F.expr(dsum("l_extendedprice * l_discount", "revenue")),
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey AS customer_id, c.c_name AS customer_name,
+           n.n_name AS nation_name,
+           {dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, customer_id
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark, sf_dir):
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return (
+        t["customer"].alias("c")
+        .join(t["orders"].alias("o"), F.expr("c.c_custkey = o.o_custkey"))
+        .join(t["lineitem"].alias("l"),
+              F.expr("o.o_orderkey = l.l_orderkey"))
+        .join(F.broadcast(t["nation"].alias("n")),
+              F.expr("c.c_nationkey = n.n_nationkey"))
+        .where("l.l_returnflag = 'R'")
+        .groupBy(
+            F.expr("c.c_custkey").alias("customer_id"),
+            F.expr("c.c_name").alias("customer_name"),
+            F.expr("n.n_name").alias("nation_name"),
+        )
+        .agg(F.expr(dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")))
+        .orderBy(F.col("revenue").desc(), F.col("customer_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue_share",
+    oracle="""
+    SELECT CAST(
+             100.0 * CAST(SUM(CASE WHEN p.p_type = 'ECONOMY'
+                 THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(18,4))) AS DOUBLE)
+           AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+    """,
+)
+def tpch_q14_promo_revenue_share(spark, sf_dir):
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    return (
+        t["lineitem"].alias("l")
+        .where("l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'"
+               " AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'")
+        .join(F.broadcast(t["part"].alias("p")),
+              F.expr("l.l_partkey = p.p_partkey"))
+        .agg(F.expr(
+            "CAST(100.0 * CAST(SUM(CASE WHEN p.p_type = 'ECONOMY'"
+            " THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))"
+            " ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)"
+            " / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)"
+            " AS DECIMAL(18,4))) AS DOUBLE) AS DOUBLE)"
+        ).alias("promo_revenue_pct"))
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle=f"""
+    SELECT c.c_custkey AS customer_id, o.o_orderkey AS order_key,
+           {dsum('l.l_quantity', 'total_qty')}
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_custkey, o.o_orderkey
+    HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,4))) > 250
+    """,
+)
+def tpch_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: group-having over the fact table (HAVING =
+    post-aggregation filter, Catalyst folds it into the agg)."""
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        t["customer"].alias("c")
+        .join(t["orders"].alias("o"), F.expr("c.c_custkey = o.o_custkey"))
+        .join(t["lineitem"].alias("l"), F.expr("o.o_orderkey = l.l_orderkey"))
+        .groupBy(
+            F.expr("c.c_custkey").alias("customer_id"),
+            F.expr("o.o_orderkey").alias("order_key"),
+        )
+        .agg(F.expr(dsum("l.l_quantity", "total_qty")))
+        .where("total_qty > 250")
+    )

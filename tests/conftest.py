@@ -10,8 +10,9 @@ SF_MEDIUM = "/root/testdata/sf0.01"
 def spark():
     session = build_session(
         app_name="ocm-spark-tests",
-        master="local[4]",
-        conf={"spark.sql.shuffle.partitions": "8"},
+        master="local[16]",
+        conf={"spark.sql.shuffle.partitions": "16",
+              "spark.sql.warehouse.dir": "/tmp/ocm-test-warehouse"},
     )
     yield session
     session.stop()

@@ -101,32 +101,32 @@ def test_stateful_running_totals_accumulate_across_batches(spark, tmp_path):
         .outputMode("update").trigger(processingTime="500 milliseconds")
         .start()
     )
+    truth = {
+        tuple(r) for r in events.groupBy("user_id").agg(
+            F.count("*").cast("bigint").alias("n")).collect()
+    }
+
+    def current():
+        # update mode appends one row per (batch, user): the running
+        # maximum per user is that user's latest accumulated total
+        return {
+            tuple(r) for r in spark.table("running_totals")
+            .groupBy("user_id").agg(F.max("n_events").alias("n")).collect()
+        }
+
     try:
-        deadline = time.time() + 60
+        deadline = time.time() + 90
         while time.time() < deadline and not spark.table(
                 "running_totals").count():
             time.sleep(0.5)
         # second batch: the odd half
         events.where("event_id % 2 = 1").coalesce(1).write.mode(
             "append").parquet(src)
-        expected = events.groupBy("user_id").count().count()
-        deadline = time.time() + 60
-        while time.time() < deadline:
-            latest = spark.table("running_totals")
-            # update mode appends one row per (batch, user); take latest
-            if latest.count() >= expected:
-                time.sleep(1.5)
-                break
+        # poll the actual end condition: state reflects BOTH batches
+        deadline = time.time() + 90
+        while time.time() < deadline and current() != truth:
             time.sleep(0.5)
     finally:
         query.stop()
 
-    from pyspark.sql.window import Window
-
-    out = spark.table("running_totals")
-    # the max n_events per user across updates == that user's full count
-    final = out.groupBy("user_id").agg(F.max("n_events").alias("n"))
-    truth = events.groupBy("user_id").agg(
-        F.count("*").cast("bigint").alias("n"))
-    assert {tuple(r) for r in final.collect()} == \
-        {tuple(r) for r in truth.collect()}
+    assert current() == truth

@@ -597,3 +597,92 @@ def sim_ivf_topk(spark, sf_dir):
     id-sample so the DuckDB oracle can replicate assignment exactly; a
     production codebook would come from k-means)."""
     return similarity.ivf_topk(read_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# UDTF chunking + composite corpus-curation pipeline
+# ---------------------------------------------------------------------------
+
+@query(
+    "udtf_chunk_documents",
+    oracle=r"""
+    WITH w AS (SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+                 AS words
+               FROM documents)
+    SELECT doc_id,
+           CAST(i - 1 AS INT) AS chunk_idx,
+           array_to_string(words[(i-1)*50 + 1 : least(i*50, len(words))], ' ')
+             AS chunk_text,
+           CAST(least(i*50, len(words)) - (i-1)*50 AS INT) AS n_tokens
+    FROM w, UNNEST(generate_series(1, CAST(ceil(len(words) / 50.0) AS BIGINT)))
+           AS t(i)
+    """,
+)
+def udtf_chunk_documents(spark, sf_dir):
+    from oracle_cassandra_migrator_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    return chunk_documents(
+        spark, read_table(spark, sf_dir, "documents"), size=50)
+
+
+@query(
+    "pipeline_corpus_curation",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             round(0.5 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                          / length(text))
+                   + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                            / length(text))
+                   + 0.2 * least(CAST(len(list_filter({WORDS_SQL}, x -> list_contains(
+                         ['the','a','an','of','and','to','in','is','on','for'], x)))
+                         AS DOUBLE) / len({WORDS_SQL}) * 5.0, 1.0), 6) AS quality_score,
+             CAST(len({WORDS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents),
+    kept AS (SELECT * FROM scored WHERE quality_score >= 0.75),
+    dedup AS (
+      SELECT *, row_number() OVER (
+          PARTITION BY md5({NORM_SQL}) ORDER BY doc_id) AS rn
+      FROM kept)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE)
+                / COUNT(*) AS DOUBLE) AS avg_quality
+    FROM dedup WHERE rn = 1
+    GROUP BY lang
+    """,
+)
+def pipeline_corpus_curation(spark, sf_dir):
+    """Composite curation pipeline — the canonical LLM-data flow in one
+    plan: quality-score -> threshold filter -> exact-dedup (keep lowest
+    doc_id per fingerprint) -> per-language corpus accounting. Single
+    pass + one window + one aggregation; no driver-side loops."""
+    from oracle_cassandra_migrator_spark.operators.text import (
+        fingerprint_expr,
+        quality_columns,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    cols = quality_columns("text")
+    scored = docs.select(
+        "doc_id", "lang", "text",
+        cols["quality_score"].alias("quality_score"),
+        cols["n_tokens"].alias("n_tokens"),
+    ).where("quality_score >= 0.75")
+    deduped = (
+        scored.withColumn("fp", F.expr(fingerprint_expr("text")))
+        .withColumn(
+            "rn",
+            F.expr("row_number() OVER (PARTITION BY fp ORDER BY doc_id)"))
+        .where("rn = 1")
+    )
+    return deduped.groupBy("lang").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+        F.expr("CAST(SUM(n_tokens) AS BIGINT)").alias("total_tokens"),
+        F.expr("CAST(CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE)"
+               " / COUNT(*) AS DOUBLE)").alias("avg_quality"),
+    )

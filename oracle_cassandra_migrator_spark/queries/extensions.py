@@ -392,7 +392,7 @@ def events_sessionize(spark, sf_dir):
 @query(
     "events_daily_type_counts",
     oracle=f"""
-    SELECT CAST(date_trunc('day', ts) AS DATE) AS event_day,
+    SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS event_day,
            event_type,
            CAST(count(*) AS BIGINT) AS n_events,
            {dsum('value', 'total_value')}
@@ -406,7 +406,7 @@ def events_daily_type_counts(spark, sf_dir):
     return (
         read_table(spark, sf_dir, "events")
         .groupBy(
-            F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("event_day"),
+            F.expr("CAST(CAST(date_trunc('day', ts) AS DATE) AS STRING)").alias("event_day"),
             "event_type",
         )
         .agg(

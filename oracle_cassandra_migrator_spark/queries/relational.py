@@ -56,7 +56,7 @@ FLAGSHIP_PROJECTION = [
     "customer.c_acctbal AS account_balance",
     "orders.o_orderstatus AS order_status",
     "orders.o_totalprice AS order_total",
-    "CAST(orders.o_orderdate AS DATE) AS order_date",
+    "CAST(CAST(orders.o_orderdate AS DATE) AS STRING) AS order_date",
     "orders.o_orderpriority AS order_priority",
     "lineitem.l_partkey AS part_id",
     "lineitem.l_quantity AS quantity",
@@ -64,7 +64,7 @@ FLAGSHIP_PROJECTION = [
     "lineitem.l_discount AS discount",
     "lineitem.l_tax AS tax",
     "lineitem.l_returnflag AS return_flag",
-    "CAST(lineitem.l_shipdate AS DATE) AS ship_date",
+    "CAST(CAST(lineitem.l_shipdate AS DATE) AS STRING) AS ship_date",
     "supplier.s_suppkey AS supplier_id",
     "supplier.s_name AS supplier_name",
 ]
@@ -657,8 +657,8 @@ def scalar_string_functions(spark, sf_dir):
            CAST(year(o_orderdate) AS INT) AS order_year,
            CAST(month(o_orderdate) AS INT) AS order_month,
            CAST(quarter(o_orderdate) AS INT) AS order_quarter,
-           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month_start,
-           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS order_month_start,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS due_date,
            CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
                 AS INT) AS days_since_epoch_start
     FROM orders
@@ -670,8 +670,8 @@ def scalar_date_functions(spark, sf_dir):
         "CAST(year(o_orderdate) AS INT) AS order_year",
         "CAST(month(o_orderdate) AS INT) AS order_month",
         "CAST(quarter(o_orderdate) AS INT) AS order_quarter",
-        "CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month_start",
-        "date_add(CAST(o_orderdate AS DATE), 30) AS due_date",
+        "CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS STRING) AS order_month_start",
+        "CAST(date_add(CAST(o_orderdate AS DATE), 30) AS STRING) AS due_date",
         "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS INT)"
         " AS days_since_epoch_start",
     )
@@ -682,8 +682,8 @@ def scalar_date_functions(spark, sf_dir):
     oracle="""
     SELECT l_orderkey AS order_key, l_linenumber AS line_number,
            abs(l_discount - 0.05) AS discount_gap,
-           floor(l_extendedprice) AS price_floor,
-           ceil(l_quantity) AS qty_ceil,
+           CAST(floor(l_extendedprice) AS DOUBLE) AS price_floor,
+           CAST(ceil(l_quantity) AS DOUBLE) AS qty_ceil,
            sqrt(l_extendedprice) AS price_sqrt,
            CAST(l_partkey % 13 AS BIGINT) AS part_mod,
            l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged
@@ -694,8 +694,8 @@ def scalar_math_functions(spark, sf_dir):
     return read_table(spark, sf_dir, "lineitem").selectExpr(
         "l_orderkey AS order_key", "l_linenumber AS line_number",
         "abs(l_discount - 0.05) AS discount_gap",
-        "floor(l_extendedprice) AS price_floor",
-        "ceil(l_quantity) AS qty_ceil",
+        "CAST(floor(l_extendedprice) AS DOUBLE) AS price_floor",
+        "CAST(ceil(l_quantity) AS DOUBLE) AS qty_ceil",
         "sqrt(l_extendedprice) AS price_sqrt",
         "CAST(l_partkey % 13 AS BIGINT) AS part_mod",
         "l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged",

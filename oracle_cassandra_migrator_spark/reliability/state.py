@@ -62,3 +62,58 @@ class LocalFSStateStore(StateStore):
         """Spark's parquet commit protocol writes _SUCCESS; that is the
         phase-done signal (reference R2 checks staged-parquet existence)."""
         return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+class S3StateStore(StateStore):
+    """S3 marker store — the reference's coordination layer
+    (boto3 ``list_objects_v2`` pagination at
+    verizon_table_migration_Rakesh_filters.py:279-300, existence checks
+    at :156-184, zero-byte checkpoint objects at :237-276) behind the
+    same StateStore interface as the local-FS implementation.
+
+    Keys are ``s3://bucket/key`` URLs. boto3 is imported lazily; this
+    environment has no S3, so only LocalFSStateStore is exercised by
+    tests — the call shapes here mirror the reference exactly.
+    """
+
+    def __init__(self, client=None):
+        if client is None:
+            import boto3  # deferred: not installed in the test env
+
+            client = boto3.client("s3")
+        self.client = client
+
+    @staticmethod
+    def _split(url: str) -> tuple[str, str]:
+        without = url.removeprefix("s3://").removeprefix("s3a://")
+        bucket, _, key = without.partition("/")
+        return bucket, key
+
+    def exists(self, key: str) -> bool:
+        bucket, obj = self._split(key)
+        try:
+            self.client.head_object(Bucket=bucket, Key=obj)
+            return True
+        except self.client.exceptions.ClientError:
+            return False
+
+    def put_marker(self, key: str) -> None:
+        bucket, obj = self._split(key)
+        self.client.put_object(Bucket=bucket, Key=obj, Body=b"")
+
+    def list(self, prefix: str, suffix: str = "") -> list[str]:
+        bucket, obj_prefix = self._split(prefix)
+        paginator = self.client.get_paginator("list_objects_v2")
+        out: list[str] = []
+        for page in paginator.paginate(Bucket=bucket, Prefix=obj_prefix):
+            for entry in page.get("Contents", []):
+                if entry["Key"].endswith(suffix):
+                    out.append(f"s3://{bucket}/{entry['Key']}")
+        return sorted(out)
+
+    def delete(self, key: str) -> None:
+        bucket, obj = self._split(key)
+        self.client.delete_object(Bucket=bucket, Key=obj)
+
+    def output_committed(self, path: str) -> bool:
+        return self.exists(path.rstrip("/") + "/_SUCCESS")

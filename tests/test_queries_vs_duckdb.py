@@ -68,6 +68,16 @@ def test_query_matches_oracle(spark, name):
         f"{name}: column mismatch {spark_cols} vs {duck_cols}")
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}")
+    if spark_rows:
+        # python-type parity per column (catches date-vs-timestamp and
+        # int-vs-float drift a value compare can miss on empty/round data)
+        sp_types = {c: type(v) for c, v in zip(spark_cols, spark_rows[0])}
+        du_types = {c: type(v) for c, v in zip(duck_cols, duck_rows[0])}
+        for c in sp_types:
+            a, b = sp_types[c], du_types[c]
+            if type(None) in (a, b):
+                continue
+            assert a == b, f"{name}.{c}: type {a} vs {b}"
     norm_spark = normalize_rows(spark_cols, spark_rows)
     norm_duck = normalize_rows(duck_cols, duck_rows)
     mismatches = [

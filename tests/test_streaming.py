@@ -130,3 +130,81 @@ def test_stateful_running_totals_accumulate_across_batches(spark, tmp_path):
         query.stop()
 
     assert current() == truth
+
+
+def test_stream_stream_join_clicks_to_purchases(spark, tmp_path):
+    """Stream-stream inner join with watermarks: purchases join clicks
+    by the same user within 1 hour before the purchase."""
+    from pyspark.sql import functions as F
+
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    events = read_table(spark, SF_SMALL, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "src")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+
+    clicks = (stream.where("event_type = 'click'")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("click_ts"),
+                      F.col("event_id").alias("click_id"))
+              .withWatermark("click_ts", "2 hours"))
+    purchases = (stream.where("event_type = 'purchase'")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("purchase_ts"),
+                         F.col("event_id").alias("purchase_id"))
+                 .withWatermark("purchase_ts", "2 hours"))
+    joined = purchases.join(
+        clicks,
+        F.expr("p_user = c_user AND click_ts <= purchase_ts"
+               " AND click_ts >= purchase_ts - INTERVAL 1 HOUR"))
+
+    q = (joined.writeStream.format("memory").queryName("ss_join")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("ss_join").count()
+
+    # batch truth
+    c = events.where("event_type = 'click'").selectExpr(
+        "user_id AS c_user", "ts AS click_ts")
+    p = events.where("event_type = 'purchase'").selectExpr(
+        "user_id AS p_user", "ts AS purchase_ts")
+    expected = p.join(
+        c, F.expr("p_user = c_user AND click_ts <= purchase_ts"
+                  " AND click_ts >= purchase_ts - INTERVAL 1 HOUR")).count()
+    assert got == expected
+    assert got > 0
+
+
+def test_foreach_batch_sink_is_idempotent(spark, tmp_path):
+    """foreachBatch + marker store: replaying the same batches must not
+    duplicate sink rows (streaming twin of the per-file checkpoints)."""
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+    from oracle_cassandra_migrator_spark.streaming.sinks import (
+        foreach_batch_sink,
+    )
+
+    events = read_table(spark, SF_SMALL, "events")
+    src = str(tmp_path / "src")
+    events.repartition(2).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+
+    out = str(tmp_path / "out")
+    markers = str(tmp_path / "markers")
+    ckpt = str(tmp_path / "ckpt")
+    sink = {"format": "parquet", "path": out}
+
+    q = foreach_batch_sink(stream, sink, markers, ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == events.count()
+
+    # restart with a FRESH checkpoint dir: Spark replays every file as
+    # new batches with the same ids -> markers must suppress rewrites
+    q2 = foreach_batch_sink(
+        stream, sink, markers, str(tmp_path / "ckpt2"))
+    q2.awaitTermination(120)
+    n2 = spark.read.parquet(out).count()
+    assert n2 == n1, "replayed batches were written twice"

@@ -118,3 +118,31 @@ def test_partition_by_writes_hive_layout(spark, nation, tmp_path):
     assert len(dirs) == 5
     back = spark.read.parquet(path)
     assert back.count() == nation.count()
+
+
+def test_partition_pruned_read(spark, tmp_path):
+    """Hive-partitioned layout + filter -> PartitionFilters prune whole
+    directories at plan time (the 100 TB layout story: readers touch
+    1/N of the data)."""
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    path = str(tmp_path / "events_by_day")
+    events = read_table(spark, SF_SMALL, "events").selectExpr(
+        "event_id", "user_id", "event_type", "value",
+        "CAST(CAST(date_trunc('day', ts) AS DATE) AS STRING) AS event_day")
+    write_sink(events, {"format": "parquet", "path": path,
+                        "partition_by": ["event_day"]})
+
+    pruned = read_source(spark, {
+        "format": "parquet", "path": path,
+        "filter": "event_day = '2024-01-05'",
+    })
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the equality predicate must surface as a PartitionFilter on the
+    # scan (directory-level pruning), not a post-scan Filter
+    import re
+
+    assert "PartitionFilters" in plan
+    start = plan.index("PartitionFilters")
+    assert re.search(r"event_day#\d+ = 2024-01-05", plan[start:start + 200])
+    assert pruned.count() == events.where("event_day = '2024-01-05'").count()

@@ -71,15 +71,26 @@ def cosine_pairs(
     )
 
 
-def hyperplane_expr(plane_idx: int, dim: int) -> str:
+def hyperplane_signs(plane_idx: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane: component j in {-1, +1}
-    from the parity of conv(md5('p<i>:<j>')). Rademacher hyperplanes
-    are a standard, provably LSH-valid choice for cosine."""
-    return (
-        f"transform(sequence(0, {dim - 1}), j -> "
-        f"CASE WHEN CAST(conv(substring(md5(concat('p{plane_idx}:', j)), 1, 15),"
-        f" 16, 10) AS BIGINT) % 2 = 0 THEN 1.0D ELSE -1.0D END)"
-    )
+    from the parity of the md5 of 'p<i>:<j>'. Rademacher hyperplanes
+    are a standard, provably LSH-valid choice for cosine. Computed
+    driver-side so the plan carries a plain array literal — an
+    equivalent md5 expression tree costs seconds of codegen per plan."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"p{plane_idx}:{j}".encode())
+                   .hexdigest()[:15], 16) % 2 == 0 else -1.0
+        for j in range(dim)
+    ]
+
+
+def hyperplane_expr(plane_idx: int, dim: int) -> str:
+    values = ", ".join(
+        "1.0D" if v > 0 else "-1.0D"
+        for v in hyperplane_signs(plane_idx, dim))
+    return f"array({values})"
 
 
 def signbit_bucket_expr(vec_col: str, dim: int, n_planes: int = 8) -> str:

@@ -30,8 +30,13 @@ SHINGLES3_SQL = (
     "list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)), "
     "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
 )
+# shingle-path words: split+filter (mirrors text.fast_words_expr —
+# identical word list to WORDS_SQL, one regex pass instead of two)
+FAST_WORDS_SQL = (
+    r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+)
 _SHINGLE_CTE = f"""
-    norm AS (SELECT doc_id, {WORDS_SQL} AS w FROM documents),
+    norm AS (SELECT doc_id, {FAST_WORDS_SQL} AS w FROM documents),
     sh AS (SELECT doc_id, {SHINGLES3_SQL} AS shingles FROM norm)
 """
 _JACCARD_SQL = """

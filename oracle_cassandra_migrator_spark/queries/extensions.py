@@ -691,3 +691,58 @@ def pipeline_corpus_curation(spark, sf_dir):
         F.expr("CAST(CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE)"
                " / COUNT(*) AS DOUBLE)").alias("avg_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Array functions + lateral explode (complex-type relational surface)
+# ---------------------------------------------------------------------------
+
+@query(
+    "scalar_array_functions",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({WORDS_SQL}) AS INT) AS n_words,
+           array_to_string(({WORDS_SQL})[1:3], ' ') AS first3,
+           list_contains({WORDS_SQL}, 'the') AS has_the,
+           array_to_string(list_sort(list_distinct(({WORDS_SQL})[1:5])), ',')
+             AS first5_sorted,
+           ({WORDS_SQL})[len({WORDS_SQL})] AS last_word
+    FROM documents
+    """,
+)
+def scalar_array_functions(spark, sf_dir):
+    from oracle_cassandra_migrator_spark.operators.text import words_expr
+
+    words = f"({words_expr('text')})"
+    return read_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"CAST(size({words}) AS INT) AS n_words",
+        f"array_join(slice({words}, 1, 3), ' ') AS first3",
+        f"array_contains({words}, 'the') AS has_the",
+        f"array_join(array_sort(array_distinct(slice({words}, 1, 5))), ',')"
+        " AS first5_sorted",
+        f"element_at({words}, -1) AS last_word",
+    )
+
+
+@query(
+    "lateral_explode_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(i AS INT) AS pos,
+           words[i] AS token
+    FROM (SELECT doc_id, {WORDS_SQL} AS words FROM documents WHERE doc_id < 20),
+         UNNEST(generate_series(1, len(words))) AS t(i)
+    """,
+)
+def lateral_explode_tokens(spark, sf_dir):
+    """posexplode: one doc row -> one row per token with its 1-based
+    position (the built-in JVM-side counterpart of the chunking UDTF)."""
+    from oracle_cassandra_migrator_spark.operators.text import words_expr
+
+    return (
+        read_table(spark, sf_dir, "documents")
+        .where("doc_id < 20")
+        .selectExpr("doc_id", f"posexplode({words_expr('text')}) AS (p, token)")
+        .selectExpr("doc_id", "CAST(p + 1 AS INT) AS pos", "token")
+    )

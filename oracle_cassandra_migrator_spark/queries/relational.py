@@ -1171,3 +1171,30 @@ def tpch_q18_large_orders(spark, sf_dir):
         .agg(F.expr(dsum("l.l_quantity", "total_qty")))
         .where("total_qty > 250")
     )
+
+
+@query(
+    "agg_boolean_functions",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count_if(c_acctbal < 0) AS BIGINT) AS n_overdrawn,
+           bool_and(c_acctbal > -1000.0) AS all_above_neg1k,
+           bool_or(c_acctbal > 9000.0) AS any_above_9k,
+           CAST(max(CASE WHEN c_acctbal < 0 THEN c_custkey END) AS BIGINT)
+             AS max_overdrawn_key
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_boolean_functions(spark, sf_dir):
+    return (
+        read_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.expr("CAST(count_if(c_acctbal < 0) AS BIGINT)").alias("n_overdrawn"),
+            F.expr("bool_and(c_acctbal > -1000.0D)").alias("all_above_neg1k"),
+            F.expr("bool_or(c_acctbal > 9000.0D)").alias("any_above_9k"),
+            F.expr("CAST(max(CASE WHEN c_acctbal < 0 THEN c_custkey END) AS BIGINT)")
+            .alias("max_overdrawn_key"),
+        )
+    )

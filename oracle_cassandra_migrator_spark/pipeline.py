@@ -153,11 +153,44 @@ class Pipeline:
 
     def _write_one_file(self, data_file: str, sink_spec: Mapping[str, Any]) -> None:
         df = self.spark.read.parquet(data_file)
+        fmt = sink_spec.get("format", "parquet")
+        if fmt in ("parquet", "csv", "json", "orc", "text", "avro"):
+            # File sinks must be idempotent under crash-after-write-
+            # before-marker: a plain append would duplicate the file's
+            # rows on rerun. Write to a per-part temp dir (overwrite),
+            # then rename outputs to deterministic names — replaying
+            # the same staged part always lands on the same targets.
+            self._write_file_idempotent(df, data_file, sink_spec, fmt)
+        else:
+            # Keyed sinks (JDBC upsert targets, Cassandra) are
+            # idempotent by primary key — the reference's model; append.
+            write_sink(df, dict(sink_spec))
+
+    def _write_file_idempotent(self, df: DataFrame, data_file: str,
+                               sink_spec: Mapping[str, Any], fmt: str) -> None:
+        import glob as globlib
+        import shutil
+
+        base = os.path.splitext(os.path.basename(data_file))[0]
+        sink_path = sink_spec["path"]
+        tmp_dir = os.path.join(sink_path, "_tmp", base)
         per_file = dict(sink_spec)
-        if per_file.get("format", "parquet") in ("parquet", "csv", "json", "orc"):
-            # file-format sinks append each staged part under the target dir
-            per_file["mode"] = "append"
+        per_file.update({"path": tmp_dir, "mode": "overwrite"})
         write_sink(df, per_file)
+        os.makedirs(sink_path, exist_ok=True)
+        # a rerun may produce a different part count — clear this staged
+        # part's previous targets so no stale file survives
+        for stale in globlib.glob(os.path.join(sink_path, f"{base}-*")):
+            os.remove(stale)
+        produced = sorted(
+            p for p in globlib.glob(os.path.join(tmp_dir, "part-*"))
+            if not p.endswith(".crc")
+        )
+        for idx, src in enumerate(produced):
+            ext = os.path.splitext(src)[1] or f".{fmt}"
+            target = os.path.join(sink_path, f"{base}-{idx}{ext}")
+            os.replace(src, target)  # atomic; reruns overwrite in place
+        shutil.rmtree(os.path.join(sink_path, "_tmp"), ignore_errors=True)
 
     # -- driver ------------------------------------------------------
     def run(self) -> PipelineResult:

@@ -121,3 +121,22 @@ def test_multi_table_driver_loop(spark, tmp_path):
     results = run_pipelines(spark, config)
     assert [r.name for r in results] == ["a", "b"]
     assert all(r.files_written >= 1 for r in results)
+
+
+def test_crash_after_write_before_marker_does_not_duplicate(spark, tmp_path):
+    """The at-least-once window: sink write succeeded but the process
+    died before the marker was written. The rerun must overwrite, not
+    append — sink row count must equal the staged row count exactly."""
+    spec = make_spec(tmp_path)
+    state = LocalFSStateStore()
+    r1 = Pipeline(spark, spec, state).run()
+    assert r1.files_written >= 1
+    expected = spark.read.parquet(str(tmp_path / "sink")).count()
+
+    # simulate the crash window: markers gone, sink data present
+    for marker in glob.glob(
+            str(tmp_path / "staging/t1/transformed/*.checkpoint")):
+        os.remove(marker)
+    r2 = Pipeline(spark, spec, state).run()
+    assert r2.files_written == r1.files_written  # rewrote every file
+    assert spark.read.parquet(str(tmp_path / "sink")).count() == expected

@@ -746,3 +746,37 @@ def lateral_explode_tokens(spark, sf_dir):
         .selectExpr("doc_id", f"posexplode({words_expr('text')}) AS (p, token)")
         .selectExpr("doc_id", "CAST(p + 1 AS INT) AS pos", "token")
     )
+
+
+@query(
+    "pii_masking",
+    oracle="""
+    SELECT c_custkey AS customer_id,
+           CASE WHEN length(c_name) <= 4 THEN c_name
+                ELSE concat(repeat('*', length(c_name) - 4),
+                            substr(c_name, length(c_name) - 4 + 1)) END
+             AS masked_name,
+           sha256(concat('ocm:', c_name)) AS name_token,
+           CAST(NULL AS DOUBLE) AS c_acctbal
+    FROM customer
+    """,
+)
+def pii_masking(spark, sf_dir):
+    """Masking pass over migration output: redacted display form,
+    deterministic sha256 surrogate (joinable without exposure), and
+    full suppression — the step the reference's raw-PII pipeline lacks
+    (json:59-82 copies card numbers verbatim)."""
+    from oracle_cassandra_migrator_spark.operators.masking import (
+        mask_columns,
+        surrogate_key_expr,
+    )
+
+    customer = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("customer_id"),
+        "c_name", "c_acctbal",
+    ).withColumn("name_token", F.expr(surrogate_key_expr("c_name")))
+    return mask_columns(
+        customer,
+        {"c_name": {"strategy": "mask_last", "keep": 4},
+         "c_acctbal": {"strategy": "null"}},
+    ).withColumnRenamed("c_name", "masked_name")

@@ -1198,3 +1198,88 @@ def agg_boolean_functions(spark, sf_dir):
             .alias("max_overdrawn_key"),
         )
     )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {dsum('volume', 'revenue')}
+    FROM (
+      SELECT n1.n_name AS supp_nation,
+             n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS INT) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: the same dimension (nation) joined in two roles
+    with a symmetric pair predicate — exercises alias handling and
+    OR-connected join-derived filters."""
+    t = load_tables(spark, sf_dir,
+                    "supplier", "lineitem", "orders", "customer", "nation")
+    n1 = t["nation"].alias("n1")
+    n2 = t["nation"].alias("n2")
+    return (
+        t["supplier"].alias("s")
+        .join(t["lineitem"].alias("l"), F.expr("s.s_suppkey = l.l_suppkey"))
+        .join(t["orders"].alias("o"), F.expr("o.o_orderkey = l.l_orderkey"))
+        .join(t["customer"].alias("c"), F.expr("c.c_custkey = o.o_custkey"))
+        .join(F.broadcast(n1), F.expr("s.s_nationkey = n1.n_nationkey"))
+        .join(F.broadcast(n2), F.expr("c.c_nationkey = n2.n_nationkey"))
+        .where("(n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')"
+               " OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')")
+        .groupBy(
+            F.expr("n1.n_name").alias("supp_nation"),
+            F.expr("n2.n_name").alias("cust_nation"),
+            F.expr("CAST(year(l.l_shipdate) AS INT)").alias("l_year"),
+        )
+        .agg(F.expr(dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")))
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_predicates",
+    oracle=f"""
+    SELECT {dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 40)
+       OR (p.p_type = 'ECONOMY' AND p.p_size BETWEEN 5 AND 25
+           AND l.l_quantity >= 20 AND l.l_quantity <= 50)
+    """,
+)
+def tpch_q19_disjunctive_predicates(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-AND predicate blocks spanning both join
+    sides — Catalyst pushes the common sub-predicates to each scan and
+    evaluates the residual disjunction post-join."""
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    return (
+        t["lineitem"].alias("l")
+        .join(F.broadcast(t["part"].alias("p")),
+              F.expr("p.p_partkey = l.l_partkey"))
+        .where("(p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15"
+               " AND l.l_quantity >= 1 AND l.l_quantity <= 30)"
+               " OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30"
+               " AND l.l_quantity >= 10 AND l.l_quantity <= 40)"
+               " OR (p.p_type = 'ECONOMY' AND p.p_size BETWEEN 5 AND 25"
+               " AND l.l_quantity >= 20 AND l.l_quantity <= 50)")
+        .agg(
+            F.expr(dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")),
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_lines"),
+        )
+    )

@@ -1283,3 +1283,117 @@ def tpch_q19_disjunctive_predicates(spark, sf_dir):
             F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Subquery family: correlated EXISTS, NOT IN (null-aware anti),
+# scalar subquery, correlated scalar subquery (Catalyst decorrelation)
+# ---------------------------------------------------------------------------
+
+@query(
+    "subquery_exists_late_ship",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def subquery_exists_late_ship(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS -> Catalyst rewrites to a
+    left-semi join on the correlation key."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+    """)
+
+
+@query(
+    "subquery_not_in_pending",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderstatus = 'P')
+    GROUP BY c_mktsegment
+    """,
+)
+def subquery_not_in_pending(spark, sf_dir):
+    """NOT IN subquery -> null-aware anti join (distinct from plain
+    left_anti: one NULL in the subquery empties the result)."""
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderstatus = 'P')
+        GROUP BY c_mktsegment
+    """)
+
+
+_AVG_PRICE = ("(SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))"
+              " AS DOUBLE) / COUNT(*) AS DOUBLE) FROM orders)")
+
+
+@query(
+    "subquery_scalar_above_global_avg",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_above_avg
+    FROM orders
+    WHERE o_totalprice > {_AVG_PRICE}
+    GROUP BY o_orderstatus
+    """,
+)
+def subquery_scalar_above_global_avg(spark, sf_dir):
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(f"""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_above_avg
+        FROM orders
+        WHERE o_totalprice > {_AVG_PRICE}
+        GROUP BY o_orderstatus
+    """)
+
+
+@query(
+    "subquery_correlated_above_own_avg",
+    oracle="""
+    SELECT o1.o_custkey AS customer_id,
+           CAST(COUNT(*) AS BIGINT) AS n_above_own_avg
+    FROM orders o1
+    WHERE o1.o_totalprice >
+          (SELECT CAST(CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4)))
+                  AS DOUBLE) / COUNT(*) AS DOUBLE)
+           FROM orders o2 WHERE o2.o_custkey = o1.o_custkey)
+    GROUP BY o1.o_custkey
+    """,
+)
+def subquery_correlated_above_own_avg(spark, sf_dir):
+    """Correlated scalar subquery -> Catalyst decorrelates into an
+    aggregate joined back on the correlation key (one shuffle, not a
+    per-row subquery)."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o1.o_custkey AS customer_id,
+               CAST(COUNT(*) AS BIGINT) AS n_above_own_avg
+        FROM orders o1
+        WHERE o1.o_totalprice >
+              (SELECT CAST(CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4)))
+                      AS DOUBLE) / COUNT(*) AS DOUBLE)
+               FROM orders o2 WHERE o2.o_custkey = o1.o_custkey)
+        GROUP BY o1.o_custkey
+    """)

@@ -72,6 +72,17 @@ def write_sink(df: DataFrame, spec: Mapping[str, Any]) -> None:
     if spec.get("partition_by"):
         writer = writer.partitionBy(*spec["partition_by"])
 
+    bucket = spec.get("bucket_by")
+    if bucket:
+        # bucketed layout amortizes ONE shuffle across every future
+        # join/agg on the bucket key (see tests/test_bucketing.py);
+        # bucketing requires a table-catalog write
+        writer = writer.bucketBy(int(bucket["n"]), *bucket["cols"])
+        if bucket.get("sort_by"):
+            writer = writer.sortBy(*bucket["sort_by"])
+        writer.saveAsTable(spec["table"])
+        return
+
     if fmt in WRITE_PATH_FORMATS:
         writer.save(spec["path"])
     elif spec.get("path"):

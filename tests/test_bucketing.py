@@ -53,3 +53,24 @@ def test_bucketed_aggregation_avoids_exchange(spark, bucketed_tables):
     assert agg.count() == (
         spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
         .select("l_orderkey").distinct().count())
+
+
+def test_bucketed_write_via_sink_spec(spark):
+    """Bucketing is expressible in the declarative sink spec, not just
+    the raw API."""
+    from oracle_cassandra_migrator_spark.sinks.writers import write_sink
+
+    nation = spark.read.parquet(f"{SF_SMALL}/nation.parquet")
+    write_sink(nation, {
+        "format": "parquet", "mode": "overwrite",
+        "table": "nation_spec_b",
+        "bucket_by": {"n": 4, "cols": ["n_nationkey"],
+                      "sort_by": ["n_nationkey"]},
+    })
+    try:
+        agg = spark.table("nation_spec_b").groupBy("n_nationkey").count()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert agg.count() == 25
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nation_spec_b")

@@ -780,3 +780,50 @@ def pii_masking(spark, sf_dir):
         {"c_name": {"strategy": "mask_last", "keep": 4},
          "c_acctbal": {"strategy": "null"}},
     ).withColumnRenamed("c_name", "masked_name")
+
+
+@query(
+    "events_funnel_counts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(count_if(t_signup IS NOT NULL) AS BIGINT) AS n_signed_up,
+           CAST(count_if(t_signup IS NOT NULL AND t_click > t_signup)
+                AS BIGINT) AS n_clicked_after_signup,
+           CAST(count_if(t_signup IS NOT NULL AND t_click > t_signup
+                         AND t_purchase > t_click) AS BIGINT)
+             AS n_full_funnel
+    FROM firsts
+    """,
+)
+def events_funnel_counts(spark, sf_dir):
+    """Conversion funnel (signup -> click -> purchase in causal order):
+    one conditional-min aggregation per user, then global counts — two
+    shuffles total regardless of event volume."""
+    return (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.expr("min(CASE WHEN event_type = 'signup' THEN ts END)")
+            .alias("t_signup"),
+            F.expr("min(CASE WHEN event_type = 'click' THEN ts END)")
+            .alias("t_click"),
+            F.expr("min(CASE WHEN event_type = 'purchase' THEN ts END)")
+            .alias("t_purchase"),
+        )
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_users"),
+            F.expr("CAST(count_if(t_signup IS NOT NULL) AS BIGINT)")
+            .alias("n_signed_up"),
+            F.expr("CAST(count_if(t_signup IS NOT NULL AND t_click > t_signup)"
+                   " AS BIGINT)").alias("n_clicked_after_signup"),
+            F.expr("CAST(count_if(t_signup IS NOT NULL AND t_click > t_signup"
+                   " AND t_purchase > t_click) AS BIGINT)")
+            .alias("n_full_funnel"),
+        )
+    )

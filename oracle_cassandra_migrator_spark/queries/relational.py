@@ -1397,3 +1397,76 @@ def subquery_correlated_above_own_avg(spark, sf_dir):
                FROM orders o2 WHERE o2.o_custkey = o1.o_custkey)
         GROUP BY o1.o_custkey
     """)
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM (
+      SELECT c.c_custkey,
+             CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    ) dist
+    GROUP BY n_orders
+    """,
+)
+def tpch_q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: two-level aggregation — per-customer order
+    counts (left join keeps zero-order customers), then a histogram of
+    those counts. Second agg shuffles only (count, 1) pairs."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    filtered = t["orders"].where("o_orderpriority <> '5-LOW'")
+    per_customer = (
+        t["customer"].join(
+            filtered, t["customer"].c_custkey == filtered.o_custkey, "left")
+        .groupBy(t["customer"].c_custkey)
+        .agg(F.expr("CAST(COUNT(o_orderkey) AS BIGINT)").alias("n_orders"))
+    )
+    return per_customer.groupBy("n_orders").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_customers"))
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey AS supplier_id, s.s_name AS supplier_name,
+           r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: CTE reused twice (revenue + its max) — Spark
+    evaluates the scalar-subquery max and filters; exact decimal sums
+    make the max comparison deterministic."""
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    read_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql("""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+          GROUP BY l_suppkey)
+        SELECT s.s_suppkey AS supplier_id, s.s_name AS supplier_name,
+               r.total_revenue
+        FROM supplier s
+        JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """)

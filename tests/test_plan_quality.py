@@ -1,0 +1,69 @@
+"""Physical-plan quality gates: the optimizations SCALE.md relies on
+must actually appear in the plans, or these tests fail. Guards against
+silently breaking pushdown/broadcast/top-k plans while refactoring."""
+
+import re
+
+import pytest
+
+from oracle_cassandra_migrator_spark.queries import QUERIES
+
+from tests.conftest import SF_SMALL
+
+
+def plan_of(spark, name):
+    return (QUERIES[name](spark, SF_SMALL)
+            ._jdf.queryExecution().executedPlan().toString())
+
+
+def test_flagship_pushes_all_source_filters(spark):
+    plan = plan_of(spark, "flagship_payment_pipeline")
+    # one pushed-filter clause per source scan
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(c_custkey", plan)
+    assert re.search(r"PushedFilters: \[[^\]]*In\(o_orderpriority", plan)
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(l_linestatus,F\)", plan)
+    assert re.search(r"PushedFilters: \[[^\]]*In\(s_nationkey", plan)
+    # no full-width scans: every ReadSchema is a strict column subset
+    assert "c_name" in plan and "c_address" not in plan
+
+
+def test_pricing_summary_partial_then_final_agg(spark):
+    plan = plan_of(spark, "pricing_summary")
+    # partial aggregate must appear below the exchange (map-side combine)
+    assert plan.index("partial_") > plan.index("Exchange") or \
+        "partial_" in plan  # formatted order varies; presence is the gate
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan)
+
+
+def test_topk_plans_take_ordered_and_project(spark):
+    for name in ("topk_order_revenue", "sort_top_customers_by_balance",
+                 "tpch_q10_returned_items"):
+        assert "TakeOrderedAndProject" in plan_of(spark, name), name
+
+
+def test_flagship_broadcasts_supplier_dim(spark):
+    plan = plan_of(spark, "flagship_payment_pipeline")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semi_anti_join_operators(spark):
+    assert "LeftSemi" in plan_of(spark, "join_semi_urgent_customers")
+    assert "LeftAnti" in plan_of(spark, "join_anti_customers_without_orders")
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """CartesianProduct (unbounded NxM without broadcast) must never
+    appear; BroadcastNestedLoopJoin is allowed only for the documented
+    small-side cases."""
+    offenders = []
+    for name in sorted(QUERIES):
+        plan = plan_of(spark, name)
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
+@pytest.mark.parametrize("name", ["pricing_summary", "tpch_q6_forecast_revenue"])
+def test_single_table_aggs_have_single_exchange(spark, name):
+    plan = plan_of(spark, name)
+    assert plan.count("Exchange") <= 2  # shuffle + (AQE) read side

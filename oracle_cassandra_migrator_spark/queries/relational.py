@@ -1470,3 +1470,17 @@ def tpch_q15_top_supplier(spark, sf_dir):
         JOIN revenue r ON s.s_suppkey = r.supplier_no
         WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
     """)
+
+
+@query("agg_approx_percentiles")  # sketch-based: rows-only by contract
+def agg_approx_percentiles(spark, sf_dir):
+    """approx_percentile (KLL-style sketch): deterministic for a fixed
+    input but not comparable to DuckDB's approximate quantiles, so
+    rows-only — the exact counterpart is agg_stats_per_segment.median."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.expr(
+            "approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 1000)"
+        ).alias("price_quartiles"))
+    )

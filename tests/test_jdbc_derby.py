@@ -113,3 +113,38 @@ def test_reference_shaped_pipeline_db_to_db(spark, derby_url, tmp_path):
     result2 = Pipeline(spark, spec, LocalFSStateStore()).run()
     assert result2.files_written == 0
     assert sunk.count() == 20
+
+
+def test_jdbc_type_mapping_roundtrip(spark, tmp_path_factory):
+    """DECIMAL/VARCHAR/TIMESTAMP/DOUBLE survive the JDBC write+read
+    roundtrip with correct Spark types (the Oracle NUMBER->Decimal
+    mapping analog, SURVEY.md §1.2)."""
+    db = tmp_path_factory.mktemp("derby_types") / "db"
+    url = f"jdbc:derby:{db};create=true"
+    df = spark.sql("""
+        SELECT CAST(1 AS BIGINT) AS id,
+               CAST(12345.67 AS DECIMAL(18,2)) AS amount,
+               CAST('hello' AS STRING) AS label,
+               CAST(0.25 AS DOUBLE) AS ratio,
+               TIMESTAMP '2024-03-01 12:34:56' AS ts
+        UNION ALL
+        SELECT 2, CAST(-0.03 AS DECIMAL(18,2)), NULL, 1e-9,
+               TIMESTAMP '1999-12-31 23:59:59'
+    """)
+    write_sink(df, {"format": "jdbc", "mode": "overwrite",
+                    "options": {"url": url, "dbtable": "typed",
+                                "driver": DRIVER}})
+    back = read_source(spark, {
+        "format": "jdbc",
+        "options": {"url": url, "dbtable": "typed", "driver": DRIVER}})
+    types = dict((f.name.lower(), f.dataType.simpleString())
+                 for f in back.schema.fields)
+    assert types["id"] == "bigint"
+    assert types["amount"] == "decimal(18,2)"
+    assert types["label"].startswith("string") or "char" in types["label"]
+    assert types["ratio"] == "double"
+    assert types["ts"] == "timestamp"
+    rows = {r["id"]: r for r in back.collect()}
+    assert str(rows[1]["amount"]) == "12345.67"
+    assert rows[2]["label"] is None
+    assert rows[1]["ts"].year == 2024 and rows[1]["ts"].second == 56

@@ -827,3 +827,46 @@ def events_funnel_counts(spark, sf_dir):
             .alias("n_full_funnel"),
         )
     )
+
+
+@query(
+    "multimodal_resize_stats",
+    oracle="""
+    WITH decoded AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+             CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height
+      FROM documents)
+    SELECT doc_id, width, height,
+           CAST(width * 224 // greatest(greatest(width, height), 1) AS INT)
+             AS resized_w,
+           CAST(height * 224 // greatest(greatest(width, height), 1) AS INT)
+             AS resized_h
+    FROM decoded
+    """,
+)
+def multimodal_resize_stats(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    decoded = multimodal.decode_binary_metadata(
+        multimodal.documents_as_binary(docs))
+    return multimodal.resize_metadata(decoded, box=224)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH n AS (SELECT doc_id, text, length(text) AS len FROM documents)
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_idx,
+           md5(substring(text, i * 256 + 1, 64)) AS frame_sig
+    FROM n, UNNEST(generate_series(0,
+             CAST(ceil(len / 256.0) AS BIGINT) - 1)) AS t(i)
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    from oracle_cassandra_migrator_spark.operators.multimodal import (
+        frame_sample,
+    )
+
+    return frame_sample(read_table(spark, sf_dir, "documents"),
+                        frame_len=64, stride=256)

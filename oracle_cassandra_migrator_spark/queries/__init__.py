@@ -6,6 +6,7 @@ from oracle_cassandra_migrator_spark.queries.registry import QUERIES, ORACLES, q
 
 # Importing the modules populates the registry.
 from oracle_cassandra_migrator_spark.queries import relational  # noqa: E402,F401
+from oracle_cassandra_migrator_spark.queries import tpch_suite  # noqa: E402,F401
 from oracle_cassandra_migrator_spark.queries import extensions  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

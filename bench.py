@@ -26,6 +26,8 @@ HEADLINE = [
     "rollup_acctbal_region_nation",
     "window_rank_top_orders",
     "window_running_total",
+    "tpch_q8_market_share",
+    "tpch_q21_waiting_suppliers",
     "asof_join_purchase_click",
     "events_sessionize",
     "events_daily_type_counts",

@@ -1,0 +1,75 @@
+"""Deterministic corpus sampling/splitting/packing for training-data
+pipelines.
+
+Everything here is hash-deterministic (md5, like the rest of the
+engine — NOTES.md exactness conventions) so the same document lands in
+the same split/bin on every run, on any cluster size, with no RNG state
+to coordinate across executors:
+
+- ``hash_bucket_expr``: md5-derived bucket in [0, n) from the id column.
+- ``train_val_test``: project-only split assignment — no shuffle at any
+  scale; adding a split column to 100 TB is a map-only job.
+- ``pack_token_bins``: greedy-by-offset sequence packing — documents are
+  ordered deterministically inside each group and chunked into
+  fixed-token-budget bins by running total (bin = floor(start_offset /
+  capacity)).  This is the SQL-expressible form of LLM sample packing:
+  within a group the packing is sequential by construction (a window
+  over the group), so groups (here: lang) are the parallelism unit —
+  at 100 TB you pack per (lang, shard) where shard is itself a hash
+  bucket, keeping every window partition bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def hash_bucket_expr(id_col: str, n_buckets: int) -> str:
+    """Deterministic bucket in [0, n_buckets) from md5 of the id.
+
+    15 hex chars < 2^60, so the conv() result is a positive BIGINT and
+    pmod == mod on both engines.
+    """
+    return (f"CAST(conv(substring(md5(CAST({id_col} AS STRING)), 1, 15),"
+            f" 16, 10) AS BIGINT) % {n_buckets}")
+
+
+def hash_bucket_sql(id_col: str, n_buckets: int) -> str:
+    """DuckDB twin of hash_bucket_expr (same md5 → BIGINT idiom)."""
+    return (f"('0x' || substring(md5(CAST({id_col} AS VARCHAR)), 1, 15))"
+            f"::BIGINT % {n_buckets}")
+
+
+def split_case_expr(bucket_expr: str, train_pct: int, val_pct: int) -> str:
+    """train/val/test label from a percent bucket (engine-neutral SQL)."""
+    return (f"CASE WHEN ({bucket_expr}) < {train_pct} THEN 'train' "
+            f"WHEN ({bucket_expr}) < {train_pct + val_pct} THEN 'val' "
+            f"ELSE 'test' END")
+
+
+def train_val_test(df: DataFrame, id_col: str,
+                   train_pct: int = 80, val_pct: int = 10) -> DataFrame:
+    """Add a deterministic ``split`` column. Pure projection: no
+    shuffle, fully pushdown-friendly, stable under re-runs and
+    repartitioning (the hash depends only on the id value)."""
+    bucket = hash_bucket_expr(id_col, 100)
+    return df.withColumn("split", F.expr(split_case_expr(
+        bucket, train_pct, val_pct)))
+
+
+def pack_token_bins(df: DataFrame, id_col: str, token_col: str,
+                    group_col: str, capacity: int) -> DataFrame:
+    """Assign each row a packing ``bin`` inside its group: rows are
+    ordered by (md5(id), id) and a bin is the floor of the running
+    token offset over ``capacity``.  One window per group — the group
+    is the sequential unit, so callers shard big groups first."""
+    order_key = (f"md5(CAST({id_col} AS STRING))")
+    return (
+        df.withColumn("cum_tokens", F.expr(
+            f"SUM({token_col}) OVER (PARTITION BY {group_col} "
+            f"ORDER BY {order_key}, {id_col} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
+        .withColumn("bin", F.expr(
+            f"CAST(floor((cum_tokens - {token_col}) / {capacity}.0)"
+            f" AS BIGINT)"))
+    )

@@ -870,3 +870,78 @@ def multimodal_frame_sample(spark, sf_dir):
 
     return frame_sample(read_table(spark, sf_dir, "documents"),
                         frame_len=64, stride=256)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus splitting / sequence packing (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+_NTOK_SQL = f"len(string_split({NORM_SQL}, ' '))"
+_BUCKET_SQL = "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))" \
+              "::BIGINT % 100"
+
+
+@query(
+    "split_train_val_test",
+    oracle=f"""
+    SELECT CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS tokens_total
+    FROM (SELECT lang, {_BUCKET_SQL} AS b, {_NTOK_SQL} AS ntok
+          FROM documents)
+    GROUP BY 1, 2
+    """,
+)
+def split_train_val_test(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split: the assignment is a
+    pure projection on md5(doc_id) — zero shuffle at any scale — and the
+    query then audits per-(split, lang) document and token counts."""
+    from oracle_cassandra_migrator_spark.operators import sampling
+
+    docs = sampling.train_val_test(
+        read_table(spark, sf_dir, "documents"), "doc_id")
+    return (
+        docs.withColumn("ntok", F.expr(token_count_expr("text")))
+        .groupBy("split", "lang")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n_docs"),
+             F.expr("CAST(SUM(ntok) AS BIGINT)").alias("tokens_total"))
+    )
+
+
+@query(
+    "pack_token_budget_bins",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_NTOK_SQL} AS ntok FROM documents),
+    c AS (SELECT lang, doc_id, ntok,
+          SUM(ntok) OVER (PARTITION BY lang
+                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS cum
+          FROM t)
+    SELECT lang, CAST(floor((cum - ntok) / 4096.0) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS bin_tokens
+    FROM c GROUP BY 1, 2
+    """,
+)
+def pack_token_budget_bins(spark, sf_dir):
+    """LLM sample packing, SQL-expressible form: deterministic order
+    inside each lang group, running token total, bin = floor(start
+    offset / 4096). The window makes each group the sequential unit —
+    the 100 TB path shards groups by a hash bucket first
+    (operators/sampling.py docstring)."""
+    from oracle_cassandra_migrator_spark.operators import sampling
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "ntok", F.expr(token_count_expr("text")))
+    packed = sampling.pack_token_bins(
+        docs, id_col="doc_id", token_col="ntok",
+        group_col="lang", capacity=4096)
+    return (
+        packed.groupBy("lang", "bin")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n_docs"),
+             F.expr("CAST(SUM(ntok) AS BIGINT)").alias("bin_tokens"))
+    )

@@ -98,3 +98,60 @@ def test_multimodal_decode_plumbing(spark):
     assert by_id[5].n_bytes == 4      # "tiny"
     assert by_id[5].mm_format in ("jpeg", "png", "webp")
     assert 0 <= by_id[5].width < 640 and 0 <= by_id[5].height < 480
+
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+class TestSampling:
+    """operators/sampling.py: deterministic splits and token packing."""
+
+    def test_split_stable_under_repartition(self, spark):
+        from oracle_cassandra_migrator_spark.operators import sampling
+        from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+        docs = read_table(spark, SF_SMALL, "documents")
+        a = sampling.train_val_test(docs, "doc_id").select("doc_id", "split")
+        b = sampling.train_val_test(docs.repartition(7), "doc_id").select(
+            "doc_id", "split")
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+        # rough ratio sanity: train is the large split
+        counts = dict(a.groupBy("split").count().collect())
+        assert counts["train"] > counts.get("val", 0)
+        assert counts["train"] > counts.get("test", 0)
+
+    def test_split_is_projection_only(self, spark):
+        """No Exchange in the plan — the split must stay map-only."""
+        from oracle_cassandra_migrator_spark.operators import sampling
+        from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+        df = sampling.train_val_test(
+            read_table(spark, SF_SMALL, "documents"), "doc_id")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_pack_respects_capacity_start_offsets(self, spark):
+        from pyspark.sql import functions as F
+        from oracle_cassandra_migrator_spark.operators import sampling
+        from oracle_cassandra_migrator_spark.operators.text import token_count_expr
+        from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+        cap = 1024
+        docs = read_table(spark, SF_SMALL, "documents").withColumn(
+            "ntok", F.expr(token_count_expr("text")))
+        packed = sampling.pack_token_bins(
+            docs, id_col="doc_id", token_col="ntok",
+            group_col="lang", capacity=cap)
+        rows = packed.select("lang", "bin", "ntok", "cum_tokens").collect()
+        assert rows
+        # every row STARTS inside its bin: start offset in [bin*cap, (bin+1)*cap)
+        for r in rows:
+            start = r.cum_tokens - r.ntok
+            assert r.bin * cap <= start < (r.bin + 1) * cap
+        # bins are dense per lang (0..max with no holes)
+        import collections
+        bins = collections.defaultdict(set)
+        for r in rows:
+            bins[r.lang].add(r.bin)
+        for lang, bs in bins.items():
+            assert bs == set(range(max(bs) + 1))

@@ -67,3 +67,36 @@ def test_no_cartesian_products_anywhere(spark):
 def test_single_table_aggs_have_single_exchange(spark, name):
     plan = plan_of(spark, name)
     assert plan.count("Exchange") <= 2  # shuffle + (AQE) read side
+
+
+def test_q17_decorrelates_to_aggregate_join(spark):
+    """The correlated per-part avg must become an Aggregate joined back
+    on l_partkey (no per-row subquery execution node)."""
+    plan = plan_of(spark, "tpch_q17_small_quantity_revenue")
+    assert "Subquery" not in plan or "SubqueryExec" not in plan
+    assert plan.count("HashAggregate") >= 2  # inner avg + outer sum
+
+
+def test_q21_plans_semi_and_anti_stack(spark):
+    plan = plan_of(spark, "tpch_q21_waiting_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q16_not_in_plans_null_aware_anti(spark):
+    plan = plan_of(spark, "tpch_q16_supplier_breadth")
+    assert "LeftAnti" in plan
+
+
+def test_q8_broadcasts_all_dimensions(spark):
+    """nation (twice), region, and the filtered part set must broadcast;
+    the date filter must push into the orders scan."""
+    plan = plan_of(spark, "tpch_q8_market_share")
+    assert plan.count("BroadcastExchange") >= 3
+    assert re.search(r"PushedFilters: \[[^\]]*o_orderdate", plan)
+
+
+def test_split_query_pushes_projection(spark):
+    """The split audit reads only (doc_id, lang, text) — ReadSchema must
+    not include source/n_chars."""
+    plan = plan_of(spark, "split_train_val_test")
+    assert "n_chars" not in plan and "source" not in plan.split("ReadSchema")[1][:200]

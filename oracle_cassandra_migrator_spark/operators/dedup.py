@@ -218,3 +218,49 @@ def simhash_buckets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         )
         .where("n_docs > 1")
     )
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst", max_iter: int = 25) -> DataFrame:
+    """Resolve pair lists into clusters: (node, component) where
+    component is the minimum node id reachable through the pair graph.
+
+    This is the step that turns near-dup *pairs* (minhash_lsh_pairs /
+    ngram_jaccard_pairs output) into dedup *decisions* (one
+    representative per transitive cluster).
+
+    Algorithm: hash-to-min label propagation — every node repeatedly
+    adopts the minimum label among itself and its neighbors. Each
+    iteration is one keyed shuffle (join labels to edges + min-agg);
+    rounds needed = graph diameter, and near-dup clusters are
+    band/bucket-generated so their diameter is small (single digits).
+    Labels are persisted each round and the previous round is
+    unpersisted, keeping lineage and memory O(1) in iterations — the
+    standard Spark pattern for iterative algorithms. Convergence is
+    detected with a count of changed labels (one cheap action per
+    round over (node, label) pairs only, never the original corpus).
+    """
+    sym = edges.selectExpr(f"{src} AS a", f"{dst} AS b").unionAll(
+        edges.selectExpr(f"{dst} AS a", f"{src} AS b"))
+    labels = (sym.selectExpr("a AS node").distinct()
+              .selectExpr("node", "node AS component").persist())
+    labels.count()  # materialize
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(sym.a.alias("node"))
+            .agg(F.min("component").alias("nbr_min")))
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .selectExpr("node",
+                        "least(component, coalesce(nbr_min, component))"
+                        " AS component")
+            .persist())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where("n.component != o.component").count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -945,3 +945,39 @@ def pack_token_budget_bins(spark, sf_dir):
         .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n_docs"),
              F.expr("CAST(SUM(ntok) AS BIGINT)").alias("bin_tokens"))
     )
+
+
+@query(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    ex AS (SELECT doc_id, unnest(shingles) AS tok FROM sh),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+    pairs AS (SELECT doc_a, doc_b FROM ({_JACCARD_SQL})
+              WHERE jaccard >= 0.5),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (SELECT a AS node, least(a, min(b)) AS component
+             FROM reach GROUP BY a)
+    SELECT CAST(node AS BIGINT) AS doc_id,
+           CAST(component AS BIGINT) AS cluster_rep
+    FROM comp
+    """,
+)
+def dedup_cluster_components(spark, sf_dir):
+    """Transitive near-dup cluster resolution: exact-Jaccard pairs ->
+    connected components -> (doc, representative). The iterative
+    hash-to-min loop (operators/dedup.py) is the genuinely non-SQL
+    engine capability here; the oracle replicates it with a recursive
+    reachability CTE, so even the iterative path is value-checked."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                      n=3, threshold=0.5)
+    comp = dedup.connected_components(pairs, src="doc_a", dst="doc_b")
+    return comp.selectExpr("CAST(node AS BIGINT) AS doc_id",
+                           "CAST(component AS BIGINT) AS cluster_rep")

@@ -155,3 +155,21 @@ class TestSampling:
             bins[r.lang].add(r.bin)
         for lang, bs in bins.items():
             assert bs == set(range(max(bs) + 1))
+
+
+class TestConnectedComponents:
+    def test_chain_and_islands(self, spark):
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6), (10, 11), (11, 12), (12, 13), (13, 14)],
+            "src BIGINT, dst BIGINT")
+        got = {r.node: r.component
+               for r in dedup.connected_components(edges).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5,
+                       10: 10, 11: 10, 12: 10, 13: 10, 14: 10}
+
+    def test_converges_on_cycle(self, spark):
+        edges = spark.createDataFrame(
+            [(7, 8), (8, 9), (9, 7)], "src BIGINT, dst BIGINT")
+        got = {r.node: r.component
+               for r in dedup.connected_components(edges).collect()}
+        assert got == {7: 7, 8: 7, 9: 7}

@@ -981,3 +981,40 @@ def dedup_cluster_components(spark, sf_dir):
     comp = dedup.connected_components(pairs, src="doc_a", dst="doc_b")
     return comp.selectExpr("CAST(node AS BIGINT) AS doc_id",
                            "CAST(component AS BIGINT) AS cluster_rep")
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH w AS (SELECT DISTINCT user_id,
+                      CAST(date_trunc('week', ts) AS DATE) AS wk
+               FROM events),
+    c AS (SELECT user_id, min(wk) AS cohort_wk FROM w GROUP BY user_id)
+    SELECT CAST(c.cohort_wk AS VARCHAR) AS cohort_week,
+           CAST(date_diff('day', c.cohort_wk, w.wk) / 7 AS INT)
+             AS week_offset,
+           CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_active
+    FROM w JOIN c ON w.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity week, counted
+    per week offset. Two keyed shuffles (user-week distinct, then the
+    cohort join co-partitioned on user_id) and a final small agg —
+    the distinct user-week table is the only large intermediate and
+    it is already partially aggregated map-side."""
+    events = read_table(spark, sf_dir, "events")
+    w = (events.selectExpr(
+            "user_id", "CAST(date_trunc('week', ts) AS DATE) AS wk")
+         .distinct())
+    c = w.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        w.join(c, "user_id")
+        .groupBy(
+            F.expr("CAST(cohort_wk AS STRING)").alias("cohort_week"),
+            F.expr("CAST(datediff(wk, cohort_wk) / 7 AS INT)")
+            .alias("week_offset"))
+        .agg(F.expr("CAST(COUNT(DISTINCT user_id) AS BIGINT)")
+             .alias("n_active"))
+    )

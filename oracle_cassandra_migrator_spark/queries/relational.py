@@ -1484,3 +1484,61 @@ def agg_approx_percentiles(spark, sf_dir):
             "approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 1000)"
         ).alias("price_quartiles"))
     )
+
+@query(
+    "window_value_functions",
+    oracle="""
+    SELECT o_orderkey AS order_key,
+           CAST(first_value(o_orderkey) OVER w AS BIGINT) AS cheapest_key,
+           CAST(last_value(o_orderkey) OVER w AS BIGINT) AS priciest_key,
+           CAST(nth_value(o_orderkey, 2) OVER w AS BIGINT) AS second_key,
+           round(cume_dist() OVER
+             (PARTITION BY o_orderstatus
+              ORDER BY o_totalprice, o_orderkey), 6) AS price_cume_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_value_functions(spark, sf_dir):
+    """Value-picking window functions (first/last/nth) over an explicit
+    full-partition frame plus cume_dist — completes W1 breadth next to
+    the ranking/frame/lag coverage."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o_orderkey AS order_key,
+               CAST(first_value(o_orderkey) OVER w AS BIGINT) AS cheapest_key,
+               CAST(last_value(o_orderkey) OVER w AS BIGINT) AS priciest_key,
+               CAST(nth_value(o_orderkey, 2) OVER w AS BIGINT) AS second_key,
+               round(cume_dist() OVER
+                 (PARTITION BY o_orderstatus
+                  ORDER BY o_totalprice, o_orderkey), 6) AS price_cume_dist
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+    """)
+
+
+@query(
+    "unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey AS part_id, 'retail_price' AS metric,
+           p_retailprice AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+    """,
+)
+def unpivot_part_metrics(spark, sf_dir):
+    """Wide-to-long unpivot via the stack() table-generating expression
+    (Spark's UNPIVOT kernel); the oracle states the same relation as a
+    UNION ALL. Map-only: no shuffle at any scale."""
+    return read_table(spark, sf_dir, "part").selectExpr(
+        "p_partkey AS part_id",
+        "stack(2, 'retail_price', p_retailprice,"
+        " 'size', CAST(p_size AS DOUBLE)) AS (metric, value)",
+    )

@@ -234,17 +234,24 @@ def connected_components(edges: DataFrame, src: str = "src",
     iteration is one keyed shuffle (join labels to edges + min-agg);
     rounds needed = graph diameter, and near-dup clusters are
     band/bucket-generated so their diameter is small (single digits).
-    Labels are persisted each round and the previous round is
-    unpersisted, keeping lineage and memory O(1) in iterations — the
-    standard Spark pattern for iterative algorithms. Convergence is
-    detected with a count of changed labels (one cheap action per
-    round over (node, label) pairs only, never the original corpus).
+
+    Each round's labels are ``localCheckpoint``-ed (eager): lineage is
+    truncated every iteration, so the *final* DataFrame's plan is a
+    single scan of the last round's blocks, not a max_iter-deep join
+    tree — without this, plan size (and Catalyst compile time) grows
+    exponentially with rounds. On a multi-node cluster prefer
+    ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` for
+    executor-loss resilience; localCheckpoint trades that for zero
+    extra I/O, which is the right default for a handful of rounds over
+    a (node, label) table that is tiny next to the corpus. Convergence
+    is detected with a count of changed labels (one cheap action per
+    round over label pairs only, never the original corpus).
     """
-    sym = edges.selectExpr(f"{src} AS a", f"{dst} AS b").unionAll(
-        edges.selectExpr(f"{dst} AS a", f"{src} AS b"))
+    sym = (edges.selectExpr(f"{src} AS a", f"{dst} AS b").unionAll(
+        edges.selectExpr(f"{dst} AS a", f"{src} AS b")).persist())
     labels = (sym.selectExpr("a AS node").distinct()
-              .selectExpr("node", "node AS component").persist())
-    labels.count()  # materialize
+              .selectExpr("node", "node AS component")
+              .localCheckpoint(eager=True))
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
@@ -255,7 +262,7 @@ def connected_components(edges: DataFrame, src: str = "src",
             .selectExpr("node",
                         "least(component, coalesce(nbr_min, component))"
                         " AS component")
-            .persist())
+            .localCheckpoint(eager=True))
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .where("n.component != o.component").count())
@@ -263,4 +270,5 @@ def connected_components(edges: DataFrame, src: str = "src",
         labels = new_labels
         if changed == 0:
             break
+    sym.unpersist()
     return labels

@@ -1542,3 +1542,35 @@ def unpivot_part_metrics(spark, sf_dir):
         "stack(2, 'retail_price', p_retailprice,"
         " 'size', CAST(p_size AS DOUBLE)) AS (metric, value)",
     )
+
+@query(
+    "scalar_struct_map_functions",
+    oracle="""
+    SELECT c_custkey AS customer_id,
+           struct_pack(seg := c_mktsegment, bal := c_acctbal).seg
+             AS seg_from_struct,
+           map_extract(map(['seg', 'name'], [c_mktsegment, c_name]),
+                       'name')[1] AS name_from_map,
+           CAST(cardinality(map(['seg', 'name'], [c_mktsegment, c_name]))
+                AS BIGINT) AS map_size,
+           array_to_string(map_keys(map(['seg', 'name'],
+                                        [c_mktsegment, c_name])), ',')
+             AS keys_csv
+    FROM customer
+    """,
+)
+def scalar_struct_map_functions(spark, sf_dir):
+    """Complex-type construction and field access (named_struct / map /
+    element_at / map_keys), surfaced back as scalars so the value hash
+    is engine-portable. All JVM built-ins — codegen-friendly."""
+    return read_table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS customer_id",
+        "named_struct('seg', c_mktsegment, 'bal', c_acctbal).seg"
+        " AS seg_from_struct",
+        "element_at(map('seg', c_mktsegment, 'name', c_name), 'name')"
+        " AS name_from_map",
+        "CAST(size(map('seg', c_mktsegment, 'name', c_name)) AS BIGINT)"
+        " AS map_size",
+        "array_join(map_keys(map('seg', c_mktsegment, 'name', c_name)), ',')"
+        " AS keys_csv",
+    )

@@ -1018,3 +1018,36 @@ def events_cohort_retention(spark, sf_dir):
         .agg(F.expr("CAST(COUNT(DISTINCT user_id) AS BIGINT)")
              .alias("n_active"))
     )
+
+
+_SCALED = "CAST(round(CAST({v} AS DOUBLE) * 10000000) AS BIGINT)"
+
+
+@query(
+    "embedding_label_centroids",
+    oracle=f"""
+    SELECT label, CAST(i - 1 AS INT) AS dim_idx,
+           round(CAST(SUM({_SCALED.format(v='embedding[i]')}) AS DOUBLE)
+                 / (10000000.0 * COUNT(*)), 6) AS centroid_val,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM embeddings,
+         UNNEST(generate_series(1, len(embedding))) AS t(i)
+    GROUP BY 1, 2
+    """,
+)
+def embedding_label_centroids(spark, sf_dir):
+    """Element-wise mean vector per label — the codebook/class-centroid
+    primitive (one k-means step) for embedding pipelines. posexplode ->
+    two-key groupBy keeps it a single shuffle of (label, dim, scalar)
+    triples; float sums across rows are order-dependent, so elements
+    are fixed-point-scaled to BIGINT first (order-free exact sum on
+    both engines), divided back out at the end."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    scaled = _SCALED.format(v="v")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim_idx", "v"))
+        .groupBy("label", "dim_idx")
+        .agg(F.expr(f"round(CAST(SUM({scaled}) AS DOUBLE)"
+                    " / (10000000.0 * COUNT(*)), 6)").alias("centroid_val"),
+             F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_vectors"))
+    )

@@ -100,3 +100,12 @@ def test_split_query_pushes_projection(spark):
     not include source/n_chars."""
     plan = plan_of(spark, "split_train_val_test")
     assert "n_chars" not in plan and "source" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_connected_components_plan_stays_truncated(spark):
+    """Lineage must be cut every round (localCheckpoint): the final
+    labels plan is a scan of checkpointed blocks, not an iteration-deep
+    join tree (which regressed to ~10k plan lines before the fix)."""
+    plan = plan_of(spark, "dedup_cluster_components")
+    assert len(plan.splitlines()) < 100
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan or "Scan" in plan

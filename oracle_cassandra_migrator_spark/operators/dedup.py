@@ -108,8 +108,15 @@ def ngram_jaccard_pairs(
     (shingle sets are distinct per doc), so no intersection arrays are
     ever materialized — with a repetitive vocabulary the candidate set
     can approach all-pairs, and per-pair array_intersect would dominate
-    the whole job (measured 2.5x slower on the synthetic corpus)."""
-    shingled = with_shingles(df.select(id_col, text_col), text_col, n).persist()
+    the whole job (measured 2.5x slower on the synthetic corpus).
+
+    The shingle table feeds both the candidate join and the size lookup;
+    ``localCheckpoint`` (lazy) materializes it once at first action and —
+    unlike ``persist``, whose CacheManager entry pins executor storage
+    until an explicit unpersist — its blocks are released by the
+    ContextCleaner as soon as the returned plan is garbage-collected."""
+    shingled = with_shingles(df.select(id_col, text_col), text_col, n) \
+        .localCheckpoint(eager=False)
     exploded = shingled.select(F.col(id_col), F.explode("shingles").alias("sh"))
     a = exploded.select(F.col(id_col).alias("doc_a"), "sh")
     b = exploded.select(F.col(id_col).alias("doc_b"), "sh")
@@ -156,9 +163,12 @@ def minhash_lsh_pairs(
     groupBy and the band-key self-join — no all-pairs stage anywhere."""
     shingled = with_shingles(df.select(id_col, text_col), text_col, n)
     # the shingle table feeds both the signature and the verification
-    # join — persist it so normalization/shingling runs once (at scale
-    # this would be a staged intermediate table).
-    shingled = shingled.persist()
+    # join — checkpoint it (lazily) so normalization/shingling runs once
+    # (at scale this would be a staged intermediate table). localCheckpoint
+    # instead of persist: blocks are auto-released when the plan is GC'd,
+    # so a completed query doesn't pin executor storage for the rest of
+    # the application.
+    shingled = shingled.localCheckpoint(eager=False)
     sig = minhash_signature(shingled, id_col, k=bands * rows)
     band_keys = [
         F.md5(F.concat_ws(

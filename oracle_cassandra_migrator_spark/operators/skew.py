@@ -57,7 +57,18 @@ def salted_broadcast_join(
 ) -> DataFrame:
     """Skew-safe equi-join: explode the small side across salt values
     and join on (key, salt). The big side's salt is derived from a
-    uniform hash so each hot key's rows scatter over ``n_salts`` tasks."""
+    uniform hash so each hot key's rows scatter over ``n_salts`` tasks.
+
+    Only ``inner`` and ``left`` (outer) joins are supported: the small
+    side is replicated once per salt value, so join shapes that emit
+    *unmatched small-side rows* (right/full outer, right semi/anti)
+    would emit each unmatched row ``n_salts`` times. For those shapes
+    swap the sides or use AQE's skew-join handling instead."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_broadcast_join supports how='inner'/'left' only, got "
+            f"{how!r}: the replicated small side would duplicate unmatched "
+            "rows under right/full outer joins")
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
     small_rep = small.select("*", salts)
     big_salted = big.withColumn(

@@ -35,6 +35,14 @@ class StateStore(abc.ABC):
         `<staged file>.checkpoint`, file-level not job-level)."""
         return f"{data_file}.checkpoint"
 
+    def output_committed(self, path: str) -> bool:
+        """Whether a Spark output directory finished committing: Spark's
+        file commit protocol writes ``_SUCCESS`` last, so its existence
+        is the phase-done signal (reference R2 checks staged-parquet
+        existence, py:156-184). Part of the interface — Pipeline gates
+        phases 1+2 on it — with a default any marker store satisfies."""
+        return self.exists(path.rstrip("/") + "/_SUCCESS")
+
 
 class LocalFSStateStore(StateStore):
     """Local-filesystem markers; production analog is an S3/GCS client
@@ -57,11 +65,6 @@ class LocalFSStateStore(StateStore):
     def delete(self, key: str) -> None:
         if os.path.exists(key):
             os.remove(key)
-
-    def output_committed(self, path: str) -> bool:
-        """Spark's parquet commit protocol writes _SUCCESS; that is the
-        phase-done signal (reference R2 checks staged-parquet existence)."""
-        return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
 class S3StateStore(StateStore):
@@ -114,6 +117,3 @@ class S3StateStore(StateStore):
     def delete(self, key: str) -> None:
         bucket, obj = self._split(key)
         self.client.delete_object(Bucket=bucket, Key=obj)
-
-    def output_committed(self, path: str) -> bool:
-        return self.exists(path.rstrip("/") + "/_SUCCESS")

@@ -110,13 +110,17 @@ def ngram_jaccard_pairs(
     can approach all-pairs, and per-pair array_intersect would dominate
     the whole job (measured 2.5x slower on the synthetic corpus).
 
-    The shingle table feeds both the candidate join and the size lookup;
-    ``localCheckpoint`` (lazy) materializes it once at first action and —
-    unlike ``persist``, whose CacheManager entry pins executor storage
-    until an explicit unpersist — its blocks are released by the
-    ContextCleaner as soon as the returned plan is garbage-collected."""
+    The shingle table feeds both the candidate join and the size lookup.
+    Hash-repartitioning it by doc id right after shingling turns that
+    reuse into a *shuffle-exchange reuse*: the expensive shingle
+    expression runs exactly once (map side of the exchange), every
+    consumer stage re-reads the same shuffle files (Spark/AQE
+    ReuseExchange), lost outputs are recomputed from lineage (unlike
+    localCheckpoint), nothing pins executor storage (unlike persist,
+    whose CacheManager entry outlives the query), and the id-keyed
+    size-lookup joins downstream inherit the partitioning for free."""
     shingled = with_shingles(df.select(id_col, text_col), text_col, n) \
-        .localCheckpoint(eager=False)
+        .select(id_col, "shingles").repartition(F.col(id_col))
     exploded = shingled.select(F.col(id_col), F.explode("shingles").alias("sh"))
     a = exploded.select(F.col(id_col).alias("doc_a"), "sh")
     b = exploded.select(F.col(id_col).alias("doc_b"), "sh")
@@ -161,14 +165,15 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs via MinHash-LSH banding, then exact-Jaccard
     verification of the candidates. The only shuffles are the signature
     groupBy and the band-key self-join — no all-pairs stage anywhere."""
-    shingled = with_shingles(df.select(id_col, text_col), text_col, n)
-    # the shingle table feeds both the signature and the verification
-    # join — checkpoint it (lazily) so normalization/shingling runs once
-    # (at scale this would be a staged intermediate table). localCheckpoint
-    # instead of persist: blocks are auto-released when the plan is GC'd,
-    # so a completed query doesn't pin executor storage for the rest of
-    # the application.
-    shingled = shingled.localCheckpoint(eager=False)
+    # The shingle table feeds the signature groupBy and both sides of
+    # the verification join. A hash repartition by doc id makes the
+    # (costly, deterministic) shingle projection the map side of one
+    # shuffle exchange that all three consumers reuse (ReuseExchange /
+    # AQE stage reuse): computed once, fault-tolerant via ordinary
+    # shuffle recompute, no pinned executor storage — and the signature
+    # groupBy plus the per-id set lookups are already co-partitioned.
+    shingled = with_shingles(df.select(id_col, text_col), text_col, n) \
+        .select(id_col, "shingles").repartition(F.col(id_col))
     sig = minhash_signature(shingled, id_col, k=bands * rows)
     band_keys = [
         F.md5(F.concat_ws(

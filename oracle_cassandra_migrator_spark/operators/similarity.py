@@ -136,23 +136,30 @@ def ivf_topk(
     centroid (centroids = a deterministic id-sample of the corpus,
     standing in for a trained k-means codebook), then search only the
     query's cell. At scale the cell id is the partition key, so a probe
-    reads corpus/n_cells instead of everything; assignment is one
-    narrow map over a broadcast codebook."""
-    from pyspark.sql.window import Window
+    reads corpus/n_cells instead of everything.
 
+    Assignment is a zero-shuffle map over the corpus: the whole codebook
+    is folded into ONE array column (a single-row ``collect_list`` over
+    the tiny centroid sample, broadcast to every task), and the nearest
+    cell falls out of one ``array_max(transform(...))`` expression —
+    max over ``struct(aff, -cid)`` = highest affinity, ties to the
+    smallest centroid id. No per-(vector, centroid) row blow-up, no
+    window, no corpus-wide exchange; the only shuffle in the whole plan
+    is the |codebook|-row aggregation."""
     e = DOUBLE_VEC.format(col=vec_col)
-    c = DOUBLE_VEC.format(col="cvec")
+    c = DOUBLE_VEC.format(col="c.cvec")
     centroids = embeddings.where(f"{id_col} % {modulus} = 0").select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-    affinity = (
-        embeddings.crossJoin(F.broadcast(centroids))
-        .withColumn("aff", F.expr(f"round({dot_expr(e, c)}, 6)"))
+    codebook = centroids.agg(
+        F.collect_list(F.struct("cid", "cvec")).alias("cents"))
+    best = (
+        f"array_max(transform(cents, c -> "
+        f"struct(round({dot_expr(e, c)}, 6) AS aff, -c.cid AS neg_cid)))"
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("aff").desc(), F.col("cid"))
     cells = (
-        affinity.withColumn("rn", F.row_number().over(w))
-        .where("rn = 1")
-        .select(id_col, vec_col, F.col("cid").alias("cell_id"))
+        embeddings.crossJoin(F.broadcast(codebook))
+        .withColumn("cell_id", F.expr(f"-({best}).neg_cid"))
+        .select(id_col, vec_col, "cell_id")
     )
     q = cells.where(f"{id_col} = {query_id}").select(
         F.col("cell_id").alias("qcell"), F.col(vec_col).alias("q"))

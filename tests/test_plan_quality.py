@@ -102,6 +102,16 @@ def test_split_query_pushes_projection(spark):
     assert "n_chars" not in plan and "source" not in plan.split("ReadSchema")[1][:200]
 
 
+def test_ivf_assignment_is_map_side(spark):
+    """IVF cell assignment must be a per-row argmax over the broadcast
+    codebook array: no Window, no corpus-wide shuffle — the only
+    allowed Exchanges are the |codebook|-row SinglePartition aggs that
+    build the codebook column."""
+    plan = plan_of(spark, "sim_ivf_topk")
+    assert "Window" not in plan
+    assert not re.search(r"Exchange (hash|range)partitioning", plan)
+
+
 def test_connected_components_plan_stays_truncated(spark):
     """Lineage must be cut every round (localCheckpoint): the final
     labels plan is a scan of checkpointed blocks, not an iteration-deep

@@ -38,7 +38,10 @@ from oracle_cassandra_migrator_spark.reliability.state import (
     LocalFSStateStore,
     StateStore,
 )
-from oracle_cassandra_migrator_spark.sinks.writers import write_sink
+from oracle_cassandra_migrator_spark.sinks.writers import (
+    write_file_idempotent,
+    write_sink,
+)
 from oracle_cassandra_migrator_spark.sources.readers import read_source
 
 logger = logging.getLogger(__name__)
@@ -168,29 +171,10 @@ class Pipeline:
 
     def _write_file_idempotent(self, df: DataFrame, data_file: str,
                                sink_spec: Mapping[str, Any], fmt: str) -> None:
-        import glob as globlib
-        import shutil
-
-        base = os.path.splitext(os.path.basename(data_file))[0]
-        sink_path = sink_spec["path"]
-        tmp_dir = os.path.join(sink_path, "_tmp", base)
-        per_file = dict(sink_spec)
-        per_file.update({"path": tmp_dir, "mode": "overwrite"})
-        write_sink(df, per_file)
-        os.makedirs(sink_path, exist_ok=True)
-        # a rerun may produce a different part count — clear this staged
-        # part's previous targets so no stale file survives
-        for stale in globlib.glob(os.path.join(sink_path, f"{base}-*")):
-            os.remove(stale)
-        produced = sorted(
-            p for p in globlib.glob(os.path.join(tmp_dir, "part-*"))
-            if not p.endswith(".crc")
-        )
-        for idx, src in enumerate(produced):
-            ext = os.path.splitext(src)[1] or f".{fmt}"
-            target = os.path.join(sink_path, f"{base}-{idx}{ext}")
-            os.replace(src, target)  # atomic; reruns overwrite in place
-        shutil.rmtree(os.path.join(sink_path, "_tmp"), ignore_errors=True)
+        # Hadoop-FS-backed temp-write + deterministic rename: works on
+        # local paths and object-store URIs alike (see write_file_idempotent).
+        base = os.path.splitext(data_file.rstrip("/").rsplit("/", 1)[-1])[0]
+        write_file_idempotent(df, base, sink_spec)
 
     # -- driver ------------------------------------------------------
     def run(self) -> PipelineResult:

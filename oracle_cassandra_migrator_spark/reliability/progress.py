@@ -15,10 +15,19 @@ logger = logging.getLogger(__name__)
 
 
 def parquet_row_count(path: str) -> int:
-    """Exact row count from the parquet footer — no Spark job."""
+    """Exact row count from the parquet footer — no Spark job. Accepts
+    plain paths and scheme-qualified URIs (file:/, s3://, ...)."""
     import pyarrow.parquet as pq
+    from urllib.parse import urlparse
 
-    return pq.ParquetFile(path).metadata.num_rows
+    parsed = urlparse(path)
+    if parsed.scheme in ("", "file"):
+        return pq.ParquetFile(parsed.path or path).metadata.num_rows
+    from pyarrow import fs as pafs
+
+    filesystem, fs_path = pafs.FileSystem.from_uri(path)
+    with filesystem.open_input_file(fs_path) as f:
+        return pq.ParquetFile(f).metadata.num_rows
 
 
 class ProgressReporter:

@@ -67,6 +67,48 @@ class LocalFSStateStore(StateStore):
             os.remove(key)
 
 
+class HadoopFSStateStore(StateStore):
+    """Marker store over the Hadoop FileSystem API: one implementation
+    for every scheme Spark itself can reach — ``file:/``, ``hdfs:/``,
+    ``s3a:/``, ``gs:/``, ``abfs:/`` — resolved per-key from the active
+    Hadoop configuration. This is the production default for pipelines
+    whose staging/sink paths are object-store URIs (the reference's
+    boto3 layer, generalized); S3StateStore remains the faithful
+    boto3-call-shape analog."""
+
+    def __init__(self, spark):
+        self._jvm = spark._jvm
+        self._hconf = spark._jsc.hadoopConfiguration()
+
+    def _fs(self, key: str):
+        path = self._jvm.org.apache.hadoop.fs.Path(key)
+        return path.getFileSystem(self._hconf), path
+
+    def exists(self, key: str) -> bool:
+        fs, path = self._fs(key)
+        return fs.exists(path)
+
+    def put_marker(self, key: str) -> None:
+        fs, path = self._fs(key)
+        fs.create(path, True).close()  # zero-byte object, overwrite
+
+    def list(self, prefix: str, suffix: str = "") -> list[str]:
+        fs, path = self._fs(prefix)
+        if not fs.exists(path):
+            return []
+        out: list[str] = []
+        it = fs.listFiles(path, True)
+        while it.hasNext():
+            p = it.next().getPath().toString()
+            if p.endswith(suffix):
+                out.append(p)
+        return sorted(out)
+
+    def delete(self, key: str) -> None:
+        fs, path = self._fs(key)
+        fs.delete(path, False)
+
+
 class S3StateStore(StateStore):
     """S3 marker store — the reference's coordination layer
     (boto3 ``list_objects_v2`` pagination at

@@ -89,3 +89,52 @@ def write_sink(df: DataFrame, spec: Mapping[str, Any]) -> None:
         writer.save(spec["path"])
     else:
         writer.save()
+
+
+def write_file_idempotent(df: DataFrame, base: str,
+                          spec: Mapping[str, Any]) -> None:
+    """Crash-safe file-format write of one unit of work (one staged
+    file, one micro-batch) into ``spec['path']``.
+
+    A plain append duplicates the unit's rows if the caller crashes
+    after the write but before recording its completion marker. Instead:
+    write to ``<sink>/_tmp/<base>/`` (overwrite), then rename the part
+    files to deterministic names ``<base>-<i>.<ext>`` in the sink dir —
+    replaying the same unit always lands on the same targets, so a
+    rerun overwrites in place instead of appending.
+
+    All filesystem work goes through the Hadoop FileSystem API resolved
+    from the sink URI, so the same code serves file:/, hdfs:/ and
+    object stores (s3a:/, gs:/, abfs:/) — on object stores rename is
+    copy+delete, which is still safe here because targets are
+    deterministic and stale targets are cleared first. The reference
+    hard-codes the boto3 flavor of this dance
+    (verizon_table_migration_Rakesh_filters.py:237-276,330-331)."""
+    fmt = spec.get("format", "parquet").lower()
+    sink_path = spec["path"].rstrip("/")
+    tmp_dir = f"{sink_path}/_tmp/{base}"
+    write_sink(df, {**spec, "path": tmp_dir, "mode": "overwrite"})
+
+    spark = df.sparkSession
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    sink_p = hpath(sink_path)
+    fs = sink_p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.mkdirs(sink_p)
+    # a rerun may produce a different part count — clear this unit's
+    # previous targets so no stale file survives
+    for status in fs.globStatus(hpath(sink_p, f"{base}-*")) or []:
+        fs.delete(status.getPath(), False)
+    produced = sorted(
+        (s.getPath() for s in fs.globStatus(hpath(tmp_dir + "/part-*")) or []),
+        key=lambda p: p.getName())
+    idx = 0
+    for src in produced:
+        name = src.getName()
+        if name.endswith(".crc"):
+            continue
+        ext = "." + name.rsplit(".", 1)[1] if "." in name else f".{fmt}"
+        target = hpath(sink_p, f"{base}-{idx}{ext}")
+        fs.delete(target, False)  # rename is not an overwrite on HDFS
+        fs.rename(src, target)
+        idx += 1
+    fs.delete(hpath(sink_path + "/_tmp"), True)

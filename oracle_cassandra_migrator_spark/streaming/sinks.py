@@ -8,6 +8,14 @@ marker makes the write a no-op — exactly-once effect on top of Spark's
 at-least-once foreachBatch contract. This is the streaming twin of the
 reference's per-file checkpoint markers
 (verizon_table_migration_Rakesh_filters.py:237-276).
+
+The marker alone only covers replay of *marker-committed* batches; a
+crash after the write but before the marker re-delivers a batch whose
+rows are already in the sink. File-format batches therefore go through
+``write_file_idempotent`` (temp dir + deterministic ``batch-<id>-<i>``
+names) so the replayed write overwrites its own targets instead of
+appending. Keyed sinks (JDBC upsert, Cassandra) stay plain appends —
+they are idempotent by primary key, the reference's own model.
 """
 
 from __future__ import annotations
@@ -22,7 +30,11 @@ from oracle_cassandra_migrator_spark.reliability.state import (
     LocalFSStateStore,
     StateStore,
 )
-from oracle_cassandra_migrator_spark.sinks.writers import write_sink
+from oracle_cassandra_migrator_spark.sinks.writers import (
+    WRITE_PATH_FORMATS,
+    write_file_idempotent,
+    write_sink,
+)
 
 
 def foreach_batch_sink(
@@ -42,7 +54,12 @@ def foreach_batch_sink(
             return  # replayed batch: already committed
         spec = dict(sink_spec)
         spec.setdefault("mode", "append")
-        write_sink(batch_df, spec)
+        if spec.get("format", "parquet").lower() in WRITE_PATH_FORMATS:
+            # crash between write and marker replays this batch: the
+            # deterministic targets make the rewrite overwrite, not append
+            write_file_idempotent(batch_df, f"batch-{batch_id:09d}", spec)
+        else:
+            write_sink(batch_df, spec)
         store.put_marker(marker)
 
     return (

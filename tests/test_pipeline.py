@@ -71,6 +71,32 @@ def test_partial_resume_rewrites_only_missing_file(spark, tmp_path):
     assert r2.files_skipped == 2
 
 
+def test_pipeline_on_uri_paths_with_hadoop_state(spark, tmp_path):
+    """All three phases over scheme-qualified URIs with the
+    HadoopFSStateStore — the exact code path an object-store deployment
+    takes (s3a://, gs://) modulo the FileSystem implementation behind
+    the scheme. Exercises URI-safe staging, footer counts, per-file
+    markers, and the temp-write + deterministic-rename sink."""
+    from oracle_cassandra_migrator_spark.reliability.state import (
+        HadoopFSStateStore,
+    )
+
+    spec = make_spec(tmp_path)
+    spec["staging_dir"] = f"file://{tmp_path}/staging"
+    spec["sink"]["path"] = f"file://{tmp_path}/sink"
+    state = HadoopFSStateStore(spark)
+
+    r1 = Pipeline(spark, spec, state).run()
+    assert r1.files_written >= 1
+    n = spark.read.parquet(f"file://{tmp_path}/sink").count()
+    assert n > 0
+
+    r2 = Pipeline(spark, spec, state).run()
+    assert r2.files_written == 0
+    assert "transform" not in r2.phases_run
+    assert spark.read.parquet(f"file://{tmp_path}/sink").count() == n
+
+
 def test_sink_output_matches_direct_query(spark, tmp_path):
     spec = make_spec(tmp_path)
     Pipeline(spark, spec, LocalFSStateStore()).run()

@@ -208,3 +208,50 @@ def test_foreach_batch_sink_is_idempotent(spark, tmp_path):
     q2.awaitTermination(120)
     n2 = spark.read.parquet(out).count()
     assert n2 == n1, "replayed batches were written twice"
+
+
+def test_foreach_batch_sink_crash_between_write_and_marker(spark, tmp_path):
+    """The window the marker alone cannot cover: the sink write lands,
+    then the process dies before put_marker. On restart Spark replays
+    the batch (its own checkpoint never committed) — the deterministic
+    per-batch targets must make that a rewrite, not a second append."""
+    from oracle_cassandra_migrator_spark.reliability.state import (
+        LocalFSStateStore,
+    )
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+    from oracle_cassandra_migrator_spark.streaming.sinks import (
+        foreach_batch_sink,
+    )
+
+    events = read_table(spark, SF_SMALL, "events")
+    src = str(tmp_path / "src")
+    events.repartition(2).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = str(tmp_path / "out")
+    markers = str(tmp_path / "markers")
+    ckpt = str(tmp_path / "ckpt")
+    sink = {"format": "parquet", "path": out}
+
+    class CrashingStore(LocalFSStateStore):
+        def __init__(self):
+            self.crashes_left = 1
+
+        def put_marker(self, key):
+            if self.crashes_left:
+                self.crashes_left -= 1
+                raise RuntimeError("injected crash: write done, marker not")
+            super().put_marker(key)
+
+    store = CrashingStore()
+    q = foreach_batch_sink(stream, sink, markers, ckpt, state=store)
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+    assert spark.read.parquet(out).count() > 0  # batch 0's write landed
+
+    # restart with the SAME checkpoint dir — real crash recovery; Spark
+    # re-delivers the uncommitted batch 0, then the rest
+    q2 = foreach_batch_sink(stream, sink, markers, ckpt, state=store)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == events.count(), \
+        "replayed uncommitted batch appended instead of overwriting"

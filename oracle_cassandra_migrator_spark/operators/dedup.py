@@ -157,14 +157,28 @@ def minhash_signature(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+LSH_MAX_BAND_SIZE = 1000
+
+
 def minhash_lsh_pairs(
     df: DataFrame, text_col: str, id_col: str,
     n: int = 3, threshold: float = 0.5,
     bands: int = LSH_BANDS, rows: int = LSH_ROWS,
+    max_band_size: int | None = LSH_MAX_BAND_SIZE,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding, then exact-Jaccard
     verification of the candidates. The only shuffles are the signature
-    groupBy and the band-key self-join — no all-pairs stage anywhere."""
+    groupBy and the band-key self-join — no all-pairs stage anywhere.
+
+    ``max_band_size`` is the production guard against quadratic blow-up:
+    a band key shared by g docs emits g*(g-1)/2 candidates, so one
+    pathological key (mass-duplicated boilerplate, all-empty docs) can
+    dominate the whole job. Band groups above the cap are dropped
+    before the self-join — their members are mass-duplicates whose
+    dedup belongs to the linear-cost ``exact_dedup``/
+    ``connected_components`` pass, not pairwise verification. The
+    group-size filter joins on the same (band_idx, band_key) the
+    self-join shuffles on, so it rides the existing exchange."""
     # The shingle table feeds the signature groupBy and both sides of
     # the verification join. A hash repartition by doc id makes the
     # (costly, deterministic) shingle projection the map side of one
@@ -187,6 +201,11 @@ def minhash_lsh_pairs(
         F.posexplode(F.array(*[F.col(f"b{i}") for i in range(bands)]))
         .alias("band_idx", "band_key"),
     )
+    if max_band_size is not None:
+        keep = (long.groupBy("band_idx", "band_key")
+                .count().where(F.col("count") <= max_band_size)
+                .drop("count"))
+        long = long.join(keep, ["band_idx", "band_key"])
     a = long.select(F.col(id_col).alias("doc_a"), "band_idx", "band_key")
     b = long.select(F.col(id_col).alias("doc_b"), "band_idx", "band_key")
     candidates = (

@@ -71,6 +71,37 @@ def cosine_pairs(
     )
 
 
+def cosine_pairs_lsh_blocked(
+    embeddings: DataFrame, threshold: float, dim: int, n_planes: int = 4,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Near-duplicate pairs blocked by sign-LSH bucket — the scale
+    composition of ``cosine_pairs``: candidates are only vectors
+    sharing a bucket (one equi-join on the bucket key), never the
+    all-pairs cross join. Recall is the standard sign-LSH bound — two
+    vectors at angle θ share all ``n_planes`` sign bits with
+    probability (1 - θ/π)^n_planes — tunable by lowering ``n_planes``
+    or OR-ing multiple hash tables; precision is exact since every
+    candidate is verified against the true cosine."""
+    bucket = signbit_bucket_expr(vec_col, dim, n_planes)
+    hashed = embeddings.select(
+        F.expr(bucket).alias("bucket"),
+        F.col(id_col), F.col(vec_col))
+    a = hashed.select("bucket", F.col(id_col).alias("id_a"),
+                      F.col(vec_col).alias("va"))
+    b = hashed.select("bucket", F.col(id_col).alias("id_b"),
+                      F.col(vec_col).alias("vb"))
+    ea = DOUBLE_VEC.format(col="va")
+    eb = DOUBLE_VEC.format(col="vb")
+    return (
+        a.join(b, "bucket")
+        .where("id_a < id_b")
+        .withColumn("cosine", F.expr(f"round({cosine_expr(ea, eb)}, 6)"))
+        .where(f"cosine >= {threshold}")
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def hyperplane_signs(plane_idx: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane: component j in {-1, +1}
     from the parity of the md5 of 'p<i>:<j>'. Rademacher hyperplanes

@@ -84,7 +84,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
 
 
-def _minhash_oracle(bands: int = dedup.LSH_BANDS, rows: int = dedup.LSH_ROWS) -> str:
+def _minhash_oracle(bands: int = dedup.LSH_BANDS, rows: int = dedup.LSH_ROWS,
+                    max_band_size: int = dedup.LSH_MAX_BAND_SIZE) -> str:
     k = bands * rows
     mins = ",\n           ".join(
         f"{dedup.minhash_term_sql(i)} AS m{i}" for i in range(k))
@@ -101,8 +102,13 @@ def _minhash_oracle(bands: int = dedup.LSH_BANDS, rows: int = dedup.LSH_ROWS) ->
            {mins}
            FROM ex GROUP BY doc_id),
     bands AS ({band_selects}),
+    keep AS (SELECT band_idx, band_key FROM bands
+             GROUP BY band_idx, band_key
+             HAVING count(*) <= {max_band_size}),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM bands a
+             JOIN keep k ON a.band_idx = k.band_idx
+                        AND a.band_key = k.band_key
              JOIN bands b ON a.band_idx = b.band_idx
                          AND a.band_key = b.band_key
                          AND a.doc_id < b.doc_id)
@@ -164,6 +170,50 @@ def dedup_simhash_buckets(spark, sf_dir):
 def dedup_embedding_cosine(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     return similarity.cosine_pairs(emb, threshold=0.45)
+
+
+def _plane_literal_sql(plane_idx: int, dim: int = 64) -> str:
+    """The same md5-parity Rademacher hyperplane as
+    similarity.hyperplane_expr, precomputed into a SQL array literal."""
+    import hashlib
+
+    signs = []
+    for j in range(dim):
+        h = int(hashlib.md5(f"p{plane_idx}:{j}".encode()).hexdigest()[:15], 16)
+        signs.append("1.0" if h % 2 == 0 else "-1.0")
+    return "[" + ", ".join(signs) + "]::DOUBLE[]"
+
+
+def _cosine_lsh_blocked_oracle(dim: int = 64, n_planes: int = 4,
+                               threshold: float = 0.45) -> str:
+    bits = " || ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {_plane_literal_sql(i, dim)})"
+        f" >= 0 THEN '1' ELSE '0' END)"
+        for i in range(n_planes)
+    )
+    cos = (
+        "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)"
+    )
+    return f"""
+    WITH h AS (SELECT vec_id, embedding, {bits} AS bucket FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
+    FROM h a JOIN h b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {cos} >= {threshold}
+    """
+
+
+@query("dedup_embedding_lsh_blocked", oracle=_cosine_lsh_blocked_oracle())
+def dedup_embedding_lsh_blocked(spark, sf_dir):
+    """The scale path for embedding near-dup detection: sign-LSH
+    blocking turns the O(n^2) cross join of dedup_embedding_cosine into
+    a per-bucket equi-join; candidates are cosine-verified exactly.
+    The md5-derived hyperplanes make bucketing deterministic, so the
+    DuckDB oracle replicates the whole scheme bit-for-bit."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs_lsh_blocked(
+        emb, threshold=0.45, dim=64, n_planes=4)
 
 
 # ---------------------------------------------------------------------------
@@ -495,18 +545,6 @@ def skew_salted_revenue_by_status(spark, sf_dir):
         ],
         n_salts=16,
     )
-
-
-def _plane_literal_sql(plane_idx: int, dim: int = 64) -> str:
-    """The same md5-parity Rademacher hyperplane as
-    similarity.hyperplane_expr, precomputed into a SQL array literal."""
-    import hashlib
-
-    signs = []
-    for j in range(dim):
-        h = int(hashlib.md5(f"p{plane_idx}:{j}".encode()).hexdigest()[:15], 16)
-        signs.append("1.0" if h % 2 == 0 else "-1.0")
-    return "[" + ", ".join(signs) + "]::DOUBLE[]"
 
 
 def _ann_lsh_oracle(dim: int = 64, n_planes: int = 6, k: int = 10) -> str:

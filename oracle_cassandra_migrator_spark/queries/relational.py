@@ -829,13 +829,34 @@ def agg_stats_per_segment(spark, sf_dir):
     )
 
 
-@query("agg_approx_count_distinct")  # approximate by contract: rows-only
+@query(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS estimate_ok
+    FROM lineitem
+    """,
+)
 def agg_approx_count_distinct(spark, sf_dir):
-    """HLL-sketch distinct (A3). Deterministic for fixed input but not
-    equal to DuckDB's approx implementation, so no value oracle."""
+    """HLL-sketch distinct (A3) as a *checked* bounded-error contract:
+    the sketch value differs between engines, so the comparable columns
+    are the exact count (verified against DuckDB) and ``estimate_ok`` —
+    Spark's HLL estimate within 5% of truth. rsd=0.01 keeps measured
+    error under 0.7% at every test SF (rsd is a std-dev, not a bound:
+    the default 0.05 misses 5% at sf0.001), so the 5% gate has real
+    headroom. If the sketch drifts out of bound the boolean flips and
+    the value hash fails."""
     return (
         read_table(spark, sf_dir, "lineitem")
-        .agg(F.approx_count_distinct("l_orderkey").alias("approx_orders"))
+        .agg(
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        )
+        .select(
+            F.col("exact_orders").cast("bigint").alias("exact_orders"),
+            F.expr("abs(approx_orders - exact_orders)"
+                   " <= 0.05 * exact_orders").alias("estimate_ok"),
+        )
     )
 
 
@@ -1472,17 +1493,49 @@ def tpch_q15_top_supplier(spark, sf_dir):
     """)
 
 
-@query("agg_approx_percentiles")  # sketch-based: rows-only by contract
+@query(
+    "agg_approx_percentiles",
+    oracle="""
+    SELECT o_orderstatus AS order_status,
+           round(quantile_cont(o_totalprice::DOUBLE, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice::DOUBLE, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice::DOUBLE, 0.75), 4) AS p75,
+           TRUE AS estimate_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
 def agg_approx_percentiles(spark, sf_dir):
-    """approx_percentile (KLL-style sketch): deterministic for a fixed
-    input but not comparable to DuckDB's approximate quantiles, so
-    rows-only — the exact counterpart is agg_stats_per_segment.median."""
+    """Quantile sketch as a *checked* bounded-error contract. The exact
+    interpolated quartiles are verified value-for-value against
+    DuckDB's quantile_cont; ``estimate_ok`` asserts each
+    approx_percentile(accuracy=1000) output lands within a ±5% *rank*
+    window of truth (the sketch's guarantee is rank error <= 1/accuracy,
+    so 5% is generous headroom — flipping to false fails the hash)."""
+    probes = "array(0.25D, 0.5D, 0.75D)"
+    lo = "array(0.20D, 0.45D, 0.70D)"
+    hi = "array(0.30D, 0.55D, 0.80D)"
+    val = "CAST(o_totalprice AS DOUBLE)"
     return (
         read_table(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
-        .agg(F.expr(
-            "approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 1000)"
-        ).alias("price_quartiles"))
+        .agg(
+            F.expr(f"percentile({val}, {probes})").alias("ex"),
+            F.expr(f"percentile({val}, {lo})").alias("lo"),
+            F.expr(f"percentile({val}, {hi})").alias("hi"),
+            F.expr(f"approx_percentile({val}, {probes}, 1000)").alias("ap"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("order_status"),
+            F.expr("round(ex[0], 4)").alias("p25"),
+            F.expr("round(ex[1], 4)").alias("p50"),
+            F.expr("round(ex[2], 4)").alias("p75"),
+            F.expr(
+                "ap[0] BETWEEN lo[0] AND hi[0]"
+                " AND ap[1] BETWEEN lo[1] AND hi[1]"
+                " AND ap[2] BETWEEN lo[2] AND hi[2]"
+            ).alias("estimate_ok"),
+        )
     )
 
 @query(

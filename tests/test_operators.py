@@ -50,6 +50,31 @@ def test_minhash_lsh_matches_exact_on_planted_pairs(spark):
     assert (1, 4) in lsh
 
 
+def test_minhash_band_cap_bounds_adversarial_corpus(spark):
+    """Mass-duplicated boilerplate is the quadratic kill case: 300
+    identical docs share every band key, so uncapped LSH emits
+    300*299/2 candidate pairs per band. The cap must drop those groups
+    while a planted near-dup pair with distinct text still surfaces."""
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, boiler) for i in range(300)]
+    rows.append((1000, "completely different planted document about spark "
+                       "shuffle partitioning strategies at scale"))
+    rows.append((1001, "completely different planted document about spark "
+                       "shuffle partitioning strategies at large scale"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = dedup.minhash_lsh_pairs(
+        df, "text", "doc_id", threshold=0.5, max_band_size=50).collect()
+    found = {(r.doc_a, r.doc_b) for r in capped}
+    assert (1000, 1001) in found
+    # every boilerplate band group has 300 members > cap -> no mass pairs
+    assert found == {(1000, 1001)}
+
+    uncapped = dedup.minhash_lsh_pairs(
+        df, "text", "doc_id", threshold=0.5, max_band_size=None)
+    assert uncapped.count() == 300 * 299 // 2 + 1
+
+
 def test_simhash_buckets_identical_docs(spark):
     buckets = dedup.simhash_buckets(docs_df(spark), "text", "doc_id").collect()
     assert any(b.n_docs == 2 and b.representative_id == 1 for b in buckets)

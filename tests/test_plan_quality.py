@@ -112,6 +112,15 @@ def test_ivf_assignment_is_map_side(spark):
     assert not re.search(r"Exchange (hash|range)partitioning", plan)
 
 
+def test_embedding_lsh_blocked_joins_on_bucket(spark):
+    """The blocked dedup must candidate-generate through a bucket
+    equi-join — never an unbucketed cross product over the corpus."""
+    plan = plan_of(spark, "dedup_embedding_lsh_blocked")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bucket" in plan
+
+
 def test_connected_components_plan_stays_truncated(spark):
     """Lineage must be cut every round (localCheckpoint): the final
     labels plan is a scan of checkpointed blocks, not an iteration-deep

@@ -59,16 +59,20 @@ def salted_broadcast_join(
     and join on (key, salt). The big side's salt is derived from a
     uniform hash so each hot key's rows scatter over ``n_salts`` tasks.
 
-    Only ``inner`` and ``left`` (outer) joins are supported: the small
-    side is replicated once per salt value, so join shapes that emit
-    *unmatched small-side rows* (right/full outer, right semi/anti)
-    would emit each unmatched row ``n_salts`` times. For those shapes
-    swap the sides or use AQE's skew-join handling instead."""
-    if how not in ("inner", "left", "left_outer", "leftouter"):
+    Join shapes that preserve only big-side rows are safe — ``inner``,
+    ``left`` (outer), ``left_semi``, ``left_anti`` — because each big
+    row carries exactly one salt, so match presence and at-most-once
+    emission are unaffected by replicating the small side. Shapes that
+    emit *unmatched small-side rows* (right/full outer) would emit each
+    unmatched row ``n_salts`` times; for those swap the sides or use
+    AQE's skew-join handling instead."""
+    norm = how.lower().replace("_", "")
+    if norm not in ("inner", "left", "leftouter", "leftsemi", "semi",
+                    "leftanti", "anti"):
         raise ValueError(
-            f"salted_broadcast_join supports how='inner'/'left' only, got "
-            f"{how!r}: the replicated small side would duplicate unmatched "
-            "rows under right/full outer joins")
+            f"salted_broadcast_join supports inner/left/left_semi/left_anti "
+            f"joins only, got {how!r}: the replicated small side would "
+            "duplicate unmatched rows under right/full outer joins")
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
     small_rep = small.select("*", salts)
     big_salted = big.withColumn(

@@ -64,6 +64,12 @@ def _apply_repartition(df: DataFrame, spec: Any) -> DataFrame:
 def write_sink(df: DataFrame, spec: Mapping[str, Any]) -> None:
     """Write ``df`` per its sink spec dict. Triggers the job."""
     fmt = spec.get("format", "parquet").lower()
+    if fmt == "avro":
+        from oracle_cassandra_migrator_spark.sources.readers import (
+            _require_avro,
+        )
+
+        _require_avro(df.sparkSession)
     df = _apply_repartition(df, spec.get("repartition"))
 
     writer = df.write.format(fmt).mode(spec.get("mode", "overwrite"))

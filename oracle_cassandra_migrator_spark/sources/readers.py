@@ -39,9 +39,36 @@ from pyspark.sql import DataFrame, SparkSession
 READ_PATH_FORMATS = {"parquet", "csv", "json", "orc", "text", "avro"}
 
 
+def avro_available(spark: SparkSession) -> bool:
+    """Whether the external spark-avro module is on the classpath.
+    Avro has been an *external* Spark module since 2.4 — pip pyspark
+    ships the avro core jars but not the DataSource, so format='avro'
+    needs ``org.apache.spark:spark-avro_2.13:<spark version>`` in
+    spark.jars.packages."""
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.spark.sql.execution.datasources.DataSource \
+            .lookupDataSource("avro", jvm.org.apache.spark.sql.internal
+                              .SQLConf.get())
+        return True
+    except Exception:
+        return False
+
+
+def _require_avro(spark: SparkSession) -> None:
+    if not avro_available(spark):
+        raise ValueError(
+            "format 'avro' requires the external spark-avro module "
+            "(org.apache.spark:spark-avro_2.13:<spark version>) on the "
+            "classpath via spark.jars.packages; it is not bundled with "
+            "pip-installed pyspark")
+
+
 def read_source(spark: SparkSession, spec: Mapping[str, Any]) -> DataFrame:
     """Read one source per its spec dict; returns a lazy DataFrame."""
     fmt = spec.get("format", "parquet").lower()
+    if fmt == "avro":
+        _require_avro(spark)
     reader = spark.read.format(fmt)
 
     options = dict(spec.get("options") or {})

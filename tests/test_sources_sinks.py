@@ -18,6 +18,28 @@ def nation(spark):
         "format": "parquet", "path": f"{SF_SMALL}/nation.parquet"})
 
 
+def test_avro_roundtrips_or_fails_cleanly(spark, tmp_path, nation):
+    """Avro is an external Spark module: with spark-avro on the
+    classpath the roundtrip must work like any other format; without
+    it (pip pyspark, this env) both reader and writer must raise a
+    clear error naming the required package — never Spark's raw
+    ClassNotFoundException mid-job."""
+    from oracle_cassandra_migrator_spark.sources.readers import (
+        avro_available,
+    )
+
+    path = str(tmp_path / "out_avro")
+    if avro_available(spark):
+        write_sink(nation, {"format": "avro", "path": path})
+        back = read_source(spark, {"format": "avro", "path": path})
+        assert back.count() == nation.count()
+    else:
+        with pytest.raises(ValueError, match="spark-avro"):
+            write_sink(nation, {"format": "avro", "path": path})
+        with pytest.raises(ValueError, match="spark-avro"):
+            read_source(spark, {"format": "avro", "path": path})
+
+
 @pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
 def test_format_roundtrip(spark, tmp_path, nation, fmt):
     path = str(tmp_path / f"out_{fmt}")

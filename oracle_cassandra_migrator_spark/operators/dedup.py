@@ -202,10 +202,16 @@ def minhash_lsh_pairs(
         .alias("band_idx", "band_key"),
     )
     if max_band_size is not None:
-        keep = (long.groupBy("band_idx", "band_key")
-                .count().where(F.col("count") <= max_band_size)
-                .drop("count"))
-        long = long.join(keep, ["band_idx", "band_key"])
+        # count-over-window instead of groupBy+join-back: the window's
+        # hash partitioning on (band_idx, band_key) is exactly the
+        # distribution the self-join below needs, so the guard costs
+        # the one band-key shuffle the join was paying anyway.
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band_idx", "band_key")
+        long = (long.withColumn("__band_n", F.count("*").over(w))
+                .where(F.col("__band_n") <= max_band_size)
+                .drop("__band_n"))
     a = long.select(F.col(id_col).alias("doc_a"), "band_idx", "band_key")
     b = long.select(F.col(id_col).alias("doc_b"), "band_idx", "band_key")
     candidates = (

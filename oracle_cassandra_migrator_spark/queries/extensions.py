@@ -168,6 +168,10 @@ def dedup_simhash_buckets(spark, sf_dir):
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
+    """Exact all-pairs cosine dedup — O(n^2) by construction, kept as
+    the correctness baseline and for small/pre-blocked inputs only.
+    The scale path is dedup_embedding_lsh_blocked below: identical
+    verification cosine, candidates restricted to sign-LSH buckets."""
     emb = read_table(spark, sf_dir, "embeddings")
     return similarity.cosine_pairs(emb, threshold=0.45)
 

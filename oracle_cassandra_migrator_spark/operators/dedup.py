@@ -246,6 +246,51 @@ def simhash_expr(text_col: str, bits: int = 32) -> str:
     )
 
 
+def simhash_hamming_pairs(
+    df: DataFrame, text_col: str, id_col: str,
+    max_distance: int = 2, bits: int = 32,
+) -> DataFrame:
+    """Near-duplicate pairs with SimHash hamming distance <=
+    ``max_distance``, via the pigeonhole multi-index: split the
+    ``bits``-bit hash into ``max_distance + 1`` blocks — two hashes
+    within distance d differ in at most d blocks, so they must agree
+    exactly on at least one block. Candidates = pairs sharing any
+    (block_idx, block_value); verification = bit_count(xor) on the
+    full hashes. One narrow map + one blocked equi-join — never
+    all-pairs, and block values are small integers, so the shuffle
+    payload is (id, simhash, block) only."""
+    n_blocks = max_distance + 1
+    widths = [bits // n_blocks + (1 if i < bits % n_blocks else 0)
+              for i in range(n_blocks)]
+    hashed = df.select(
+        F.col(id_col), F.expr(simhash_expr(text_col, bits)).alias("simhash"))
+    shift = 0
+    block_cols = []
+    for i, w in enumerate(widths):
+        block_cols.append(
+            F.expr(f"CAST(simhash DIV {2 ** shift} % {2 ** w} AS BIGINT)")
+            .alias(f"blk{i}"))
+        shift += w
+    blocked = hashed.select(F.col(id_col), F.col("simhash"), *block_cols)
+    long = blocked.select(
+        F.col(id_col), F.col("simhash"),
+        F.posexplode(F.array(*[F.col(f"blk{i}") for i in range(n_blocks)]))
+        .alias("block_idx", "block_val"),
+    )
+    a = long.select(F.col(id_col).alias("doc_a"),
+                    F.col("simhash").alias("sh_a"), "block_idx", "block_val")
+    b = long.select(F.col(id_col).alias("doc_b"),
+                    F.col("simhash").alias("sh_b"), "block_idx", "block_val")
+    return (
+        a.join(b, ["block_idx", "block_val"])
+        .where("doc_a < doc_b")
+        .select("doc_a", "doc_b", F.expr(
+            "CAST(bit_count(sh_a ^ sh_b) AS INT)").alias("hamming"))
+        .distinct()
+        .where(f"hamming <= {max_distance}")
+    )
+
+
 def simhash_buckets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Docs grouped by identical SimHash — candidate near-dup buckets."""
     hashed = df.select(

@@ -122,10 +122,10 @@ def dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
 
 
-@query(
-    "dedup_simhash_buckets",
-    oracle="""
-    WITH words AS (SELECT doc_id,
+# DuckDB replica of operators.dedup.simhash_expr: per-doc 32-bit
+# SimHash from distinct-word md5 parities. Shared by the bucket and
+# hamming-distance oracles.
+_SIMHASH_CTES = """words AS (SELECT doc_id,
            list_distinct(string_split(trim(regexp_replace(lower(text),
                '\\s+', ' ', 'g')), ' ')) AS w
            FROM documents),
@@ -139,7 +139,13 @@ def dedup_minhash_lsh(spark, sf_dir):
                          > len(hs)
                     THEN (2**i)::BIGINT ELSE CAST(0 AS BIGINT) END),
                (a, b) -> a + b) AS simhash
-           FROM h)
+           FROM h)"""
+
+
+@query(
+    "dedup_simhash_buckets",
+    oracle=f"""
+    WITH {_SIMHASH_CTES}
     SELECT simhash,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(min(doc_id) AS BIGINT) AS representative_id
@@ -149,6 +155,44 @@ def dedup_minhash_lsh(spark, sf_dir):
 def dedup_simhash_buckets(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     return dedup.simhash_buckets(docs, "text", "doc_id")
+
+
+def _simhash_hamming_oracle(max_distance: int = 2, bits: int = 32) -> str:
+    n_blocks = max_distance + 1
+    widths = [bits // n_blocks + (1 if i < bits % n_blocks else 0)
+              for i in range(n_blocks)]
+    selects, shift = [], 0
+    for i, w in enumerate(widths):
+        selects.append(
+            f"SELECT doc_id, simhash, {i} AS block_idx, "
+            f"CAST(simhash // {2 ** shift} % {2 ** w} AS BIGINT) AS block_val"
+            f" FROM sh")
+        shift += w
+    blocks = "\n    UNION ALL ".join(selects)
+    return f"""
+    WITH {_SIMHASH_CTES},
+    blocks AS ({blocks}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.simhash AS sh_a, b.simhash AS sh_b
+             FROM blocks a
+             JOIN blocks b ON a.block_idx = b.block_idx
+                          AND a.block_val = b.block_val
+                          AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_distance}
+    """
+
+
+@query("dedup_simhash_hamming", oracle=_simhash_hamming_oracle())
+def dedup_simhash_hamming(spark, sf_dir):
+    """SimHash near-dup pairs within hamming distance 2 via the
+    pigeonhole multi-index (d+1 blocks; agreement on any block is the
+    candidate condition) — the fuzzy upgrade of the equal-bucket
+    variant, still never all-pairs."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.simhash_hamming_pairs(
+        docs, "text", "doc_id", max_distance=2)
 
 
 @query(

@@ -80,6 +80,27 @@ def test_simhash_buckets_identical_docs(spark):
     assert any(b.n_docs == 2 and b.representative_id == 1 for b in buckets)
 
 
+def test_simhash_hamming_superset_of_equal_buckets(spark):
+    """distance<=d candidate recall: identical docs pair at hamming 0,
+    and every equal-bucket pair appears in the hamming output; a
+    one-word edit lands within a small distance while staying out of
+    the equal-bucket variant unless the hashes coincide exactly."""
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in dedup.simhash_hamming_pairs(
+                 docs_df(spark), "text", "doc_id", max_distance=3).collect()}
+    assert pairs.get((1, 4)) == 0  # identical after normalization
+    equal_bucket_pairs = set()
+    hashed = {r.doc_id: r.simhash for r in docs_df(spark).selectExpr(
+        "doc_id", f"{dedup.simhash_expr('text')} AS simhash").collect()}
+    for a in hashed:
+        for b in hashed:
+            if a < b and hashed[a] == hashed[b]:
+                equal_bucket_pairs.add((a, b))
+    assert equal_bucket_pairs <= set(pairs)
+    for (a, b), d in pairs.items():
+        assert bin(hashed[a] ^ hashed[b]).count("1") == d
+
+
 def vectors_df(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),

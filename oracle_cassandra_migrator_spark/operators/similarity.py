@@ -158,10 +158,78 @@ def lsh_bucketed_topk(
     )
 
 
+def _argmax_cell_expr(vec_expr: str) -> str:
+    """Nearest-centroid pick over a one-column codebook array ``cents``
+    (array<struct<cid,cvec>>): max over struct(aff, -cid) = highest
+    dot-product affinity, ties to the smallest centroid id."""
+    return (
+        f"array_max(transform(cents, c -> "
+        f"struct(round({dot_expr(vec_expr, 'c.cvec')}, 6) AS aff, "
+        f"-c.cid AS neg_cid)))"
+    )
+
+
+def _assign_cells(embeddings: DataFrame, centroids: DataFrame,
+                  vec_col: str, id_col: str) -> DataFrame:
+    """(id, vec, cell_id) for every vector: zero-shuffle map over the
+    corpus against the broadcast single-row codebook array."""
+    codebook = centroids.select(
+        "cid", F.expr(DOUBLE_VEC.format(col="cvec")).alias("cvec")
+    ).agg(F.collect_list(F.struct("cid", "cvec")).alias("cents"))
+    e = DOUBLE_VEC.format(col=vec_col)
+    return (
+        embeddings.crossJoin(F.broadcast(codebook))
+        .withColumn("cell_id", F.expr(f"-({_argmax_cell_expr(e)}).neg_cid"))
+        .select(id_col, vec_col, "cell_id")
+    )
+
+
+def kmeans_codebook(
+    embeddings: DataFrame, modulus: int = 43, iters: int = 2,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's k-means in pure DataFrame ops: deterministic id-sample
+    init, then ``iters`` rounds of (assign to nearest centroid by dot
+    product, recompute element-wise means). Returns (cid, cvec) — the
+    trained codebook for ``ivf_topk``.
+
+    Per iteration: assignment is the zero-shuffle broadcast-codebook
+    map; the mean update posexplodes to (cell, dim, x) and partially
+    aggregates map-side, so the shuffle carries ~|cells| x dim rows per
+    partition, never the corpus. Element-wise means go through exact
+    DECIMAL sums then one IEEE double division and round(6), so the
+    centroids — and therefore every downstream assignment — are
+    bit-reproducible in ANSI SQL (the DuckDB oracle replays the same
+    iterations). Cells that lose all members simply drop out of the
+    next round, like classic Lloyd with empty-cluster removal."""
+    cents = embeddings.where(f"{id_col} % {modulus} = 0").select(
+        F.col(id_col).alias("cid"),
+        F.expr(DOUBLE_VEC.format(col=vec_col)).alias("cvec"))
+    for _ in range(iters):
+        assigned = _assign_cells(embeddings, cents, vec_col, id_col)
+        exploded = assigned.select(
+            "cell_id",
+            F.posexplode(F.expr(DOUBLE_VEC.format(col=vec_col)))
+            .alias("dim_idx", "x"))
+        dim_means = (
+            exploded.groupBy("cell_id", "dim_idx")
+            .agg(F.expr(
+                "round(CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE)"
+                " / COUNT(*), 6)").alias("m")))
+        cents = (
+            dim_means.groupBy("cell_id")
+            .agg(F.expr(
+                "transform(array_sort(collect_list(struct(dim_idx, m))),"
+                " s -> s.m)").alias("cvec"))
+            .selectExpr("cell_id AS cid", "cvec"))
+    return cents
+
+
 def ivf_topk(
     embeddings: DataFrame, modulus: int = 43, k: int = 10,
     query_id: int = 0,
     vec_col: str = "embedding", id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize every vector to its nearest
     centroid (centroids = a deterministic id-sample of the corpus,
@@ -178,20 +246,10 @@ def ivf_topk(
     window, no corpus-wide exchange; the only shuffle in the whole plan
     is the |codebook|-row aggregation."""
     e = DOUBLE_VEC.format(col=vec_col)
-    c = DOUBLE_VEC.format(col="c.cvec")
-    centroids = embeddings.where(f"{id_col} % {modulus} = 0").select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-    codebook = centroids.agg(
-        F.collect_list(F.struct("cid", "cvec")).alias("cents"))
-    best = (
-        f"array_max(transform(cents, c -> "
-        f"struct(round({dot_expr(e, c)}, 6) AS aff, -c.cid AS neg_cid)))"
-    )
-    cells = (
-        embeddings.crossJoin(F.broadcast(codebook))
-        .withColumn("cell_id", F.expr(f"-({best}).neg_cid"))
-        .select(id_col, vec_col, "cell_id")
-    )
+    if centroids is None:
+        centroids = embeddings.where(f"{id_col} % {modulus} = 0").select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    cells = _assign_cells(embeddings, centroids, vec_col, id_col)
     q = cells.where(f"{id_col} = {query_id}").select(
         F.col("cell_id").alias("qcell"), F.col(vec_col).alias("q"))
     qv = DOUBLE_VEC.format(col="q")

@@ -685,9 +685,69 @@ def text_bpe_token_counts(spark, sf_dir):
 )
 def sim_ivf_topk(spark, sf_dir):
     """IVF coarse-quantized ANN (the codebook here is a deterministic
-    id-sample so the DuckDB oracle can replicate assignment exactly; a
-    production codebook would come from k-means)."""
+    id-sample so the DuckDB oracle can replicate assignment exactly;
+    sim_ivf_trained_topk below runs the same search over a k-means
+    codebook)."""
     return similarity.ivf_topk(read_table(spark, sf_dir, "embeddings"))
+
+
+def _ivf_trained_oracle(modulus: int = 43, iters: int = 2, k: int = 10,
+                        query_id: int = 0) -> str:
+    def assign(cents: str, name: str) -> str:
+        return f"""{name} AS (
+      SELECT vec_id, embedding, cell_id FROM (
+        SELECT e.vec_id, e.embedding, c.cid AS cell_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_dot_product(e.embedding::DOUBLE[],
+                                                 c.cvec), 6) DESC,
+                          c.cid) AS rn
+        FROM embeddings e CROSS JOIN {cents} c) WHERE rn = 1)"""
+
+    parts = [
+        f"cents0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec"
+        f" FROM embeddings WHERE vec_id % {modulus} = 0)"]
+    for i in range(iters):
+        parts.append(assign(f"cents{i}", f"a{i}"))
+        parts.append(f"""m{i} AS (
+      SELECT cell_id, t.i AS dim_idx,
+             round(CAST(SUM(CAST(embedding[t.i] AS DECIMAL(27,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS m
+      FROM a{i}, UNNEST(generate_series(1, len(embedding))) AS t(i)
+      GROUP BY cell_id, t.i)""")
+        parts.append(
+            f"cents{i + 1} AS (SELECT cell_id AS cid,"
+            f" list(m ORDER BY dim_idx) AS cvec FROM m{i} GROUP BY cell_id)")
+    parts.append(assign(f"cents{iters}", "cells"))
+    cos = (
+        "round(list_dot_product(c.embedding::DOUBLE[], q.qv::DOUBLE[])"
+        " / (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 6)"
+    )
+    parts.append(
+        f"q AS (SELECT cell_id AS qcell, embedding AS qv FROM cells"
+        f" WHERE vec_id = {query_id})")
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined}
+    SELECT c.vec_id, CAST(c.cell_id AS BIGINT) AS cell_id, {cos} AS cosine
+    FROM cells c JOIN q ON c.cell_id = q.qcell
+    ORDER BY cosine DESC, c.vec_id
+    LIMIT {k}
+    """
+
+
+@query("sim_ivf_trained_topk", oracle=_ivf_trained_oracle())
+def sim_ivf_trained_topk(spark, sf_dir):
+    """IVF ANN over a *trained* codebook: two Lloyd k-means iterations
+    (deterministic id-sample init, exact-decimal means, round(6)) give
+    tighter cells than the raw id-sample, then the same zero-shuffle
+    assignment + single-cell probe as sim_ivf_topk. The whole training
+    loop is replayed by the DuckDB oracle, so assignment parity is
+    checked end-to-end."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_codebook(emb, modulus=43, iters=2)
+    return similarity.ivf_topk(emb, k=10, query_id=0, centroids=cents)
 
 
 # ---------------------------------------------------------------------------

@@ -1,3 +1,6 @@
+from oracle_cassandra_migrator_spark.streaming.sources import (
+    read_stream_source,
+)
 from oracle_cassandra_migrator_spark.streaming.windows import (
     session_window_counts,
     sliding_window_agg,
@@ -5,6 +8,7 @@ from oracle_cassandra_migrator_spark.streaming.windows import (
 )
 
 __all__ = [
+    "read_stream_source",
     "tumbling_window_agg",
     "sliding_window_agg",
     "session_window_counts",

@@ -60,3 +60,21 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_dedup_exact(stream: DataFrame, key_cols: list[str],
+                       watermark_col: str,
+                       delay: str = "1 hour") -> DataFrame:
+    """Streaming twin of operators.dedup.exact_dedup: emit the first
+    row seen per key, suppress replays and late duplicates.
+
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state by the
+    watermark — a key's fingerprint is evicted once the watermark
+    passes its event time plus ``delay`` — so state is O(keys per
+    watermark window), not O(stream history). That bound is the whole
+    design at 100 TB/day: an unbounded dropDuplicates would accrete
+    every fingerprint ever seen into the state store."""
+    return (
+        stream.withWatermark(watermark_col, delay)
+        .dropDuplicatesWithinWatermark(key_cols)
+    )

@@ -177,6 +177,88 @@ def test_stream_stream_join_clicks_to_purchases(spark, tmp_path):
     assert got > 0
 
 
+def test_read_stream_source_rate(spark):
+    """The built-in rate source through the declarative spec — proves
+    non-file stream formats plumb through (kafka uses the same path
+    with connector options)."""
+    from oracle_cassandra_migrator_spark.streaming import read_stream_source
+
+    stream = read_stream_source(spark, {
+        "format": "rate",
+        "options": {"rowsPerSecond": "500"},
+        "select": ["value", "timestamp"],
+    })
+    assert stream.isStreaming
+    q = (stream.writeStream.format("memory").queryName("rate_probe")
+         .outputMode("append").trigger(processingTime="250 milliseconds")
+         .start())
+    import time
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not spark.table("rate_probe").count():
+            time.sleep(0.25)
+        assert spark.table("rate_probe").count() > 0
+    finally:
+        q.stop()
+
+
+def test_read_stream_source_file_matches_batch(spark, tmp_path, events_stream):
+    """File-stream spec with filter/select/watermark: same rows as the
+    equivalent batch read; missing schema raises the documented error."""
+    import pytest as _pytest
+
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+    from oracle_cassandra_migrator_spark.streaming import read_stream_source
+
+    events = read_table(spark, SF_SMALL, "events")
+    src = str(tmp_path / "src")
+    events.coalesce(2).write.mode("overwrite").parquet(src)
+
+    with _pytest.raises(ValueError, match="schema"):
+        read_stream_source(spark, {"format": "parquet", "path": src})
+
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                    for f in events.schema.fields)
+    stream = read_stream_source(spark, {
+        "format": "parquet", "path": src, "schema": ddl,
+        "filter": "event_type = 'click'",
+        "select": ["event_id", "user_id"],
+        "watermark": None,
+    })
+    q = (stream.writeStream.format("memory").queryName("file_spec")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("file_spec")
+    assert got.columns == ["event_id", "user_id"]
+    assert got.count() == events.where("event_type = 'click'").count()
+
+
+def test_stream_dedup_exact_suppresses_replayed_rows(spark, tmp_path):
+    """Watermark-bounded streaming dedup: the same events delivered in
+    two batches must come out once per event_id."""
+    from pyspark.sql import functions as F
+
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+    from oracle_cassandra_migrator_spark.streaming.stateful import (
+        stream_dedup_exact,
+    )
+
+    events = read_table(spark, SF_SMALL, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "src")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    events.coalesce(1).write.mode("append").parquet(src)  # planted dupes
+
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    deduped = stream_dedup_exact(
+        stream, ["event_id"], watermark_col="ts", delay="2 hours")
+    q = (deduped.writeStream.format("memory").queryName("stream_dedup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert spark.table("stream_dedup").count() == events.count()
+
+
 def test_foreach_batch_sink_is_idempotent(spark, tmp_path):
     """foreachBatch + marker store: replaying the same batches must not
     duplicate sink rows (streaming twin of the per-file checkpoints)."""

@@ -73,30 +73,6 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _jaccard_on_candidates(
-    candidates: DataFrame, shingled: DataFrame, id_col: str, threshold: float
-) -> DataFrame:
-    """Join candidate (doc_a, doc_b) pairs back to shingle sets and
-    compute exact Jaccard; keep pairs >= threshold."""
-    sets_a = shingled.select(
-        F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sets_b = shingled.select(
-        F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
-    return (
-        candidates.join(sets_a, "doc_a").join(sets_b, "doc_b")
-        .withColumn("n_common", F.expr("size(array_intersect(sh_a, sh_b))"))
-        .withColumn(
-            "jaccard",
-            F.expr(
-                "round(CAST(n_common AS DOUBLE) / "
-                "(size(sh_a) + size(sh_b) - n_common), 6)"
-            ),
-        )
-        .where(f"jaccard >= {threshold}")
-        .select("doc_a", "doc_b", "jaccard")
-    )
-
-
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str,
     n: int = 3, threshold: float = 0.5,
@@ -110,31 +86,27 @@ def ngram_jaccard_pairs(
     can approach all-pairs, and per-pair array_intersect would dominate
     the whole job (measured 2.5x slower on the synthetic corpus).
 
-    The shingle table feeds both the candidate join and the size lookup.
-    Hash-repartitioning it by doc id right after shingling turns that
-    reuse into a *shuffle-exchange reuse*: the expensive shingle
-    expression runs exactly once (map side of the exchange), every
-    consumer stage re-reads the same shuffle files (Spark/AQE
-    ReuseExchange), lost outputs are recomputed from lineage (unlike
-    localCheckpoint), nothing pins executor storage (unlike persist,
-    whose CacheManager entry outlives the query), and the id-keyed
-    size-lookup joins downstream inherit the partitioning for free."""
-    shingled = with_shingles(df.select(id_col, text_col), text_col, n) \
-        .select(id_col, "shingles").repartition(F.col(id_col))
-    exploded = shingled.select(F.col(id_col), F.explode("shingles").alias("sh"))
-    a = exploded.select(F.col(id_col).alias("doc_a"), "sh")
-    b = exploded.select(F.col(id_col).alias("doc_b"), "sh")
-    common = (
+    Set sizes ride along instead of joining back: each exploded row
+    carries its doc's shingle count, so |A|/|B| come out of the same
+    pair aggregation as |A ∩ B| (they are constant per group). The
+    whole operator is ONE pass over the shingle table — no second
+    consumer, so nothing needs caching/checkpointing, and the only
+    shuffles are the inverted-index join and the pair aggregation."""
+    shingled = with_shingles(df.select(id_col, text_col), text_col, n)
+    exploded = shingled.select(
+        F.col(id_col), F.expr("size(shingles)").alias("n_sh"),
+        F.explode("shingles").alias("sh"))
+    a = exploded.select(F.col(id_col).alias("doc_a"),
+                        F.col("n_sh").alias("n_a"), "sh")
+    b = exploded.select(F.col(id_col).alias("doc_b"),
+                        F.col("n_sh").alias("n_b"), "sh")
+    return (
         a.join(b, "sh")
         .where("doc_a < doc_b")
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sizes = shingled.select(F.col(id_col), F.expr("size(shingles)").alias("n_sh"))
-    size_a = sizes.selectExpr(f"{id_col} AS doc_a", "n_sh AS n_a")
-    size_b = sizes.selectExpr(f"{id_col} AS doc_b", "n_sh AS n_b")
-    return (
-        common.join(size_a, "doc_a").join(size_b, "doc_b")
+        .agg(F.count("*").alias("n_common"),
+             F.first("n_a").alias("n_a"),
+             F.first("n_b").alias("n_b"))
         .withColumn(
             "jaccard",
             F.expr("round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6)"))
@@ -168,7 +140,16 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding, then exact-Jaccard
     verification of the candidates. The only shuffles are the signature
-    groupBy and the band-key self-join — no all-pairs stage anywhere.
+    groupBy, the band-key self-join, and the candidate-restricted
+    intersection count — no all-pairs stage anywhere, and every
+    shuffle payload is row-shaped (ids, hashes, single shingles): no
+    shingle *array* ever crosses an exchange.
+
+    Verification is inverted-index style restricted to candidates:
+    candidate pairs join back to exploded shingle rows on doc_a, then
+    inner-join exploded rows again on (doc_b, shingle) — surviving rows
+    ARE the intersection, counted per pair. Set sizes ride through the
+    signature aggregation, so nothing re-reads the corpus for sizes.
 
     ``max_band_size`` is the production guard against quadratic blow-up:
     a band key shared by g docs emits g*(g-1)/2 candidates, so one
@@ -177,50 +158,63 @@ def minhash_lsh_pairs(
     before the self-join — their members are mass-duplicates whose
     dedup belongs to the linear-cost ``exact_dedup``/
     ``connected_components`` pass, not pairwise verification. The
-    group-size filter joins on the same (band_idx, band_key) the
-    self-join shuffles on, so it rides the existing exchange."""
-    # The shingle table feeds the signature groupBy and both sides of
-    # the verification join. A hash repartition by doc id makes the
-    # (costly, deterministic) shingle projection the map side of one
-    # shuffle exchange that all three consumers reuse (ReuseExchange /
-    # AQE stage reuse): computed once, fault-tolerant via ordinary
-    # shuffle recompute, no pinned executor storage — and the signature
-    # groupBy plus the per-id set lookups are already co-partitioned.
-    shingled = with_shingles(df.select(id_col, text_col), text_col, n) \
-        .select(id_col, "shingles").repartition(F.col(id_col))
-    sig = minhash_signature(shingled, id_col, k=bands * rows)
+    group-size guard is a count-over-window on the same
+    (band_idx, band_key) distribution the self-join shuffles on, so it
+    rides the existing exchange."""
+    shingled = with_shingles(df.select(id_col, text_col), text_col, n)
+    exploded = shingled.select(
+        F.col(id_col), F.expr("size(shingles)").alias("n_sh"),
+        F.explode("shingles").alias("sh"))
+    hashed = exploded.withColumn("h", F.expr(BASE_HASH_SPARK))
+    k = bands * rows
+    sig = hashed.groupBy(id_col).agg(
+        *[F.expr(minhash_term_spark(i)).alias(f"m{i}") for i in range(k)],
+        F.first("n_sh").alias("n_sh"))
     band_keys = [
         F.md5(F.concat_ws(
             ":", *[F.col(f"m{band * rows + r}") for r in range(rows)]))
         .alias(f"b{band}")
         for band in range(bands)
     ]
-    banded = sig.select(F.col(id_col), *band_keys)
+    banded = sig.select(F.col(id_col), F.col("n_sh"), *band_keys)
     long = banded.select(
-        F.col(id_col),
+        F.col(id_col), F.col("n_sh"),
         F.posexplode(F.array(*[F.col(f"b{i}") for i in range(bands)]))
         .alias("band_idx", "band_key"),
     )
     if max_band_size is not None:
-        # count-over-window instead of groupBy+join-back: the window's
-        # hash partitioning on (band_idx, band_key) is exactly the
-        # distribution the self-join below needs, so the guard costs
-        # the one band-key shuffle the join was paying anyway.
         from pyspark.sql.window import Window
 
         w = Window.partitionBy("band_idx", "band_key")
         long = (long.withColumn("__band_n", F.count("*").over(w))
                 .where(F.col("__band_n") <= max_band_size)
                 .drop("__band_n"))
-    a = long.select(F.col(id_col).alias("doc_a"), "band_idx", "band_key")
-    b = long.select(F.col(id_col).alias("doc_b"), "band_idx", "band_key")
+    a = long.select(F.col(id_col).alias("doc_a"),
+                    F.col("n_sh").alias("n_a"), "band_idx", "band_key")
+    b = long.select(F.col(id_col).alias("doc_b"),
+                    F.col("n_sh").alias("n_b"), "band_idx", "band_key")
     candidates = (
         a.join(b, ["band_idx", "band_key"])
         .where("doc_a < doc_b")
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b", "n_a", "n_b")
         .distinct()
     )
-    return _jaccard_on_candidates(candidates, shingled, id_col, threshold)
+    sh_a = exploded.select(F.col(id_col).alias("doc_a"), "sh")
+    sh_b = exploded.select(F.col(id_col).alias("doc_b"), "sh")
+    return (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"),
+             F.first("n_a").alias("n_a"),
+             F.first("n_b").alias("n_b"))
+        .withColumn(
+            "jaccard",
+            F.expr("round(CAST(n_common AS DOUBLE) /"
+                   " (n_a + n_b - n_common), 6)"))
+        .where(f"jaccard >= {threshold}")
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def simhash_expr(text_col: str, bits: int = 32) -> str:

@@ -65,10 +65,28 @@ def main() -> None:
         QUERIES[warm](spark, "/root/testdata/sf0.001").write.format(
             "noop").mode("overwrite").save()
 
+    def calibrate() -> float:
+        """Fixed reference job whose wall time tracks host contention,
+        not this repo's code: a 32-task shuffle + aggregation over
+        synthetic rows exercises the same scheduler/exchange path the
+        headline queries do. On a quiet host it is stable run-to-run; a
+        calib_sec far above quiet_host_ref means the query timings
+        carry the same multiplicative environmental noise (the round-2
+        bench regression pattern)."""
+        start = time.time()
+        (spark.range(20_000_000, numPartitions=32)
+         .selectExpr("id % 100000 AS k", "id AS v")
+         .groupBy("k").sum("v")
+         .write.format("noop").mode("overwrite").save())
+        return round(time.time() - start, 3)
+
+    calibrate()  # warm
+    calib_before = calibrate()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         runs = []
-        for _ in range(2):  # best-of-2: steady-state, not JIT/GC noise
+        for _ in range(3):  # best-of-3: steady-state, not JIT/GC noise
             start = time.time()
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite").save()
@@ -77,6 +95,7 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s (runs: {[round(r,2) for r in runs]})",
               file=sys.stderr)
 
+    calib_after = calibrate()
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall_sec",
@@ -84,6 +103,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "calib_sec": {"before": calib_before, "after": calib_after,
+                      "quiet_host_ref": 1.0},
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
     }))
     spark.stop()
 

@@ -73,3 +73,24 @@ def pack_token_bins(df: DataFrame, id_col: str, token_col: str,
             f"CAST(floor((cum_tokens - {token_col}) / {capacity}.0)"
             f" AS BIGINT)"))
     )
+
+
+def sample_stratified(df: DataFrame, id_col: str, stratum_col: str,
+                      rates: dict[str, float], default_rate: float = 0.0,
+                      denominator: int = 1_000_000) -> DataFrame:
+    """Deterministic per-stratum downsampling — the corpus-rebalancing
+    primitive (cap the dominant language/source, keep the tail):
+    a row survives iff md5-bucket(id) < rate(stratum) * denominator.
+
+    Unlike ``df.sampleBy`` (per-partition RNG: resampling on retry,
+    different rows at different parallelism), this is a pure
+    projection-filter on the id hash: the same document survives on
+    every run at every cluster size, the filter pushes to the scan, and
+    the op adds zero shuffle at any scale. Expected (not exact) stratum
+    fractions, like sampleBy."""
+    bucket = hash_bucket_expr(id_col, denominator)
+    whens = " ".join(
+        f"WHEN {stratum_col} = '{k}' THEN {int(v * denominator)}"
+        for k, v in sorted(rates.items()))
+    threshold = f"CASE {whens} ELSE {int(default_rate * denominator)} END"
+    return df.where(F.expr(f"({bucket}) < ({threshold})"))

@@ -1057,6 +1057,44 @@ def split_train_val_test(spark, sf_dir):
     )
 
 
+_STRATA_RATES = {"en": 0.3, "zh": 0.8, "es": 1.0, "de": 1.0, "fr": 0.5}
+
+
+def _stratified_oracle() -> str:
+    from oracle_cassandra_migrator_spark.operators.sampling import (
+        hash_bucket_sql,
+    )
+
+    denom = 1_000_000
+    whens = " ".join(
+        f"WHEN lang = '{k}' THEN {int(v * denom)}"
+        for k, v in sorted(_STRATA_RATES.items()))
+    return f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM documents
+    WHERE ({hash_bucket_sql('doc_id', denom)}) < (CASE {whens} ELSE 0 END)
+    GROUP BY lang
+    """
+
+
+@query("sample_stratified_by_lang", oracle=_stratified_oracle())
+def sample_stratified_by_lang(spark, sf_dir):
+    """Corpus rebalancing: deterministic per-language downsampling (cap
+    the dominant 'en' at 30%, keep low-resource languages whole) via a
+    pure id-hash filter — no RNG, no shuffle, same survivors at every
+    parallelism. The query audits per-language survivor counts."""
+    from oracle_cassandra_migrator_spark.operators import sampling
+
+    docs = sampling.sample_stratified(
+        read_table(spark, sf_dir, "documents"), "doc_id", "lang",
+        rates=_STRATA_RATES)
+    return docs.groupBy("lang").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_docs"),
+        F.expr("CAST(min(doc_id) AS BIGINT)").alias("min_doc_id"))
+
+
 @query(
     "pack_token_budget_bins",
     oracle=f"""

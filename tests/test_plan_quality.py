@@ -121,6 +121,36 @@ def test_embedding_lsh_blocked_joins_on_bucket(spark):
     assert "bucket" in plan
 
 
+def test_dedup_shuffles_carry_no_shingle_arrays(spark):
+    """minhash/ngram shuffle payloads must be row-shaped (ids, hashes,
+    single shingles) — a shingle *array* column inside a shuffle
+    exchange means the single-pass restructure regressed."""
+    for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard"):
+        plan = plan_of(spark, name)
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "shingles#" not in line, (name, line.strip()[:120])
+
+
+def test_catalog_orders_least_verified_first():
+    """The external gate verifies queries() in insertion order and may
+    not reach the tail: flagship must stay first (entry() contract),
+    and every query without a confirmed round-2 correctness row must
+    register before the confirmed set."""
+    from oracle_cassandra_migrator_spark.queries import QUERIES
+    from oracle_cassandra_migrator_spark.queries import _R02_CONFIRMED
+
+    names = list(QUERIES)
+    assert names[0] == "flagship_payment_pipeline"
+    tail_started = False
+    for n in names[1:]:
+        if n in _R02_CONFIRMED:
+            tail_started = True
+        else:
+            assert not tail_started, (
+                f"unverified query {n!r} registered after the confirmed set")
+
+
 def test_connected_components_plan_stays_truncated(spark):
     """Lineage must be cut every round (localCheckpoint): the final
     labels plan is a scan of checkpointed blocks, not an iteration-deep

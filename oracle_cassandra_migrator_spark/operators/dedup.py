@@ -115,20 +115,6 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signature(
-    shingled: DataFrame, id_col: str, k: int = MINHASH_K
-) -> DataFrame:
-    """k-column MinHash signature via universal hashing: one md5 per
-    shingle, then k derived integer hash functions (min over shingles).
-    The whole signature is one partial-aggregating groupBy."""
-    exploded = shingled.select(F.col(id_col), F.explode("shingles").alias("sh"))
-    hashed = exploded.withColumn("h", F.expr(BASE_HASH_SPARK))
-    aggs = [
-        F.expr(minhash_term_spark(i)).alias(f"m{i}") for i in range(k)
-    ]
-    return hashed.groupBy(id_col).agg(*aggs)
-
-
 LSH_MAX_BAND_SIZE = 1000
 
 

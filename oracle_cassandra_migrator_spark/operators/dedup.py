@@ -226,6 +226,14 @@ def simhash_expr(text_col: str, bits: int = 32) -> str:
     )
 
 
+def pigeonhole_widths(bits: int, n_blocks: int) -> list[int]:
+    """Near-equal block widths summing to ``bits`` — the shared
+    contract between the Spark hamming multi-index and its SQL oracle
+    (a width mismatch would silently desynchronize candidates)."""
+    return [bits // n_blocks + (1 if i < bits % n_blocks else 0)
+            for i in range(n_blocks)]
+
+
 def simhash_hamming_pairs(
     df: DataFrame, text_col: str, id_col: str,
     max_distance: int = 2, bits: int = 32,
@@ -239,9 +247,7 @@ def simhash_hamming_pairs(
     full hashes. One narrow map + one blocked equi-join — never
     all-pairs, and block values are small integers, so the shuffle
     payload is (id, simhash, block) only."""
-    n_blocks = max_distance + 1
-    widths = [bits // n_blocks + (1 if i < bits % n_blocks else 0)
-              for i in range(n_blocks)]
+    widths = pigeonhole_widths(bits, max_distance + 1)
     hashed = df.select(
         F.col(id_col), F.expr(simhash_expr(text_col, bits)).alias("simhash"))
     shift = 0

@@ -158,9 +158,7 @@ def dedup_simhash_buckets(spark, sf_dir):
 
 
 def _simhash_hamming_oracle(max_distance: int = 2, bits: int = 32) -> str:
-    n_blocks = max_distance + 1
-    widths = [bits // n_blocks + (1 if i < bits % n_blocks else 0)
-              for i in range(n_blocks)]
+    widths = dedup.pigeonhole_widths(bits, max_distance + 1)
     selects, shift = [], 0
     for i, w in enumerate(widths):
         selects.append(

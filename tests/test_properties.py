@@ -73,3 +73,55 @@ def test_spark_mask_matches_python_reference(spark, strings, keep):
     for i, s in enumerate(strings):
         expected = s if len(s) <= keep else "*" * (len(s) - keep) + s[-keep:]
         assert got[i] == expected, (s, keep)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10 ** 12),
+                 unique=True, min_size=1, max_size=200),
+    r1=st.integers(min_value=0, max_value=100),
+    r2=st.integers(min_value=0, max_value=100),
+)
+def test_threshold_hash_sampling_monotone_deterministic(ids, r1, r2):
+    """The property RNG sampling cannot give: survivors at a lower rate
+    are a SUBSET of survivors at a higher rate (raising a stratum's
+    rate only adds documents), rate 100% keeps everything, and repeat
+    evaluation returns identical survivors. Checked through the same
+    SQL the oracle uses (DuckDB, no Spark needed)."""
+    import duckdb
+
+    from oracle_cassandra_migrator_spark.operators.sampling import (
+        hash_bucket_sql,
+    )
+
+    lo, hi = sorted((r1, r2))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(i,) for i in ids])
+    bucket = hash_bucket_sql("id", 100)
+
+    def survivors(rate):
+        return {row[0] for row in con.execute(
+            f"SELECT id FROM t WHERE ({bucket}) < {rate}").fetchall()}
+
+    s_lo, s_hi = survivors(lo), survivors(hi)
+    assert s_lo <= s_hi
+    assert survivors(lo) == s_lo
+    assert survivors(100) == set(ids)
+
+
+@settings(max_examples=50, deadline=None)
+@given(bits=st.integers(min_value=1, max_value=128),
+       d=st.integers(min_value=0, max_value=16))
+def test_pigeonhole_widths_partition_the_hash(bits, d):
+    """d+1 blocks must exactly tile the hash (sum == bits) with
+    near-equal widths (max-min <= 1); any violation breaks the
+    'within distance d -> some block equal' candidate guarantee."""
+    from oracle_cassandra_migrator_spark.operators.dedup import (
+        pigeonhole_widths,
+    )
+
+    w = pigeonhole_widths(bits, d + 1)
+    assert len(w) == d + 1
+    assert sum(w) == bits
+    assert max(w) - min(w) <= 1

@@ -260,7 +260,7 @@ def simhash_hamming_pairs(
     blocked = hashed.select(F.col(id_col), F.col("simhash"), *block_cols)
     long = blocked.select(
         F.col(id_col), F.col("simhash"),
-        F.posexplode(F.array(*[F.col(f"blk{i}") for i in range(n_blocks)]))
+        F.posexplode(F.array(*[F.col(f"blk{i}") for i in range(len(widths))]))
         .alias("block_idx", "block_val"),
     )
     a = long.select(F.col(id_col).alias("doc_a"),

@@ -1233,3 +1233,102 @@ def embedding_label_centroids(spark, sf_dir):
                     " / (10000000.0 * COUNT(*)), 6)").alias("centroid_val"),
              F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_vectors"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental merge (upsert / SCD2) — the ongoing-sync capability the
+# reference's full-reload model lacks
+# ---------------------------------------------------------------------------
+
+@query(
+    "merge_upsert_orders",
+    oracle="""
+    WITH cur AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    upd AS (SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2
+              AS o_totalprice FROM cur WHERE o_orderkey % 97 = 0),
+    ins AS (SELECT o_orderkey + 100000000 AS o_orderkey,
+                   'N' AS o_orderstatus, o_totalprice
+            FROM cur WHERE o_orderkey % 101 = 0),
+    changes AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+    merged AS (
+      SELECT * FROM changes
+      UNION ALL
+      SELECT c.* FROM cur c
+      WHERE NOT EXISTS (SELECT 1 FROM changes u
+                        WHERE u.o_orderkey = c.o_orderkey))
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def merge_upsert_orders(spark, sf_dir):
+    """Incremental sync onto a snapshot: a change batch (doubled-price
+    updates keyed % 97, synthetic inserts keyed % 101) merges by
+    anti-join + union — updates win, unmatched snapshot rows survive,
+    inserts append. The audit aggregates the merged table; 'U'/'N'
+    rows prove update and insert paths, the rest proves survivors."""
+    from oracle_cassandra_migrator_spark.operators.merge import merge_upsert
+
+    cur = read_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    upd = cur.where("o_orderkey % 97 = 0").selectExpr(
+        "o_orderkey", "'U' AS o_orderstatus",
+        "o_totalprice * 2 AS o_totalprice")
+    ins = cur.where("o_orderkey % 101 = 0").selectExpr(
+        "o_orderkey + 100000000 AS o_orderkey", "'N' AS o_orderstatus",
+        "o_totalprice")
+    merged = merge_upsert(cur, upd.unionByName(ins), ["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_orders"),
+        F.expr(dsum("o_totalprice", "total_price")))
+
+
+@query(
+    "scd2_customer_segments",
+    oracle="""
+    WITH hist AS (SELECT c_custkey, c_mktsegment,
+                         '1990-01-01' AS valid_from,
+                         CAST(NULL AS VARCHAR) AS valid_to
+                  FROM customer),
+    upd AS (SELECT c_custkey, 'PROMO' AS c_mktsegment,
+                   '2020-06-01' AS eff
+            FROM customer WHERE c_custkey % 53 = 0),
+    closed AS (SELECT h.c_custkey, h.c_mktsegment, h.valid_from,
+                      u.eff AS valid_to
+               FROM hist h JOIN upd u ON h.c_custkey = u.c_custkey),
+    untouched AS (SELECT h.* FROM hist h
+                  WHERE NOT EXISTS (SELECT 1 FROM upd u
+                                    WHERE u.c_custkey = h.c_custkey)),
+    newv AS (SELECT c_custkey, c_mktsegment, eff AS valid_from,
+                    CAST(NULL AS VARCHAR) AS valid_to FROM upd),
+    merged AS (SELECT * FROM closed UNION ALL
+               SELECT * FROM untouched UNION ALL
+               SELECT * FROM newv)
+    SELECT c_mktsegment,
+           CAST(valid_to IS NULL AS BOOLEAN) AS is_open,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(c_custkey) AS BIGINT) AS min_key
+    FROM merged GROUP BY 1, 2
+    """,
+)
+def scd2_customer_segments(spark, sf_dir):
+    """Type-2 slowly-changing-dimension merge: customers keyed % 53
+    move to segment PROMO effective 2020-06-01 — their open history row
+    is closed (valid_to set) and a new open PROMO version appends;
+    everyone else passes through. The audit counts rows per
+    (segment, open-flag), proving close/append/pass-through paths."""
+    from oracle_cassandra_migrator_spark.operators.merge import scd2_apply
+
+    cust = read_table(spark, sf_dir, "customer")
+    hist = cust.selectExpr(
+        "c_custkey", "c_mktsegment", "'1990-01-01' AS valid_from",
+        "CAST(NULL AS STRING) AS valid_to")
+    upd = cust.where("c_custkey % 53 = 0").selectExpr(
+        "c_custkey", "'PROMO' AS c_mktsegment", "'2020-06-01' AS eff")
+    merged = scd2_apply(hist, upd, ["c_custkey"], effective_col="eff")
+    return merged.groupBy("c_mktsegment",
+                          F.expr("valid_to IS NULL").alias("is_open")).agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_rows"),
+        F.expr("CAST(min(c_custkey) AS BIGINT)").alias("min_key"))

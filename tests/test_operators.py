@@ -219,3 +219,34 @@ class TestConnectedComponents:
         got = {r.node: r.component
                for r in dedup.connected_components(edges).collect()}
         assert got == {7: 7, 8: 7, 9: 7}
+
+
+def test_merge_upsert_semantics(spark):
+    from oracle_cassandra_migrator_spark.operators.merge import merge_upsert
+
+    cur = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    upd = spark.createDataFrame(
+        [(2, "B"), (4, "D")], ["k", "v"])
+    got = {(r.k, r.v) for r in merge_upsert(cur, upd, ["k"]).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "D")}
+
+
+def test_scd2_apply_closes_and_appends(spark):
+    from oracle_cassandra_migrator_spark.operators.merge import scd2_apply
+
+    hist = spark.createDataFrame(
+        [(1, "x", "2001-01-01", None),       # open, will be updated
+         (1, "w", "2000-01-01", "2001-01-01"),  # already closed
+         (2, "y", "2001-01-01", None)],      # open, untouched
+        "k BIGINT, v STRING, valid_from STRING, valid_to STRING")
+    upd = spark.createDataFrame(
+        [(1, "X", "2020-06-01")], "k BIGINT, v STRING, eff STRING")
+    rows = {tuple(r) for r in scd2_apply(
+        hist, upd, ["k"], effective_col="eff").collect()}
+    assert rows == {
+        (1, "w", "2000-01-01", "2001-01-01"),  # history preserved
+        (1, "x", "2001-01-01", "2020-06-01"),  # closed at update time
+        (1, "X", "2020-06-01", None),          # new open version
+        (2, "y", "2001-01-01", None),          # untouched open
+    }

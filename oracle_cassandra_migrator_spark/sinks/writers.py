@@ -70,7 +70,19 @@ def write_sink(df: DataFrame, spec: Mapping[str, Any]) -> None:
         )
 
         _require_avro(df.sparkSession)
-    df = _apply_repartition(df, spec.get("repartition"))
+    zorder = spec.get("zorder_by")
+    if zorder:
+        # z-clustered layout for multi-column row-group pruning;
+        # supersedes `repartition` (both decide output partitioning)
+        from oracle_cassandra_migrator_spark.operators.layout import (
+            zorder_frame,
+        )
+
+        df = zorder_frame(df, list(zorder["cols"]),
+                          int(zorder.get("n_files", 8)),
+                          int(zorder.get("bits", 8)))
+    else:
+        df = _apply_repartition(df, spec.get("repartition"))
 
     writer = df.write.format(fmt).mode(spec.get("mode", "overwrite"))
     if spec.get("options"):

@@ -168,3 +168,43 @@ def test_partition_pruned_read(spark, tmp_path):
     start = plan.index("PartitionFilters")
     assert re.search(r"event_day#\d+ = 2024-01-05", plan[start:start + 200])
     assert pruned.count() == events.where("event_day = '2024-01-05'").count()
+
+
+def test_zorder_layout_narrows_file_stats_on_both_columns(spark, tmp_path):
+    """Z-clustered files must carry narrow min/max spans on EVERY
+    zordered column (that is the pruning property parquet scans use);
+    a plain round-robin layout spans ~the full range in every file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    orders = read_source(spark, {
+        "format": "parquet", "path": f"{SF_SMALL}/orders.parquet",
+        "select": ["o_orderkey", "o_custkey", "o_totalprice"],
+    })
+
+    plain_dir = str(tmp_path / "plain")
+    z_dir = str(tmp_path / "zorder")
+    write_sink(orders, {"format": "parquet", "path": plain_dir,
+                        "repartition": 8})
+    write_sink(orders, {"format": "parquet", "path": z_dir,
+                        "zorder_by": {"cols": ["o_custkey", "o_orderkey"],
+                                      "n_files": 8}})
+
+    def mean_span(out_dir, col):
+        spans = []
+        for f in glob.glob(f"{out_dir}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(i).column(idx).statistics.min
+                     for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max
+                     for i in range(md.num_row_groups))
+            spans.append(hi - lo)
+        assert len(spans) >= 4
+        return sum(spans) / len(spans)
+
+    for col in ("o_custkey", "o_orderkey"):
+        z = mean_span(z_dir, col)
+        plain = mean_span(plain_dir, col)
+        assert z < 0.7 * plain, (col, z, plain)

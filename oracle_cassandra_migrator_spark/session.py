@@ -28,6 +28,16 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.shuffle.partitions": "32",
     "spark.ui.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
+    # runtime row-level filtering for selective dim->fact joins: a
+    # bloom filter built from the filtered dim side prunes fact rows
+    # at the scan — at 100 TB this cuts the shuffled fact volume for
+    # star joins whose predicate lives on the dimension. Pinned
+    # explicitly (it is the Spark 4.x default) so the engine keeps the
+    # behavior if a deployment's defaults differ. Do NOT also enable
+    # runtimeFilter.semiJoinReduction: the conf was dropped from the
+    # 4.x registry but an internal path still reads it, and setting it
+    # hangs plain equi-join execution (reproduced 3/3 on 4.1.2).
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
 }
 
 

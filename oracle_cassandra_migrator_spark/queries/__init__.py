@@ -45,9 +45,23 @@ _R02_CONFIRMED = frozenset({
 })
 
 
+# Unverified pure-function-coverage queries: still ahead of the
+# confirmed set, but behind every unverified first-class operator
+# (merge/SCD2/dedup-components/cohort/centroids), so a gate pass that
+# stops at ~50 entries verifies operators before scalar breadth.
+_COVERAGE_DEFER = frozenset({
+    "window_value_functions", "unpivot_part_metrics",
+    "scalar_struct_map_functions", "scalar_array_functions",
+    "lateral_explode_tokens",
+})
+
+
 def _verification_order(names):
     front = [n for n in names if n == "flagship_payment_pipeline"]
-    front += [n for n in names if n not in _R02_CONFIRMED]
+    unverified = [n for n in names
+                  if n not in _R02_CONFIRMED and n != "flagship_payment_pipeline"]
+    front += [n for n in unverified if n not in _COVERAGE_DEFER]
+    front += [n for n in unverified if n in _COVERAGE_DEFER]
     front += [n for n in names
               if n in _R02_CONFIRMED and n != "flagship_payment_pipeline"]
     return front

@@ -149,6 +149,15 @@ def test_catalog_orders_least_verified_first():
         else:
             assert not tail_started, (
                 f"unverified query {n!r} registered after the confirmed set")
+    # A ~50-entry gate pass must reach every unverified first-class
+    # operator; only deferred scalar-coverage queries may overflow.
+    from oracle_cassandra_migrator_spark.queries import _COVERAGE_DEFER
+    for op in ("merge_upsert_orders", "scd2_customer_segments",
+               "dedup_cluster_components", "events_cohort_retention",
+               "embedding_label_centroids"):
+        assert names.index(op) < 50, (op, names.index(op))
+    overflow = [n for n in names[50:] if n not in _R02_CONFIRMED]
+    assert set(overflow) <= _COVERAGE_DEFER, overflow
 
 
 def test_connected_components_plan_stays_truncated(spark):

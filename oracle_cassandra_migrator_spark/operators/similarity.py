@@ -261,3 +261,61 @@ def ivf_topk(
         .select(id_col, F.col("cell_id").cast("bigint").alias("cell_id"),
                 "cosine")
     )
+
+
+def quantize_int8_stats(
+    embeddings: DataFrame,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization with per-label error
+    accounting — the storage-shrink step before shipping an embedding
+    corpus to an ANN index (4x smaller + SIMD-friendly).
+
+    scale = max|x| / 127;  q_i = clamp(round(x_i/scale), -127, 127);
+    mse = mean((x_i - q_i*scale)^2), surfaced per label as
+    avg_mse_1e6 (x1e6 so 6-decimal rounding keeps real precision).
+
+    Entirely per-row expression work (zero shuffle) followed by one
+    tiny label-keyed aggregation: at 100 TB the quantized corpus is
+    written straight back out; the stats aggregate map-side first.
+    Rounding is floor(x + 0.5) on both engines -- Spark round() is
+    HALF_UP while DuckDB's is HALF_EVEN, so neither builtin is used.
+    """
+    e = DOUBLE_VEC.format(col=vec_col)
+    qv = (
+        "transform(e, x -> greatest(CAST(-127.0 AS DOUBLE), "
+        "least(CAST(127.0 AS DOUBLE), CAST(floor(x / scale + 0.5d) AS DOUBLE))))"
+    )
+    mse = (
+        "aggregate(zip_with(e, qv, (x, q) -> (x - q * scale) * (x - q * scale)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v, acc -> acc / size(e))"
+    )
+    per_vec = (
+        embeddings.select(
+            id_col, label_col, F.expr(e).alias("e"))
+        .withColumn(
+            "scale",
+            F.expr("greatest(array_max(transform(e, x -> abs(x))), 1e-12d) / 127.0d"))
+        .withColumn("qv", F.expr(qv))
+        .withColumn("mse_1e6", F.expr(f"round(({mse}) * 1e6, 6)"))
+        .withColumn(
+            "n_sat",
+            F.expr("CAST(size(filter(qv, q -> abs(q) = 127.0d)) AS BIGINT)"))
+    )
+    return (
+        per_vec.groupBy(label_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.expr(
+                "round(CAST(SUM(CAST(mse_1e6 AS DECIMAL(24,10))) AS DOUBLE)"
+                " / COUNT(*), 6)"
+            ).alias("avg_mse_1e6"),
+            F.expr(
+                "round(CAST(SUM(CAST(round(scale * 1e3, 10) AS DECIMAL(24,10)))"
+                " AS DOUBLE) / COUNT(*), 6)"
+            ).alias("avg_scale_1e3"),
+            F.sum("n_sat").cast("bigint").alias("n_saturated"),
+        )
+        .orderBy(label_col)
+    )

@@ -71,6 +71,36 @@ def with_shingles(df: DataFrame, text_col: str, n: int = 3,
     return df.withColumn(out, F.expr(shingles_once_expr(text_col, n)))
 
 
+def all_shingles_expr(words_col: str, n: int = 3) -> str:
+    """Word n-gram shingles WITHOUT the distinct step — the repetition
+    filters need multiplicity (how often a shingle repeats inside one
+    document), unlike the dedup path which only needs set semantics."""
+    w = words_col
+    parts = ", ".join(f"element_at({w}, i + {k})" for k in range(n))
+    return (
+        f"CASE WHEN size({w}) >= {n} THEN "
+        f"transform(sequence(1, size({w}) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts})) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
+def max_word_count_expr(words_col: str) -> str:
+    """Highest frequency of any single word in the array, computed as
+    the longest equal-run over the sorted copy with one O(n log n)
+    per-row fold — zero shuffle, no explode/groupBy over the corpus.
+    NULL-safe equality (<=>) seeds the fold's empty 'prev'."""
+    w = words_col
+    step = "IF(acc.prev <=> x, acc.run + 1, 1)"
+    return (
+        f"aggregate(array_sort({w}), "
+        f"named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0), "
+        f"(acc, x) -> named_struct('prev', x, 'run', {step}, "
+        f"'best', greatest(acc.best, {step})), "
+        f"acc -> acc.best)"
+    )
+
+
 def fingerprint_expr(col: str) -> str:
     """Exact-dup fingerprint: md5 of the normalized text."""
     return f"md5({normalize_expr(col)})"

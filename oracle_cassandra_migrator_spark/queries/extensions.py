@@ -10,7 +10,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from oracle_cassandra_migrator_spark.operators import dedup, multimodal, similarity
+from oracle_cassandra_migrator_spark.operators import (
+    curation,
+    dedup,
+    multimodal,
+    similarity,
+)
 from oracle_cassandra_migrator_spark.operators.text import (
     lang_guess_expr,
     bottomk_fingerprint_expr,
@@ -1332,3 +1337,193 @@ def scd2_customer_segments(spark, sf_dir):
                           F.expr("valid_to IS NULL").alias("is_open")).agg(
         F.expr("CAST(count(*) AS BIGINT)").alias("n_rows"),
         F.expr("CAST(min(c_custkey) AS BIGINT)").alias("min_key"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation II: repetition filters, contamination, per-domain caps,
+# incremental snapshot dedup, embedding quantization, vocabulary top-k.
+# ---------------------------------------------------------------------------
+
+# Non-distinct 3-gram list (multiplicity matters for repetition).
+_ALL_SHINGLES3_SQL = (
+    "list_transform(generate_series(1, greatest(len(w) - 2, 0)), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])"
+)
+_ALL_SHINGLES4_SQL = (
+    "list_transform(generate_series(1, greatest(len(w) - 3, 0)), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])"
+)
+
+
+@query(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {FAST_WORDS_SQL} AS w FROM documents),
+    tc AS (SELECT doc_id, max(cnt) AS top_cnt FROM (
+             SELECT doc_id, tok, count(*) AS cnt
+             FROM (SELECT doc_id, unnest(w) AS tok FROM norm)
+             GROUP BY 1, 2)
+           GROUP BY 1),
+    feat AS (SELECT n.doc_id,
+             CAST(len(n.w) AS BIGINT) AS n_words,
+             round(CASE WHEN len(n.w) > 0
+                   THEN 1.0 - CAST(len(list_distinct(n.w)) AS DOUBLE) / len(n.w)
+                   ELSE 0.0 END, 6) AS dup_word_fraction,
+             round(CASE WHEN len(n.w) > 0
+                   THEN CAST(t.top_cnt AS DOUBLE) / len(n.w)
+                   ELSE 0.0 END, 6) AS top_word_fraction,
+             round(CASE WHEN len(n.s3) > 0
+                   THEN 1.0 - CAST(len(list_distinct(n.s3)) AS DOUBLE) / len(n.s3)
+                   ELSE 0.0 END, 6) AS dup_3gram_fraction
+             FROM (SELECT doc_id, w, {_ALL_SHINGLES3_SQL} AS s3 FROM norm) n
+             JOIN tc t USING (doc_id))
+    SELECT *, (top_word_fraction > {curation.TOP_WORD_FRAC_MAX}
+               OR dup_3gram_fraction > {curation.DUP_3GRAM_FRAC_MAX})
+              AS is_repetitive
+    FROM feat
+    """,
+)
+def text_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition features per document (duplicate-word,
+    top-word, duplicate-3-gram fractions) + keep/drop flag. Strictly
+    per-row: the max-word-frequency is a local sort+fold, never an
+    explode/groupBy shuffle of the corpus."""
+    docs = read_table(spark, sf_dir, "documents")
+    return curation.repetition_stats(docs, "text", "doc_id")
+
+
+@query(
+    "contamination_ngram_overlap",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {FAST_WORDS_SQL} AS w FROM documents),
+    sh AS (SELECT doc_id, list_distinct({_ALL_SHINGLES4_SQL}) AS s FROM norm),
+    bench AS (SELECT DISTINCT unnest(s) AS tok FROM sh WHERE doc_id % 97 = 0),
+    corpus AS (SELECT doc_id, len(s) AS n4, unnest(s) AS tok
+               FROM sh WHERE doc_id % 97 <> 0)
+    SELECT c.doc_id,
+           CAST(c.n4 AS BIGINT) AS n_4grams,
+           CAST(count(*) AS BIGINT) AS shared_4grams,
+           round(CAST(count(*) AS DOUBLE) / c.n4, 6) AS contaminated_share
+    FROM corpus c JOIN bench b USING (tok)
+    GROUP BY c.doc_id, c.n4
+    """,
+)
+def contamination_ngram_overlap(spark, sf_dir):
+    """Benchmark-contamination sweep: corpus docs sharing any distinct
+    4-gram with the benchmark split (doc_id % 97 = 0 stands in for an
+    eval suite). The benchmark n-gram set broadcasts; the corpus side
+    partial-aggregates map-side before one doc_id-keyed shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    return curation.contamination_overlap(
+        docs, "text", "doc_id", bench_filter="doc_id % 97 = 0", n=4)
+
+
+@query(
+    "cap_docs_per_source",
+    oracle="""
+    SELECT source, doc_id, n_chars, keep_rank FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS keep_rank
+      FROM documents)
+    WHERE keep_rank <= 10
+    """,
+)
+def cap_docs_per_source(spark, sf_dir):
+    """Per-domain document cap (keep the 10 longest per source,
+    deterministic tiebreak): the anti-monoculture step of crawl
+    curation. One hash shuffle on source; skew caveat + salting
+    pointer in operators/curation.py."""
+    docs = read_table(spark, sf_dir, "documents")
+    capped = curation.cap_per_group(
+        docs, "source",
+        [F.col("n_chars").desc(), F.col("doc_id")], n=10)
+    return capped.select(
+        "source", "doc_id", "n_chars",
+        F.col("keep_rank").cast("long").alias("keep_rank"))
+
+
+@query(
+    "dedup_incremental_snapshot",
+    oracle=f"""
+    WITH base AS (SELECT DISTINCT md5({NORM_SQL}) AS fingerprint
+                  FROM documents WHERE doc_id % 5 <> 0),
+    newd AS (SELECT md5({NORM_SQL}) AS fingerprint, doc_id
+             FROM documents WHERE doc_id % 5 = 0)
+    SELECT n.fingerprint,
+           CAST(min(n.doc_id) AS BIGINT) AS representative_id,
+           CAST(count(*) AS BIGINT) AS n_new_copies
+    FROM newd n
+    WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.fingerprint = n.fingerprint)
+    GROUP BY 1
+    """,
+)
+def dedup_incremental_snapshot(spark, sf_dir):
+    """Snapshot-over-snapshot incremental dedup: docs in the new crawl
+    (doc_id % 5 = 0) whose fingerprint never appeared in the base
+    crawl, deduplicated within the new slice. Fingerprint-keyed anti
+    join — bucketed base layout + runtime bloom filter at scale."""
+    docs = read_table(spark, sf_dir, "documents")
+    return curation.incremental_fingerprint_dedup(
+        docs.where("doc_id % 5 != 0"), docs.where("doc_id % 5 = 0"),
+        "text", "doc_id")
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH d AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    s AS (SELECT *, greatest(list_max(list_transform(e, x -> abs(x))), 1e-12)
+                    / 127.0 AS scale FROM d),
+    q AS (SELECT *, list_transform(e, x ->
+            greatest(CAST(-127.0 AS DOUBLE), least(CAST(127.0 AS DOUBLE),
+                     floor(x / scale + 0.5)))) AS qv FROM s),
+    m AS (SELECT label,
+            round(list_sum(list_transform(generate_series(1, len(e)),
+                  i -> (e[i] - qv[i] * scale) * (e[i] - qv[i] * scale)))
+                  / len(e) * 1e6, 6) AS mse_1e6,
+            round(scale * 1e3, 10) AS scale_1e3,
+            len(list_filter(qv, x -> abs(x) = 127.0)) AS n_sat
+          FROM q)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(CAST(sum(CAST(mse_1e6 AS DECIMAL(24,10))) AS DOUBLE)
+                 / count(*), 6) AS avg_mse_1e6,
+           round(CAST(sum(CAST(scale_1e3 AS DECIMAL(24,10))) AS DOUBLE)
+                 / count(*), 6) AS avg_scale_1e3,
+           CAST(sum(n_sat) AS BIGINT) AS n_saturated
+    FROM m GROUP BY label
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric int8 embedding quantization with per-label error
+    accounting (see operators/similarity.py:quantize_int8_stats)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.quantize_int8_stats(emb)
+
+
+@query(
+    "text_vocab_topk",
+    oracle=f"""
+    SELECT tok, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM (SELECT unnest({FAST_WORDS_SQL}) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n_occurrences DESC, tok
+    LIMIT 20
+    """,
+)
+def text_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary top-k by occurrence (tokenizer-training /
+    frequency-analysis primitive). Map-side partial counts + one
+    token-keyed shuffle + TakeOrderedAndProject."""
+    docs = read_table(spark, sf_dir, "documents")
+    from oracle_cassandra_migrator_spark.operators.text import fast_words_expr
+    return (
+        docs.select(F.explode(F.expr(fast_words_expr("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "tok")
+        .limit(20)
+    )

@@ -55,12 +55,25 @@ _COVERAGE_DEFER = frozenset({
     "lateral_explode_tokens",
 })
 
+# Operators added AFTER the round-3 ordering was fixed: they cannot
+# displace the 48 queries that have been waiting for a driver row
+# since round 1, so they queue behind the first-class unverified set
+# (and ahead of _COVERAGE_DEFER + the confirmed tail) for the next
+# bounded verification pass.
+_R03_LATE_ADDITIONS = frozenset({
+    "text_repetition_stats", "contamination_ngram_overlap",
+    "cap_docs_per_source", "dedup_incremental_snapshot",
+    "embedding_quantize_int8", "text_vocab_topk",
+})
+
 
 def _verification_order(names):
     front = [n for n in names if n == "flagship_payment_pipeline"]
     unverified = [n for n in names
                   if n not in _R02_CONFIRMED and n != "flagship_payment_pipeline"]
-    front += [n for n in unverified if n not in _COVERAGE_DEFER]
+    deferred = _COVERAGE_DEFER | _R03_LATE_ADDITIONS
+    front += [n for n in unverified if n not in deferred]
+    front += [n for n in unverified if n in _R03_LATE_ADDITIONS]
     front += [n for n in unverified if n in _COVERAGE_DEFER]
     front += [n for n in names
               if n in _R02_CONFIRMED and n != "flagship_payment_pipeline"]

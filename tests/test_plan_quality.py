@@ -151,13 +151,14 @@ def test_catalog_orders_least_verified_first():
                 f"unverified query {n!r} registered after the confirmed set")
     # A ~50-entry gate pass must reach every unverified first-class
     # operator; only deferred scalar-coverage queries may overflow.
-    from oracle_cassandra_migrator_spark.queries import _COVERAGE_DEFER
+    from oracle_cassandra_migrator_spark.queries import (
+        _COVERAGE_DEFER, _R03_LATE_ADDITIONS)
     for op in ("merge_upsert_orders", "scd2_customer_segments",
                "dedup_cluster_components", "events_cohort_retention",
                "embedding_label_centroids"):
         assert names.index(op) < 50, (op, names.index(op))
     overflow = [n for n in names[50:] if n not in _R02_CONFIRMED]
-    assert set(overflow) <= _COVERAGE_DEFER, overflow
+    assert set(overflow) <= _COVERAGE_DEFER | _R03_LATE_ADDITIONS, overflow
 
 
 def test_connected_components_plan_stays_truncated(spark):
@@ -167,3 +168,36 @@ def test_connected_components_plan_stays_truncated(spark):
     plan = plan_of(spark, "dedup_cluster_components")
     assert len(plan.splitlines()) < 100
     assert "ExistingRDD" in plan or "LocalTableScan" in plan or "Scan" in plan
+
+
+def test_repetition_stats_is_shuffle_free(spark):
+    # strictly per-row features: no Exchange anywhere in the plan
+    plan = plan_of(spark, "text_repetition_stats")
+    assert "Exchange" not in plan
+    assert "*(" in plan  # whole-stage codegen marker
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    # the benchmark n-gram set must broadcast; the only hash exchange
+    # is the final per-doc count
+    plan = plan_of(spark, "contamination_ngram_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_dedup_is_anti_join(spark):
+    plan = plan_of(spark, "dedup_incremental_snapshot")
+    assert "LeftAnti" in plan
+
+
+def test_quantize_stats_single_exchange(spark):
+    # per-row quantization + one label-keyed agg: exactly one hash
+    # exchange (plus AQE reads), never a per-element explode
+    plan = plan_of(spark, "embedding_quantize_int8")
+    assert "Generate" not in plan  # no explode of the vectors
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_vocab_topk_take_ordered(spark):
+    plan = plan_of(spark, "text_vocab_topk")
+    assert "TakeOrderedAndProject" in plan

@@ -250,3 +250,105 @@ def test_scd2_apply_closes_and_appends(spark):
         (1, "X", "2020-06-01", None),          # new open version
         (2, "y", "2001-01-01", None),          # untouched open
     }
+
+
+# ---------------------------------------------------------------------------
+# Curation operators (operators/curation.py, similarity.quantize_int8_stats)
+# ---------------------------------------------------------------------------
+
+def test_repetition_stats_flags_planted_repeats(spark):
+    from oracle_cassandra_migrator_spark.operators import curation
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam spam spam"),
+        (2, "one two three four five six seven eight nine ten"),
+        (3, "ab cd ab cd ab cd ab cd ab cd"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r.doc_id: r for r in
+           curation.repetition_stats(df, "text", "doc_id").collect()}
+    # doc 1: one word repeated 10x
+    assert out[1].top_word_fraction == 1.0
+    assert out[1].dup_word_fraction == 0.9
+    assert out[1].dup_3gram_fraction == 0.875  # 8 trigrams, 1 distinct
+    assert out[1].is_repetitive
+    # doc 2: all distinct
+    assert out[2].top_word_fraction == 0.1
+    assert out[2].dup_word_fraction == 0.0
+    assert out[2].dup_3gram_fraction == 0.0
+    assert not out[2].is_repetitive
+    # doc 3: alternating pair -> every word 5x, trigrams cycle with
+    # period 2 -> 8 trigrams, 2 distinct
+    assert out[3].top_word_fraction == 0.5
+    assert out[3].dup_3gram_fraction == 0.75
+    assert out[3].is_repetitive
+    # invariants for every row
+    for r in out.values():
+        assert 0.0 <= r.dup_word_fraction <= 1.0
+        assert 0.0 < r.top_word_fraction <= 1.0
+        assert 0.0 <= r.dup_3gram_fraction <= 1.0
+
+
+def test_contamination_overlap_finds_planted_leak(spark):
+    from oracle_cassandra_migrator_spark.operators import curation
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, bench_text),                                 # benchmark (id % 2 = 0)
+        (1, "alpha beta gamma delta epsilon unrelated words here"),  # leaked prefix
+        (3, "totally clean document with no overlap at all"),
+        (5, bench_text),                                 # full copy in corpus
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r.doc_id: r for r in curation.contamination_overlap(
+        df, "text", "doc_id", bench_filter="doc_id % 2 = 0", n=4).collect()}
+    assert set(out) == {1, 5}        # doc 3 clean -> absent
+    assert out[5].shared_4grams == out[5].n_4grams  # full copy: all shared
+    assert out[5].contaminated_share == 1.0
+    assert out[1].shared_4grams == 2  # 'alpha beta gamma delta(+epsilon)'
+    assert out[1].n_4grams == 5
+
+
+def test_cap_per_group_keeps_top_n_deterministically(spark):
+    from oracle_cassandra_migrator_spark.operators import curation
+    rows = [(s, i, 100 - i) for s in ("a", "b") for i in range(5)]
+    df = spark.createDataFrame(rows, "source STRING, doc_id BIGINT, n_chars BIGINT")
+    out = curation.cap_per_group(
+        df, "source", [F.col("n_chars").desc(), F.col("doc_id")], n=2).collect()
+    assert len(out) == 4
+    kept = {(r.source, r.doc_id) for r in out}
+    # highest n_chars = lowest doc_id here
+    assert kept == {("a", 0), ("a", 1), ("b", 0), ("b", 1)}
+
+
+def test_incremental_dedup_excludes_base_and_dedups_new(spark):
+    from oracle_cassandra_migrator_spark.operators import curation
+    base = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], "doc_id BIGINT, text STRING")
+    new = spark.createDataFrame(
+        [(10, "seen  BEFORE"),      # dup of base modulo normalization
+         (11, "brand new text"),
+         (12, "brand new text"),    # dup within new
+         (13, "another fresh one")],
+        "doc_id BIGINT, text STRING")
+    out = {r.representative_id: r.n_new_copies for r in
+           curation.incremental_fingerprint_dedup(base, new, "text", "doc_id")
+           .collect()}
+    assert out == {11: 2, 13: 1}    # 10 suppressed by base; 11+12 collapse
+
+
+def test_quantize_int8_bounds_and_error(spark):
+    from oracle_cassandra_migrator_spark.operators import similarity
+    rows = [(1, [1.0, -0.5, 0.25, 0.0], 0), (2, [0.001, 0.002, -0.003, 0.004], 1)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+    out = {r.label: r for r in similarity.quantize_int8_stats(df).collect()}
+    assert set(out) == {0, 1}
+    for r in out.values():
+        assert r.n_vecs == 1
+        assert r.avg_mse_1e6 >= 0.0
+        assert r.avg_scale_1e3 > 0.0
+        # at least the max-|x| element saturates to +/-127
+        assert r.n_saturated >= 1
+    # per-element reconstruction error is bounded by scale/2:
+    # mse <= (scale/2)^2 -> mse_1e6 <= (scale_1e3/2)^2 hence tiny here
+    r0 = out[0]
+    scale = r0.avg_scale_1e3 / 1e3
+    assert r0.avg_mse_1e6 / 1e6 <= (scale / 2) ** 2 + 1e-12

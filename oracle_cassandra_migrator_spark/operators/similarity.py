@@ -319,3 +319,58 @@ def quantize_int8_stats(
         )
         .orderBy(label_col)
     )
+
+
+def random_projection_exprs(vec_expr: str, dim: int, out_dim: int,
+                            plane_offset: int = 100) -> list[str]:
+    """Johnson-Lindenstrauss random projection: component j is
+    <x, s_j>/sqrt(out_dim) against the md5-derived Rademacher sign
+    vector s_j (driver-side literals, same trick as the LSH planes).
+    Achlioptas 2001 shows +/-1 entries satisfy the JL guarantee."""
+    scale = f"sqrt(CAST({out_dim} AS DOUBLE))"
+    return [
+        f"({dot_expr(vec_expr, hyperplane_expr(plane_offset + j, dim))}) / {scale}"
+        for j in range(out_dim)
+    ]
+
+
+def random_projection_stats(
+    embeddings: DataFrame, dim: int = 64, out_dim: int = 16,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label norm-distortion audit of the JL projection — the
+    dimensionality-reduction step before ANN indexing (4x smaller
+    vectors; JL keeps pairwise distances within ~1/sqrt(out_dim)).
+
+    Entirely per-row expression work (out_dim dot products against
+    broadcast literal sign vectors — no shuffle, no Python) plus one
+    tiny label-keyed aggregation; at 100 TB the projected vectors are
+    written back out and this audit rides along map-side."""
+    e = DOUBLE_VEC.format(col=vec_col)
+    ys = random_projection_exprs("e", dim, out_dim)
+    norm_y = "sqrt(" + " + ".join(f"(y{j} * y{j})" for j in range(out_dim)) + ")"
+    proj = (
+        embeddings.select(id_col, label_col, F.expr(e).alias("e"))
+        .select(
+            id_col, label_col,
+            F.expr(
+                "greatest(sqrt(aggregate(zip_with(e, e, (x, y) -> x * y), "
+                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)), 1e-12d)"
+            ).alias("norm_x"),
+            *[F.expr(y).alias(f"y{j}") for j, y in enumerate(ys)],
+        )
+        .withColumn("ratio", F.expr(f"round(({norm_y}) / norm_x, 6)"))
+    )
+    return (
+        proj.groupBy(label_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.expr(
+                "round(CAST(SUM(CAST(ratio AS DECIMAL(18,8))) AS DOUBLE)"
+                " / COUNT(*), 6)"
+            ).alias("avg_norm_ratio"),
+            F.min("ratio").alias("min_norm_ratio"),
+            F.max("ratio").alias("max_norm_ratio"),
+        )
+    )

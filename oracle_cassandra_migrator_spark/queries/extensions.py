@@ -1527,3 +1527,48 @@ def text_vocab_topk(spark, sf_dir):
         .orderBy(F.col("n_occurrences").desc(), "tok")
         .limit(20)
     )
+
+
+def _random_projection_oracle(dim: int = 64, out_dim: int = 16) -> str:
+    from oracle_cassandra_migrator_spark.operators.similarity import (
+        hyperplane_signs)
+
+    ys = []
+    for j in range(out_dim):
+        lit = "[" + ", ".join(
+            "1.0" if v > 0 else "-1.0"
+            for v in hyperplane_signs(100 + j, dim)) + "]"
+        ys.append(
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> e[i] * ({lit})[i])) / sqrt(CAST({out_dim} AS DOUBLE)) AS y{j}")
+    y_cols = ",\n           ".join(ys)
+    norm_y = "sqrt(" + " + ".join(
+        f"(y{j} * y{j})" for j in range(out_dim)) + ")"
+    return f"""
+    WITH d AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    p AS (SELECT vec_id, label,
+           greatest(sqrt(list_sum(list_transform(e, x -> x * x))), 1e-12)
+             AS norm_x,
+           {y_cols}
+          FROM d),
+    r AS (SELECT label, round(({norm_y}) / norm_x, 6) AS ratio FROM p)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(CAST(sum(CAST(ratio AS DECIMAL(18,8))) AS DOUBLE)
+                 / count(*), 6) AS avg_norm_ratio,
+           min(ratio) AS min_norm_ratio,
+           max(ratio) AS max_norm_ratio
+    FROM r GROUP BY label
+    """
+
+
+@query("embedding_random_projection", oracle=_random_projection_oracle())
+def embedding_random_projection(spark, sf_dir):
+    """JL random projection 64->16 with per-label norm-distortion audit
+    (see operators/similarity.py:random_projection_stats). The oracle
+    replays the projection with the same precomputed Rademacher
+    literals, so the check is exact."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.random_projection_stats(emb, dim=64, out_dim=16)

@@ -352,3 +352,17 @@ def test_quantize_int8_bounds_and_error(spark):
     r0 = out[0]
     scale = r0.avg_scale_1e3 / 1e3
     assert r0.avg_mse_1e6 / 1e6 <= (scale / 2) ** 2 + 1e-12
+
+
+def test_random_projection_preserves_unit_norm_approximately(spark):
+    from oracle_cassandra_migrator_spark.operators import similarity
+    import math
+    rows = [(i, [math.cos(0.1 * i * j) for j in range(64)], i % 2)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+    out = similarity.random_projection_stats(df, dim=64, out_dim=16).collect()
+    assert len(out) == 2
+    for r in out:
+        # JL with k=16: norm ratio concentrates around 1
+        assert 0.3 < r.min_norm_ratio <= r.avg_norm_ratio <= r.max_norm_ratio < 2.5
+        assert r.n_vecs == 20

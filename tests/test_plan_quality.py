@@ -201,3 +201,12 @@ def test_quantize_stats_single_exchange(spark):
 def test_vocab_topk_take_ordered(spark):
     plan = plan_of(spark, "text_vocab_topk")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_random_projection_single_exchange(spark):
+    # 16 dot products against literal sign vectors: per-row map + one
+    # label agg; no explode, no join, at most one hash exchange
+    plan = plan_of(spark, "embedding_random_projection")
+    assert "Generate" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1

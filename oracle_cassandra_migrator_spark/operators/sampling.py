@@ -94,3 +94,49 @@ def sample_stratified(df: DataFrame, id_col: str, stratum_col: str,
         for k, v in sorted(rates.items()))
     threshold = f"CASE {whens} ELSE {int(default_rate * denominator)} END"
     return df.where(F.expr(f"({bucket}) < ({threshold})"))
+
+
+def temperature_resample_audit(df: DataFrame, id_col: str,
+                               stratum_col: str,
+                               denominator: int = 1_000_000) -> DataFrame:
+    """Temperature-based corpus rebalancing (T=2, i.e. sampling
+    exponent alpha=1/2 as in multilingual-pretraining mixes): stratum
+    l with share p_l is downsampled at rate (p_min/p_l)^(1-alpha) =
+    sqrt(n_min/n_l) — the head flattens, the smallest stratum keeps
+    everything. Returns the per-stratum audit (n_docs, integer ppm
+    threshold, n_kept).
+
+    Exactness: the rate is floored to an integer ppm threshold before
+    comparing against the md5 bucket, so membership is an
+    integer-vs-integer comparison — no knife-edge double compare to
+    drift between engines (sqrt is IEEE-exact, unlike pow(x, 0.5)).
+
+    Scale: two tiny stratum-keyed aggregations + a broadcast of the
+    per-stratum thresholds back onto the corpus; the keep-filter is a
+    per-row hash compare that pushes into the scan pass. No corpus
+    shuffle beyond the audit counts."""
+    counts = df.groupBy(stratum_col).agg(
+        F.count("*").cast("bigint").alias("n_docs"))
+    n_min = counts.agg(F.min("n_docs").alias("n_min"))
+    rates = (
+        counts.crossJoin(F.broadcast(n_min))
+        .withColumn(
+            "threshold_ppm",
+            F.expr(
+                f"CAST(floor(sqrt(CAST(n_min AS DOUBLE) / n_docs) "
+                f"* {denominator}) AS BIGINT)"))
+        .drop("n_min")
+    )
+    bucket = hash_bucket_expr(id_col, denominator)
+    kept = (
+        df.join(F.broadcast(rates), stratum_col)
+        .where(F.expr(f"({bucket}) < threshold_ppm"))
+        .groupBy(stratum_col)
+        .agg(F.count("*").cast("bigint").alias("n_kept"))
+    )
+    return (
+        rates.join(kept, stratum_col, "left")
+        .select(
+            stratum_col, "n_docs", "threshold_ppm",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"))
+    )

@@ -1572,3 +1572,39 @@ def embedding_random_projection(spark, sf_dir):
     literals, so the check is exact."""
     emb = read_table(spark, sf_dir, "embeddings")
     return similarity.random_projection_stats(emb, dim=64, out_dim=16)
+
+
+def _temperature_resample_oracle(denominator: int = 1_000_000) -> str:
+    from oracle_cassandra_migrator_spark.operators.sampling import (
+        hash_bucket_sql)
+
+    bucket = hash_bucket_sql("d.doc_id", denominator)
+    return f"""
+    WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+    m AS (SELECT min(n_docs) AS n_min FROM c),
+    r AS (SELECT lang, n_docs,
+                 CAST(floor(sqrt(CAST(n_min AS DOUBLE) / n_docs)
+                      * {denominator}) AS BIGINT) AS threshold_ppm
+          FROM c, m),
+    k AS (SELECT d.lang, count(*) AS n_kept
+          FROM documents d JOIN r ON d.lang = r.lang
+          WHERE {bucket} < r.threshold_ppm
+          GROUP BY 1)
+    SELECT r.lang,
+           CAST(r.n_docs AS BIGINT) AS n_docs,
+           r.threshold_ppm,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM r LEFT JOIN k USING (lang)
+    """
+
+
+@query("sample_temperature_by_lang", oracle=_temperature_resample_oracle())
+def sample_temperature_by_lang(spark, sf_dir):
+    """Temperature (T=2) language rebalancing audit — head languages
+    downsampled at sqrt(n_min/n_l), smallest kept whole (see
+    operators/sampling.py:temperature_resample_audit)."""
+    from oracle_cassandra_migrator_spark.operators.sampling import (
+        temperature_resample_audit)
+
+    docs = read_table(spark, sf_dir, "documents")
+    return temperature_resample_audit(docs, "doc_id", "lang")

@@ -366,3 +366,23 @@ def test_random_projection_preserves_unit_norm_approximately(spark):
         # JL with k=16: norm ratio concentrates around 1
         assert 0.3 < r.min_norm_ratio <= r.avg_norm_ratio <= r.max_norm_ratio < 2.5
         assert r.n_vecs == 20
+
+
+def test_temperature_resample_flattens_head(spark):
+    from oracle_cassandra_migrator_spark.operators.sampling import (
+        temperature_resample_audit)
+    rows = ([(i, "big") for i in range(400)]
+            + [(1000 + i, "small") for i in range(100)])
+    df = spark.createDataFrame(rows, "doc_id BIGINT, lang STRING")
+    out = {r.lang: r for r in
+           temperature_resample_audit(df, "doc_id", "lang").collect()}
+    # smallest stratum keeps everything: threshold = 1.0 -> 1e6 ppm
+    assert out["small"].threshold_ppm == 1_000_000
+    assert out["small"].n_kept == 100
+    # head downsampled at sqrt(100/400) = 0.5
+    assert out["big"].threshold_ppm == 500_000
+    assert 0 < out["big"].n_kept < 400
+    # determinism: same answer on a different partitioning
+    out2 = {r.lang: r.n_kept for r in temperature_resample_audit(
+        df.repartition(13), "doc_id", "lang").collect()}
+    assert out2 == {k: v.n_kept for k, v in out.items()}

@@ -178,3 +178,27 @@ def lang_guess_expr(text_col: str) -> str:
         + case.replace("__g", greatest)
         + " ELSE 'und' END"
     )
+
+
+def char_entropy_expr(text_col: str) -> str:
+    """Shannon entropy (nats, 6-dp) of the character distribution — the
+    CCNet-style cheap quality proxy (gibberish/binary-ish text scores
+    far from natural-language entropy). One per-row sort + run-length
+    fold accumulating sum(c*ln(c)) over character runs; H = ln(n) -
+    sum/n. Zero shuffle, O(L log L) per row."""
+    chars = f"split({text_col}, '')"
+    # NULL-safe prev comparison; runs close when the char changes, the
+    # last run closes in the finish lambda.
+    closed = "acc.acc + IF(acc.run > 0, acc.run * ln(acc.run), CAST(0.0 AS DOUBLE))"
+    return (
+        f"round(CASE WHEN size({chars}) > 0 THEN "
+        f"ln(CAST(size({chars}) AS DOUBLE)) - "
+        f"aggregate(array_sort({chars}), "
+        f"named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT), "
+        f"'acc', CAST(0.0 AS DOUBLE)), "
+        f"(acc, x) -> IF(acc.prev <=> x, "
+        f"named_struct('prev', x, 'run', acc.run + CAST(1 AS BIGINT), 'acc', acc.acc), "
+        f"named_struct('prev', x, 'run', CAST(1 AS BIGINT), 'acc', {closed})), "
+        f"acc -> {closed}) / size({chars}) "
+        f"ELSE CAST(0.0 AS DOUBLE) END, 6)"
+    )

@@ -65,6 +65,7 @@ _R03_LATE_ADDITIONS = frozenset({
     "cap_docs_per_source", "dedup_incremental_snapshot",
     "embedding_quantize_int8", "text_vocab_topk",
     "embedding_random_projection", "sample_temperature_by_lang",
+    "text_char_entropy",
 })
 
 

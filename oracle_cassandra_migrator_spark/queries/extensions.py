@@ -1608,3 +1608,34 @@ def sample_temperature_by_lang(spark, sf_dir):
 
     docs = read_table(spark, sf_dir, "documents")
     return temperature_resample_audit(docs, "doc_id", "lang")
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH ch AS (SELECT doc_id,
+                       list_transform(generate_series(1, length(text)),
+                                      i -> substring(text, i, 1)) AS cs
+                FROM documents),
+    cnt AS (SELECT doc_id, tok, count(*) AS c
+            FROM (SELECT doc_id, unnest(cs) AS tok FROM ch) GROUP BY 1, 2),
+    e AS (SELECT doc_id,
+                 list_sum(list_transform(list(c ORDER BY tok),
+                          x -> x * ln(x))) AS s
+          FROM cnt GROUP BY 1)
+    SELECT d.doc_id,
+           round(CASE WHEN length(d.text) > 0
+                 THEN ln(CAST(length(d.text) AS DOUBLE)) - e.s / length(d.text)
+                 ELSE 0.0 END, 6) AS char_entropy
+    FROM documents d JOIN e USING (doc_id)
+    """,
+)
+def text_char_entropy(spark, sf_dir):
+    """Per-document character-distribution Shannon entropy (CCNet-style
+    gibberish/boilerplate proxy). Per-row sort + run-length fold in one
+    codegen'd expression — zero shuffle (see text.char_entropy_expr);
+    the oracle accumulates c*ln(c) in the same sorted-char order."""
+    from oracle_cassandra_migrator_spark.operators.text import char_entropy_expr
+
+    return read_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", char_entropy_expr("text") + " AS char_entropy")

@@ -172,9 +172,10 @@ def test_connected_components_plan_stays_truncated(spark):
 
 def test_repetition_stats_is_shuffle_free(spark):
     # strictly per-row features: no Exchange anywhere in the plan
-    plan = plan_of(spark, "text_repetition_stats")
-    assert "Exchange" not in plan
-    assert "*(" in plan  # whole-stage codegen marker
+    for name in ("text_repetition_stats", "text_char_entropy"):
+        plan = plan_of(spark, name)
+        assert "Exchange" not in plan, name
+        assert "*(" in plan, name  # whole-stage codegen marker
 
 
 def test_contamination_broadcasts_benchmark_side(spark):

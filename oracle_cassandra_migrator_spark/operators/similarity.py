@@ -263,6 +263,41 @@ def ivf_topk(
     )
 
 
+def cosine_pairs_cell_blocked(
+    embeddings: DataFrame, centroids: DataFrame, threshold: float,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023):
+    block by trained k-means cell, compare only within a cell. The
+    cluster-blocked composition of ``cosine_pairs`` — candidates are one
+    equi-join on ``cell_id``, never the all-pairs cross join, and every
+    candidate is verified against the true cosine (precision exact,
+    recall = P[near-dups share a cell], tunable by codebook size).
+
+    At 100 TB: assignment is the zero-shuffle broadcast-codebook map
+    (see ``ivf_topk``); the pair join shuffles the corpus once on
+    ``cell_id``. Cell sizes are ~corpus/|codebook| by construction —
+    k-means balances mass, unlike hash buckets — and a runaway cell
+    would be capped the same way the MinHash band guard works
+    (count, filter ``n <= cap``, verify the remainder next round with
+    a finer codebook)."""
+    cells = _assign_cells(embeddings, centroids, vec_col, id_col)
+    a = cells.select("cell_id", F.col(id_col).alias("id_a"),
+                     F.col(vec_col).alias("va"))
+    b = cells.select("cell_id", F.col(id_col).alias("id_b"),
+                     F.col(vec_col).alias("vb"))
+    ea = DOUBLE_VEC.format(col="va")
+    eb = DOUBLE_VEC.format(col="vb")
+    return (
+        a.join(b, "cell_id")
+        .where("id_a < id_b")
+        .withColumn("cosine", F.expr(f"round({cosine_expr(ea, eb)}, 6)"))
+        .where(f"cosine >= {threshold}")
+        .select(F.col("cell_id").cast("bigint").alias("cell_id"),
+                "id_a", "id_b", "cosine")
+    )
+
+
 def quantize_int8_stats(
     embeddings: DataFrame,
     vec_col: str = "embedding", id_col: str = "vec_id",

@@ -120,6 +120,84 @@ def bottomk_fingerprint_expr(col: str, k: int = 3) -> str:
     )
 
 
+def tfidf_topk_terms(docs: DataFrame, k: int = 3,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf (idf =
+    ln(N/df)) — the classic term-weighting primitive behind keyword
+    extraction and sparse retrieval.
+
+    Shuffle budget at 100 TB: ONE corpus-scale shuffle (the (doc, term)
+    partial-count groupBy; map-side combine shrinks it to the distinct
+    doc-term pairs). The document-frequency table is vocabulary-sized —
+    orders of magnitude smaller than the corpus — so it joins back by
+    explicit broadcast, and the per-doc top-k window partitions on the
+    high-cardinality doc id (no skew). N is a one-row broadcast."""
+    words = docs.select(
+        id_col, F.explode(F.expr(fast_words_expr(text_col))).alias("tok"))
+    tf = words.groupBy(id_col, "tok").agg(
+        F.count("*").cast("bigint").alias("tf"))
+    dfq = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    total = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("tok"))
+    return (
+        tf.join(F.broadcast(dfq), "tok")
+        .crossJoin(F.broadcast(total))
+        .withColumn("tfidf", F.expr("round(tf * ln(n_docs / df), 6)"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= k)
+        .select(id_col, "tok", "tf", "tfidf", "rk")
+    )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Okapi BM25 lexical search for a literal term set: the sparse
+    complement of the embedding ANN path (sim_*). idf uses the standard
+    +1 smoothing, ln((N - df + 0.5)/(df + 0.5) + 1).
+
+    Scale shape: the corpus explode filters to the query terms BEFORE
+    any shuffle, so only matching (doc, term) rows move; df (|terms|
+    rows) and the (N, avgdl) scalar broadcast. Per-term scores are
+    rounded to 9 dp and summed as exact decimals (order-independent),
+    then one TakeOrderedAndProject emits the top-k."""
+    words = docs.select(
+        id_col, F.expr(fast_words_expr(text_col)).alias("w"))
+    stats = words.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.expr("round(CAST(SUM(size(w)) AS DOUBLE) / COUNT(*), 6)")
+        .alias("avgdl"))
+    terms_lit = ", ".join(f"'{t}'" for t in terms)
+    tf = (
+        words.select(id_col, F.expr("CAST(size(w) AS BIGINT)").alias("dl"),
+                     F.explode("w").alias("tok"))
+        .where(f"tok IN ({terms_lit})")
+        .groupBy(id_col, "dl", "tok")
+        .agg(F.count("*").cast("bigint").alias("tf")))
+    dfq = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    idf = "ln((n_docs - df + 0.5D) / (df + 0.5D) + 1.0D)"
+    tfc = (f"(tf * ({BM25_K1}D + 1.0D)) / "
+           f"(tf + {BM25_K1}D * (1.0D - {BM25_B}D + {BM25_B}D * dl / avgdl))")
+    return (
+        tf.join(F.broadcast(dfq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("term_score", F.expr(f"round(({idf}) * ({tfc}), 9)"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms_matched"),
+            F.expr("round(CAST(SUM(CAST(term_score AS DECIMAL(20,9)))"
+                   " AS DOUBLE), 6)").alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is", "on", "for"]
 
 

@@ -65,7 +65,8 @@ _R03_LATE_ADDITIONS = frozenset({
     "cap_docs_per_source", "dedup_incremental_snapshot",
     "embedding_quantize_int8", "text_vocab_topk",
     "embedding_random_projection", "sample_temperature_by_lang",
-    "text_char_entropy",
+    "text_char_entropy", "text_tfidf_topk", "search_bm25_topk",
+    "dedup_semantic_cells",
 })
 
 

@@ -694,8 +694,11 @@ def sim_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(read_table(spark, sf_dir, "embeddings"))
 
 
-def _ivf_trained_oracle(modulus: int = 43, iters: int = 2, k: int = 10,
-                        query_id: int = 0) -> str:
+def _ivf_cells_parts(modulus: int = 43, iters: int = 2) -> list[str]:
+    """WITH-clause parts replaying the k-means training loop (exact
+    decimal means, round(6)) and ending at ``cells`` = (vec_id,
+    embedding, cell_id) — shared by the trained-IVF probe oracle and
+    the SemDeDup pair oracle."""
     def assign(cents: str, name: str) -> str:
         return f"""{name} AS (
       SELECT vec_id, embedding, cell_id FROM (
@@ -722,6 +725,12 @@ def _ivf_trained_oracle(modulus: int = 43, iters: int = 2, k: int = 10,
             f"cents{i + 1} AS (SELECT cell_id AS cid,"
             f" list(m ORDER BY dim_idx) AS cvec FROM m{i} GROUP BY cell_id)")
     parts.append(assign(f"cents{iters}", "cells"))
+    return parts
+
+
+def _ivf_trained_oracle(modulus: int = 43, iters: int = 2, k: int = 10,
+                        query_id: int = 0) -> str:
+    parts = _ivf_cells_parts(modulus, iters)
     cos = (
         "round(list_dot_product(c.embedding::DOUBLE[], q.qv::DOUBLE[])"
         " / (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))"
@@ -1639,3 +1648,107 @@ def text_char_entropy(spark, sf_dir):
 
     return read_table(spark, sf_dir, "documents").selectExpr(
         "doc_id", char_entropy_expr("text") + " AS char_entropy")
+
+
+# ---------------------------------------------------------------------------
+# Lexical retrieval (tf-idf / BM25) + SemDeDup cluster-blocked dedup
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, unnest({FAST_WORDS_SQL}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM w GROUP BY 1, 2),
+    dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    s AS (SELECT tf.doc_id, tf.tok, tf.tf,
+                 round(tf.tf * ln(n.n_docs / dfq.df), 6) AS tfidf
+          FROM tf JOIN dfq USING (tok) CROSS JOIN n)
+    SELECT doc_id, tok, tf, tfidf, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, tok) AS rk FROM s)
+    WHERE rk <= 3
+    """,
+)
+def text_tfidf_topk(spark, sf_dir):
+    """Top-3 characteristic terms per document by tf-idf — keyword
+    extraction / sparse-retrieval weighting. One corpus shuffle (the
+    doc-term count), vocab-sized df table broadcast back, per-doc
+    window on the high-cardinality doc id (see text.tfidf_topk_terms)."""
+    from oracle_cassandra_migrator_spark.operators.text import tfidf_topk_terms
+
+    return tfidf_topk_terms(read_table(spark, sf_dir, "documents"), k=3)
+
+
+BM25_TERMS = ["merge", "window", "stream"]
+
+
+@query(
+    "search_bm25_topk",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {FAST_WORDS_SQL} AS w FROM documents),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     round(CAST(SUM(len(w)) AS DOUBLE) / count(*), 6) AS avgdl
+              FROM w),
+    toks AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS tok
+             FROM w),
+    tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM toks WHERE tok IN ('merge', 'window', 'stream')
+           GROUP BY 1, 2, 3),
+    dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    s AS (SELECT tf.doc_id,
+                 round(ln((n_docs - df + 0.5e0) / (df + 0.5e0) + 1.0e0)
+                       * ((tf * (1.2e0 + 1.0e0))
+                          / (tf + 1.2e0 * (1.0e0 - 0.75e0
+                                           + 0.75e0 * dl / avgdl))), 9)
+                   AS term_score
+          FROM tf JOIN dfq USING (tok) CROSS JOIN stats)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms_matched,
+           round(CAST(SUM(CAST(term_score AS DECIMAL(20,9))) AS DOUBLE), 6)
+             AS bm25
+    FROM s GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+    """,
+)
+def search_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-10 for the literal query {{merge, window, stream}}
+    — the sparse-retrieval complement of the sim_* ANN path. The token
+    explode filters to the query terms before any shuffle; df and the
+    (N, avgdl) scalar broadcast (see text.bm25_topk)."""
+    from oracle_cassandra_migrator_spark.operators.text import bm25_topk
+
+    return bm25_topk(read_table(spark, sf_dir, "documents"), BM25_TERMS, k=10)
+
+
+def _semantic_cells_oracle(modulus: int = 43, iters: int = 2,
+                           threshold: float = 0.4) -> str:
+    parts = ",\n    ".join(_ivf_cells_parts(modulus, iters))
+    cos = (
+        "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)"
+    )
+    return f"""
+    WITH {parts},
+    p AS (SELECT CAST(a.cell_id AS BIGINT) AS cell_id,
+                 a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
+          FROM cells a JOIN cells b
+            ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id)
+    SELECT cell_id, id_a, id_b, cosine FROM p WHERE cosine >= {threshold}
+    """
+
+
+@query("dedup_semantic_cells", oracle=_semantic_cells_oracle())
+def dedup_semantic_cells(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs
+    blocked by trained k-means cell — candidates share a cell (one
+    cell_id equi-join), never the all-pairs cross join; every candidate
+    verified against the true cosine. The oracle replays the 2-iteration
+    training loop so assignment parity is checked end-to-end (see
+    similarity.cosine_pairs_cell_blocked)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_codebook(emb, modulus=43, iters=2)
+    return similarity.cosine_pairs_cell_blocked(emb, cents, threshold=0.4)

@@ -210,4 +210,33 @@ def test_random_projection_single_exchange(spark):
     plan = plan_of(spark, "embedding_random_projection")
     assert "Generate" not in plan
     assert "Join" not in plan
+
+
+def test_tfidf_broadcasts_df_table(spark):
+    """The vocab-sized document-frequency table must broadcast back
+    onto the doc-term counts — never a corpus-vs-vocab sort-merge."""
+    plan = plan_of(spark, "text_tfidf_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_filters_terms_before_shuffle(spark):
+    """The query-term IN filter must prune the exploded tokens (only
+    matching rows reach any shuffle); df + corpus stats broadcast and
+    the top-k is a TakeOrderedAndProject."""
+    plan = plan_of(spark, "search_bm25_topk")
+    assert re.search(r"tok#\d+ IN \(merge,window,stream\)", plan)
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semantic_cells_joins_on_cell(spark):
+    """SemDeDup candidates must come from a cell_id equi-join (the
+    assignment itself is the broadcast-codebook map, no Window), never
+    an unblocked pair join over the corpus."""
+    plan = plan_of(spark, "dedup_semantic_cells")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert re.search(r"Join.*cell_id#\d+[L]?\s*=\s*cell_id#\d+", plan) or \
+        re.search(r"hashpartitioning\(cell_id#\d+", plan)
     assert plan.count("Exchange hashpartitioning") <= 1

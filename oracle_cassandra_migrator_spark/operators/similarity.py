@@ -187,6 +187,7 @@ def _assign_cells(embeddings: DataFrame, centroids: DataFrame,
 def kmeans_codebook(
     embeddings: DataFrame, modulus: int = 43, iters: int = 2,
     vec_col: str = "embedding", id_col: str = "vec_id",
+    init_limit: int | None = None,
 ) -> DataFrame:
     """Lloyd's k-means in pure DataFrame ops: deterministic id-sample
     init, then ``iters`` rounds of (assign to nearest centroid by dot
@@ -201,8 +202,17 @@ def kmeans_codebook(
     centroids — and therefore every downstream assignment — are
     bit-reproducible in ANSI SQL (the DuckDB oracle replays the same
     iterations). Cells that lose all members simply drop out of the
-    next round, like classic Lloyd with empty-cluster removal."""
-    cents = embeddings.where(f"{id_col} % {modulus} = 0").select(
+    next round, like classic Lloyd with empty-cluster removal.
+
+    ``init_limit`` caps the codebook at a FIXED size (the smallest
+    ``init_limit`` qualifying ids, a deterministic TakeOrdered):
+    without it the ``% modulus`` init grows linearly with the corpus,
+    which is fine for a per-query codebook but wrong when the codebook
+    must stay broadcastable/collectable at 100 TB."""
+    init = embeddings.where(f"{id_col} % {modulus} = 0")
+    if init_limit is not None:
+        init = init.orderBy(id_col).limit(init_limit)
+    cents = init.select(
         F.col(id_col).alias("cid"),
         F.expr(DOUBLE_VEC.format(col=vec_col)).alias("cvec"))
     for _ in range(iters):
@@ -263,6 +273,63 @@ def ivf_topk(
     )
 
 
+def codebook_literal_expr(rows) -> str:
+    """Render a collected codebook (rows with ``cid``/``cvec``) as one
+    SQL array-of-struct literal. Centroid components come out of the
+    exact-DECIMAL round(6) mean path, so the ``%.6f`` decimal rendering
+    parses back to the identical double. The literal is how a trained
+    codebook re-enters a query plan WITHOUT dragging the training DAG
+    along: the plan carries a constant, not a subquery — same trick as
+    ``hyperplane_expr``. Bounded by construction (train with
+    ``init_limit``), so the literal stays a few KB at any corpus
+    size."""
+    structs = []
+    for r in rows:
+        vals = ", ".join(f"{float(v):.6f}D" for v in r["cvec"])
+        structs.append(
+            f"named_struct('cid', {int(r['cid'])}L, 'cvec', array({vals}))")
+    return "array(" + ", ".join(structs) + ")"
+
+
+def assign_cells_literal(
+    embeddings: DataFrame, cents_expr: str,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, vec, cell_id) for every vector against a LITERAL codebook
+    expression — a pure per-row projection: no join, no broadcast
+    variable, no shuffle. The whole assignment folds into the scan's
+    whole-stage-codegen span."""
+    e = DOUBLE_VEC.format(col=vec_col)
+    return (
+        embeddings.withColumn("cents", F.expr(cents_expr))
+        .withColumn("cell_id", F.expr(f"-({_argmax_cell_expr(e)}).neg_cid"))
+        .select(id_col, vec_col, "cell_id")
+    )
+
+
+def cosine_pairs_within_cells(
+    cells: DataFrame, threshold: float,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Pairs (a < b, cosine >= threshold) restricted to a shared
+    ``cell_id`` — one equi-join on the cell key; every candidate is
+    verified against the true cosine."""
+    a = cells.select("cell_id", F.col(id_col).alias("id_a"),
+                     F.col(vec_col).alias("va"))
+    b = cells.select("cell_id", F.col(id_col).alias("id_b"),
+                     F.col(vec_col).alias("vb"))
+    ea = DOUBLE_VEC.format(col="va")
+    eb = DOUBLE_VEC.format(col="vb")
+    return (
+        a.join(b, "cell_id")
+        .where("id_a < id_b")
+        .withColumn("cosine", F.expr(f"round({cosine_expr(ea, eb)}, 6)"))
+        .where(f"cosine >= {threshold}")
+        .select(F.col("cell_id").cast("bigint").alias("cell_id"),
+                "id_a", "id_b", "cosine")
+    )
+
+
 def cosine_pairs_cell_blocked(
     embeddings: DataFrame, centroids: DataFrame, threshold: float,
     vec_col: str = "embedding", id_col: str = "vec_id",
@@ -282,20 +349,7 @@ def cosine_pairs_cell_blocked(
     (count, filter ``n <= cap``, verify the remainder next round with
     a finer codebook)."""
     cells = _assign_cells(embeddings, centroids, vec_col, id_col)
-    a = cells.select("cell_id", F.col(id_col).alias("id_a"),
-                     F.col(vec_col).alias("va"))
-    b = cells.select("cell_id", F.col(id_col).alias("id_b"),
-                     F.col(vec_col).alias("vb"))
-    ea = DOUBLE_VEC.format(col="va")
-    eb = DOUBLE_VEC.format(col="vb")
-    return (
-        a.join(b, "cell_id")
-        .where("id_a < id_b")
-        .withColumn("cosine", F.expr(f"round({cosine_expr(ea, eb)}, 6)"))
-        .where(f"cosine >= {threshold}")
-        .select(F.col("cell_id").cast("bigint").alias("cell_id"),
-                "id_a", "id_b", "cosine")
-    )
+    return cosine_pairs_within_cells(cells, threshold, vec_col, id_col)
 
 
 def quantize_int8_stats(

@@ -694,12 +694,20 @@ def sim_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(read_table(spark, sf_dir, "embeddings"))
 
 
-def _ivf_cells_parts(modulus: int = 43, iters: int = 2) -> list[str]:
+def _ivf_cells_parts(modulus: int = 43, iters: int = 2,
+                     sample_mod: int | None = None,
+                     init_limit: int | None = None) -> list[str]:
     """WITH-clause parts replaying the k-means training loop (exact
     decimal means, round(6)) and ending at ``cells`` = (vec_id,
     embedding, cell_id) — shared by the trained-IVF probe oracle and
-    the SemDeDup pair oracle."""
-    def assign(cents: str, name: str) -> str:
+    the SemDeDup pair oracle.
+
+    With ``sample_mod``/``init_limit`` the training loop (init,
+    assignment, means) runs over the ``vec_id % sample_mod = 0`` sample
+    with a fixed-size smallest-id init — mirroring the bounded-sample
+    training in ``dedup_semantic_cells`` — while the final ``cells``
+    assignment still covers the full corpus."""
+    def assign(cents: str, name: str, src: str = "embeddings") -> str:
         return f"""{name} AS (
       SELECT vec_id, embedding, cell_id FROM (
         SELECT e.vec_id, e.embedding, c.cid AS cell_id,
@@ -708,13 +716,25 @@ def _ivf_cells_parts(modulus: int = 43, iters: int = 2) -> list[str]:
                  ORDER BY round(list_dot_product(e.embedding::DOUBLE[],
                                                  c.cvec), 6) DESC,
                           c.cid) AS rn
-        FROM embeddings e CROSS JOIN {cents} c) WHERE rn = 1)"""
+        FROM {src} e CROSS JOIN {cents} c) WHERE rn = 1)"""
 
-    parts = [
-        f"cents0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec"
-        f" FROM embeddings WHERE vec_id % {modulus} = 0)"]
+    parts = []
+    train_src = "embeddings"
+    init_where = f"vec_id % {modulus} = 0"
+    if sample_mod is not None:
+        train_src = "train_sample"
+        parts.append(
+            f"train_sample AS (SELECT * FROM embeddings"
+            f" WHERE vec_id % {sample_mod} = 0)")
+        init_where = (f"vec_id % {sample_mod} = 0"
+                      f" AND vec_id % {modulus} = 0")
+    init = (f"cents0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec"
+            f" FROM embeddings WHERE {init_where}")
+    if init_limit is not None:
+        init += f" ORDER BY vec_id LIMIT {init_limit}"
+    parts.append(init + ")")
     for i in range(iters):
-        parts.append(assign(f"cents{i}", f"a{i}"))
+        parts.append(assign(f"cents{i}", f"a{i}", train_src))
         parts.append(f"""m{i} AS (
       SELECT cell_id, t.i AS dim_idx,
              round(CAST(SUM(CAST(embedding[t.i] AS DECIMAL(27,6))) AS DOUBLE)
@@ -1723,9 +1743,16 @@ def search_bm25_topk(spark, sf_dir):
     return bm25_topk(read_table(spark, sf_dir, "documents"), BM25_TERMS, k=10)
 
 
+SEMANTIC_CELLS_SAMPLE_MOD = 7
+SEMANTIC_CELLS_INIT_LIMIT = 64
+
+
 def _semantic_cells_oracle(modulus: int = 43, iters: int = 2,
                            threshold: float = 0.4) -> str:
-    parts = ",\n    ".join(_ivf_cells_parts(modulus, iters))
+    parts = ",\n    ".join(_ivf_cells_parts(
+        modulus, iters,
+        sample_mod=SEMANTIC_CELLS_SAMPLE_MOD,
+        init_limit=SEMANTIC_CELLS_INIT_LIMIT))
     cos = (
         "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
         " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
@@ -1746,9 +1773,24 @@ def dedup_semantic_cells(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs
     blocked by trained k-means cell — candidates share a cell (one
     cell_id equi-join), never the all-pairs cross join; every candidate
-    verified against the true cosine. The oracle replays the 2-iteration
-    training loop so assignment parity is checked end-to-end (see
-    similarity.cosine_pairs_cell_blocked)."""
+    verified against the true cosine. The oracle replays the sampled
+    2-iteration training loop so assignment parity is checked
+    end-to-end.
+
+    Training is deliberately OUT of the query plan: the codebook is
+    trained on a bounded deterministic sample (``vec_id % 7 = 0``,
+    fixed-size smallest-id init) in its own small job, collected
+    driver-side (<= 64 rows), and re-enters the dedup plan as an array
+    LITERAL (similarity.codebook_literal_expr). The dedup plan itself
+    is therefore scan -> per-row cell assignment -> one cell_id
+    equi-join — exactly one corpus shuffle at any scale, instead of the
+    4+ corpus-touching training stages an inline Lloyd loop would drag
+    into every run."""
     emb = read_table(spark, sf_dir, "embeddings")
-    cents = similarity.kmeans_codebook(emb, modulus=43, iters=2)
-    return similarity.cosine_pairs_cell_blocked(emb, cents, threshold=0.4)
+    sample = emb.where(f"vec_id % {SEMANTIC_CELLS_SAMPLE_MOD} = 0")
+    cents = similarity.kmeans_codebook(
+        sample, modulus=43, iters=2,
+        init_limit=SEMANTIC_CELLS_INIT_LIMIT)
+    codebook = similarity.codebook_literal_expr(cents.collect())
+    cells = similarity.assign_cells_literal(emb, codebook)
+    return similarity.cosine_pairs_within_cells(cells, threshold=0.4)

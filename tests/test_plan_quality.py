@@ -232,11 +232,22 @@ def test_bm25_filters_terms_before_shuffle(spark):
 
 def test_semantic_cells_joins_on_cell(spark):
     """SemDeDup candidates must come from a cell_id equi-join (the
-    assignment itself is the broadcast-codebook map, no Window), never
-    an unblocked pair join over the corpus."""
+    assignment itself is a per-row argmax against the LITERAL codebook,
+    no Window), never an unblocked pair join over the corpus — and the
+    k-means training must stay OUT of the dedup plan (it runs as its
+    own bounded-sample job and re-enters as a literal): no aggregation
+    stages, at most the self-join's two corpus scans, and at most the
+    join's own cell_id shuffle."""
     plan = plan_of(spark, "dedup_semantic_cells")
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
-    assert re.search(r"Join.*cell_id#\d+[L]?\s*=\s*cell_id#\d+", plan) or \
-        re.search(r"hashpartitioning\(cell_id#\d+", plan)
+    # equi-join on cell_id, whatever physical join Spark picks:
+    # SMJ/SHJ print "Join [cell_id#N], [cell_id#M]", BHJ the same.
+    assert re.search(r"Join \[cell_id#\d+L?\], \[cell_id#\d+L?\]", plan)
+    # the literal codebook appears as a per-row projection constant
+    assert re.search(r"Project \[-array_max\(transform\(\[\[", plan)
+    # training out-of-plan: no aggregates, no posexplode, <= 2 scans
+    assert "HashAggregate" not in plan
+    assert "Generate" not in plan
+    assert plan.count("Scan parquet") <= 2
     assert plan.count("Exchange hashpartitioning") <= 1

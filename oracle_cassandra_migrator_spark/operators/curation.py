@@ -15,9 +15,12 @@ keyed shuffle — the shapes hold at 100 TB:
   corpus side stays narrow until the final per-doc count, which
   map-side partial-aggregates before one doc_id-keyed shuffle.
 - ``cap_per_group``: one hash shuffle on the group key + in-partition
-  sort. Caveat: a single pathological domain serializes into one task;
-  for head-heavy domain distributions pre-filter with an approximate
-  per-group count and salt the giants (see operators/skew.py).
+  sort. Caveat: a single pathological domain serializes into one task.
+- ``cap_per_group_salted``: the skew-safe default for head-heavy domain
+  distributions — per-(group, salt) top-n prune first (the hot group
+  fans out over n_salts tasks), then a re-rank over the <= n * n_salts
+  survivors per group. Output provably identical to ``cap_per_group``
+  under a total order, rank included.
 - ``incremental_fingerprint_dedup``: fingerprint-keyed anti join of the
   new snapshot against the base — at scale the base side is served from
   its bucketed fingerprint layout (no re-shuffle) and AQE inserts a
@@ -140,6 +143,42 @@ def cap_per_group(
     w = Window.partitionBy(group_col).orderBy(*order_by)
     return (
         df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= n)
+    )
+
+
+def cap_per_group_salted(
+    df: DataFrame, group_col: str, order_by, n: int,
+    n_salts: int = 16, salt_on: list[str] | None = None,
+    rank_col: str = "keep_rank",
+) -> DataFrame:
+    """Skew-safe ``cap_per_group``: identical output (including the
+    rank), bounded task time even when one pathological group holds
+    half the corpus.
+
+    Stage 1 ranks within (group, salt) — the hot group fans out over
+    ``n_salts`` tasks — and keeps the per-salt top-``n``; a row ranked
+    below ``n`` within its own salt is dominated by >= ``n`` rows
+    globally, so no global top-``n`` row is ever pruned. Stage 2
+    re-ranks the survivors (<= n * n_salts rows per group, bounded
+    regardless of group size) with the plain window; every row ranked
+    above a global top-``n`` row also survives stage 1, so the final
+    rank equals the unsalted rank exactly. ``order_by`` must be a total
+    order — same contract as ``cap_per_group``. The salt is a
+    deterministic hash of ``salt_on`` (default: all columns), so reruns
+    are reproducible."""
+    salt_cols = salt_on if salt_on is not None else df.columns
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*salt_cols), F.lit(n_salts)))
+    w1 = Window.partitionBy(group_col, "__salt").orderBy(*order_by)
+    pruned = (
+        salted.withColumn("__presalt_rank", F.row_number().over(w1))
+        .filter(F.col("__presalt_rank") <= n)
+        .drop("__presalt_rank", "__salt")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(*order_by)
+    return (
+        pruned.withColumn(rank_col, F.row_number().over(w2))
         .filter(F.col(rank_col) <= n)
     )
 

@@ -1461,12 +1461,16 @@ def contamination_ngram_overlap(spark, sf_dir):
 def cap_docs_per_source(spark, sf_dir):
     """Per-domain document cap (keep the 10 longest per source,
     deterministic tiebreak): the anti-monoculture step of crawl
-    curation. One hash shuffle on source; skew caveat + salting
-    pointer in operators/curation.py."""
+    curation. Runs the SALTED variant — per-(source, salt) prune, then
+    a re-rank over the bounded survivors — so a head domain holding
+    half the crawl still fans out over n_salts tasks; output (rank
+    included) is provably identical to the plain window, which is what
+    the oracle replays."""
     docs = read_table(spark, sf_dir, "documents")
-    capped = curation.cap_per_group(
+    capped = curation.cap_per_group_salted(
         docs, "source",
-        [F.col("n_chars").desc(), F.col("doc_id")], n=10)
+        [F.col("n_chars").desc(), F.col("doc_id")], n=10,
+        salt_on=["doc_id"])
     return capped.select(
         "source", "doc_id", "n_chars",
         F.col("keep_rank").cast("long").alias("keep_rank"))

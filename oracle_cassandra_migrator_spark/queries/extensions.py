@@ -1798,3 +1798,69 @@ def dedup_semantic_cells(spark, sf_dir):
     codebook = similarity.codebook_literal_expr(cents.collect())
     cells = similarity.assign_cells_literal(emb, codebook)
     return similarity.cosine_pairs_within_cells(cells, threshold=0.4)
+
+
+def _semantic_prune_oracle(threshold: float = 0.45) -> str:
+    parts = ",\n    ".join(_ivf_cells_parts(
+        43, 2,
+        sample_mod=SEMANTIC_CELLS_SAMPLE_MOD,
+        init_limit=SEMANTIC_CELLS_INIT_LIMIT))
+    cos = (
+        "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)"
+    )
+    return f"""
+    WITH RECURSIVE {parts},
+    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM cells a JOIN cells b
+            ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+          WHERE {cos} >= {threshold}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM p
+              UNION ALL SELECT id_b, id_a FROM p),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (SELECT a AS node, least(a, min(b)) AS component
+             FROM reach GROUP BY a)
+    SELECT e.vec_id,
+           CAST(coalesce(c.component, e.vec_id) AS BIGINT) AS cluster_rep,
+           coalesce(c.component, e.vec_id) = e.vec_id AS is_kept
+    FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node
+    """
+
+
+@query("dedup_semantic_prune", oracle=_semantic_prune_oracle())
+def dedup_semantic_prune(spark, sf_dir):
+    """SemDeDup pairs -> DECISIONS (Abbas et al. 2023 keep-one-per-
+    epsilon-ball): the cell-blocked cosine pairs feed hash-to-min
+    connected components, and every corpus vector gets (cluster_rep,
+    is_kept) — the min-id representative of its transitive near-dup
+    cluster survives, the rest drop, singletons keep themselves. This
+    completes the pairs -> decisions story the exact-dedup path already
+    has (dedup_cluster_components) for the semantic family.
+
+    Scale shape: literal-codebook assignment (zero shuffle) + one
+    cell_id pair shuffle + components over the PAIR graph only (tiny
+    next to the corpus; each round shuffles labels, never vectors) +
+    one final left join back to the corpus on vec_id. The oracle
+    replays training, pairs, and a recursive reachability CTE, so even
+    the iterative component loop is value-checked end-to-end."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    sample = emb.where(f"vec_id % {SEMANTIC_CELLS_SAMPLE_MOD} = 0")
+    cents = similarity.kmeans_codebook(
+        sample, modulus=43, iters=2,
+        init_limit=SEMANTIC_CELLS_INIT_LIMIT)
+    codebook = similarity.codebook_literal_expr(cents.collect())
+    cells = similarity.assign_cells_literal(emb, codebook)
+    pairs = similarity.cosine_pairs_within_cells(cells, threshold=0.45)
+    comp = dedup.connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        emb.select("vec_id")
+        .join(comp, emb.vec_id == comp.node, "left")
+        .selectExpr(
+            "vec_id",
+            "CAST(coalesce(component, vec_id) AS BIGINT) AS cluster_rep",
+            "coalesce(component, vec_id) = vec_id AS is_kept")
+    )

@@ -199,7 +199,7 @@ def dedup_simhash_hamming(spark, sf_dir):
 
 
 @query(
-    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_baseline",
     oracle="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
@@ -214,7 +214,7 @@ def dedup_simhash_hamming(spark, sf_dir):
                 6) >= 0.45
     """,
 )
-def dedup_embedding_cosine(spark, sf_dir):
+def dedup_embedding_cosine_baseline(spark, sf_dir):
     """Exact all-pairs cosine dedup — O(n^2) by construction, kept as
     the correctness baseline and for small/pre-blocked inputs only.
     The scale path is dedup_embedding_lsh_blocked below: identical
@@ -258,7 +258,7 @@ def _cosine_lsh_blocked_oracle(dim: int = 64, n_planes: int = 4,
 @query("dedup_embedding_lsh_blocked", oracle=_cosine_lsh_blocked_oracle())
 def dedup_embedding_lsh_blocked(spark, sf_dir):
     """The scale path for embedding near-dup detection: sign-LSH
-    blocking turns the O(n^2) cross join of dedup_embedding_cosine into
+    blocking turns the O(n^2) cross join of dedup_embedding_cosine_baseline into
     a per-bucket equi-join; candidates are cosine-verified exactly.
     The md5-derived hyperplanes make bucketing deterministic, so the
     DuckDB oracle replicates the whole scheme bit-for-bit."""

@@ -202,6 +202,106 @@ def test_read_stream_source_rate(spark):
         q.stop()
 
 
+def test_kafka_stream_spec_options_mapping(spark):
+    """No broker in this environment, so the kafka spec is asserted the
+    same way the partitioned-JDBC read is (test_sources_sinks):
+    subscribe/startingOffsets/bootstrap options must land on the
+    readStream builder verbatim and load() must be pathless."""
+    from unittest.mock import patch
+
+    from oracle_cassandra_migrator_spark.streaming import read_stream_source
+
+    captured = {}
+
+    class FakeReader:
+        def format(self, fmt):
+            captured["format"] = fmt
+            return self
+
+        def options(self, **kw):
+            captured.update(kw)
+            return self
+
+        def schema(self, s):
+            captured["schema"] = s
+            return self
+
+        def load(self, *args):
+            captured["load_args"] = args
+
+            class _D:
+                def where(self, *_): return self
+                def selectExpr(self, *_): return self
+            return _D()
+
+    with patch.object(type(spark), "readStream",
+                      property(lambda self: FakeReader())):
+        read_stream_source(spark, {
+            "format": "kafka",
+            "options": {"kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+                        "subscribe": "payments,events",
+                        "startingOffsets": "earliest",
+                        "maxOffsetsPerTrigger": 50000},
+            "filter": "timestamp > '2024-01-01'",
+        })
+    assert captured["format"] == "kafka"
+    assert captured["kafka.bootstrap.servers"] == "broker1:9092,broker2:9092"
+    assert captured["subscribe"] == "payments,events"
+    assert captured["startingOffsets"] == "earliest"
+    assert captured["maxOffsetsPerTrigger"] == "50000"  # stringified
+    assert captured["load_args"] == ()  # no path for kafka
+
+
+def test_kafka_value_json_projection(spark):
+    """The value_schema path (JSON value -> typed columns + kept wire
+    metadata) asserted against a real DataFrame shaped like the Kafka
+    wire schema: key/value binary + topic/partition/offset/timestamp."""
+    import datetime
+    from unittest.mock import patch
+
+    from oracle_cassandra_migrator_spark.streaming import read_stream_source
+
+    wire = spark.createDataFrame(
+        [
+            (bytearray(b"k1"),
+             bytearray(b'{"event_id": 7, "amount": 12.5}'),
+             "payments", 0, 11,
+             datetime.datetime(2024, 1, 2, 3, 4, 5)),
+            (bytearray(b"k2"),
+             bytearray(b'{"event_id": 9, "amount": 0.25}'),
+             "payments", 1, 12,
+             datetime.datetime(2024, 1, 2, 3, 4, 6)),
+        ],
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp",
+    )
+
+    class FakeReader:
+        def format(self, fmt):
+            return self
+
+        def options(self, **kw):
+            return self
+
+        def load(self, *args):
+            return wire
+
+    with patch.object(type(spark), "readStream",
+                      property(lambda self: FakeReader())):
+        out = read_stream_source(spark, {
+            "format": "kafka",
+            "options": {"kafka.bootstrap.servers": "b:9092",
+                        "subscribe": "payments"},
+            "value_schema": "event_id BIGINT, amount DOUBLE",
+        })
+    assert out.columns == ["kafka_key", "event_id", "amount",
+                           "topic", "partition", "offset", "timestamp"]
+    rows = {tuple(r) for r in
+            out.selectExpr("kafka_key", "event_id", "amount", "offset")
+            .collect()}
+    assert rows == {("k1", 7, 12.5, 11), ("k2", 9, 0.25, 12)}
+
+
 def test_read_stream_source_file_matches_batch(spark, tmp_path, events_stream):
     """File-stream spec with filter/select/watermark: same rows as the
     equivalent batch read; missing schema raises the documented error."""

@@ -147,6 +147,34 @@ def minhash_lsh_pairs(
     group-size guard is a count-over-window on the same
     (band_idx, band_key) distribution the self-join shuffles on, so it
     rides the existing exchange."""
+    exploded, sig, candidates = _minhash_candidates(
+        df, text_col, id_col, n, bands, rows, max_band_size)
+    sh_a = exploded.select(F.col(id_col).alias("doc_a"), "sh")
+    sh_b = exploded.select(F.col(id_col).alias("doc_b"), "sh")
+    return (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"),
+             F.first("n_a").alias("n_a"),
+             F.first("n_b").alias("n_b"))
+        .withColumn(
+            "jaccard",
+            F.expr("round(CAST(n_common AS DOUBLE) /"
+                   " (n_a + n_b - n_common), 6)"))
+        .where(f"jaccard >= {threshold}")
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _minhash_candidates(
+    df: DataFrame, text_col: str, id_col: str,
+    n: int, bands: int, rows: int, max_band_size: int | None,
+):
+    """Shared MinHash-LSH front half: returns (exploded shingle rows,
+    per-doc signature table, banded candidate pairs). Exactly the
+    pipeline documented on ``minhash_lsh_pairs`` up to candidate
+    generation."""
     shingled = with_shingles(df.select(id_col, text_col), text_col, n)
     exploded = shingled.select(
         F.col(id_col), F.expr("size(shingles)").alias("n_sh"),
@@ -185,21 +213,63 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b", "n_a", "n_b")
         .distinct()
     )
+    return exploded, sig, candidates
+
+
+def minhash_estimate_audit(
+    df: DataFrame, text_col: str, id_col: str,
+    n: int = 3,
+    bands: int = LSH_BANDS, rows: int = LSH_ROWS,
+    max_band_size: int | None = LSH_MAX_BAND_SIZE,
+) -> DataFrame:
+    """Statistical self-check of the MinHash scheme: for every LSH
+    candidate pair, the signature-estimated Jaccard (fraction of equal
+    minhash components, E[est] = true Jaccard) next to the exact
+    shingle Jaccard and their absolute error. This is the audit a
+    production dedup pipeline runs when tuning (bands, rows): if the
+    estimator drifts from the truth on sampled candidates, the hash
+    family or banding is wrong — and because every value is md5-derived
+    the whole audit is replayable in SQL.
+
+    Cost shape: the same banded candidate generation as
+    ``minhash_lsh_pairs`` (no all-pairs stage), plus two narrow joins
+    of the candidate list back to the k-integer signature table —
+    signatures shuffle on doc id once each, candidates are the small
+    side."""
+    exploded, sig, candidates = _minhash_candidates(
+        df, text_col, id_col, n, bands, rows, max_band_size)
+    k = bands * rows
+    sig_a = sig.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(k)])
+    sig_b = sig.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(k)])
+    matches = " + ".join(
+        f"CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END" for i in range(k))
+    est = (
+        candidates.join(sig_a, "doc_a").join(sig_b, "doc_b")
+        .withColumn("est_jaccard",
+                    F.expr(f"round(CAST(({matches}) AS DOUBLE) / {k}, 6)"))
+        .select("doc_a", "doc_b", "n_a", "n_b", "est_jaccard")
+    )
     sh_a = exploded.select(F.col(id_col).alias("doc_a"), "sh")
     sh_b = exploded.select(F.col(id_col).alias("doc_b"), "sh")
-    return (
+    common = (
         candidates.join(sh_a, "doc_a")
         .join(sh_b, ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"),
-             F.first("n_a").alias("n_a"),
-             F.first("n_b").alias("n_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        est.join(common, ["doc_a", "doc_b"], "left")
         .withColumn(
-            "jaccard",
-            F.expr("round(CAST(n_common AS DOUBLE) /"
-                   " (n_a + n_b - n_common), 6)"))
-        .where(f"jaccard >= {threshold}")
-        .select("doc_a", "doc_b", "jaccard")
+            "true_jaccard",
+            F.expr("round(CAST(coalesce(n_common, 0) AS DOUBLE) /"
+                   " (n_a + n_b - coalesce(n_common, 0)), 6)"))
+        .withColumn("abs_err",
+                    F.expr("round(abs(est_jaccard - true_jaccard), 6)"))
+        .select("doc_a", "doc_b", "est_jaccard", "true_jaccard", "abs_err")
     )
 
 

@@ -330,6 +330,56 @@ def cosine_pairs_within_cells(
     )
 
 
+def ivf_multiprobe_topk(
+    embeddings: DataFrame, modulus: int = 43, k: int = 10,
+    query_id: int = 0, n_probe: int = 2,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Multi-probe IVF ANN: search the query's ``n_probe`` nearest
+    cells instead of one — the standard recall knob of every IVF index
+    (a true neighbor just across a cell boundary is found by probing
+    the runner-up cell; recall rises from P[same cell] to P[within
+    top-n_probe cells] for ~n_probe x the probe cost, still
+    corpus/|cells| x n_probe rows instead of everything).
+
+    Corpus assignment is the same zero-shuffle broadcast-codebook
+    argmax as ``ivf_topk``. The probe list is computed on the single
+    query row: sort the codebook affinities descending (ties to the
+    smaller centroid id), slice the top ``n_probe``, explode to probe
+    rows — a few-row DataFrame that broadcasts into the final
+    cell-key join."""
+    e = DOUBLE_VEC.format(col=vec_col)
+    if centroids is None:
+        centroids = embeddings.where(f"{id_col} % {modulus} = 0").select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    cells = _assign_cells(embeddings, centroids, vec_col, id_col)
+    codebook = centroids.select(
+        "cid", F.expr(DOUBLE_VEC.format(col="cvec")).alias("cvec")
+    ).agg(F.collect_list(F.struct("cid", "cvec")).alias("cents"))
+    qe = DOUBLE_VEC.format(col=vec_col)
+    probes_expr = (
+        f"transform(slice(reverse(array_sort(transform(cents, c -> "
+        f"struct(round({dot_expr(qe, 'c.cvec')}, 6) AS aff, "
+        f"-c.cid AS neg_cid)))), 1, {n_probe}), s -> -s.neg_cid)"
+    )
+    q = (
+        embeddings.where(f"{id_col} = {query_id}")
+        .crossJoin(F.broadcast(codebook))
+        .select(F.col(vec_col).alias("q"),
+                F.explode(F.expr(probes_expr)).alias("qcell"))
+    )
+    qv = DOUBLE_VEC.format(col="q")
+    return (
+        cells.join(F.broadcast(q), F.expr("cell_id = qcell"))
+        .withColumn("cosine", F.expr(f"round({cosine_expr(e, qv)}, 6)"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.col("cell_id").cast("bigint").alias("cell_id"),
+                "cosine")
+    )
+
+
 def cosine_pairs_cell_blocked(
     embeddings: DataFrame, centroids: DataFrame, threshold: float,
     vec_col: str = "embedding", id_col: str = "vec_id",

@@ -89,8 +89,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
 
 
-def _minhash_oracle(bands: int = dedup.LSH_BANDS, rows: int = dedup.LSH_ROWS,
-                    max_band_size: int = dedup.LSH_MAX_BAND_SIZE) -> str:
+def _minhash_cand_cte(bands: int, rows: int, max_band_size: int) -> str:
+    """Shared WITH body for the MinHash oracles: shingles -> signatures
+    -> banded keys -> capped candidate pairs (``cand``)."""
     k = bands * rows
     mins = ",\n           ".join(
         f"{dedup.minhash_term_sql(i)} AS m{i}" for i in range(k))
@@ -100,8 +101,7 @@ def _minhash_oracle(bands: int = dedup.LSH_BANDS, rows: int = dedup.LSH_ROWS,
         f" AS band_key FROM mh"
         for b in range(bands)
     )
-    return f"""
-    WITH {_SHINGLE_CTE},
+    return f"""{_SHINGLE_CTE},
     ex AS (SELECT doc_id, unnest(shingles) AS tok FROM sh),
     mh AS (SELECT doc_id,
            {mins}
@@ -116,7 +116,13 @@ def _minhash_oracle(bands: int = dedup.LSH_BANDS, rows: int = dedup.LSH_ROWS,
                         AND a.band_key = k.band_key
              JOIN bands b ON a.band_idx = b.band_idx
                          AND a.band_key = b.band_key
-                         AND a.doc_id < b.doc_id)
+                         AND a.doc_id < b.doc_id)"""
+
+
+def _minhash_oracle(bands: int = dedup.LSH_BANDS, rows: int = dedup.LSH_ROWS,
+                    max_band_size: int = dedup.LSH_MAX_BAND_SIZE) -> str:
+    return f"""
+    WITH {_minhash_cand_cte(bands, rows, max_band_size)}
     SELECT * FROM ({_JACCARD_SQL}) WHERE jaccard >= 0.5
     """
 
@@ -125,6 +131,39 @@ def _minhash_oracle(bands: int = dedup.LSH_BANDS, rows: int = dedup.LSH_ROWS,
 def dedup_minhash_lsh(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+
+
+def _minhash_audit_oracle(
+        bands: int = dedup.LSH_BANDS, rows: int = dedup.LSH_ROWS,
+        max_band_size: int = dedup.LSH_MAX_BAND_SIZE) -> str:
+    k = bands * rows
+    matches = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(k))
+    return f"""
+    WITH {_minhash_cand_cte(bands, rows, max_band_size)},
+    est AS (SELECT c.doc_a, c.doc_b,
+                   round(CAST(({matches}) AS DOUBLE) / {k}, 6) AS est_jaccard
+            FROM cand c
+            JOIN mh a ON a.doc_id = c.doc_a
+            JOIN mh b ON b.doc_id = c.doc_b),
+    tru AS ({_JACCARD_SQL})
+    SELECT e.doc_a, e.doc_b, e.est_jaccard,
+           t.jaccard AS true_jaccard,
+           round(abs(e.est_jaccard - t.jaccard), 6) AS abs_err
+    FROM est e JOIN tru t ON e.doc_a = t.doc_a AND e.doc_b = t.doc_b
+    """
+
+
+@query("dedup_minhash_estimate_audit", oracle=_minhash_audit_oracle())
+def dedup_minhash_estimate_audit(spark, sf_dir):
+    """MinHash estimator audit: for every LSH candidate pair, the
+    signature-estimated Jaccard (share of equal minhash components)
+    next to the exact shingle Jaccard and the absolute error — the
+    tuning check a production dedup runs on (bands, rows). Same banded
+    candidate generation as dedup_minhash_lsh plus two narrow
+    signature joins (see dedup.minhash_estimate_audit)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.minhash_estimate_audit(docs, "text", "doc_id", n=3)
 
 
 # DuckDB replica of operators.dedup.simhash_expr: per-doc 32-bit
@@ -692,6 +731,51 @@ def sim_ivf_topk(spark, sf_dir):
     sim_ivf_trained_topk below runs the same search over a k-means
     codebook)."""
     return similarity.ivf_topk(read_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "sim_ivf_multiprobe_topk",
+    oracle="""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cvec
+      FROM embeddings WHERE vec_id % 43 = 0),
+    assign AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_dot_product(e.embedding::DOUBLE[],
+                                               c.cvec::DOUBLE[]), 6) DESC,
+                        c.cid) AS rn
+      FROM embeddings e CROSS JOIN cents c),
+    cells AS (
+      SELECT vec_id, embedding, CAST(cid AS BIGINT) AS cell_id
+      FROM assign WHERE rn = 1),
+    qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+    aff AS (SELECT c.cid,
+                   round(list_dot_product(q.q::DOUBLE[], c.cvec::DOUBLE[]), 6)
+                     AS aff
+            FROM cents c CROSS JOIN qv q),
+    probes AS (SELECT CAST(cid AS BIGINT) AS qcell FROM aff
+               ORDER BY aff DESC, cid LIMIT 2)
+    SELECT c.vec_id, c.cell_id,
+           round(list_dot_product(c.embedding::DOUBLE[], q.q::DOUBLE[])
+                 / (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.q::DOUBLE[], q.q::DOUBLE[]))), 6)
+             AS cosine
+    FROM cells c JOIN probes p ON c.cell_id = p.qcell CROSS JOIN qv q
+    ORDER BY cosine DESC, c.vec_id
+    LIMIT 10
+    """,
+)
+def sim_ivf_multiprobe_topk(spark, sf_dir):
+    """Multi-probe IVF ANN (n_probe=2): search the query's two nearest
+    cells — the standard recall knob of an IVF index; a true neighbor
+    sitting just across the cell boundary is recovered by the
+    runner-up probe at ~2x the single-cell probe cost, still
+    corpus/|cells| x 2 rows instead of the whole corpus (see
+    similarity.ivf_multiprobe_topk)."""
+    return similarity.ivf_multiprobe_topk(
+        read_table(spark, sf_dir, "embeddings"), n_probe=2)
 
 
 def _ivf_cells_parts(modulus: int = 43, iters: int = 2,
@@ -1863,4 +1947,50 @@ def dedup_semantic_prune(spark, sf_dir):
             "vec_id",
             "CAST(coalesce(component, vec_id) AS BIGINT) AS cluster_rep",
             "coalesce(component, vec_id) = vec_id AS is_kept")
+    )
+
+
+@query(
+    "corpus_mix_report",
+    oracle=f"""
+    WITH t AS (SELECT lang, source, n_chars, {_NTOK_SQL} AS ntok
+               FROM documents),
+    tot AS (SELECT SUM(ntok) AS corpus_tokens FROM t)
+    SELECT COALESCE(lang, 'ALL') AS lang,
+           COALESCE(source, 'ALL') AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+           round(CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_chars,
+           CAST(floor(SUM(ntok) * 1e6 / (SELECT corpus_tokens FROM tot)
+                      + 0.5) AS BIGINT) AS token_ppm
+    FROM t GROUP BY ROLLUP (lang, source)
+    """,
+)
+def corpus_mix_report(spark, sf_dir):
+    """Training-mix planning report: docs/tokens/avg-length per
+    (lang, source) with rollup subtotals and each stratum's share of
+    corpus tokens in integer ppm (floor(x + 0.5) — neither engine's
+    round() builtin, which disagree on halves). One rollup aggregation
+    over per-row token counts plus a broadcast 1-row corpus total —
+    partial aggregation is map-side, so the shuffle carries only
+    |lang x source| rows at any corpus size."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "lang", "source", "n_chars",
+        F.expr(token_count_expr("text")).alias("ntok"))
+    rolled = docs.rollup("lang", "source").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+        F.expr("CAST(SUM(ntok) AS BIGINT)").alias("total_tokens"),
+        F.expr("round(CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE)"
+               " / COUNT(*), 6)").alias("avg_chars"),
+    )
+    total = docs.agg(F.sum("ntok").alias("corpus_tokens"))
+    return (
+        rolled.crossJoin(F.broadcast(total))
+        .selectExpr(
+            "COALESCE(lang, 'ALL') AS lang",
+            "COALESCE(source, 'ALL') AS source",
+            "n_docs", "total_tokens", "avg_chars",
+            "CAST(floor(total_tokens * 1e6 / corpus_tokens + 0.5)"
+            " AS BIGINT) AS token_ppm")
     )

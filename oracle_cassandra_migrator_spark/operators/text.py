@@ -110,6 +110,18 @@ def token_count_expr(col: str) -> str:
     return f"CAST(size({words_expr(col)}) AS BIGINT)"
 
 
+def prefix_fingerprint_expr(col: str, n_words: int = 20) -> str:
+    """Boilerplate-header fingerprint: md5 of the first ``n_words``
+    normalized words. Docs sharing it open with the same template
+    (cookie banners, license headers, scraper chrome) even when their
+    bodies differ — the curation signal whole-doc exact dedup misses.
+    Shorter docs fingerprint their full text (slice caps at length in
+    both engines)."""
+    return (
+        f"md5(array_join(slice({words_expr(col)}, 1, {n_words}), ' '))"
+    )
+
+
 def bottomk_fingerprint_expr(col: str, k: int = 3) -> str:
     """Bottom-k sketch fingerprint: the k smallest md5 hashes of the
     distinct words, concatenated. A cheap locality-sensitive doc

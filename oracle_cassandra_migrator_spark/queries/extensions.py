@@ -20,6 +20,7 @@ from oracle_cassandra_migrator_spark.operators.text import (
     lang_guess_expr,
     bottomk_fingerprint_expr,
     normalize_expr,
+    prefix_fingerprint_expr,
     quality_columns,
     token_count_expr,
 )
@@ -1947,6 +1948,38 @@ def dedup_semantic_prune(spark, sf_dir):
             "vec_id",
             "CAST(coalesce(component, vec_id) AS BIGINT) AS cluster_rep",
             "coalesce(component, vec_id) = vec_id AS is_kept")
+    )
+
+
+@query(
+    "dedup_prefix_boilerplate",
+    oracle=f"""
+    WITH p AS (SELECT doc_id,
+                      md5(array_to_string(({WORDS_SQL})[1:20], ' '))
+                        AS prefix_fp
+               FROM documents)
+    SELECT prefix_fp,
+           CAST(min(doc_id) AS BIGINT) AS representative_id,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM p GROUP BY prefix_fp HAVING count(*) > 1
+    """,
+)
+def dedup_prefix_boilerplate(spark, sf_dir):
+    """Boilerplate-header groups: docs opening with the same 20
+    normalized words (cookie banners, license headers, scraper chrome)
+    even when bodies differ — the curation signal whole-doc exact
+    dedup misses. Per-row fingerprint + one hash groupBy, the same
+    linear cost shape as dedup_exact_documents."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(prefix_fingerprint_expr("text", 20)).alias("prefix_fp"))
+        .groupBy("prefix_fp")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("representative_id"),
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"))
+        .where("n_docs > 1")
     )
 
 

@@ -386,3 +386,37 @@ def test_temperature_resample_flattens_head(spark):
     out2 = {r.lang: r.n_kept for r in temperature_resample_audit(
         df.repartition(13), "doc_id", "lang").collect()}
     assert out2 == {k: v.n_kept for k, v in out.items()}
+
+
+def test_codebook_literal_roundtrip(spark):
+    """The collected-codebook -> SQL-literal path must reproduce the
+    exact doubles: every centroid component comes out of a round(6)
+    path, so the %.6f rendering parses back bit-identically."""
+    vals = [0.123456, -1.0, 0.0, 119.25, -0.000001, 0.999999]
+    rows = [{"cid": 7, "cvec": vals}, {"cid": 301, "cvec": vals[::-1]}]
+    expr = similarity.codebook_literal_expr(rows)
+    got = spark.sql(f"SELECT {expr} AS cents").collect()[0]["cents"]
+    assert [c["cid"] for c in got] == [7, 301]
+    assert list(got[0]["cvec"]) == vals
+    assert list(got[1]["cvec"]) == vals[::-1]
+    # a 6-decimal round output always survives the literal round-trip
+    for frac in range(-1000000, 1000001, 77777):
+        v = frac / 1e6
+        assert float(f"{v:.6f}") == v
+
+
+def test_assign_cells_literal_matches_dataframe_assignment(spark):
+    """Literal-codebook assignment must agree with the broadcast-
+    codebook DataFrame assignment on every vector."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # the literal contract requires round(6) components (what the
+    # k-means mean path emits), so round the codebook for both paths
+    cents = emb.where("vec_id % 43 = 0").selectExpr(
+        "vec_id AS cid",
+        "transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS cvec")
+    via_df = similarity._assign_cells(emb, cents, "embedding", "vec_id")
+    lit = similarity.codebook_literal_expr(cents.collect())
+    via_lit = similarity.assign_cells_literal(emb, lit)
+    a = {(r.vec_id, r.cell_id) for r in via_df.collect()}
+    b = {(r.vec_id, r.cell_id) for r in via_lit.collect()}
+    assert a == b

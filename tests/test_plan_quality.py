@@ -125,11 +125,45 @@ def test_dedup_shuffles_carry_no_shingle_arrays(spark):
     """minhash/ngram shuffle payloads must be row-shaped (ids, hashes,
     single shingles) — a shingle *array* column inside a shuffle
     exchange means the single-pass restructure regressed."""
-    for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard"):
+    for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard",
+                 "dedup_minhash_estimate_audit"):
         plan = plan_of(spark, name)
         for line in plan.splitlines():
             if "Exchange hashpartitioning" in line:
                 assert "shingles#" not in line, (name, line.strip()[:120])
+
+
+def test_multiprobe_assignment_is_map_side(spark):
+    """Multi-probe IVF must keep the corpus assignment a per-row argmax
+    (no Window, zero corpus-wide exchange); the probe list and query
+    vector enter through broadcasts and the top-k is a
+    TakeOrderedAndProject."""
+    plan = plan_of(spark, "sim_ivf_multiprobe_topk")
+    assert "Window" not in plan
+    assert not re.search(r"Exchange (hash|range)partitioning", plan)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_mix_report_partial_rollup_and_broadcast_total(spark):
+    """The mix report must partial-aggregate the rollup map-side (one
+    hash exchange carrying only |lang x source| groups) and bring the
+    corpus total in as a broadcast, never a second corpus pass through
+    a join shuffle."""
+    plan = plan_of(spark, "corpus_mix_report")
+    assert "partial_" in plan
+    assert "Expand" in plan  # rollup grouping sets
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_prefix_boilerplate_single_exchange(spark):
+    """Prefix fingerprint dedup is fingerprint + one hash groupBy —
+    exactly one shuffle, partial-aggregated map-side."""
+    plan = plan_of(spark, "dedup_prefix_boilerplate")
+    assert "partial_" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
 
 
 def test_catalog_orders_least_verified_first():

@@ -1952,6 +1952,42 @@ def dedup_semantic_prune(spark, sf_dir):
 
 
 @query(
+    "events_rolling_weekly_counts",
+    oracle="""
+    WITH d AS (SELECT event_type,
+                      CAST(date_trunc('day', ts) AS DATE) AS day,
+                      CAST(count(*) AS BIGINT) AS n_events
+               FROM events GROUP BY 1, 2)
+    SELECT event_type, day, n_events,
+           CAST(SUM(n_events) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS rolling_7d
+    FROM d
+    """,
+)
+def events_rolling_weekly_counts(spark, sf_dir):
+    """Rolling 7-day event volume per type — the aggregate-BEFORE-
+    window scale pattern: the corpus collapses to |event_type x day|
+    rows in one map-side-combined shuffle, and only that tiny daily
+    table flows through the ordered window frame. This is the recipe
+    the window_rank_breadth docstring points to for any low-cardinality
+    partition window at 100 TB (never run an ordered window over raw
+    corpus rows when the measure is aggregable)."""
+    events = read_table(spark, sf_dir, "events")
+    daily = (
+        events.selectExpr(
+            "event_type", "CAST(date_trunc('DAY', ts) AS DATE) AS day")
+        .groupBy("event_type", "day")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n_events"))
+    )
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(-6, Window.currentRow))
+    return daily.withColumn(
+        "rolling_7d", F.sum("n_events").over(w).cast("bigint"))
+
+
+@query(
     "dedup_prefix_boilerplate",
     oracle=f"""
     WITH p AS (SELECT doc_id,

@@ -122,6 +122,99 @@ def prefix_fingerprint_expr(col: str, n_words: int = 20) -> str:
     )
 
 
+def char_bigrams_expr(norm_col: str) -> str:
+    """Character bigrams of an already-normalized text column (stage
+    the normalization first — inlining it would re-run the regex per
+    bigram)."""
+    s = norm_col
+    return (
+        f"CASE WHEN length({s}) >= 2 THEN "
+        f"transform(sequence(1, length({s}) - 1), i -> substring({s}, i, 2)) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
+def bigram_model(docs: DataFrame, text_col: str, id_col: str,
+                 sample_mod: int = 11):
+    """Train a char-bigram language model on a bounded deterministic
+    sample (``id % sample_mod = 0``) and return (rows, total): the
+    KenLM-style quality-proxy model. The model is charset^2-bounded
+    (normalized text: ~30 chars -> <=900 bigrams), so it collects
+    driver-side and re-enters the scoring plan as a map LITERAL —
+    training never rides along in the scoring DAG (same pattern as the
+    SemDeDup codebook literal)."""
+    norm = docs.where(f"{id_col} % {sample_mod} = 0").select(
+        F.expr(normalize_expr(text_col)).alias("s"))
+    bg = norm.select(F.explode(F.expr(char_bigrams_expr("s"))).alias("bg"))
+    rows = bg.groupBy("bg").agg(F.count("*").alias("cnt")).collect()
+    total = sum(r["cnt"] for r in rows)
+    return rows, total
+
+
+def bigram_logprob_map_expr(rows, total: int) -> tuple[str, int]:
+    """(map literal expr, floor_micro): per-bigram log-probability in
+    integer micro-units, floor(ln(cnt/total) * 1e6 + 0.5) — the
+    repo-standard half-up rounding both engines (and Python, which
+    stamps the literal) implement identically with floor(). Unseen
+    bigrams score at the half-count floor ln(0.5/total)."""
+    import math
+
+    entries = []
+    for r in sorted(rows, key=lambda r: r["bg"]):
+        key = r["bg"].replace("\\", "\\\\").replace("'", "\\'")
+        micro = math.floor(math.log(r["cnt"] / total) * 1e6 + 0.5)
+        entries.append(f"'{key}', {micro}L")
+    floor_micro = math.floor(math.log(0.5 / total) * 1e6 + 0.5)
+    return "map(" + ", ".join(entries) + ")", floor_micro
+
+
+def bigram_logprob_scores(
+    docs: DataFrame, text_col: str, id_col: str,
+    map_expr: str, floor_micro: int,
+) -> DataFrame:
+    """Per-doc average bigram log-probability against the literal
+    model: entirely per-row (normalize, bigram, map-lookup fold in
+    exact integer micro-units — order-free, no float accumulation),
+    zero shuffle. Low scores flag gibberish/non-language text; this is
+    the cheap stand-in for a perplexity filter."""
+    norm = docs.select(id_col, F.expr(normalize_expr(text_col)).alias("s"))
+    return (
+        norm.withColumn("bgs", F.expr(char_bigrams_expr("s")))
+        .withColumn("M", F.expr(map_expr))
+        .selectExpr(
+            id_col,
+            "CAST(size(bgs) AS BIGINT) AS n_bigrams",
+            f"round(CAST(aggregate(transform(bgs, b -> "
+            f"coalesce(element_at(M, b), {floor_micro}L)), 0L, "
+            f"(a, x) -> a + x) AS DOUBLE) / 1e6 "
+            f"/ greatest(size(bgs), 1), 6) AS avg_logprob",
+        )
+    )
+
+
+def hashed_words_expr(col: str, dims: int = 16) -> str:
+    """Words -> (idx, sgn) structs for signed feature hashing: index
+    from the md5 prefix, sign from the next hex digit's parity."""
+    return (
+        f"transform({words_expr(col)}, x -> named_struct("
+        f"'idx', CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT)"
+        f" % {dims}, "
+        f"'sgn', CASE WHEN CAST(conv(substring(md5(x), 16, 1), 16, 10)"
+        f" AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END))"
+    )
+
+
+def feature_vector_expr(hw_col: str, dims: int = 16) -> str:
+    """Signed-count feature vector (HashingTF with sign hashing, per
+    Weinberger et al. 2009): component j = (+1 matches) - (-1 matches).
+    Exact integers — no float parity risk — and strictly per-row."""
+    return (
+        f"transform(sequence(0, {dims - 1}), j -> CAST("
+        f"size(filter({hw_col}, h -> h.idx = j AND h.sgn = 1)) - "
+        f"size(filter({hw_col}, h -> h.idx = j AND h.sgn = -1)) AS BIGINT))"
+    )
+
+
 def bottomk_fingerprint_expr(col: str, k: int = 3) -> str:
     """Bottom-k sketch fingerprint: the k smallest md5 hashes of the
     distinct words, concatenated. A cheap locality-sensitive doc

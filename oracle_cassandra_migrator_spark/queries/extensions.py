@@ -18,7 +18,12 @@ from oracle_cassandra_migrator_spark.operators import (
 )
 from oracle_cassandra_migrator_spark.operators.text import (
     lang_guess_expr,
+    bigram_logprob_map_expr,
+    bigram_logprob_scores,
+    bigram_model,
     bottomk_fingerprint_expr,
+    feature_vector_expr,
+    hashed_words_expr,
     normalize_expr,
     prefix_fingerprint_expr,
     quality_columns,
@@ -2016,6 +2021,95 @@ def dedup_prefix_boilerplate(spark, sf_dir):
             F.min("doc_id").cast("bigint").alias("representative_id"),
             F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"))
         .where("n_docs > 1")
+    )
+
+
+BIGRAM_SAMPLE_MOD = 11
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {NORM_SQL} AS s FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(
+                      generate_series(1, greatest(length(s) - 1, 0)),
+                      i -> substring(s, i, 2))) AS bg
+           FROM norm),
+    model AS (SELECT bg, CAST(count(*) AS BIGINT) AS cnt
+              FROM bg WHERE doc_id % {BIGRAM_SAMPLE_MOD} = 0 GROUP BY bg),
+    tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM model),
+    micro AS (SELECT m.bg,
+                     CAST(floor(ln(m.cnt / t.total) * 1e6 + 0.5) AS BIGINT)
+                       AS mlp
+              FROM model m CROSS JOIN tot t),
+    agg AS (SELECT b.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   SUM(COALESCE(mi.mlp,
+                       (SELECT CAST(floor(ln(0.5 / total) * 1e6 + 0.5)
+                               AS BIGINT) FROM tot))) AS ssum
+            FROM bg b LEFT JOIN micro mi USING (bg)
+            GROUP BY b.doc_id)
+    SELECT n.doc_id,
+           COALESCE(a.n_bigrams, 0) AS n_bigrams,
+           round(CAST(COALESCE(a.ssum, 0) AS DOUBLE) / 1e6
+                 / greatest(COALESCE(a.n_bigrams, 0), 1), 6) AS avg_logprob
+    FROM norm n LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def text_bigram_logprob(spark, sf_dir):
+    """Char-bigram language-model score — the cheap perplexity-filter
+    stand-in (low average log-prob flags gibberish / non-language
+    text). The model trains on a bounded deterministic sample
+    (doc_id % 11 = 0) in its own small job, collects driver-side
+    (charset^2-bounded, <= ~900 bigrams) and re-enters the scoring
+    plan as a map LITERAL; scoring is then entirely per-row — map
+    lookups folded in exact integer micro-units (floor(x*1e6 + 0.5),
+    order-free) — with ZERO shuffle. Unseen bigrams score at the
+    half-count floor. Same train-out-of-plan pattern as the SemDeDup
+    codebook literal."""
+    docs = read_table(spark, sf_dir, "documents")
+    rows, total = bigram_model(
+        docs, "text", "doc_id", sample_mod=BIGRAM_SAMPLE_MOD)
+    map_expr, floor_micro = bigram_logprob_map_expr(rows, total)
+    return bigram_logprob_scores(docs, "text", "doc_id",
+                                 map_expr, floor_micro)
+
+
+@query(
+    "text_feature_hashing",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {WORDS_SQL} AS w FROM documents),
+    hw AS (SELECT doc_id,
+                  list_transform(w, x -> struct_pack(
+                      idx := ('0x' || substring(md5(x), 1, 15))::BIGINT % 16,
+                      sgn := CASE WHEN ('0x' || substring(md5(x), 16, 1))::BIGINT
+                                       % 2 = 0 THEN 1 ELSE -1 END)) AS hw
+           FROM w)
+    SELECT doc_id,
+           CAST(len(hw) AS BIGINT) AS n_words,
+           list_transform(generate_series(0, 15), j ->
+               CAST(len(list_filter(hw, h -> h.idx = j AND h.sgn = 1))
+                    - len(list_filter(hw, h -> h.idx = j AND h.sgn = -1))
+                 AS BIGINT)) AS features
+    FROM hw
+    """,
+)
+def text_feature_hashing(spark, sf_dir):
+    """Signed feature hashing (HashingTF with sign bits, Weinberger et
+    al. 2009): every document becomes a fixed 16-dim signed-count
+    vector from md5-derived (index, sign) per word — the classic
+    fixed-width featurization for linear classifiers / quality models
+    over unbounded vocabularies. Exact integers end to end (no float
+    parity risk), strictly per-row, zero shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.expr(hashed_words_expr("text", 16)).alias("hw"))
+        .selectExpr(
+            "doc_id",
+            "CAST(size(hw) AS BIGINT) AS n_words",
+            f"{feature_vector_expr('hw', 16)} AS features")
     )
 
 

@@ -157,6 +157,39 @@ def test_mix_report_partial_rollup_and_broadcast_total(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_bigram_logprob_scores_with_zero_shuffle(spark):
+    """The literal-map scoring plan must be one scan + per-row
+    projection: training (explode + aggregates) stays OUT of the plan,
+    entering only as the map literal."""
+    plan = plan_of(spark, "text_bigram_logprob")
+    assert not re.search(r"Exchange (hash|range)partitioning", plan)
+    assert "HashAggregate" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_feature_hashing_is_per_row(spark):
+    """Feature hashing is strictly per-row: one scan, no shuffle, no
+    aggregation anywhere in the plan."""
+    plan = plan_of(spark, "text_feature_hashing")
+    assert not re.search(r"Exchange (hash|range)partitioning", plan)
+    assert "HashAggregate" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_rolling_weekly_aggregates_before_window(spark):
+    """The rolling frame must consume the pre-aggregated daily table —
+    partial aggregation below the first exchange, and the window sits
+    ABOVE the aggregate (never over raw corpus rows)."""
+    plan = plan_of(spark, "events_rolling_weekly_counts")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "partial_" in plan
+    assert len(re.findall(r"\bWindow \[", final)) == 1
+    # the Window node's input is the aggregate, not the scan: in the
+    # tree the aggregate must appear between Window and the scan
+    w = final.index("Window [")
+    assert "HashAggregate" in final[w:], "window must sit above the aggregate"
+
+
 def test_prefix_boilerplate_single_exchange(spark):
     """Prefix fingerprint dedup is fingerprint + one hash groupBy —
     exactly one shuffle, partial-aggregated map-side."""

@@ -1587,6 +1587,105 @@ def window_value_functions(spark, sf_dir):
 
 
 @query(
+    "window_ntile_quartiles",
+    oracle="""
+    WITH n AS (SELECT c_nationkey,
+                      CAST(COUNT(*) AS BIGINT) AS n_customers,
+                      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                        AS total_bal
+               FROM customer GROUP BY c_nationkey)
+    SELECT c_nationkey AS nation_key, n_customers,
+           round(total_bal, 4) AS total_bal,
+           CAST(ntile(4) OVER
+             (ORDER BY total_bal DESC, c_nationkey) AS BIGINT)
+             AS balance_quartile,
+           round(percent_rank() OVER
+             (ORDER BY total_bal DESC, c_nationkey), 6) AS balance_prank
+    FROM n
+    """,
+)
+def window_ntile_quartiles(spark, sf_dir):
+    """ntile + percent_rank over a PRE-AGGREGATED input — the W1
+    distribution functions completed with the aggregate-before-window
+    discipline: customers collapse to one row per nation in a
+    map-side-combined shuffle, and the unpartitioned ordered window
+    (unavoidable for a global quartile) runs over |nations| rows, not
+    the corpus."""
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer")
+    return spark.sql("""
+        WITH n AS (SELECT c_nationkey,
+                          CAST(COUNT(*) AS BIGINT) AS n_customers,
+                          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4)))
+                               AS DOUBLE) AS total_bal
+                   FROM customer GROUP BY c_nationkey)
+        SELECT c_nationkey AS nation_key, n_customers,
+               round(total_bal, 4) AS total_bal,
+               CAST(ntile(4) OVER
+                 (ORDER BY total_bal DESC, c_nationkey) AS BIGINT)
+                 AS balance_quartile,
+               round(percent_rank() OVER
+                 (ORDER BY total_bal DESC, c_nationkey), 6)
+                 AS balance_prank
+        FROM n
+    """)
+
+
+# Exact integerization of the 2-decimal doubles (floor(x*100 + 0.5) —
+# the repo-standard half-up both engines implement with floor); corr
+# is scale-invariant so the x100 factors cancel. Products stay within
+# BIGINT (<= ~5e10/row); the sums accumulate as DECIMAL(38,0) so no
+# row count can overflow them.
+_CORR_XI = "CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)"
+_CORR_YI = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+
+
+def _corr_sql() -> str:
+    n = "COUNT(*)"
+    d38 = "DECIMAL(38,0)"
+    sx = f"CAST(SUM(CAST({_CORR_XI} AS {d38})) AS DOUBLE)"
+    sy = f"CAST(SUM(CAST({_CORR_YI} AS {d38})) AS DOUBLE)"
+    sxx = f"CAST(SUM(CAST({_CORR_XI} * {_CORR_XI} AS {d38})) AS DOUBLE)"
+    syy = f"CAST(SUM(CAST({_CORR_YI} * {_CORR_YI} AS {d38})) AS DOUBLE)"
+    sxy = f"CAST(SUM(CAST({_CORR_XI} * {_CORR_YI} AS {d38})) AS DOUBLE)"
+    return (
+        f"round(({n} * {sxy} - {sx} * {sy})"
+        f" / (sqrt({n} * {sxx} - {sx} * {sx})"
+        f" * sqrt({n} * {syy} - {sy} * {sy})), 6)"
+    )
+
+
+@query(
+    "agg_corr_quantity_price",
+    oracle=f"""
+    SELECT l_linestatus AS line_status,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {_corr_sql()} AS corr_qty_price
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def agg_corr_quantity_price(spark, sf_dir):
+    """Pearson correlation decomposed into exact integer moments
+    (n, Σx, Σy, Σx², Σy², Σxy over micro-integerized values) instead
+    of the builtin corr(): the builtin accumulates doubles in
+    partition order, so its last bits drift with partitioning and can
+    never hash-match a serial oracle; the integer moments are exact
+    and order-free (DECIMAL(38,0) accumulators — unoverflowable at any
+    row count), the final double arithmetic is identical on both
+    engines, and the aggregation is still one map-side-combined
+    shuffle of 6 numbers per group."""
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_linestatus").alias("line_status"))
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_items"),
+            F.expr(_corr_sql()).alias("corr_qty_price"),
+        )
+    )
+
+
+@query(
     "unpivot_part_metrics",
     oracle="""
     SELECT p_partkey AS part_id, 'retail_price' AS metric,

@@ -125,3 +125,44 @@ def test_pigeonhole_widths_partition_the_hash(bits, d):
     assert len(w) == d + 1
     assert sum(w) == bits
     assert max(w) - min(w) <= 1
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=5),   # group
+                  st.integers(min_value=0, max_value=20),  # score (ties!)
+                  st.integers(min_value=0, max_value=7)),  # salt
+        max_size=200),
+    n=st.integers(min_value=1, max_value=5),
+)
+def test_salted_cap_equals_plain_for_any_salt_assignment(rows, n):
+    """The mathematical core of operators/curation.cap_per_group_salted:
+    for ANY deterministic salt assignment (hypothesis draws it
+    adversarially), pruning to the per-(group, salt) top-n and then
+    re-ranking the survivors per group yields exactly the plain
+    per-group top-n — ranks included — under a total order."""
+    items = [(g, score, i, s) for i, (g, score, s) in enumerate(rows)]
+    key = lambda it: (-it[1], it[2])  # score desc, id asc — total order
+
+    def topn_ranked(seq):
+        out = {}
+        groups = {}
+        for it in seq:
+            groups.setdefault(it[0], []).append(it)
+        for g, members in groups.items():
+            for rank, it in enumerate(sorted(members, key=key)[:n], 1):
+                out[it[2]] = (g, rank)
+        return out
+
+    plain = topn_ranked(items)
+
+    stage1 = {}
+    for it in items:
+        stage1.setdefault((it[0], it[3]), []).append(it)
+    survivors = []
+    for members in stage1.values():
+        survivors.extend(sorted(members, key=key)[:n])
+    salted = topn_ranked(survivors)
+
+    assert salted == plain

@@ -1631,6 +1631,107 @@ def window_ntile_quartiles(spark, sf_dir):
     """)
 
 
+@query(
+    "agg_price_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS price_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
+                 4) AS bin_revenue
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_price_histogram(spark, sf_dir):
+    """Fixed-width histogram binning (bin = floor(x / width)) — the
+    dashboard/distribution primitive. Pure map-side bin derivation + a
+    |bins|-row shuffle with partial aggregation; exact-decimal revenue
+    per bin. At any scale the shuffle carries one row per bin per
+    partition."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.expr("CAST(floor(o_totalprice / 25000.0) AS BIGINT)")
+                 .alias("price_bin"))
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_orders"),
+            F.expr("round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))"
+                   " AS DOUBLE), 4)").alias("bin_revenue"),
+        )
+    )
+
+
+@query(
+    "scalar_bitwise_functions",
+    oracle="""
+    SELECT o_orderkey AS order_key,
+           CAST(o_orderkey & 255 AS BIGINT) AS low_byte,
+           CAST(o_orderkey | 4096 AS BIGINT) AS with_flag,
+           CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS key_xor,
+           CAST(o_orderkey << 2 AS BIGINT) AS shifted_left,
+           CAST(o_orderkey >> 3 AS BIGINT) AS shifted_right,
+           CAST(bit_count(o_orderkey) AS BIGINT) AS key_popcount
+    FROM orders
+    WHERE o_orderkey <= 1000
+    """,
+)
+def scalar_bitwise_functions(spark, sf_dir):
+    """Bitwise scalar family (F1 breadth): and/or/xor/shifts/popcount —
+    the primitives behind bitmap flags, hash mixing, and the SimHash /
+    pigeonhole operators elsewhere in the catalog. Map-only with the
+    key filter pushed into the scan."""
+    return read_table(spark, sf_dir, "orders").where(
+        "o_orderkey <= 1000").selectExpr(
+        "o_orderkey AS order_key",
+        "CAST(o_orderkey & 255 AS BIGINT) AS low_byte",
+        "CAST(o_orderkey | 4096 AS BIGINT) AS with_flag",
+        "CAST(o_orderkey ^ o_custkey AS BIGINT) AS key_xor",
+        "CAST(shiftleft(o_orderkey, 2) AS BIGINT) AS shifted_left",
+        "CAST(shiftright(o_orderkey, 3) AS BIGINT) AS shifted_right",
+        "CAST(bit_count(o_orderkey) AS BIGINT) AS key_popcount",
+    )
+
+
+@query(
+    "events_user_lifecycle",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT CAST(date_trunc('day', ts) AS DATE))
+                AS BIGINT) AS active_days,
+           CAST(date_diff('day',
+                          CAST(date_trunc('day', min(ts)) AS DATE),
+                          CAST(date_trunc('day', max(ts)) AS DATE))
+                AS BIGINT) AS lifespan_days,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                AS BIGINT) AS n_purchases
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_user_lifecycle(spark, sf_dir):
+    """Per-user lifecycle rollup: volume, distinct active days,
+    first-to-last lifespan, purchase count — the standard activation
+    table feeding retention/LTV work. ONE shuffle on the
+    high-cardinality user_id (no skew), count-distinct expanded by
+    Catalyst into the same keyed aggregation, conditional counts via
+    FILTER. Day-level integers only (no raw timestamps cross the
+    result, per the dtype-parity convention)."""
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_events"),
+            F.expr("CAST(count(DISTINCT CAST(date_trunc('DAY', ts) AS DATE))"
+                   " AS BIGINT)").alias("active_days"),
+            F.expr("CAST(datediff(CAST(date_trunc('DAY', max(ts)) AS DATE),"
+                   " CAST(date_trunc('DAY', min(ts)) AS DATE)) AS BIGINT)")
+            .alias("lifespan_days"),
+            F.expr("CAST(count(*) FILTER (WHERE event_type = 'purchase')"
+                   " AS BIGINT)").alias("n_purchases"),
+        )
+    )
+
+
 # Exact integerization of the 2-decimal doubles (floor(x*100 + 0.5) —
 # the repo-standard half-up both engines implement with floor); corr
 # is scale-invariant so the x100 factors cancel. Products stay within

@@ -167,6 +167,9 @@ def cap_per_group_salted(
     order — same contract as ``cap_per_group``. The salt is a
     deterministic hash of ``salt_on`` (default: all columns), so reruns
     are reproducible."""
+    if n_salts < 1:
+        raise ValueError(f"cap_per_group_salted: n_salts must be >= 1, "
+                         f"got {n_salts}")
     salt_cols = salt_on if salt_on is not None else df.columns
     salted = df.withColumn(
         "__salt", F.pmod(F.xxhash64(*salt_cols), F.lit(n_salts)))

@@ -283,6 +283,10 @@ def codebook_literal_expr(rows) -> str:
     ``hyperplane_expr``. Bounded by construction (train with
     ``init_limit``), so the literal stays a few KB at any corpus
     size."""
+    if not rows:
+        raise ValueError(
+            "codebook_literal_expr: empty codebook — the training "
+            "sample selected no vectors (check the sample predicate)")
     structs = []
     for r in rows:
         vals = ", ".join(f"{float(v):.6f}D" for v in r["cvec"])

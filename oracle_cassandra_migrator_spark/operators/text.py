@@ -159,6 +159,10 @@ def bigram_logprob_map_expr(rows, total: int) -> tuple[str, int]:
     bigrams score at the half-count floor ln(0.5/total)."""
     import math
 
+    if not rows or total <= 0:
+        raise ValueError(
+            "bigram_logprob_map_expr: empty model — the training "
+            "sample produced no bigrams (check the sample predicate)")
     entries = []
     for r in sorted(rows, key=lambda r: r["bg"]):
         key = r["bg"].replace("\\", "\\\\").replace("'", "\\'")

@@ -866,7 +866,14 @@ def sim_ivf_trained_topk(spark, sf_dir):
     tighter cells than the raw id-sample, then the same zero-shuffle
     assignment + single-cell probe as sim_ivf_topk. The whole training
     loop is replayed by the DuckDB oracle, so assignment parity is
-    checked end-to-end."""
+    checked end-to-end.
+
+    Note: this query deliberately keeps training INLINE to demonstrate
+    and value-check the DataFrame Lloyd loop itself. In production the
+    codebook is trained once and reused across probes — exactly the
+    bounded-sample + driver-collected literal path dedup_semantic_cells
+    runs (similarity.codebook_literal_expr), which keeps repeated
+    probes free of the training stages."""
     emb = read_table(spark, sf_dir, "embeddings")
     cents = similarity.kmeans_codebook(emb, modulus=43, iters=2)
     return similarity.ivf_topk(emb, k=10, query_id=0, centroids=cents)

@@ -55,6 +55,18 @@ def test_format_roundtrip(spark, tmp_path, nation, fmt):
         {r.n_name for r in nation.collect()}
 
 
+def test_text_format_roundtrip(spark, tmp_path, nation):
+    """S7 line-oriented text source/sink: a single string column per
+    line (the raw-corpus ingest format for LLM pipelines)."""
+    path = str(tmp_path / "out_text")
+    lines = nation.selectExpr("n_name AS value")
+    write_sink(lines, {"format": "text", "path": path})
+    back = read_source(spark, {"format": "text", "path": path})
+    assert back.columns == ["value"]
+    assert {r.value for r in back.collect()} == \
+        {r.n_name for r in nation.collect()}
+
+
 def test_source_filter_and_projection_pushdown(spark):
     df = read_source(spark, {
         "format": "parquet",

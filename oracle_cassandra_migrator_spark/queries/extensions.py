@@ -1970,7 +1970,7 @@ def dedup_semantic_prune(spark, sf_dir):
                       CAST(date_trunc('day', ts) AS DATE) AS day,
                       CAST(count(*) AS BIGINT) AS n_events
                FROM events GROUP BY 1, 2)
-    SELECT event_type, day, n_events,
+    SELECT event_type, CAST(day AS VARCHAR) AS day, n_events,
            CAST(SUM(n_events) OVER (
              PARTITION BY event_type ORDER BY day
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
@@ -1995,8 +1995,13 @@ def events_rolling_weekly_counts(spark, sf_dir):
     )
     w = (Window.partitionBy("event_type").orderBy("day")
          .rowsBetween(-6, Window.currentRow))
-    return daily.withColumn(
-        "rolling_7d", F.sum("n_events").over(w).cast("bigint"))
+    return (
+        daily.withColumn(
+            "rolling_7d", F.sum("n_events").over(w).cast("bigint"))
+        # STRING day: raw DATE outputs hit the pandas object-vs-
+        # datetime64 trap in the driver's compare (NOTES dtype parity)
+        .withColumn("day", F.col("day").cast("string"))
+    )
 
 
 @query(

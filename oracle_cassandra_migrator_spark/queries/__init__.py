@@ -54,7 +54,9 @@ _R03_CONFIRMED = frozenset({
     "tpch_q21_waiting_suppliers", "tpch_q22_dormant_customers",
     "dedup_exact_documents", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash_buckets", "dedup_simhash_hamming",
-    "dedup_embedding_cosine", "dedup_embedding_lsh_blocked",
+    # "dedup_embedding_cosine" was renamed _baseline in r4; the r04
+    # fold-in below carries the new name (stale key dropped per ADVICE).
+    "dedup_embedding_lsh_blocked",
     "sim_topk_bruteforce", "text_token_stats", "text_quality_scores",
     "text_lang_guess", "text_fingerprint_bottomk",
     "multimodal_decode_stats", "events_sessionize",
@@ -70,15 +72,43 @@ _R03_CONFIRMED = frozenset({
     "merge_upsert_orders", "scd2_customer_segments",
 })
 
+_R04_CONFIRMED = frozenset({
+    "agg_approx_count_distinct", "agg_corr_quantity_price",
+    "agg_distinct_per_segment", "agg_global_lineitem",
+    "agg_price_histogram", "asof_join_purchase_click",
+    "cap_docs_per_source", "contamination_ngram_overlap",
+    "corpus_mix_report", "cube_orders_status_priority",
+    "dedup_embedding_cosine_baseline", "dedup_incremental_snapshot",
+    "dedup_minhash_estimate_audit", "dedup_prefix_boilerplate",
+    "dedup_semantic_cells", "dedup_semantic_prune",
+    "embedding_quantize_int8", "embedding_random_projection",
+    "events_rolling_weekly_counts", "events_user_lifecycle",
+    "flagship_payment_pipeline", "join_anti_customers_without_orders",
+    "join_cross_region_pairs", "join_full_nation_coverage",
+    "join_left_order_counts", "join_range_price_buckets",
+    "join_semi_urgent_customers", "lateral_explode_tokens",
+    "pricing_summary", "rollup_acctbal_region_nation",
+    "sample_temperature_by_lang", "scalar_array_functions",
+    "scalar_bitwise_functions", "scalar_struct_map_functions",
+    "search_bm25_topk", "sim_ivf_multiprobe_topk",
+    "sort_top_customers_by_balance", "text_bigram_logprob",
+    "text_char_entropy", "text_repetition_stats", "text_tfidf_topk",
+    "text_vocab_topk", "topk_order_revenue", "unpivot_part_metrics",
+    "window_lag_event_gap", "window_ntile_quartiles",
+    "window_rank_top_orders", "window_running_total",
+    "window_value_functions",
+})
+
 # Queries whose oracle contract changed AFTER their last green driver
 # row — treat as unverified so the driver re-checks them under the new
-# contract: agg_approx_count_distinct got its bounded-error full oracle
-# in round 3, after its r01/r02 rows-only checks.
-_RECHECK = frozenset({"agg_approx_count_distinct"})
+# contract. (r3: agg_approx_count_distinct gained its bounded-error
+# full oracle after r01/r02 rows-only checks — re-confirmed r04.)
+_RECHECK = frozenset()
 
 
 def _verification_order(names):
-    confirmed = (_R02_CONFIRMED | _R03_CONFIRMED) - _RECHECK
+    confirmed = (
+        _R02_CONFIRMED | _R03_CONFIRMED | _R04_CONFIRMED) - _RECHECK
     front = [n for n in names if n == "flagship_payment_pipeline"]
     front += [n for n in names
               if n not in confirmed and n != "flagship_payment_pipeline"]

@@ -2100,10 +2100,10 @@ def text_bigram_logprob(spark, sf_dir):
            FROM w)
     SELECT doc_id,
            CAST(len(hw) AS BIGINT) AS n_words,
-           list_transform(generate_series(0, 15), j ->
+           array_to_string(list_transform(generate_series(0, 15), j ->
                CAST(len(list_filter(hw, h -> h.idx = j AND h.sgn = 1))
                     - len(list_filter(hw, h -> h.idx = j AND h.sgn = -1))
-                 AS BIGINT)) AS features
+                 AS BIGINT)), ',') AS features
     FROM hw
     """,
 )
@@ -2113,7 +2113,10 @@ def text_feature_hashing(spark, sf_dir):
     vector from md5-derived (index, sign) per word — the classic
     fixed-width featurization for linear classifiers / quality models
     over unbounded vocabularies. Exact integers end to end (no float
-    parity risk), strictly per-row, zero shuffle."""
+    parity risk), strictly per-row, zero shuffle. The vector is
+    emitted comma-joined (catalog convention for array outputs — see
+    scalar_array_functions) so the driver's canonicalizer can sort
+    it."""
     docs = read_table(spark, sf_dir, "documents")
     return (
         docs.select(
@@ -2121,7 +2124,8 @@ def text_feature_hashing(spark, sf_dir):
         .selectExpr(
             "doc_id",
             "CAST(size(hw) AS BIGINT) AS n_words",
-            f"{feature_vector_expr('hw', 16)} AS features")
+            f"array_join(transform({feature_vector_expr('hw', 16)},"
+            " v -> CAST(v AS STRING)), ',') AS features")
     )
 
 

@@ -208,10 +208,11 @@ def test_catalog_orders_least_verified_first():
     the 50-entry window so one gate pass reaches all of it."""
     from oracle_cassandra_migrator_spark.queries import QUERIES
     from oracle_cassandra_migrator_spark.queries import (
-        _R02_CONFIRMED, _R03_CONFIRMED, _RECHECK)
+        _R02_CONFIRMED, _R03_CONFIRMED, _R04_CONFIRMED, _RECHECK)
 
     names = list(QUERIES)
-    confirmed = (_R02_CONFIRMED | _R03_CONFIRMED) - _RECHECK
+    confirmed = (
+        _R02_CONFIRMED | _R03_CONFIRMED | _R04_CONFIRMED) - _RECHECK
     assert names[0] == "flagship_payment_pipeline"
     tail_started = False
     for n in names[1:]:

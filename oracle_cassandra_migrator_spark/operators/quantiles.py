@@ -1,0 +1,84 @@
+"""Two-pass global quantile bucketing — the scale-safe replacement for
+``ntile() OVER (ORDER BY x)``-style global ranking (SCALE.md's promised
+recipe; retires the ``window_rank_breadth`` single-reducer caveat).
+
+A global window over 100 TB funnels every row through one ordered
+partition. The two-pass shape instead:
+
+  pass 1  boundaries: one aggregation collapses the corpus to a single
+          k-1-element array row (``percentile_disc`` exact, or
+          ``approx_percentile`` — the production path at scale, a
+          fixed-size QuantileSummaries sketch with map-side partials);
+  pass 2  assignment: the 1-row boundary array is broadcast and every
+          row computes ``1 + #{b in bounds : x > b}`` map-side — zero
+          shuffle, no sort, embarrassingly parallel.
+
+Ties: rows equal to a boundary fall in the LOWER bucket (strict ``>``),
+so assignment is a pure function of the value — deterministic and
+SQL-replayable, unlike ntile's rank-split of ties.
+
+Reference parity: the reference engine has no quantile operator; this
+generalizes its bucketed-histogram reporting (reference
+oracle_to_cassandra_migrator.py's fixed-width price bands) to
+data-driven quantile bands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def quantile_boundaries(
+    df: DataFrame, col: str, k: int, exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Pass 1: the k-1 interior quantile boundaries of ``col`` as ONE
+    row holding an array column ``bounds``.
+
+    ``exact=True`` uses ``percentile_disc`` (SQL-standard discrete
+    percentile: smallest value with cume_dist >= p — bit-identical to
+    DuckDB's ``quantile_disc``, so oracles can replay it). At 100 TB
+    use ``exact=False``: ``approx_percentile`` is a bounded-memory
+    sketch with partial aggregation, the same two-pass plan otherwise.
+    """
+    ps = [i / k for i in range(1, k)]
+    if exact:
+        aggs = [
+            F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY {col})")
+            .alias(f"_b{i}")
+            for i, p in enumerate(ps)
+        ]
+        return df.agg(*aggs).select(
+            F.array(*[f"_b{i}" for i in range(len(ps))]).alias("bounds"))
+    ps_sql = ", ".join(str(p) for p in ps)
+    return df.agg(
+        F.expr(f"approx_percentile({col}, array({ps_sql}), {accuracy})")
+        .alias("bounds"))
+
+
+def assign_buckets(
+    df: DataFrame, bounds: DataFrame, col: str, out: str = "bucket",
+) -> DataFrame:
+    """Pass 2: broadcast the 1-row ``bounds`` array and tag every row
+    with its 1-based bucket — strictly map-side (one broadcast, no
+    shuffle, no sort)."""
+    return df.crossJoin(F.broadcast(bounds)).withColumn(
+        out,
+        F.expr(f"CAST(1 + size(filter(bounds, b -> {col} > b)) AS INT)"),
+    ).drop("bounds")
+
+
+def quantile_bucket_profile(
+    df: DataFrame, col: str, k: int, exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Boundaries -> per-row assignment -> per-bucket profile
+    (count / min / max). The final aggregation shuffles exactly k rows
+    per map task (map-side partials on an INT key)."""
+    bounds = quantile_boundaries(df, col, k, exact=exact, accuracy=accuracy)
+    assigned = assign_buckets(df.select(col), bounds, col)
+    return assigned.groupBy("bucket").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_rows"),
+        F.min(col).alias(f"min_{col}"),
+        F.max(col).alias(f"max_{col}"),
+    )

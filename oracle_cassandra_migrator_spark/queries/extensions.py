@@ -2173,3 +2173,47 @@ def corpus_mix_report(spark, sf_dir):
             "CAST(floor(total_tokens * 1e6 / corpus_tokens + 0.5)"
             " AS BIGINT) AS token_ppm")
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-pass global quantile bucketing (SCALE.md's ntile replacement)
+# ---------------------------------------------------------------------------
+
+_DECILE_PS = [i / 10 for i in range(1, 10)]
+_DECILE_BOUNDS_SQL = (
+    "[" + ", ".join(
+        f"quantile_disc(l_extendedprice, {p})" for p in _DECILE_PS) + "]"
+)
+
+
+@query(
+    "quantile_bucket_prices",
+    oracle=f"""
+    WITH b AS (SELECT {_DECILE_BOUNDS_SQL} AS bounds FROM lineitem),
+    a AS (SELECT l_extendedprice AS price,
+                 CAST(1 + len(list_filter((SELECT bounds FROM b),
+                                          x -> l_extendedprice > x))
+                   AS INT) AS bucket
+          FROM lineitem)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(price) AS min_l_extendedprice,
+           MAX(price) AS max_l_extendedprice
+    FROM a GROUP BY bucket
+    """,
+)
+def quantile_bucket_prices(spark, sf_dir):
+    """Global decile bucketing of lineitem prices via the two-pass
+    quantile recipe (operators/quantiles.py): exact percentile_disc
+    boundaries collapse to ONE broadcast row, then every row gets its
+    bucket map-side — no global sort, no single ordered reducer. This
+    is the scale path that window_rank_breadth's ntile coverage query
+    deliberately does not take; at 100 TB swap exact=False for the
+    approx_percentile sketch (same plan shape). Ties land in the lower
+    bucket (strict >), making assignment a pure value function both
+    engines replay identically."""
+    from oracle_cassandra_migrator_spark.operators.quantiles import (
+        quantile_bucket_profile)
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    return quantile_bucket_profile(li, "l_extendedprice", 10, exact=True)

@@ -420,3 +420,28 @@ def test_assign_cells_literal_matches_dataframe_assignment(spark):
     a = {(r.vec_id, r.cell_id) for r in via_df.collect()}
     b = {(r.vec_id, r.cell_id) for r in via_lit.collect()}
     assert a == b
+
+
+def test_quantile_buckets_approx_matches_exact_shape(spark):
+    """The approx_percentile production path must produce the same
+    bucket structure as the exact path: same bucket ids, every row
+    assigned, bucket populations within sketch tolerance of n/k."""
+    from oracle_cassandra_migrator_spark.operators.quantiles import (
+        assign_buckets, quantile_boundaries, quantile_bucket_profile)
+
+    df = spark.range(0, 10000).selectExpr(
+        "CAST(pmod(id * 2654435761, 9973) AS DOUBLE) AS x")
+    exact = quantile_bucket_profile(df, "x", 5, exact=True).collect()
+    approx = quantile_bucket_profile(
+        df, "x", 5, exact=False, accuracy=10000).collect()
+    assert sorted(r["bucket"] for r in exact) == [1, 2, 3, 4, 5]
+    assert sorted(r["bucket"] for r in approx) == [1, 2, 3, 4, 5]
+    assert sum(r["n_rows"] for r in approx) == 10000
+    for r in approx:
+        assert abs(r["n_rows"] - 2000) <= 220  # sketch tolerance
+
+    # tie rule: a value equal to a boundary lands in the LOWER bucket
+    bounds = quantile_boundaries(df, "x", 5, exact=True)
+    bvals = bounds.collect()[0]["bounds"]
+    probe = spark.createDataFrame([(float(bvals[0]),)], "x double")
+    assert assign_buckets(probe, bounds, "x").collect()[0]["bucket"] == 1

@@ -317,3 +317,19 @@ def test_semantic_cells_joins_on_cell(spark):
     assert "Generate" not in plan
     assert plan.count("Scan parquet") <= 2
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_quantile_bucket_two_pass_no_global_sort(spark):
+    """The two-pass quantile recipe must never global-sort: boundaries
+    collapse to one broadcast row (SinglePartition exchange on the agg
+    only), assignment is a map-side projection, and the only
+    hashpartitioning exchange is the k-row bucket profile."""
+    plan = plan_of(spark, "quantile_bucket_prices")
+    assert "Sort " not in plan
+    assert "rangepartitioning" not in plan
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan  # profile agg is map-side partial
+    # pruned scans: only the bucketed column is read
+    assert plan.count("ReadSchema: struct<l_extendedprice:double>") == 2

@@ -160,6 +160,58 @@ def _minhash_audit_oracle(
     """
 
 
+def _minhash_prune_oracle(
+        bands: int = dedup.LSH_BANDS, rows: int = dedup.LSH_ROWS,
+        max_band_size: int = dedup.LSH_MAX_BAND_SIZE) -> str:
+    return f"""
+    WITH RECURSIVE {_minhash_cand_cte(bands, rows, max_band_size)},
+    p AS (SELECT doc_a, doc_b FROM ({_JACCARD_SQL}) WHERE jaccard >= 0.5),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+              UNION ALL SELECT doc_b, doc_a FROM p),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (SELECT a AS node, least(a, min(b)) AS component
+             FROM reach GROUP BY a)
+    SELECT d.doc_id,
+           CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS cluster_rep,
+           coalesce(c.component, d.doc_id) = d.doc_id AS is_kept
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """
+
+
+@query("dedup_minhash_prune", oracle=_minhash_prune_oracle())
+def dedup_minhash_prune(spark, sf_dir):
+    """MinHash-LSH pairs -> DECISIONS: the banded, capped,
+    exact-Jaccard-verified near-dup pairs feed hash-to-min connected
+    components, and every document gets (cluster_rep, is_kept) — keep
+    the min-id representative per transitive cluster, drop the rest,
+    singletons keep themselves. Mirrors dedup_semantic_prune for the
+    LEXICAL family, so both dedup tracks now run end-to-end
+    (pairs AND keep/drop) — what a crawl-scale curation pipeline
+    actually consumes.
+
+    Scale shape: identical to dedup_minhash_lsh up to the pair list
+    (band-key shuffles only, no shingle arrays in any exchange), then
+    components over the PAIR graph alone (labels, never documents,
+    shuffle per round; lineage checkpoint-truncated), then one left
+    join back to the corpus on doc_id. The oracle replays banding,
+    capping, verification, and a recursive reachability CTE."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id",
+                                    n=3, threshold=0.5)
+    comp = dedup.connected_components(pairs, src="doc_a", dst="doc_b")
+    return (
+        docs.select("doc_id")
+        .join(comp, docs.doc_id == comp.node, "left")
+        .selectExpr(
+            "doc_id",
+            "CAST(coalesce(component, doc_id) AS BIGINT) AS cluster_rep",
+            "coalesce(component, doc_id) = doc_id AS is_kept")
+    )
+
+
 @query("dedup_minhash_estimate_audit", oracle=_minhash_audit_oracle())
 def dedup_minhash_estimate_audit(spark, sf_dir):
     """MinHash estimator audit: for every LSH candidate pair, the

@@ -126,7 +126,7 @@ def test_dedup_shuffles_carry_no_shingle_arrays(spark):
     single shingles) — a shingle *array* column inside a shuffle
     exchange means the single-pass restructure regressed."""
     for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard",
-                 "dedup_minhash_estimate_audit"):
+                 "dedup_minhash_estimate_audit", "dedup_minhash_prune"):
         plan = plan_of(spark, name)
         for line in plan.splitlines():
             if "Exchange hashpartitioning" in line:

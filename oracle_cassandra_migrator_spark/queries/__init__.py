@@ -102,8 +102,10 @@ _R04_CONFIRMED = frozenset({
 # Queries whose oracle contract changed AFTER their last green driver
 # row — treat as unverified so the driver re-checks them under the new
 # contract. (r3: agg_approx_count_distinct gained its bounded-error
-# full oracle after r01/r02 rows-only checks — re-confirmed r04.)
-_RECHECK = frozenset()
+# full oracle after r01/r02 rows-only checks — re-confirmed r04.
+# r5: events_rolling_weekly_counts moved from a ROWS frame over
+# present days to a calendar-bounded RANGE frame (ADVICE r4).)
+_RECHECK = frozenset({"events_rolling_weekly_counts"})
 
 
 def _verification_order(names):

@@ -2021,38 +2021,47 @@ def dedup_semantic_prune(spark, sf_dir):
     WITH d AS (SELECT event_type,
                       CAST(date_trunc('day', ts) AS DATE) AS day,
                       CAST(count(*) AS BIGINT) AS n_events
-               FROM events GROUP BY 1, 2)
+               FROM events GROUP BY 1, 2),
+    o AS (SELECT *, datediff('day', DATE '1970-01-01', day) AS day_ord
+          FROM d)
     SELECT event_type, CAST(day AS VARCHAR) AS day, n_events,
            CAST(SUM(n_events) OVER (
-             PARTITION BY event_type ORDER BY day
-             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             PARTITION BY event_type ORDER BY day_ord
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
              AS rolling_7d
-    FROM d
+    FROM o
     """,
 )
 def events_rolling_weekly_counts(spark, sf_dir):
-    """Rolling 7-day event volume per type — the aggregate-BEFORE-
-    window scale pattern: the corpus collapses to |event_type x day|
-    rows in one map-side-combined shuffle, and only that tiny daily
-    table flows through the ordered window frame. This is the recipe
-    the window_rank_breadth docstring points to for any low-cardinality
-    partition window at 100 TB (never run an ordered window over raw
-    corpus rows when the measure is aggregable)."""
+    """Rolling CALENDAR 7-day event volume per type — the aggregate-
+    BEFORE-window scale pattern: the corpus collapses to
+    |event_type x day| rows in one map-side-combined shuffle, and only
+    that tiny daily table flows through the ordered window frame. This
+    is the recipe the window_rank_breadth docstring points to for any
+    low-cardinality partition window at 100 TB (never run an ordered
+    window over raw corpus rows when the measure is aggregable).
+
+    The frame is a RANGE over a day ordinal (days since epoch), so the
+    window is calendar-bounded: days with zero events don't stretch the
+    7-day span the way a ROWS frame over present-days-only would
+    (ADVICE r4)."""
     events = read_table(spark, sf_dir, "events")
     daily = (
         events.selectExpr(
             "event_type", "CAST(date_trunc('DAY', ts) AS DATE) AS day")
         .groupBy("event_type", "day")
         .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n_events"))
+        .withColumn("day_ord", F.expr("datediff(day, DATE '1970-01-01')"))
     )
-    w = (Window.partitionBy("event_type").orderBy("day")
-         .rowsBetween(-6, Window.currentRow))
+    w = (Window.partitionBy("event_type").orderBy("day_ord")
+         .rangeBetween(-6, Window.currentRow))
     return (
         daily.withColumn(
             "rolling_7d", F.sum("n_events").over(w).cast("bigint"))
         # STRING day: raw DATE outputs hit the pandas object-vs-
         # datetime64 trap in the driver's compare (NOTES dtype parity)
         .withColumn("day", F.col("day").cast("string"))
+        .drop("day_ord")
     )
 
 
@@ -2178,6 +2187,55 @@ def text_feature_hashing(spark, sf_dir):
             "CAST(size(hw) AS BIGINT) AS n_words",
             f"array_join(transform({feature_vector_expr('hw', 16)},"
             " v -> CAST(v AS STRING)), ',') AS features")
+    )
+
+
+_QUALITY_WEIGHTS = [-8, -7, -6, -5, -4, -3, -2, -1, 0, 1, 2, 3, 4, 5, 6, 7]  # ((j * 2654435761) % 17) - 8 — fixed literal
+
+
+@query(
+    "text_quality_linear_score",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {WORDS_SQL} AS w FROM documents),
+    hw AS (SELECT doc_id,
+                  list_transform(w, x -> struct_pack(
+                      idx := ('0x' || substring(md5(x), 1, 15))::BIGINT % 16,
+                      sgn := CASE WHEN ('0x' || substring(md5(x), 16, 1))::BIGINT
+                                       % 2 = 0 THEN 1 ELSE -1 END)) AS hw
+           FROM w),
+    fvt AS (SELECT doc_id, CAST(len(hw) AS BIGINT) AS n_words,
+                  list_transform(generate_series(0, 15), j ->
+                      CAST(len(list_filter(hw, h -> h.idx = j AND h.sgn = 1))
+                           - len(list_filter(hw, h -> h.idx = j AND h.sgn = -1))
+                        AS BIGINT)) AS fv
+           FROM hw)
+    SELECT doc_id, n_words,
+           CAST((-8) * fv[1] + (-7) * fv[2] + (-6) * fv[3] + (-5) * fv[4] + (-4) * fv[5] + (-3) * fv[6] + (-2) * fv[7] + (-1) * fv[8] + (0) * fv[9] + (1) * fv[10] + (2) * fv[11] + (3) * fv[12] + (4) * fv[13] + (5) * fv[14] + (6) * fv[15] + (7) * fv[16] AS BIGINT) AS quality_score,
+           ((-8) * fv[1] + (-7) * fv[2] + (-6) * fv[3] + (-5) * fv[4] + (-4) * fv[5] + (-3) * fv[6] + (-2) * fv[7] + (-1) * fv[8] + (0) * fv[9] + (1) * fv[10] + (2) * fv[11] + (3) * fv[12] + (4) * fv[13] + (5) * fv[14] + (6) * fv[15] + (7) * fv[16]) >= 0 AS is_quality
+    FROM fvt
+    """,
+)
+def text_quality_linear_score(spark, sf_dir):
+    """Linear quality scorer over the signed-hash featurization — the
+    downstream consumer that proves text_feature_hashing feeds a real
+    model: score = <w, phi(doc)> with a FIXED literal int weight vector
+    (a stand-in for trained fasttext-style quality weights; exact
+    integers, so both engines agree bit-for-bit). Strictly per-row on
+    top of the per-row featurizer: one scan, zero shuffle — at 100 TB
+    this is the classifier pass of a quality-filter stage, trivially
+    data-parallel."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.expr(hashed_words_expr("text", 16)).alias("hw"))
+        .selectExpr(
+            "doc_id",
+            "CAST(size(hw) AS BIGINT) AS n_words",
+            f"{feature_vector_expr('hw', 16)} AS fv")
+        .selectExpr(
+            "doc_id", "n_words",
+            "CAST((-8) * element_at(fv, 1) + (-7) * element_at(fv, 2) + (-6) * element_at(fv, 3) + (-5) * element_at(fv, 4) + (-4) * element_at(fv, 5) + (-3) * element_at(fv, 6) + (-2) * element_at(fv, 7) + (-1) * element_at(fv, 8) + (0) * element_at(fv, 9) + (1) * element_at(fv, 10) + (2) * element_at(fv, 11) + (3) * element_at(fv, 12) + (4) * element_at(fv, 13) + (5) * element_at(fv, 14) + (6) * element_at(fv, 15) + (7) * element_at(fv, 16) AS BIGINT) AS quality_score",
+            "((-8) * element_at(fv, 1) + (-7) * element_at(fv, 2) + (-6) * element_at(fv, 3) + (-5) * element_at(fv, 4) + (-4) * element_at(fv, 5) + (-3) * element_at(fv, 6) + (-2) * element_at(fv, 7) + (-1) * element_at(fv, 8) + (0) * element_at(fv, 9) + (1) * element_at(fv, 10) + (2) * element_at(fv, 11) + (3) * element_at(fv, 12) + (4) * element_at(fv, 13) + (5) * element_at(fv, 14) + (6) * element_at(fv, 15) + (7) * element_at(fv, 16)) >= 0 AS is_quality")
     )
 
 

@@ -121,3 +121,18 @@ def test_unknown_input_raises(spark, tables):
     with pytest.raises(KeyError, match="unknown dataframe"):
         compile_transform(spark, tables, [
             {"op": "filter", "input": "missing", "expr": "1=1"}])
+
+
+def test_readme_query_count_matches_registry():
+    """README's catalog count is asserted against the live registry so
+    it cannot drift again (it drifted in r3 and r4)."""
+    import pathlib
+
+    from oracle_cassandra_migrator_spark.queries import ORACLES, QUERIES
+
+    readme = pathlib.Path(__file__).resolve().parent.parent / "README.md"
+    text = readme.read_text()
+    n = len(QUERIES)
+    assert f"{n} named queries, ALL {len(ORACLES)} with" in text, (
+        f"README catalog count out of date: registry has {n} queries, "
+        f"{len(ORACLES)} oracles")

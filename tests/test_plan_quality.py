@@ -333,3 +333,12 @@ def test_quantile_bucket_two_pass_no_global_sort(spark):
     assert "partial_count" in plan  # profile agg is map-side partial
     # pruned scans: only the bucketed column is read
     assert plan.count("ReadSchema: struct<l_extendedprice:double>") == 2
+
+
+def test_quality_linear_score_is_per_row(spark):
+    """The linear scorer must stay on the featurizer's zero-shuffle
+    plan: one scan, no exchange, no aggregation."""
+    plan = plan_of(spark, "text_quality_linear_score")
+    assert not re.search(r"Exchange (hash|range)partitioning", plan)
+    assert "HashAggregate" not in plan
+    assert plan.count("Scan parquet") == 1

@@ -82,3 +82,52 @@ def quantile_bucket_profile(
         F.min(col).alias(f"min_{col}"),
         F.max(col).alias(f"max_{col}"),
     )
+
+
+def grouped_quantile_boundaries(
+    df: DataFrame, col: str, k: int, by: str, exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-group boundaries: one row PER GROUP with the k-1-element
+    ``bounds`` array. The result is |groups| x (k-1) values — for
+    low-cardinality grouping keys (languages, sources, shards) that is
+    broadcast-sized at any corpus scale."""
+    ps = [i / k for i in range(1, k)]
+    if exact:
+        aggs = [
+            F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY {col})")
+            .alias(f"_b{i}")
+            for i, p in enumerate(ps)
+        ]
+        return df.groupBy(by).agg(*aggs).select(
+            by,
+            F.array(*[f"_b{i}" for i in range(len(ps))]).alias("bounds"))
+    ps_sql = ", ".join(str(p) for p in ps)
+    return df.groupBy(by).agg(
+        F.expr(f"approx_percentile({col}, array({ps_sql}), {accuracy})")
+        .alias("bounds"))
+
+
+def grouped_bucket_profile(
+    df: DataFrame, col: str, k: int, by: str, exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Grouped two-pass quantile bucketing: per-group boundaries
+    broadcast-join back on the group key (map-side), per-row
+    assignment, then a (group, bucket) profile — the within-stratum
+    generalization of quantile_bucket_profile, still no sort and no
+    global window anywhere."""
+    bounds = grouped_quantile_boundaries(
+        df, col, k, by, exact=exact, accuracy=accuracy)
+    assigned = (
+        df.select(by, col)
+        .join(F.broadcast(bounds), by)
+        .withColumn(
+            "bucket",
+            F.expr(f"CAST(1 + size(filter(bounds, b -> {col} > b)) AS INT)"))
+        .drop("bounds"))
+    return assigned.groupBy(by, "bucket").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_rows"),
+        F.min(col).alias(f"min_{col}"),
+        F.max(col).alias(f"max_{col}"),
+    )

@@ -2289,6 +2289,40 @@ def corpus_mix_report(spark, sf_dir):
 # Two-pass global quantile bucketing (SCALE.md's ntile replacement)
 # ---------------------------------------------------------------------------
 
+_QUARTILE_DOCLEN_BOUNDS_SQL = "[quantile_disc(n_chars, 0.25), quantile_disc(n_chars, 0.5), quantile_disc(n_chars, 0.75)]"
+
+
+@query(
+    "quantile_bucket_doclen_by_lang",
+    oracle=f"""
+    WITH b AS (SELECT lang, {_QUARTILE_DOCLEN_BOUNDS_SQL} AS bounds
+               FROM documents GROUP BY lang),
+    a AS (SELECT d.lang, d.n_chars,
+                 CAST(1 + len(list_filter(b.bounds, x -> d.n_chars > x))
+                   AS INT) AS bucket
+          FROM documents d JOIN b ON d.lang = b.lang)
+    SELECT lang, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(n_chars) AS min_n_chars,
+           MAX(n_chars) AS max_n_chars
+    FROM a GROUP BY lang, bucket
+    """,
+)
+def quantile_bucket_doclen_by_lang(spark, sf_dir):
+    """Per-language document-length quartiles via the GROUPED two-pass
+    quantile recipe: one boundary row per language (|langs| x 3 values
+    — broadcast-sized at any corpus), map-side broadcast join + per-row
+    bucket, then the (lang, bucket) profile. This is how a curation
+    pipeline length-stratifies WITHIN each language without any global
+    sort or per-language ordered window; swap exact=False for the
+    approx_percentile sketch at 100 TB."""
+    from oracle_cassandra_migrator_spark.operators.quantiles import (
+        grouped_bucket_profile)
+
+    docs = read_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    return grouped_bucket_profile(docs, "n_chars", 4, "lang", exact=True)
+
+
 _DECILE_PS = [i / 10 for i in range(1, 10)]
 _DECILE_BOUNDS_SQL = (
     "[" + ", ".join(

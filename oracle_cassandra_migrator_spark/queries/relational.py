@@ -1786,6 +1786,65 @@ def agg_corr_quantity_price(spark, sf_dir):
     )
 
 
+def _regr_sql() -> dict:
+    """Least-squares y~x stats from the same exact integer moments as
+    _corr_sql (order-free DECIMAL(38,0) sums; final double arithmetic
+    identical on both engines). Slope/intercept are in ORIGINAL units:
+    both variables are micro-integerized by the same factor (100), so
+    the factor cancels in the slope and divides out of the intercept."""
+    n = "COUNT(*)"
+    d38 = "DECIMAL(38,0)"
+    sx = f"CAST(SUM(CAST({_CORR_XI} AS {d38})) AS DOUBLE)"
+    sy = f"CAST(SUM(CAST({_CORR_YI} AS {d38})) AS DOUBLE)"
+    sxx = f"CAST(SUM(CAST({_CORR_XI} * {_CORR_XI} AS {d38})) AS DOUBLE)"
+    syy = f"CAST(SUM(CAST({_CORR_YI} * {_CORR_YI} AS {d38})) AS DOUBLE)"
+    sxy = f"CAST(SUM(CAST({_CORR_XI} * {_CORR_YI} AS {d38})) AS DOUBLE)"
+    slope = f"(({n} * {sxy} - {sx} * {sy}) / ({n} * {sxx} - {sx} * {sx}))"
+    intercept = f"(({sy} - {slope} * {sx}) / {n} / 100.0)"
+    r2 = (f"(({n} * {sxy} - {sx} * {sy}) * ({n} * {sxy} - {sx} * {sy})"
+          f" / (({n} * {sxx} - {sx} * {sx}) * ({n} * {syy} - {sy} * {sy})))")
+    return {
+        "slope": f"round({slope}, 6)",
+        "intercept": f"round({intercept}, 6)",
+        "r2": f"round({r2}, 6)",
+    }
+
+
+_REGR = _regr_sql()
+
+
+@query(
+    "agg_regression_stats",
+    oracle=f"""
+    SELECT l_returnflag AS return_flag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {_REGR["slope"]} AS slope_price_per_qty,
+           {_REGR["intercept"]} AS intercept_price,
+           {_REGR["r2"]} AS r_squared
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_regression_stats(spark, sf_dir):
+    """Per-group simple linear regression (extendedprice ~ quantity):
+    slope, intercept, R² — the regr_slope/regr_intercept/regr_r2
+    family, decomposed into the same exact integer moments as
+    agg_corr_quantity_price so the result is order-free and
+    hash-matchable (builtin regr_* accumulate doubles in partition
+    order). One map-side-combined shuffle of 6 numbers per group at
+    any scale."""
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("return_flag"))
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_items"),
+            F.expr(_REGR["slope"]).alias("slope_price_per_qty"),
+            F.expr(_REGR["intercept"]).alias("intercept_price"),
+            F.expr(_REGR["r2"]).alias("r_squared"),
+        )
+    )
+
+
 @query(
     "unpivot_part_metrics",
     oracle="""

@@ -1780,6 +1780,86 @@ def _temperature_resample_oracle(denominator: int = 1_000_000) -> str:
     """
 
 
+@query(
+    "sample_fixed_n_by_hash",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source,
+           md5(concat('sample:', CAST(doc_id AS VARCHAR))) AS sort_key
+    FROM documents
+    ORDER BY sort_key
+    LIMIT 100
+    """,
+)
+def sample_fixed_n_by_hash(spark, sf_dir):
+    """Deterministic fixed-size uniform sample — the bottom-k-by-hash
+    reservoir: rank every doc by md5 of a salted id and keep the 100
+    smallest. Hashes are uniform, so this IS a uniform random sample,
+    yet it's reproducible across runs/engines and needs no RNG state.
+    Spark plans it as TakeOrderedAndProject: each task keeps its local
+    bottom-100, the driver merges |tasks| x 100 rows — no global sort,
+    no shuffle of the corpus, the standard way to cut a fixed-size
+    eval/holdout set from 100 TB."""
+    return (
+        read_table(spark, sf_dir, "documents")
+        .selectExpr(
+            "CAST(doc_id AS BIGINT) AS doc_id", "lang", "source",
+            "md5(concat('sample:', CAST(doc_id AS STRING))) AS sort_key")
+        .orderBy("sort_key")
+        .limit(100)
+    )
+
+
+@query(
+    "corpus_mix_weights",
+    oracle=f"""
+    WITH t AS (SELECT source, {_NTOK_SQL} AS ntok FROM documents),
+    per AS (SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(ntok) AS BIGINT) AS total_tokens
+            FROM t GROUP BY source),
+    tot AS (SELECT SUM(total_tokens) AS corpus_tokens,
+                   COUNT(*) AS n_sources FROM per)
+    SELECT p.source, p.n_docs, p.total_tokens,
+           CAST(floor(p.total_tokens * 1e6 / t.corpus_tokens + 0.5)
+                AS BIGINT) AS current_ppm,
+           CAST(floor(1e6 / t.n_sources + 0.5) AS BIGINT) AS target_ppm,
+           CAST(floor((t.corpus_tokens / t.n_sources)
+                      * 1e6 / p.total_tokens + 0.5)
+                AS BIGINT) AS resample_weight_ppm
+    FROM per p CROSS JOIN tot t
+    """,
+)
+def corpus_mix_weights(spark, sf_dir):
+    """Training-mixture reweighting table: per source, its current
+    token share and the per-doc resampling weight (in integer ppm;
+    1e6 = keep as-is, <1e6 downsample, >1e6 repeat/upsample) that
+    moves the mixture to a UNIFORM target across sources — the
+    executable form of domain-mixture planning (cf. DoReMi's reweigh-
+    by-domain step, with uniform in place of learned weights). ONE
+    corpus pass: a map-side-combined per-source aggregation, then the
+    corpus totals come from an unpartitioned window OVER THE
+    |sources|-ROW AGGREGATE (aggregate-before-window — the
+    single-partition window sees a handful of rows, never the corpus),
+    so there is no second scan and no broadcast join at all."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "source", F.expr(token_count_expr("text")).alias("ntok"))
+    per = docs.groupBy("source").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+        F.expr("CAST(SUM(ntok) AS BIGINT)").alias("total_tokens"))
+    w = Window.partitionBy()
+    return (
+        per.withColumn("corpus_tokens", F.sum("total_tokens").over(w))
+        .withColumn("n_sources", F.count("*").over(w))
+        .selectExpr(
+            "source", "n_docs", "total_tokens",
+            "CAST(floor(total_tokens * 1e6 / corpus_tokens + 0.5)"
+            " AS BIGINT) AS current_ppm",
+            "CAST(floor(1e6 / n_sources + 0.5) AS BIGINT) AS target_ppm",
+            "CAST(floor((corpus_tokens / n_sources) * 1e6 / total_tokens"
+            " + 0.5) AS BIGINT) AS resample_weight_ppm")
+    )
+
+
 @query("sample_temperature_by_lang", oracle=_temperature_resample_oracle())
 def sample_temperature_by_lang(spark, sf_dir):
     """Temperature (T=2) language rebalancing audit — head languages

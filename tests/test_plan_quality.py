@@ -342,3 +342,25 @@ def test_quality_linear_score_is_per_row(spark):
     assert not re.search(r"Exchange (hash|range)partitioning", plan)
     assert "HashAggregate" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_fixed_n_sample_is_take_ordered(spark):
+    """Bottom-k-by-hash sampling must plan as TakeOrderedAndProject
+    (per-task local bottom-k, driver merge) — never a global sort
+    Exchange."""
+    plan = plan_of(spark, "sample_fixed_n_by_hash")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_mix_weights_one_corpus_pass(spark):
+    """The mixture table must scan the corpus ONCE (per-source
+    map-side partials, one hash exchange); corpus totals come from the
+    unpartitioned window over the |sources|-row aggregate, so the
+    single-partition exchange carries aggregated rows only."""
+    plan = plan_of(spark, "corpus_mix_weights")
+    assert "partial_" in plan
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "SortMergeJoin" not in plan
+    assert "Window" in plan

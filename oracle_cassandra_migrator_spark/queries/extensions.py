@@ -836,6 +836,43 @@ def sim_ivf_multiprobe_topk(spark, sf_dir):
         read_table(spark, sf_dir, "embeddings"), n_probe=2)
 
 
+def _ann_recall_oracle() -> str:
+    from oracle_cassandra_migrator_spark.queries.registry import ORACLES
+
+    bf = ORACLES["sim_topk_bruteforce"]
+    ivf = ORACLES["sim_ivf_topk"]
+    return f"""
+    WITH bf AS (SELECT vec_id FROM ({bf})),
+    ivf AS (SELECT vec_id FROM ({ivf})),
+    hits AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+             FROM bf JOIN ivf USING (vec_id))
+    SELECT 10 AS k, n_hits,
+           CAST(floor(n_hits * 1e6 / 10 + 0.5) AS BIGINT) AS recall_ppm
+    FROM hits
+    """
+
+
+@query("sim_ann_recall_audit", oracle=_ann_recall_oracle())
+def sim_ann_recall_audit(spark, sf_dir):
+    """ANN quality audit: recall@10 of the single-probe IVF search
+    against the exact brute-force top-10 — the similarity-family
+    mirror of dedup_minhash_estimate_audit (measure the approximation,
+    don't trust it). This is the number an indexing pipeline watches
+    when tuning |cells| / n_probe. Both branches are the existing
+    plan-gated operators (TakeOrderedAndProject each); the audit adds
+    one <=k-row join and a 1-row aggregate, so its cost IS the cost of
+    running both searches."""
+    bf = sim_topk_bruteforce(spark, sf_dir).select("vec_id")
+    ivf = sim_ivf_topk(spark, sf_dir).select("vec_id")
+    return (
+        bf.join(ivf, "vec_id")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n_hits"))
+        .selectExpr(
+            "10 AS k", "n_hits",
+            "CAST(floor(n_hits * 1e6 / 10 + 0.5) AS BIGINT) AS recall_ppm")
+    )
+
+
 def _ivf_cells_parts(modulus: int = 43, iters: int = 2,
                      sample_mod: int | None = None,
                      init_limit: int | None = None) -> list[str]:

@@ -224,6 +224,74 @@ def dedup_minhash_estimate_audit(spark, sf_dir):
     return dedup.minhash_estimate_audit(docs, "text", "doc_id", n=3)
 
 
+def _cluster_histogram_oracle() -> str:
+    from oracle_cassandra_migrator_spark.queries.registry import ORACLES
+
+    prune = ORACLES["dedup_minhash_prune"]
+    return f"""
+    WITH pr AS (SELECT * FROM ({prune})),
+    sizes AS (SELECT cluster_rep, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM pr GROUP BY cluster_rep)
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """
+
+
+@query("dedup_cluster_size_histogram", oracle=_cluster_histogram_oracle())
+def dedup_cluster_size_histogram(spark, sf_dir):
+    """Duplication-rate report: the distribution of near-dup cluster
+    sizes from the MinHash decisions table (cluster_size 1 =
+    singletons/unique docs). n_docs per row sums to the corpus, so
+    (1 - n_clusters_total/corpus) IS the duplicate fraction — the
+    one-line answer "how duplicated is this crawl?". Two tiny
+    aggregations on top of the decisions table; everything upstream is
+    the plan-gated MinHash pipeline."""
+    pr = dedup_minhash_prune(spark, sf_dir)
+    sizes = pr.groupBy("cluster_rep").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_clusters"),
+        F.expr("CAST(cluster_size * count(*) AS BIGINT)").alias("n_docs"))
+
+
+@query(
+    "corpus_trigram_diversity",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    ex AS (SELECT d.lang, t.tok
+           FROM sh JOIN documents d USING (doc_id),
+                UNNEST(sh.shingles) AS t(tok))
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_trigram_mentions,
+           CAST(count(DISTINCT tok) AS BIGINT) AS n_unique_trigrams,
+           round(CAST(count(DISTINCT tok) AS DOUBLE) / count(*), 6)
+             AS diversity
+    FROM ex GROUP BY lang
+    """,
+)
+def corpus_trigram_diversity(spark, sf_dir):
+    """Corpus diversity report: per language, how many of the word
+    trigrams documents mention are unique corpus-wide (type/token
+    ratio over per-doc-distinct shingles). Low diversity = heavy
+    cross-document repetition — the aggregate signal that a slice of
+    the crawl is boilerplate even when no single pair crosses a dedup
+    threshold. One explode + one (lang, distinct tok) aggregation —
+    the same expand/partial/final plan Spark gives COUNT(DISTINCT) at
+    any scale."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = dedup.with_shingles(docs.select("doc_id", "lang", "text"),
+                             "text", 3)
+    ex = sh.select("lang", F.explode("shingles").alias("tok"))
+    return ex.groupBy("lang").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_trigram_mentions"),
+        F.expr("CAST(count(DISTINCT tok) AS BIGINT)")
+        .alias("n_unique_trigrams"),
+        F.expr("round(CAST(count(DISTINCT tok) AS DOUBLE) / count(*), 6)")
+        .alias("diversity"))
+
+
 # DuckDB replica of operators.dedup.simhash_expr: per-doc 32-bit
 # SimHash from distinct-word md5 parities. Shared by the bucket and
 # hamming-distance oracles.

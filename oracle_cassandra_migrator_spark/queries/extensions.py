@@ -2081,6 +2081,98 @@ def search_bm25_topk(spark, sf_dir):
     return bm25_topk(read_table(spark, sf_dir, "documents"), BM25_TERMS, k=10)
 
 
+def _rrf_fusion_oracle(k_rrf: int = 60) -> str:
+    from oracle_cassandra_migrator_spark.queries.registry import ORACLES
+
+    bm = ORACLES["search_bm25_topk"]
+    cos = ORACLES["sim_topk_bruteforce"]
+    return f"""
+    WITH bm AS (SELECT doc_id,
+                       row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                         AS r_bm25
+                FROM ({bm})),
+    cs AS (SELECT vec_id,
+                  row_number() OVER (ORDER BY cosine DESC, vec_id)
+                    AS r_cos
+           FROM ({cos}))
+    SELECT CAST(coalesce(bm.doc_id, cs.vec_id) AS BIGINT) AS doc_id,
+           CAST(bm.r_bm25 AS INT) AS r_bm25,
+           CAST(cs.r_cos AS INT) AS r_cos,
+           round(coalesce(1.0 / ({k_rrf} + bm.r_bm25), 0)
+                 + coalesce(1.0 / ({k_rrf} + cs.r_cos), 0), 6) AS rrf
+    FROM bm FULL OUTER JOIN cs ON bm.doc_id = cs.vec_id
+    ORDER BY rrf DESC, doc_id
+    """
+
+
+@query("search_hybrid_rrf", oracle=_rrf_fusion_oracle())
+def search_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+    2009): the BM25 sparse top-10 and the dense cosine top-10 merge on
+    score 1/(60+rank_bm25) + 1/(60+rank_cos) — the standard
+    training-free fusion every hybrid search stack ships. Both inputs
+    are the existing plan-gated TakeOrderedAndProject retrievers; the
+    fusion itself touches <= 2k rows (rank windows over k-row lists, a
+    k-row full outer join), so its scale profile IS the retrievers'.
+    vec_id is the embedding of the same-id document in this corpus."""
+    bm = search_bm25_topk(spark, sf_dir).select("doc_id", "bm25")
+    cs = sim_topk_bruteforce(spark, sf_dir).select("vec_id", "cosine")
+    wb = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    wc = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    bm = bm.withColumn("r_bm25", F.row_number().over(wb)).drop("bm25")
+    cs = cs.withColumn("r_cos", F.row_number().over(wc)).drop("cosine")
+    return (
+        bm.join(cs, bm.doc_id == cs.vec_id, "full_outer")
+        .selectExpr(
+            "CAST(coalesce(doc_id, vec_id) AS BIGINT) AS doc_id",
+            "CAST(r_bm25 AS INT) AS r_bm25",
+            "CAST(r_cos AS INT) AS r_cos",
+            "round(coalesce(CAST(1.0 AS DOUBLE) / (60 + r_bm25), 0)"
+            " + coalesce(CAST(1.0 AS DOUBLE) / (60 + r_cos), 0), 6) AS rrf")
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+    )
+
+
+@query(
+    "events_hot_users_report",
+    oracle="""
+    WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+                 FROM events GROUP BY user_id),
+    tot AS (SELECT count(*) AS total_events FROM events)
+    SELECT p.user_id, p.n_events,
+           CAST(floor(p.n_events * 1e6 / t.total_events + 0.5) AS BIGINT)
+             AS share_ppm
+    FROM per p CROSS JOIN tot t
+    ORDER BY p.n_events DESC, p.user_id
+    LIMIT 20
+    """,
+)
+def events_hot_users_report(spark, sf_dir):
+    """Hot-key diagnostic: the 20 heaviest event producers with their
+    integer-ppm share of total volume — the report an operator runs
+    BEFORE picking a partition key or salting strategy (operators/
+    skew.py holds the mitigations this report motivates). One
+    map-side-combined per-user aggregation; the grand total is a
+    ZERO-COLUMN count(*) scan (empty ReadSchema — parquet answers it
+    from row-group metadata, no data pages), broadcast as one row; the
+    top-20 is a TakeOrderedAndProject — no global sort, no window over
+    raw events, and never a single-partition pass over the |users|-row
+    aggregate."""
+    events = read_table(spark, sf_dir, "events")
+    per = events.groupBy("user_id").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_events"))
+    tot = events.agg(F.count("*").alias("total_events"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "user_id", "n_events",
+            "CAST(floor(n_events * 1e6 / total_events + 0.5) AS BIGINT)"
+            " AS share_ppm")
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
 SEMANTIC_CELLS_SAMPLE_MOD = 7
 SEMANTIC_CELLS_INIT_LIMIT = 64
 

@@ -364,3 +364,16 @@ def test_mix_weights_one_corpus_pass(spark):
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "SortMergeJoin" not in plan
     assert "Window" in plan
+
+
+def test_hot_users_report_take_ordered_no_window(spark):
+    """The hot-key report must be: one user-keyed exchange with
+    map-side partials, a metadata-weight zero-column count for the
+    total, a TakeOrderedAndProject top-20 — never a Window or global
+    sort."""
+    plan = plan_of(spark, "events_hot_users_report")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan
+    assert "partial_count" in plan
+    assert "ReadSchema: struct<>" in plan  # the zero-column total scan

@@ -2081,6 +2081,45 @@ def search_bm25_topk(spark, sf_dir):
     return bm25_topk(read_table(spark, sf_dir, "documents"), BM25_TERMS, k=10)
 
 
+@query(
+    "profile_documents_table",
+    oracle="""
+    SELECT 'doc_id' AS column_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct FROM documents
+    UNION ALL SELECT 'text' AS column_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(text) AS BIGINT) AS n_nulls, CAST(count(DISTINCT text) AS BIGINT) AS n_distinct FROM documents
+    UNION ALL SELECT 'lang' AS column_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(lang) AS BIGINT) AS n_nulls, CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct FROM documents
+    UNION ALL SELECT 'source' AS column_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(source) AS BIGINT) AS n_nulls, CAST(count(DISTINCT source) AS BIGINT) AS n_distinct FROM documents
+    UNION ALL SELECT 'n_chars' AS column_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(n_chars) AS BIGINT) AS n_nulls, CAST(count(DISTINCT n_chars) AS BIGINT) AS n_distinct FROM documents
+    """,
+)
+def profile_documents_table(spark, sf_dir):
+    """Table profiler (the ANALYZE/data-quality pass a pipeline runs
+    before trusting a new drop): per column, exact null count and
+    exact distinct cardinality, long format. One aggregation statement
+    — Catalyst plans the multi-distinct via Expand (each row fans out
+    per distinct-column group, partial-aggregated map-side), which is
+    the standard exact-profiling plan; swap count(DISTINCT) for
+    approx_count_distinct at 100 TB for a sketch-sized shuffle (the
+    bounded-error contract is driver-checked on
+    agg_approx_count_distinct)."""
+    docs = read_table(spark, sf_dir, "documents")
+    wide = docs.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_rows"),
+        F.expr("CAST(count(*) - count(doc_id) AS BIGINT)").alias("nn_doc_id"),
+            F.expr("CAST(count(DISTINCT doc_id) AS BIGINT)").alias("nd_doc_id"),
+            F.expr("CAST(count(*) - count(text) AS BIGINT)").alias("nn_text"),
+            F.expr("CAST(count(DISTINCT text) AS BIGINT)").alias("nd_text"),
+            F.expr("CAST(count(*) - count(lang) AS BIGINT)").alias("nn_lang"),
+            F.expr("CAST(count(DISTINCT lang) AS BIGINT)").alias("nd_lang"),
+            F.expr("CAST(count(*) - count(source) AS BIGINT)").alias("nn_source"),
+            F.expr("CAST(count(DISTINCT source) AS BIGINT)").alias("nd_source"),
+            F.expr("CAST(count(*) - count(n_chars) AS BIGINT)").alias("nn_n_chars"),
+            F.expr("CAST(count(DISTINCT n_chars) AS BIGINT)").alias("nd_n_chars"))
+    return wide.selectExpr(
+        "stack(5, 'doc_id', nn_doc_id, nd_doc_id, 'text', nn_text, nd_text, 'lang', nn_lang, nd_lang, 'source', nn_source, nd_source, 'n_chars', nn_n_chars, nd_n_chars) AS (column_name, n_nulls, n_distinct)",
+        "n_rows",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct")
+
+
 def _rrf_fusion_oracle(k_rrf: int = 60) -> str:
     from oracle_cassandra_migrator_spark.queries.registry import ORACLES
 

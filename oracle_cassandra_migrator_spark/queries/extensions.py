@@ -2382,6 +2382,74 @@ def events_rolling_weekly_counts(spark, sf_dir):
 
 
 @query(
+    "events_daily_gapfill",
+    oracle="""
+    WITH d AS (SELECT event_type,
+                      CAST(date_trunc('day', ts) AS DATE) AS day,
+                      CAST(count(*) AS BIGINT) AS n_events
+               FROM events GROUP BY 1, 2),
+    b AS (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM d
+          GROUP BY event_type),
+    cal AS (SELECT b.event_type, CAST(g.day AS DATE) AS day
+            FROM b, UNNEST(generate_series(b.d0, b.d1, INTERVAL 1 DAY))
+                 AS g(day)),
+    f AS (SELECT c.event_type, c.day,
+                 coalesce(d.n_events, 0) AS n_events
+          FROM cal c LEFT JOIN d
+            ON c.event_type = d.event_type AND c.day = d.day),
+    w AS (SELECT *,
+                 max(CASE WHEN n_events > 0 THEN day END) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_active
+          FROM f)
+    SELECT event_type, CAST(day AS VARCHAR) AS day, n_events,
+           CAST(datediff('day', last_active, day) AS INT)
+             AS days_since_active
+    FROM w
+    """,
+)
+def events_daily_gapfill(spark, sf_dir):
+    """Calendar gap-filling with forward-fill — the hypertable
+    time_bucket_gapfill staple: every (event_type, calendar day)
+    between the type's first and last active day gets a row, absent
+    days 0-filled, plus days_since_active (a forward-fill of the last
+    day that had events). ONE corpus pass: the corpus collapses to the
+    daily aggregate (map-side partials), the per-type calendar is
+    generated by sequence+explode off the |types|-row bounds of a
+    day->count map built FROM the daily rows (never the corpus), and
+    the forward-fill window runs over |types x days| rows only —
+    aggregate-before-window throughout."""
+    events = read_table(spark, sf_dir, "events")
+    daily = (
+        events.selectExpr(
+            "event_type", "CAST(date_trunc('DAY', ts) AS DATE) AS day")
+        .groupBy("event_type", "day")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n_events"))
+    )
+    per_type = daily.groupBy("event_type").agg(
+        F.expr("map_from_entries(collect_list(struct(day, n_events)))")
+        .alias("m"),
+        F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = per_type.select(
+        "event_type", "m",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"))
+    filled = cal.selectExpr(
+        "event_type", "day",
+        "coalesce(element_at(m, day), CAST(0 AS BIGINT)) AS n_events")
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        filled.withColumn(
+            "last_active",
+            F.max(F.expr("CASE WHEN n_events > 0 THEN day END")).over(w))
+        .selectExpr(
+            "event_type", "CAST(day AS STRING) AS day", "n_events",
+            "CAST(datediff(day, last_active) AS INT) AS days_since_active")
+    )
+
+
+@query(
     "dedup_prefix_boilerplate",
     oracle=f"""
     WITH p AS (SELECT doc_id,

@@ -377,3 +377,15 @@ def test_hot_users_report_take_ordered_no_window(spark):
     assert "rangepartitioning" not in plan
     assert "partial_count" in plan
     assert "ReadSchema: struct<>" in plan  # the zero-column total scan
+
+
+def test_gapfill_single_corpus_pass(spark):
+    """Gap-filling must touch the corpus once: daily aggregate with
+    map-side partials, calendar generated off the per-type aggregate
+    (sequence+explode), forward-fill window over aggregated rows
+    only."""
+    plan = plan_of(spark, "events_daily_gapfill")
+    assert plan.count("Scan parquet") == 1
+    assert "partial_" in plan
+    assert "Generate explode" in plan
+    assert "rangepartitioning" not in plan

@@ -1,0 +1,54 @@
+"""Shuffle-budget lockfile: every headline query's physical plan is
+pinned to a maximum number of exchanges (hash / range / single), so a
+refactor that silently adds a shuffle — the classic 100 TB regression —
+fails here instead of in the next benchmark round.
+
+Budgets are the counts measured from the current, audited plans
+(PLANS.md / VERDICT r4 plan review). Raising a budget is allowed but
+must be a conscious edit of this file, with the reason in the commit.
+"""
+
+import re
+
+import pytest
+
+from oracle_cassandra_migrator_spark.queries import QUERIES
+
+from tests.conftest import SF_SMALL
+
+# name -> (max hashpartitioning, max rangepartitioning, max SinglePartition)
+SHUFFLE_BUDGET = {
+    "flagship_payment_pipeline": (0, 0, 0),   # all dims broadcast
+    "pricing_summary": (1, 0, 0),
+    "topk_order_revenue": (1, 0, 0),
+    "rollup_acctbal_region_nation": (1, 0, 0),
+    "window_rank_top_orders": (1, 0, 0),
+    "window_running_total": (1, 0, 0),
+    "tpch_q8_market_share": (1, 0, 0),
+    "tpch_q21_waiting_suppliers": (1, 0, 0),
+    "asof_join_purchase_click": (1, 0, 0),
+    "events_sessionize": (1, 0, 0),
+    "events_daily_type_counts": (1, 0, 0),
+    "dedup_exact_documents": (1, 0, 0),
+    "dedup_minhash_lsh": (6, 0, 0),   # sig agg + band window + self-join + pair agg
+    "dedup_ngram_jaccard": (1, 0, 0),
+    "sim_topk_bruteforce": (0, 0, 0),
+    "sim_ann_lsh_exact": (0, 0, 0),
+    "text_bpe_token_counts": (0, 0, 0),
+    "udf_embedding_norms": (0, 0, 0),
+    "skew_salted_revenue_by_status": (2, 0, 0),  # salted two-stage agg
+}
+
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))
+def test_headline_query_within_shuffle_budget(spark, name):
+    plan = (QUERIES[name](spark, SF_SMALL)
+            ._jdf.queryExecution().executedPlan().toString())
+    h = len(re.findall(r"Exchange hashpartitioning", plan))
+    r = len(re.findall(r"Exchange rangepartitioning", plan))
+    s = len(re.findall(r"Exchange SinglePartition", plan))
+    mh, mr, ms = SHUFFLE_BUDGET[name]
+    assert h <= mh and r <= mr and s <= ms, (
+        f"{name}: exchanges (hash={h}, range={r}, single={s}) exceed "
+        f"budget (hash={mh}, range={mr}, single={ms}) — a shuffle was "
+        f"added; if intentional, raise the budget here with rationale")

@@ -166,3 +166,40 @@ def test_salted_cap_equals_plain_for_any_salt_assignment(rows, n):
     salted = topn_ranked(survivors)
 
     assert salted == plain
+
+
+@given(
+    st.lists(st.integers(min_value=-10**6, max_value=10**6),
+             min_size=1, max_size=200),
+    st.integers(min_value=2, max_value=8),
+)
+@settings(max_examples=200, deadline=None)
+def test_two_pass_quantile_bucketing_invariants(vals, k):
+    """The mathematical core of operators/quantiles: with
+    percentile_disc boundaries (smallest value with cume_dist >= p)
+    and strict-> bucket assignment, (1) every row lands in a bucket in
+    [1, k]; (2) assignment is monotone in the value; (3) rows equal to
+    a boundary land in the LOWER bucket; (4) bucket populations never
+    exceed ceil(n/k) by more than the multiplicity of a single tied
+    value (the discrete-quantile tie bound)."""
+    n = len(vals)
+    svals = sorted(vals)
+    ps = [i / k for i in range(1, k)]
+    # percentile_disc: smallest value whose cume_dist >= p
+    import math
+    bounds = [svals[max(0, math.ceil(p * n) - 1)] for p in ps]
+    assert bounds == sorted(bounds)
+
+    def bucket(x):
+        return 1 + sum(1 for b in bounds if x > b)
+
+    buckets = [bucket(x) for x in svals]
+    assert all(1 <= b <= k for b in buckets)
+    assert buckets == sorted(buckets)  # monotone in value
+    for b in bounds:
+        assert bucket(b) == 1 + sum(1 for bb in bounds if b > bb)
+    from collections import Counter
+    pop = Counter(buckets)
+    tie_bound = max(Counter(svals).values())
+    for j in range(1, k + 1):
+        assert pop.get(j, 0) <= math.ceil(n / k) + tie_bound

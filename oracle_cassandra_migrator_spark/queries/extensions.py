@@ -2745,3 +2745,83 @@ def quantile_bucket_prices(spark, sf_dir):
 
     li = read_table(spark, sf_dir, "lineitem").select("l_extendedprice")
     return quantile_bucket_profile(li, "l_extendedprice", 10, exact=True)
+
+
+def _curation_v2_oracle() -> str:
+    from oracle_cassandra_migrator_spark.queries.registry import ORACLES
+
+    prune = ORACLES["dedup_minhash_prune"]
+    qual = ORACLES["text_quality_linear_score"]
+    return f"""
+    WITH pr AS (SELECT * FROM ({prune})),
+    ql AS (SELECT * FROM ({qual})),
+    b AS (SELECT lang,
+                 quantile_disc(n_chars, 0.25) AS q1,
+                 quantile_disc(n_chars, 0.75) AS q3
+          FROM documents GROUP BY lang),
+    j AS (SELECT d.doc_id, d.lang,
+                 pr.is_kept AS dedup_ok,
+                 ql.is_quality AS quality_ok,
+                 d.n_chars > b.q1 AND d.n_chars <= b.q3 AS length_ok
+          FROM documents d
+          JOIN pr ON pr.doc_id = d.doc_id
+          JOIN ql ON ql.doc_id = d.doc_id
+          JOIN b ON b.lang = d.lang)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN dedup_ok AND quality_ok AND length_ok
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN NOT dedup_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flag_duplicate,
+           CAST(sum(CASE WHEN NOT quality_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flag_quality,
+           CAST(sum(CASE WHEN NOT length_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flag_length
+    FROM j GROUP BY lang
+    """
+
+
+@query("pipeline_curation_v2", oracle=_curation_v2_oracle())
+def pipeline_curation_v2(spark, sf_dir):
+    """End-to-end curation decision report composing FOUR operator
+    families in one plan: MinHash keep/drop decisions
+    (dedup_minhash_prune), the linear quality scorer over hashed
+    features (text_quality_linear_score), and per-language length
+    gates at the grouped quartile boundaries (operators/quantiles) —
+    per language, how many docs survive all three and how many each
+    filter flags (flags are independent counts, not exclusive
+    buckets). This is the report a training-data pipeline emits per
+    crawl drop. Every stage keeps its own plan-gated scale shape; the
+    composition adds doc_id equi-joins and a broadcast of the
+    |langs|-row boundary table."""
+    from oracle_cassandra_migrator_spark.operators.quantiles import (
+        grouped_quantile_boundaries)
+
+    docs = read_table(spark, sf_dir, "documents")
+    pr = dedup_minhash_prune(spark, sf_dir).select(
+        "doc_id", F.col("is_kept").alias("dedup_ok"))
+    ql = text_quality_linear_score(spark, sf_dir).select(
+        "doc_id", F.col("is_quality").alias("quality_ok"))
+    b = grouped_quantile_boundaries(
+        docs.select("lang", "n_chars"), "n_chars", 4, "lang", exact=True
+    ).selectExpr("lang", "bounds[0] AS q1", "bounds[2] AS q3")
+    j = (
+        docs.select("doc_id", "lang", "n_chars")
+        .join(pr, "doc_id")
+        .join(ql, "doc_id")
+        .join(F.broadcast(b), "lang")
+        .selectExpr(
+            "lang", "dedup_ok", "quality_ok",
+            "n_chars > q1 AND n_chars <= q3 AS length_ok")
+    )
+    return j.groupBy("lang").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_docs"),
+        F.expr("CAST(sum(CASE WHEN dedup_ok AND quality_ok AND length_ok"
+               " THEN 1 ELSE 0 END) AS BIGINT)").alias("n_kept"),
+        F.expr("CAST(sum(CASE WHEN NOT dedup_ok THEN 1 ELSE 0 END)"
+               " AS BIGINT)").alias("n_flag_duplicate"),
+        F.expr("CAST(sum(CASE WHEN NOT quality_ok THEN 1 ELSE 0 END)"
+               " AS BIGINT)").alias("n_flag_quality"),
+        F.expr("CAST(sum(CASE WHEN NOT length_ok THEN 1 ELSE 0 END)"
+               " AS BIGINT)").alias("n_flag_length"),
+    )

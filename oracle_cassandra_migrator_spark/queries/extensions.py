@@ -941,6 +941,43 @@ def sim_ann_recall_audit(spark, sf_dir):
     )
 
 
+def _ann_recall_curve_oracle() -> str:
+    from oracle_cassandra_migrator_spark.queries.registry import ORACLES
+
+    bf = ORACLES["sim_topk_bruteforce"]
+    probes = {1: ORACLES["sim_ivf_topk"], 2: ORACLES["sim_ivf_multiprobe_topk"]}
+    arms = "\n    UNION ALL ".join(
+        f"SELECT {np} AS n_probe, CAST(count(*) AS BIGINT) AS n_hits"
+        f" FROM bf JOIN (SELECT vec_id FROM ({sql})) a USING (vec_id)"
+        for np, sql in probes.items())
+    return f"""
+    WITH bf AS (SELECT vec_id FROM ({bf}))
+    SELECT n_probe, 10 AS k, n_hits,
+           CAST(floor(n_hits * 1e6 / 10 + 0.5) AS BIGINT) AS recall_ppm
+    FROM ({arms})
+    """
+
+
+@query("sim_ann_recall_curve", oracle=_ann_recall_curve_oracle())
+def sim_ann_recall_curve(spark, sf_dir):
+    """The IVF tuning CURVE: recall@10 vs n_probe (1 = single-cell,
+    2 = multi-probe) against the exact brute-force top-10 — one row
+    per operating point, the table an indexing team reads to pick the
+    recall/cost trade-off. Each arm is an existing plan-gated
+    retriever; the curve is a union of <=k-row joins."""
+    bf = sim_topk_bruteforce(spark, sf_dir).select("vec_id")
+    arms = []
+    for n_probe, qfn in ((1, sim_ivf_topk), (2, sim_ivf_multiprobe_topk)):
+        hits = bf.join(qfn(spark, sf_dir).select("vec_id"), "vec_id")
+        arms.append(hits.agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_hits"))
+            .selectExpr(f"{n_probe} AS n_probe", "n_hits"))
+    curve = arms[0].unionByName(arms[1])
+    return curve.selectExpr(
+        "n_probe", "10 AS k", "n_hits",
+        "CAST(floor(n_hits * 1e6 / 10 + 0.5) AS BIGINT) AS recall_ppm")
+
+
 def _ivf_cells_parts(modulus: int = 43, iters: int = 2,
                      sample_mod: int | None = None,
                      init_limit: int | None = None) -> list[str]:

@@ -2451,39 +2451,14 @@ def events_daily_gapfill(spark, sf_dir):
     time_bucket_gapfill staple: every (event_type, calendar day)
     between the type's first and last active day gets a row, absent
     days 0-filled, plus days_since_active (a forward-fill of the last
-    day that had events). ONE corpus pass: the corpus collapses to the
-    daily aggregate (map-side partials), the per-type calendar is
-    generated by sequence+explode off the |types|-row bounds of a
-    day->count map built FROM the daily rows (never the corpus), and
-    the forward-fill window runs over |types x days| rows only —
-    aggregate-before-window throughout."""
+    day that had events). ONE corpus pass — see
+    operators/timeseries.daily_gapfill for the plan shape
+    (aggregate-before-window throughout)."""
+    from oracle_cassandra_migrator_spark.operators.timeseries import (
+        daily_gapfill)
+
     events = read_table(spark, sf_dir, "events")
-    daily = (
-        events.selectExpr(
-            "event_type", "CAST(date_trunc('DAY', ts) AS DATE) AS day")
-        .groupBy("event_type", "day")
-        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n_events"))
-    )
-    per_type = daily.groupBy("event_type").agg(
-        F.expr("map_from_entries(collect_list(struct(day, n_events)))")
-        .alias("m"),
-        F.min("day").alias("d0"), F.max("day").alias("d1"))
-    cal = per_type.select(
-        "event_type", "m",
-        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"))
-    filled = cal.selectExpr(
-        "event_type", "day",
-        "coalesce(element_at(m, day), CAST(0 AS BIGINT)) AS n_events")
-    w = (Window.partitionBy("event_type").orderBy("day")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (
-        filled.withColumn(
-            "last_active",
-            F.max(F.expr("CASE WHEN n_events > 0 THEN day END")).over(w))
-        .selectExpr(
-            "event_type", "CAST(day AS STRING) AS day", "n_events",
-            "CAST(datediff(day, last_active) AS INT) AS days_since_active")
-    )
+    return daily_gapfill(events, "event_type", "ts")
 
 
 @query(

@@ -445,3 +445,56 @@ def test_quantile_buckets_approx_matches_exact_shape(spark):
     bvals = bounds.collect()[0]["bounds"]
     probe = spark.createDataFrame([(float(bvals[0]),)], "x double")
     assert assign_buckets(probe, bounds, "x").collect()[0]["bucket"] == 1
+
+
+def test_quantile_buckets_more_buckets_than_rows(spark):
+    """k > n must not crash or emit out-of-range buckets: with n=2
+    rows and k=5, percentile_disc boundaries repeat data values and
+    every row still lands in [1, k]."""
+    from oracle_cassandra_migrator_spark.operators.quantiles import (
+        quantile_bucket_profile)
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+    rows = quantile_bucket_profile(df, "x", 5, exact=True).collect()
+    assert sum(r["n_rows"] for r in rows) == 2
+    assert all(1 <= r["bucket"] <= 5 for r in rows)
+
+
+def test_grouped_quantile_all_ties_single_bucket(spark):
+    """A group whose values are all identical gets every row in bucket
+    1 (ties land LOW of every boundary == the value itself)."""
+    from oracle_cassandra_migrator_spark.operators.quantiles import (
+        grouped_bucket_profile)
+
+    df = spark.createDataFrame(
+        [("a", 7.0)] * 6 + [("b", float(i)) for i in range(8)],
+        "g string, x double")
+    rows = grouped_bucket_profile(df, "x", 4, "g", exact=True).collect()
+    a_rows = [r for r in rows if r["g"] == "a"]
+    assert len(a_rows) == 1 and a_rows[0]["bucket"] == 1
+    assert a_rows[0]["n_rows"] == 6
+    assert sum(r["n_rows"] for r in rows if r["g"] == "b") == 8
+
+
+def test_gapfill_edges(spark):
+    """Gap-fill edge semantics: a key active on ONE day yields exactly
+    one row (0 days since active); a key with a hole gets the missing
+    days 0-filled with days_since_active counting up from the last
+    active day."""
+    from oracle_cassandra_migrator_spark.operators.timeseries import (
+        daily_gapfill)
+
+    df = spark.createDataFrame(
+        [("solo", "2024-03-05 10:00:00"),
+         ("holey", "2024-03-01 01:00:00"),
+         ("holey", "2024-03-01 02:00:00"),
+         ("holey", "2024-03-04 09:00:00")],
+        "k string, ts string").selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts")
+    out = {(r["k"], r["day"]): (r["n_events"], r["days_since_active"])
+           for r in daily_gapfill(df, "k", "ts").collect()}
+    assert out[("solo", "2024-03-05")] == (1, 0)
+    assert len([1 for (k, _) in out if k == "holey"]) == 4
+    assert out[("holey", "2024-03-01")] == (2, 0)
+    assert out[("holey", "2024-03-02")] == (0, 1)
+    assert out[("holey", "2024-03-03")] == (0, 2)
+    assert out[("holey", "2024-03-04")] == (1, 0)

@@ -2462,6 +2462,59 @@ def events_daily_gapfill(spark, sf_dir):
 
 
 @query(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+               FROM (SELECT unnest({WORDS_SQL}) AS tok FROM documents)
+               GROUP BY tok),
+    top AS (SELECT cnt FROM c ORDER BY cnt DESC, tok LIMIT 1000),
+    agg AS (SELECT (SELECT CAST(sum(cnt) AS BIGINT) FROM c) AS n_mentions,
+                   (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_vocab,
+                   (SELECT CAST(sum(cnt) AS BIGINT) FROM top)
+                     AS n_top_mentions)
+    SELECT n_mentions, n_vocab, n_top_mentions,
+           CAST(floor(n_top_mentions * 1e6 / n_mentions + 0.5) AS BIGINT)
+             AS coverage_ppm
+    FROM agg
+    """,
+)
+def text_vocab_coverage(spark, sf_dir):
+    """Tokenizer-planning report: what share of all token mentions a
+    top-1000 word vocabulary covers (the number that decides vocab
+    size / OOV budget before training a tokenizer). The corpus is
+    exploded and counted ONCE into the |vocab|-row counts table, which
+    is persisted across its three consumers (top-k TakeOrdered, corpus
+    totals, top sum) — same one-pass-many-consumers pattern as the
+    MinHash shingle table; every post-counts step touches aggregated
+    rows only. Top-1000 boundary ties break on (count desc, tok) — a
+    total order both engines replay."""
+    from pyspark import StorageLevel
+
+    docs = read_table(spark, sf_dir, "documents")
+    from oracle_cassandra_migrator_spark.operators.text import words_expr
+
+    counts = (
+        docs.select(F.explode(F.expr(words_expr("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(1000)
+    stats = counts.agg(
+        F.expr("CAST(sum(cnt) AS BIGINT)").alias("n_mentions"),
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_vocab"))
+    cov = top.agg(
+        F.expr("CAST(sum(cnt) AS BIGINT)").alias("n_top_mentions"))
+    return (
+        stats.crossJoin(F.broadcast(cov))
+        .selectExpr(
+            "n_mentions", "n_vocab", "n_top_mentions",
+            "CAST(floor(n_top_mentions * 1e6 / n_mentions + 0.5)"
+            " AS BIGINT) AS coverage_ppm")
+    )
+
+
+@query(
     "dedup_prefix_boilerplate",
     oracle=f"""
     WITH p AS (SELECT doc_id,

@@ -988,11 +988,12 @@ def window_rank_breadth(spark, sf_dir):
     window partitions on o_orderstatus, a 3-value key, so at 100x data
     this serializes into 3 giant sorted tasks; percent_rank/ntile over
     a near-global partition fundamentally require that total order. At
-    scale, compute distribution positions with two-pass quantiles
-    (approx_percentile then a broadcast bucket join — the
-    agg_approx_percentiles pattern) and reserve full-partition windows
-    for high-cardinality keys like window_rank_top_orders's
-    per-customer partitions."""
+    scale, compute distribution positions with the SHIPPED two-pass
+    quantile operator (operators/quantiles.py; queries
+    quantile_bucket_prices / quantile_bucket_doclen_by_lang —
+    boundaries broadcast, assignment map-side, plan-gated no global
+    sort) and reserve full-partition windows for high-cardinality keys
+    like window_rank_top_orders's per-customer partitions."""
     read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql("""
         SELECT o_orderkey AS order_key,

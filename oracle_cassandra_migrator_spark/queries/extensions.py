@@ -2515,6 +2515,84 @@ def text_vocab_coverage(spark, sf_dir):
 
 
 @query(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id,
+                       CAST(date_trunc('day', ts) AS DATE) AS day
+                FROM events),
+    dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud
+            GROUP BY day),
+    cover AS (SELECT ud.user_id, CAST(g.d AS DATE) AS day
+              FROM ud, UNNEST(generate_series(ud.day, ud.day + 6,
+                                              INTERVAL 1 DAY)) AS g(d)),
+    wau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+            FROM cover GROUP BY day)
+    SELECT CAST(d.day AS VARCHAR) AS day, d.dau, w.wau,
+           CAST(floor(d.dau * 1e6 / w.wau + 0.5) AS BIGINT)
+             AS stickiness_ppm
+    FROM dau d JOIN wau w USING (day)
+    """,
+)
+def events_dau_wau_stickiness(spark, sf_dir):
+    """DAU / trailing-7-day WAU / stickiness per day — the product
+    metric every event pipeline reports. Exact WAU without a
+    distinct-over-window (which Spark cannot do) via the COVER-DAY
+    trick: each (user, active day) row covers the 7 calendar days
+    whose trailing window contains it, so WAU is a plain
+    count(DISTINCT) per cover day. Shuffles: one user-day distinct,
+    one 7x-fanned distinct — both on high-cardinality keys,
+    map-side-combined; no ordered window anywhere. Days with no
+    activity are absent from DAU and drop out of the join (gap-fill
+    them with events_daily_gapfill if needed)."""
+    events = read_table(spark, sf_dir, "events")
+    ud = events.selectExpr(
+        "user_id", "CAST(date_trunc('DAY', ts) AS DATE) AS day").distinct()
+    dau = ud.groupBy("day").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("dau"))
+    cover = ud.select(
+        "user_id",
+        F.explode(F.expr(
+            "sequence(day, date_add(day, 6), interval 1 day)")).alias("day"))
+    wau = cover.groupBy("day").agg(
+        F.expr("CAST(count(DISTINCT user_id) AS BIGINT)").alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .selectExpr(
+            "CAST(day AS STRING) AS day", "dau", "wau",
+            "CAST(floor(dau * 1e6 / wau + 0.5) AS BIGINT)"
+            " AS stickiness_ppm")
+    )
+
+
+def _jaccard_histogram_oracle() -> str:
+    from oracle_cassandra_migrator_spark.queries.registry import ORACLES
+
+    pairs = ORACLES["dedup_minhash_lsh"]
+    return f"""
+    WITH p AS (SELECT * FROM ({pairs}))
+    SELECT CAST(floor(jaccard * 10) / 10 AS DOUBLE) AS jaccard_bin,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM p GROUP BY 1
+    """
+
+
+@query("dedup_jaccard_histogram", oracle=_jaccard_histogram_oracle())
+def dedup_jaccard_histogram(spark, sf_dir):
+    """Threshold-sweep table for near-dedup tuning: verified candidate
+    pairs bucketed by Jaccard decile, so the cumulative tail answers
+    "how many pairs would threshold t keep?" without re-running the
+    pipeline per t. One tiny aggregation over the plan-gated MinHash
+    pair list."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    return (
+        pairs.groupBy(
+            F.expr("CAST(floor(jaccard * 10) / 10 AS DOUBLE)")
+            .alias("jaccard_bin"))
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n_pairs"))
+    )
+
+
+@query(
     "dedup_prefix_boilerplate",
     oracle=f"""
     WITH p AS (SELECT doc_id,

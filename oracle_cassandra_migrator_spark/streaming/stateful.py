@@ -78,3 +78,80 @@ def stream_dedup_exact(stream: DataFrame, key_cols: list[str],
         stream.withWatermark(watermark_col, delay)
         .dropDuplicatesWithinWatermark(key_cols)
     )
+
+
+HH_OUTPUT_SCHEMA = (
+    "bucket INT, item BIGINT, count_lo BIGINT, count_hi BIGINT"
+)
+HH_STATE_SCHEMA = "counters STRING, decrements BIGINT"
+
+
+def _update_heavy_hitters(capacity: int):
+    import json
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            raw, decs = state.get
+            counters = {int(k): int(v) for k, v in json.loads(raw).items()}
+        else:
+            counters, decs = {}, 0
+        for pdf in pdfs:
+            for item, n in pdf["item"].value_counts().items():
+                counters[int(item)] = counters.get(int(item), 0) + int(n)
+            # batch Misra-Gries compression: while over capacity,
+            # subtract the minimum counter from ALL and drop zeros
+            # (equivalent to n_min rounds of the classic decrement)
+            while len(counters) > capacity:
+                m = min(counters.values())
+                counters = {
+                    k: v - m for k, v in counters.items() if v - m > 0}
+                decs += m
+        state.update((json.dumps(counters), decs))
+        items = sorted(counters)
+        yield pd.DataFrame({
+            "bucket": [key[0]] * len(items),
+            "item": items,
+            "count_lo": [counters[i] for i in items],
+            "count_hi": [counters[i] + decs for i in items],
+        })
+
+    return update
+
+
+def heavy_hitters_stream(
+    stream: DataFrame, item_col: str,
+    n_buckets: int = 16, capacity: int = 8,
+) -> DataFrame:
+    """Distributed streaming heavy hitters via bucketed Misra-Gries
+    summaries in ``applyInPandasWithState``: items hash into
+    ``n_buckets`` state groups (B-way parallel state store), each
+    bucket keeps <= ``capacity`` counters with the classic
+    decrement-compression, and every micro-batch re-emits the bucket's
+    surviving candidates with count BOUNDS (true count in
+    [count_lo, count_hi] — hi adds the bucket's total decrements).
+
+    Guarantees (Misra-Gries): any item whose true count in its bucket
+    exceeds n_bucket/(capacity+1) SURVIVES in state; state is
+    O(n_buckets x capacity) forever — the property that matters for an
+    unbounded stream. Final top-k = merge the per-bucket candidates
+    (tiny) and rank by count_lo."""
+    from pyspark.sql import functions as F
+
+    return (
+        stream.select(
+            F.expr(f"CAST(pmod(hash({item_col}), {n_buckets}) AS INT)")
+            .alias("bucket"),
+            F.col(item_col).cast("bigint").alias("item"))
+        .groupBy("bucket")
+        .applyInPandasWithState(
+            _update_heavy_hitters(capacity),
+            outputStructType=HH_OUTPUT_SCHEMA,
+            stateStructType=HH_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

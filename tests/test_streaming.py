@@ -437,3 +437,71 @@ def test_foreach_batch_sink_crash_between_write_and_marker(spark, tmp_path):
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == events.count(), \
         "replayed uncommitted batch appended instead of overwriting"
+
+
+def test_heavy_hitters_stream_finds_planted_hot_keys(spark, tmp_path):
+    """Bucketed Misra-Gries across micro-batches: planted hot items
+    must survive in state with bounds containing their true counts,
+    and state stays at <= n_buckets x capacity counters regardless of
+    distinct-item cardinality."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from oracle_cassandra_migrator_spark.streaming.stateful import (
+        heavy_hitters_stream,
+    )
+
+    # two hot items (400 + 300 rows) over a 1000-item uniform tail,
+    # split across two files = two micro-batches
+    rows = ([(7,)] * 400 + [(13,)] * 300
+            + [(1000 + i, ) for i in range(1000)])
+    df = spark.createDataFrame(rows, "user_id long").withColumn(
+        "part", F.expr("pmod(monotonically_increasing_id(), 2)"))
+    src = str(tmp_path / "hh_src")
+    df.where("part = 0").select("user_id").coalesce(1).write.mode(
+        "overwrite").parquet(src)
+
+    stream = spark.readStream.schema("user_id long").option(
+        "maxFilesPerTrigger", "1").parquet(src)
+    query = (
+        heavy_hitters_stream(stream, "user_id", n_buckets=4, capacity=8)
+        .writeStream.format("memory").queryName("hh")
+        .outputMode("update").trigger(processingTime="500 milliseconds")
+        .start()
+    )
+
+    def latest():
+        # update mode: last emission per (bucket, item) is current state
+        return {
+            (r["item"]): (r["count_lo"], r["count_hi"])
+            for r in spark.table("hh")
+            .withColumn(
+                "rn",
+                F.expr("row_number() OVER (PARTITION BY bucket, item"
+                       " ORDER BY count_hi DESC)"))
+            .where("rn = 1").collect()
+        }
+
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and not spark.table("hh").count():
+            time.sleep(0.5)
+        df.where("part = 1").select("user_id").coalesce(1).write.mode(
+            "append").parquet(src)
+        deadline = time.time() + 90
+        ok = False
+        while time.time() < deadline and not ok:
+            cur = latest()
+            ok = (7 in cur and 13 in cur
+                  and cur[7][0] <= 400 <= cur[7][1]
+                  and cur[13][0] <= 300 <= cur[13][1])
+            time.sleep(0.5)
+    finally:
+        query.stop()
+
+    cur = latest()
+    assert 7 in cur and cur[7][0] <= 400 <= cur[7][1], cur.get(7)
+    assert 13 in cur and cur[13][0] <= 300 <= cur[13][1], cur.get(13)
+    # state bound: distinct surviving items <= n_buckets * capacity
+    assert len(cur) <= 4 * 8

@@ -43,6 +43,10 @@ def test_lockfile_covers_catalog():
 def test_query_within_catalog_shuffle_budget(spark, name):
     if name not in QUERIES:
         pytest.skip("covered by test_lockfile_covers_catalog")
+    # cached relations from earlier tests substitute InMemoryRelation
+    # subtrees into plans and skew the exchange counts — always count
+    # against a cold cache (lockfile was generated the same way)
+    spark.catalog.clearCache()
     plan = (QUERIES[name](spark, SF_SMALL)
             ._jdf.queryExecution().executedPlan().toString())
     for kind, pat in _PATTERNS.items():

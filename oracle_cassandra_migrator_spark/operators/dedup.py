@@ -76,6 +76,7 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str,
     n: int = 3, threshold: float = 0.5,
+    max_token_df: int | None = None,
 ) -> DataFrame:
     """Exact near-duplicate pairs (id_a < id_b) with word-n-gram Jaccard
     >= threshold, via an inverted-index self-join.
@@ -91,11 +92,34 @@ def ngram_jaccard_pairs(
     pair aggregation as |A ∩ B| (they are constant per group). The
     whole operator is ONE pass over the shingle table — no second
     consumer, so nothing needs caching/checkpointing, and the only
-    shuffles are the inverted-index join and the pair aggregation."""
+    shuffles are the inverted-index join and the pair aggregation.
+
+    ``max_token_df`` is the production guard for adversarial/common
+    content: a shingle shared by g docs emits g*(g-1)/2 join rows, so
+    ONE ubiquitous shingle (boilerplate phrase, empty-doc artifact)
+    quadratically melts the self-join — the same failure mode
+    ``minhash_lsh_pairs`` caps with max_band_size. Shingles with
+    document frequency above the cap are dropped BEFORE the join
+    (count-over-window on the same sh distribution the join shuffles
+    on, so it rides the existing exchange). Note the semantics shift:
+    n_sh still counts ALL shingles, but dropped shingles no longer
+    contribute to the intersection, so a pair whose overlap is mostly
+    ubiquitous content scores lower — exactly the discrimination a
+    dedup pipeline wants, but NOT bit-identical to the uncapped
+    operator; the oracle-checked catalog query therefore runs
+    uncapped, and the cap is the documented 100 TB switch (adversarial
+    bound proven in test_ngram_token_df_cap_bounds_adversarial)."""
     shingled = with_shingles(df.select(id_col, text_col), text_col, n)
     exploded = shingled.select(
         F.col(id_col), F.expr("size(shingles)").alias("n_sh"),
         F.explode("shingles").alias("sh"))
+    if max_token_df is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("sh")
+        exploded = (exploded.withColumn("__df", F.count("*").over(w))
+                    .where(F.col("__df") <= max_token_df)
+                    .drop("__df"))
     a = exploded.select(F.col(id_col).alias("doc_a"),
                         F.col("n_sh").alias("n_a"), "sh")
     b = exploded.select(F.col(id_col).alias("doc_b"),

@@ -498,3 +498,29 @@ def test_gapfill_edges(spark):
     assert out[("holey", "2024-03-02")] == (0, 1)
     assert out[("holey", "2024-03-03")] == (0, 2)
     assert out[("holey", "2024-03-04")] == (1, 0)
+
+
+def test_ngram_token_df_cap_bounds_adversarial(spark):
+    """One ubiquitous shingle shared by every doc must not melt the
+    inverted-index self-join: with max_token_df set, (1) the planted
+    rare-shingle near-dup pair still comes out above threshold, and
+    (2) an adversarial corpus whose only overlap is the ubiquitous
+    boilerplate yields NO pairs (the capped semantics)."""
+    from oracle_cassandra_migrator_spark.operators.dedup import (
+        ngram_jaccard_pairs)
+
+    boiler = "click here to subscribe now"
+    rare = "quantum flux capacitor delta nine epsilon"
+    rows = [(0, f"{boiler} {rare}"), (1, f"{boiler} {rare}")]
+    rows += [(i, f"{boiler} unique filler text number {i} data")
+             for i in range(2, 40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.3,
+        max_token_df=5).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in capped}
+    assert (0, 1) in found, "planted rare-overlap pair lost by the cap"
+    # every other pair overlaps ONLY through the ubiquitous boilerplate
+    # (df = 40 > cap) so the capped join must not emit it
+    assert found == {(0, 1)}, found

@@ -349,6 +349,7 @@ def pigeonhole_widths(bits: int, n_blocks: int) -> list[int]:
 def simhash_hamming_pairs(
     df: DataFrame, text_col: str, id_col: str,
     max_distance: int = 2, bits: int = 32,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs with SimHash hamming distance <=
     ``max_distance``, via the pigeonhole multi-index: split the
@@ -358,7 +359,17 @@ def simhash_hamming_pairs(
     (block_idx, block_value); verification = bit_count(xor) on the
     full hashes. One narrow map + one blocked equi-join — never
     all-pairs, and block values are small integers, so the shuffle
-    payload is (id, simhash, block) only."""
+    payload is (id, simhash, block) only.
+
+    ``max_block_size`` is the production guard against mass
+    duplication: g docs sharing a block value emit g*(g-1)/2 join rows
+    (a boilerplate-dominated corpus shares ALL blocks), the same
+    quadratic failure ``minhash_lsh_pairs``/``ngram_jaccard_pairs``
+    cap. Oversized (block_idx, block_val) groups are dropped before
+    the self-join — their members are mass-duplicates whose dedup
+    belongs to the linear-cost ``simhash_buckets``/``exact_dedup``
+    pass. The catalog query runs uncapped (exact oracle parity); the
+    cap is the documented 100 TB switch."""
     widths = pigeonhole_widths(bits, max_distance + 1)
     hashed = df.select(
         F.col(id_col), F.expr(simhash_expr(text_col, bits)).alias("simhash"))
@@ -375,6 +386,13 @@ def simhash_hamming_pairs(
         F.posexplode(F.array(*[F.col(f"blk{i}") for i in range(len(widths))]))
         .alias("block_idx", "block_val"),
     )
+    if max_block_size is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("block_idx", "block_val")
+        long = (long.withColumn("__blk_n", F.count("*").over(w))
+                .where(F.col("__blk_n") <= max_block_size)
+                .drop("__blk_n"))
     a = long.select(F.col(id_col).alias("doc_a"),
                     F.col("simhash").alias("sh_a"), "block_idx", "block_val")
     b = long.select(F.col(id_col).alias("doc_b"),

@@ -524,3 +524,26 @@ def test_ngram_token_df_cap_bounds_adversarial(spark):
     # every other pair overlaps ONLY through the ubiquitous boilerplate
     # (df = 40 > cap) so the capped join must not emit it
     assert found == {(0, 1)}, found
+
+
+def test_simhash_block_cap_bounds_mass_duplication(spark):
+    """A mass-duplicated doc (identical simhash -> identical blocks)
+    must not melt the pigeonhole join: with max_block_size set, the
+    duplicated mass drops out of pairwise verification (it belongs to
+    simhash_buckets/exact_dedup) while a distinct near-dup pair with
+    small block groups still verifies."""
+    from oracle_cassandra_migrator_spark.operators.dedup import (
+        simhash_hamming_pairs)
+
+    spam = "identical boilerplate spam payload repeated everywhere"
+    rows = [(i, spam) for i in range(30)]
+    rows += [(100, "alpha beta gamma delta unique content one"),
+             (101, "alpha beta gamma delta unique content two")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = simhash_hamming_pairs(
+        docs, "text", "doc_id", max_distance=3, max_block_size=5).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in capped}
+    assert all(a >= 100 for a, _ in pairs), (
+        "mass-duplicated block group leaked through the cap")
+    assert (100, 101) in pairs, "distinct near-dup pair lost by the cap"

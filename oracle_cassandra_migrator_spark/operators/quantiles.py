@@ -116,7 +116,12 @@ def grouped_bucket_profile(
     broadcast-join back on the group key (map-side), per-row
     assignment, then a (group, bucket) profile — the within-stratum
     generalization of quantile_bucket_profile, still no sort and no
-    global window anywhere."""
+    global window anywhere.
+
+    NULL group keys: the equi-join back to the boundary table never
+    matches NULL = NULL, so rows with a NULL group drop from the
+    profile — coalesce the key to a sentinel first if NULL strata must
+    be bucketed."""
     bounds = grouped_quantile_boundaries(
         df, col, k, by, exact=exact, accuracy=accuracy)
     assigned = (

@@ -2593,6 +2593,51 @@ def dedup_jaccard_histogram(spark, sf_dir):
 
 
 @query(
+    "join_interval_bucketed_prices",
+    oracle="""
+    WITH iv AS (SELECT p_size AS size_band,
+                       min(p_retailprice) AS lo,
+                       max(p_retailprice) AS hi,
+                       CAST(count(*) AS BIGINT) AS n_parts
+                FROM part GROUP BY p_size),
+    j AS (SELECT iv.size_band, li.l_extendedprice AS price
+          FROM lineitem li JOIN iv
+            ON li.l_extendedprice >= iv.lo AND li.l_extendedprice <= iv.hi)
+    SELECT size_band,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_price
+    FROM j GROUP BY size_band
+    """,
+)
+def join_interval_bucketed_prices(spark, sf_dir):
+    """Interval (range) join via the bucket-grid equi-key rewrite
+    (operators/intervals.py): lineitem prices join the per-p_size
+    [min, max] retail-price bands they fall inside — arbitrary,
+    overlapping intervals, so a row can match many bands. The naive
+    plan is a BroadcastNestedLoopJoin that cannot scale past a small
+    interval table; this plan explodes each interval into the fixed-
+    width buckets it covers and HASH-joins on the bucket key, then
+    exact-filters the bounds (plan-gated: no nested loop). The same
+    rewrite the IVF/LSH cell joins use, applied to 1-D ranges."""
+    from oracle_cassandra_migrator_spark.operators.intervals import (
+        bucketed_interval_join)
+
+    part = read_table(spark, sf_dir, "part")
+    iv = part.groupBy(F.col("p_size").alias("size_band")).agg(
+        F.min("p_retailprice").alias("lo"),
+        F.max("p_retailprice").alias("hi"),
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_parts"))
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("price"))
+    joined = bucketed_interval_join(li, iv, "price", "lo", "hi", 100.0)
+    return joined.groupBy("size_band").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_items"),
+        F.expr("round(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2)")
+        .alias("total_price"))
+
+
+@query(
     "dedup_prefix_boilerplate",
     oracle=f"""
     WITH p AS (SELECT doc_id,

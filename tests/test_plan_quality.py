@@ -389,3 +389,13 @@ def test_gapfill_single_corpus_pass(spark):
     assert "partial_" in plan
     assert "Generate explode" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_interval_join_is_hash_not_nested_loop(spark):
+    """The bucketed interval join must hash-join on the bucket key —
+    never BroadcastNestedLoopJoin / CartesianProduct (the naive range
+    join plan that cannot scale past a tiny interval table)."""
+    plan = plan_of(spark, "join_interval_bucketed_prices")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "__bucket" in plan

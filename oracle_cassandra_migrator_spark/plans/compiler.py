@@ -172,6 +172,45 @@ def _op_sql(ns, step):
     return ns.spark.sql(step["query"])
 
 
+def _op_quantile_bucket(ns, step):
+    """{"op": "quantile_bucket", "col": ..., "k": 10,
+    "by": optional group col, "exact": bool, "accuracy": int} —
+    the two-pass scale-safe ntile (operators/quantiles.py)."""
+    from oracle_cassandra_migrator_spark.operators.quantiles import (
+        grouped_bucket_profile, quantile_bucket_profile)
+
+    df = _input(ns, step)
+    kwargs = dict(exact=step.get("exact", False),
+                  accuracy=step.get("accuracy", 10000))
+    if step.get("by"):
+        return grouped_bucket_profile(
+            df, step["col"], step["k"], step["by"], **kwargs)
+    return quantile_bucket_profile(df, step["col"], step["k"], **kwargs)
+
+
+def _op_gapfill(ns, step):
+    """{"op": "gapfill", "key": ..., "ts": ...} — calendar gap-fill +
+    forward fill (operators/timeseries.py)."""
+    from oracle_cassandra_migrator_spark.operators.timeseries import (
+        daily_gapfill)
+
+    return daily_gapfill(_input(ns, step), step["key"], step["ts"],
+                         out_day=step.get("out_day", "day"))
+
+
+def _op_interval_join(ns, step):
+    """{"op": "interval_join", "left": probe, "right": intervals,
+    "value": ..., "lo": ..., "hi": ..., "width": float} — the
+    bucket-grid equi-key rewrite of a large-interval range join
+    (operators/intervals.py)."""
+    from oracle_cassandra_migrator_spark.operators.intervals import (
+        bucketed_interval_join)
+
+    return bucketed_interval_join(
+        ns.get(step["left"]), ns.get(step["right"]),
+        step["value"], step["lo"], step["hi"], step["width"])
+
+
 OPS: dict[str, Callable[[Namespace, Mapping[str, Any]], DataFrame]] = {
     "filter": _op_filter,
     "select": _op_select,
@@ -189,6 +228,9 @@ OPS: dict[str, Callable[[Namespace, Mapping[str, Any]], DataFrame]] = {
     "alias": _op_alias,
     "repartition": _op_repartition,
     "sql": _op_sql,
+    "quantile_bucket": _op_quantile_bucket,
+    "gapfill": _op_gapfill,
+    "interval_join": _op_interval_join,
 }
 
 

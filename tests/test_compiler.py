@@ -23,6 +23,7 @@ def test_every_op_is_exercised_here():
         "filter", "select", "with_columns", "drop", "join", "aggregate",
         "sort", "limit", "distinct", "drop_duplicates", "union",
         "intersect", "except", "alias", "repartition", "sql",
+        "quantile_bucket", "gapfill", "interval_join",
     }
     assert exercised == set(OPS)
 
@@ -136,3 +137,52 @@ def test_readme_query_count_matches_registry():
     assert f"{n} named queries, ALL {len(ORACLES)} with" in text, (
         f"README catalog count out of date: registry has {n} queries, "
         f"{len(ORACLES)} oracles")
+
+
+def test_compiler_quantile_bucket_step(spark):
+    from oracle_cassandra_migrator_spark.plans.compiler import (
+        compile_transform)
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    from tests.conftest import SF_SMALL
+
+    li = read_table(spark, SF_SMALL, "lineitem").select("l_extendedprice")
+    out = compile_transform(spark, {"li": li}, [
+        {"op": "quantile_bucket", "input": "li",
+         "col": "l_extendedprice", "k": 4, "exact": True},
+    ]).collect()
+    assert sorted(r["bucket"] for r in out) == [1, 2, 3, 4]
+
+
+def test_compiler_gapfill_step(spark):
+    from oracle_cassandra_migrator_spark.plans.compiler import (
+        compile_transform)
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    from tests.conftest import SF_SMALL
+
+    ev = read_table(spark, SF_SMALL, "events")
+    out = compile_transform(spark, {"ev": ev}, [
+        {"op": "gapfill", "input": "ev", "key": "event_type", "ts": "ts"},
+    ])
+    assert set(out.columns) == {
+        "event_type", "day", "n_events", "days_since_active"}
+    assert out.count() > 0
+
+
+def test_compiler_interval_join_step(spark):
+    from oracle_cassandra_migrator_spark.plans.compiler import (
+        compile_transform)
+
+    probe = spark.createDataFrame(
+        [(5.0,), (15.0,), (250.0,)], "x double")
+    iv = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 10.0, 20.0)], "band int, lo double, hi double")
+    out = compile_transform(spark, {"p": probe, "iv": iv}, [
+        {"op": "interval_join", "left": "p", "right": "iv",
+         "value": "x", "lo": "lo", "hi": "hi", "width": 10.0},
+    ]).collect()
+    got = {(r["x"], r["band"]) for r in out}
+    assert got == {(5.0, 1), (15.0, 2), (10.0, 1) if False else (5.0, 1),
+                   (15.0, 2)} or got == {(5.0, 1), (15.0, 2)}
+    assert (250.0, 1) not in got and (250.0, 2) not in got

@@ -3013,3 +3013,180 @@ def pipeline_curation_v2(spark, sf_dir):
         F.expr("CAST(sum(CASE WHEN NOT length_ok THEN 1 ELSE 0 END)"
                " AS BIGINT)").alias("n_flag_length"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 continuation: skew-safe salted JOIN, span-level dedup (C4-style),
+# PageRank over the nation trade graph, product-quantization ANN.
+# ---------------------------------------------------------------------------
+
+@query(
+    "skew_salted_join_supplier_revenue",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def skew_salted_join_supplier_revenue(spark, sf_dir):
+    """Skew-safe JOIN via small-side replication: lineitem keyed by
+    l_suppkey is the classic hot-key join (few suppliers, each with a
+    large share of the fact table), so the supplier dimension is
+    exploded across 8 salt values and the fact side scatters by a
+    uniform hash — each hot supplier's rows spread over 8 tasks
+    instead of pinning one. Result provably identical to the plain
+    join (each fact row carries exactly one salt; operators/skew.py);
+    the oracle IS the plain join + groupBy."""
+    from oracle_cassandra_migrator_spark.operators.skew import (
+        salted_broadcast_join,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem").selectExpr(
+        "l_suppkey", "l_extendedprice", "l_discount")
+    supp = read_table(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey", "s_nationkey")
+    nat = read_table(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey", "n_name")
+    dim = supp.join(
+        F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"]
+    ).selectExpr("s_suppkey", "n_name AS nation")
+    j = salted_broadcast_join(li, dim, "l_suppkey", "s_suppkey", n_salts=8)
+    return j.groupBy("nation").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_items"),
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice * (1 - l_discount)"
+            " AS DECIMAL(18,4))) AS DOUBLE)").alias("revenue"),
+    )
+
+
+_SEG_WORDS_SQL = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+
+
+@query(
+    "dedup_duplicate_segments",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_SEG_WORDS_SQL} AS words FROM documents),
+    seg AS (SELECT DISTINCT doc_id,
+                   md5(array_to_string(words[(i-1)*10 + 1 : i*10], ' ')) AS seg
+            FROM w, UNNEST(generate_series(1,
+                   CAST(floor(len(words) / 10) AS BIGINT))) AS t(i)),
+    cnt AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM seg GROUP BY seg)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_segments,
+           CAST(floor(SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) * 1e6
+                      / COUNT(*) + 0.5) AS BIGINT) AS dup_ppm
+    FROM seg s JOIN cnt c USING (seg)
+    GROUP BY s.doc_id
+    """,
+)
+def dedup_duplicate_segments(spark, sf_dir):
+    """Span-level dedup signal (the C4/CCNet recipe applied at segment
+    granularity): chop each document into consecutive 10-word windows,
+    fingerprint each window, and report per document how many of its
+    segments appear in at least one OTHER place in the corpus — the
+    boilerplate-share metric that whole-document dedup misses (shared
+    cookie banners, license headers, template chrome).
+
+    Scale shape: one per-row segmentation (whole-stage-codegen'd
+    expressions, the lambda-bound words trick from operators/text.py),
+    one explode to row-shaped (doc_id, seg_hash) pairs, one groupBy on
+    the 32-char hash (map-side partials), one equi-join back — the
+    standard inverted-index topology; nothing quadratic, no arrays in
+    any shuffle. Docs shorter than 10 words have no segments and drop
+    out (sequence(1, 0) is DESCENDING in Spark — the CASE guard is
+    load-bearing, see NOTES.md)."""
+    from oracle_cassandra_migrator_spark.operators.text import (
+        fast_words_expr,
+    )
+
+    segs = (
+        "element_at(transform(array(" + fast_words_expr("text") + "), w -> "
+        "CASE WHEN size(w) >= 10 THEN "
+        "array_distinct(transform(sequence(1, CAST(floor(size(w) / 10) AS INT)), "
+        "i -> md5(concat_ws(' ', slice(w, (i - 1) * 10 + 1, 10))))) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END), 1)"
+    )
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id", F.explode(F.expr(segs)).alias("seg"))
+    cnt = pairs.groupBy("seg").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"))
+    return (
+        pairs.join(cnt, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_segments"),
+            F.expr("CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)"
+                   " AS BIGINT)").alias("n_dup_segments"),
+            F.expr("CAST(floor(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)"
+                   " * 1e6 / COUNT(*) + 0.5) AS BIGINT)").alias("dup_ppm"),
+        )
+    )
+
+
+_PAGERANK_EDGES_SQL = """SELECT cn.n_name AS src, sn.n_name AS dst,
+           CAST(COUNT(*) AS BIGINT) AS w
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    GROUP BY cn.n_name, sn.n_name"""
+
+
+def _pagerank_nations_oracle() -> str:
+    from oracle_cassandra_migrator_spark.operators.graph import (
+        pagerank_oracle_sql,
+    )
+
+    return pagerank_oracle_sql(
+        _PAGERANK_EDGES_SQL,
+        "SELECT n_name AS node FROM nation",
+        iters=3, n_nodes_literal=25)
+
+
+@query("graph_pagerank_nations", oracle=_pagerank_nations_oracle())
+def graph_pagerank_nations(spark, sf_dir):
+    """Weighted PageRank over the nation-level trade graph (edge
+    customer-nation -> supplier-nation, weight = lineitem count) for
+    3 fixed iterations — the iterative-graph-op counterpart to
+    dedup_cluster_components, SQL-replayed end-to-end by unrolled
+    CTEs in the oracle (operators/graph.py).
+
+    Scale shape: the edge build is the usual fact-table join with all
+    four dimensions broadcast, collapsing to a |nations|^2-row edge
+    table; each PageRank round is one edge-keyed aggregation with the
+    25-row rank state broadcast into the join — the per-iteration cost
+    at 100 TB is bounded by the edge table, never the rank state."""
+    from oracle_cassandra_migrator_spark.operators.graph import pagerank
+
+    orders = read_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey", "l_suppkey")
+    cust = read_table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", "c_nationkey")
+    supp = read_table(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey", "s_nationkey")
+    nat = read_table(spark, sf_dir, "nation")
+    cn = nat.selectExpr("n_nationkey AS ck", "n_name AS src")
+    sn = nat.selectExpr("n_nationkey AS sk", "n_name AS dst")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(cn), cust["c_nationkey"] == cn["ck"])
+        .join(F.broadcast(sn), supp["s_nationkey"] == sn["sk"])
+        .groupBy("src", "dst")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("w"))
+    )
+    nodes = nat.selectExpr("n_name AS node")
+    return pagerank(edges, nodes, iters=3)

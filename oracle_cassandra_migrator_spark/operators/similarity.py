@@ -517,3 +517,84 @@ def random_projection_stats(
             F.max("ratio").alias("max_norm_ratio"),
         )
     )
+
+
+def pq_train_codebooks(
+    embeddings: DataFrame, n_sub: int = 4, sub_dim: int = 16,
+    modulus: int = 13, iters: int = 1, init_limit: int = 8,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> list[list[dict]]:
+    """Train the product-quantization codebooks: split the vector into
+    ``n_sub`` contiguous subspaces and run the bounded-sample Lloyd
+    loop (``kmeans_codebook``) independently on each subspace's
+    sub-vectors. Returns one collected, position-renumbered codebook
+    per subspace (code = 1..k in ascending original-centroid-id order,
+    so ``element_at(codebook, code)`` is the decode step).
+
+    Training is the same train-out-of-plan pattern as
+    ``dedup_semantic_cells``: a bounded deterministic sample, a
+    driver-side collect of <= init_limit rows per subspace, and literal
+    re-entry into the serving plan — at 100 TB the codebooks are
+    trained once and the serving plan never sees the training DAG."""
+    books = []
+    for s in range(n_sub):
+        off = s * sub_dim + 1
+        sub = embeddings.select(
+            F.col(id_col),
+            F.expr(f"slice({vec_col}, {off}, {sub_dim})").alias(vec_col))
+        cents = kmeans_codebook(
+            sub, modulus=modulus, iters=iters, init_limit=init_limit,
+            vec_col=vec_col, id_col=id_col)
+        rows = sorted(cents.collect(), key=lambda r: r["cid"])
+        books.append([
+            {"cid": i + 1, "cvec": r["cvec"]} for i, r in enumerate(rows)])
+    return books
+
+
+def pq_topk(
+    embeddings: DataFrame, codebooks: list[list[dict]],
+    sub_dim: int = 16, k: int = 10, query_id: int = 0,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization ANN (MIPS/ADC flavor): encode each corpus
+    vector as ``n_sub`` small codes (per-subspace nearest centroid by
+    dot product — the same spherical criterion the codebooks were
+    trained with), estimate the query affinity as the sum of per-
+    subspace dot(query-sub, centroid-of-code), and return the top-k by
+    that estimate, ties to the smallest id. The exact cosine rides
+    along per returned row so the estimation error is visible.
+
+    Serving-plan shape at any scale: corpus scan -> per-row encode +
+    estimate against LITERAL codebooks (whole-stage-codegen'd; the
+    one-row query is a broadcast) -> TakeOrderedAndProject(k). Zero
+    corpus shuffles — the same literal-codebook trick as
+    ``assign_cells_literal``; with 8 codes/subspace a 64-dim corpus
+    compresses 64x (4 bytes -> 4x 3 bits) for the candidate sweep."""
+    e = DOUBLE_VEC.format(col=vec_col)
+    q = DOUBLE_VEC.format(col="q")
+    df = embeddings.where(f"{id_col} != {query_id}").crossJoin(F.broadcast(
+        embeddings.where(f"{id_col} = {query_id}")
+        .select(F.col(vec_col).alias("q"))))
+    score_terms = []
+    for s, book in enumerate(codebooks):
+        off = s * sub_dim + 1
+        cb = codebook_literal_expr(book)
+        xs = f"slice({e}, {off}, {sub_dim})"
+        qs = f"slice({q}, {off}, {sub_dim})"
+        code = (
+            f"-(array_max(transform({cb}, c -> "
+            f"struct(round({dot_expr(xs, 'c.cvec')}, 6) AS aff, "
+            f"-c.cid AS neg_cid)))).neg_cid"
+        )
+        df = df.withColumn(f"code{s}", F.expr(code))
+        score_terms.append(
+            f"round({dot_expr(qs, f'element_at({cb}, CAST(code{s} AS INT)).cvec')}, 6)"
+        )
+    approx = " + ".join(score_terms)
+    return (
+        df.withColumn("pq_score", F.expr(f"round({approx}, 6)"))
+        .withColumn("cosine", F.expr(f"round({cosine_expr(e, q)}, 6)"))
+        .orderBy(F.col("pq_score").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, "pq_score", "cosine")
+    )

@@ -980,18 +980,23 @@ def sim_ann_recall_curve(spark, sf_dir):
 
 def _ivf_cells_parts(modulus: int = 43, iters: int = 2,
                      sample_mod: int | None = None,
-                     init_limit: int | None = None) -> list[str]:
+                     init_limit: int | None = None,
+                     src: str = "embeddings",
+                     prefix: str = "") -> list[str]:
     """WITH-clause parts replaying the k-means training loop (exact
-    decimal means, round(6)) and ending at ``cells`` = (vec_id,
-    embedding, cell_id) — shared by the trained-IVF probe oracle and
-    the SemDeDup pair oracle.
+    decimal means, round(6)) and ending at ``{prefix}cells`` = (vec_id,
+    embedding, cell_id) — shared by the trained-IVF probe oracle, the
+    SemDeDup pair oracle, and (via ``src``/``prefix``, once per
+    subspace) the product-quantization oracle.
 
     With ``sample_mod``/``init_limit`` the training loop (init,
     assignment, means) runs over the ``vec_id % sample_mod = 0`` sample
     with a fixed-size smallest-id init — mirroring the bounded-sample
     training in ``dedup_semantic_cells`` — while the final ``cells``
-    assignment still covers the full corpus."""
-    def assign(cents: str, name: str, src: str = "embeddings") -> str:
+    assignment still covers the full corpus. ``src`` is the relation
+    (or earlier CTE) holding (vec_id, embedding); ``prefix`` namespaces
+    every CTE this block defines."""
+    def assign(cents: str, name: str, asrc: str) -> str:
         return f"""{name} AS (
       SELECT vec_id, embedding, cell_id FROM (
         SELECT e.vec_id, e.embedding, c.cid AS cell_id,
@@ -1000,35 +1005,36 @@ def _ivf_cells_parts(modulus: int = 43, iters: int = 2,
                  ORDER BY round(list_dot_product(e.embedding::DOUBLE[],
                                                  c.cvec), 6) DESC,
                           c.cid) AS rn
-        FROM {src} e CROSS JOIN {cents} c) WHERE rn = 1)"""
+        FROM {asrc} e CROSS JOIN {cents} c) WHERE rn = 1)"""
 
+    p = prefix
     parts = []
-    train_src = "embeddings"
+    train_src = src
     init_where = f"vec_id % {modulus} = 0"
     if sample_mod is not None:
-        train_src = "train_sample"
+        train_src = f"{p}train_sample"
         parts.append(
-            f"train_sample AS (SELECT * FROM embeddings"
+            f"{p}train_sample AS (SELECT * FROM {src}"
             f" WHERE vec_id % {sample_mod} = 0)")
         init_where = (f"vec_id % {sample_mod} = 0"
                       f" AND vec_id % {modulus} = 0")
-    init = (f"cents0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec"
-            f" FROM embeddings WHERE {init_where}")
+    init = (f"{p}cents0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec"
+            f" FROM {src} WHERE {init_where}")
     if init_limit is not None:
         init += f" ORDER BY vec_id LIMIT {init_limit}"
     parts.append(init + ")")
     for i in range(iters):
-        parts.append(assign(f"cents{i}", f"a{i}", train_src))
-        parts.append(f"""m{i} AS (
+        parts.append(assign(f"{p}cents{i}", f"{p}a{i}", train_src))
+        parts.append(f"""{p}m{i} AS (
       SELECT cell_id, t.i AS dim_idx,
              round(CAST(SUM(CAST(embedding[t.i] AS DECIMAL(27,6))) AS DOUBLE)
                    / COUNT(*), 6) AS m
-      FROM a{i}, UNNEST(generate_series(1, len(embedding))) AS t(i)
+      FROM {p}a{i}, UNNEST(generate_series(1, len(embedding))) AS t(i)
       GROUP BY cell_id, t.i)""")
         parts.append(
-            f"cents{i + 1} AS (SELECT cell_id AS cid,"
-            f" list(m ORDER BY dim_idx) AS cvec FROM m{i} GROUP BY cell_id)")
-    parts.append(assign(f"cents{iters}", "cells"))
+            f"{p}cents{i + 1} AS (SELECT cell_id AS cid,"
+            f" list(m ORDER BY dim_idx) AS cvec FROM {p}m{i} GROUP BY cell_id)")
+    parts.append(assign(f"{p}cents{iters}", f"{p}cells", src))
     return parts
 
 
@@ -3190,3 +3196,113 @@ def graph_pagerank_nations(spark, sf_dir):
     )
     nodes = nat.selectExpr("n_name AS node")
     return pagerank(edges, nodes, iters=3)
+
+
+PQ_N_SUB = 4
+PQ_SUB_DIM = 16
+PQ_MODULUS = 13
+PQ_ITERS = 1
+PQ_INIT_LIMIT = 8
+
+
+def _pq_oracle(k: int = 10, query_id: int = 0) -> str:
+    """Replay PQ end-to-end: per-subspace sampled Lloyd training
+    (_ivf_cells_parts once per subspace over a sliced view), encode =
+    the per-subspace cell assignment, ADC estimate = sum of
+    dot(query-sub, centroid-of-code), exact cosine alongside."""
+    parts = [
+        f"qrow AS (SELECT embedding AS q FROM embeddings"
+        f" WHERE vec_id = {query_id})"]
+    d_names = []
+    for s in range(PQ_N_SUB):
+        off = s * PQ_SUB_DIM + 1
+        hi = off + PQ_SUB_DIM - 1
+        parts.append(
+            f"pq_sub{s} AS (SELECT vec_id, embedding[{off}:{hi}]"
+            f" AS embedding FROM embeddings)")
+        parts += _ivf_cells_parts(
+            PQ_MODULUS, PQ_ITERS, init_limit=PQ_INIT_LIMIT,
+            src=f"pq_sub{s}", prefix=f"p{s}_")
+        parts.append(
+            f"p{s}_d AS (SELECT c.vec_id,"
+            f" round(list_dot_product(qr.q[{off}:{hi}]::DOUBLE[], b.cvec), 6)"
+            f" AS d FROM p{s}_cells c"
+            f" JOIN p{s}_cents{PQ_ITERS} b ON c.cell_id = b.cid"
+            f" CROSS JOIN qrow qr)")
+        d_names.append(f"p{s}_d")
+    joins = d_names[0] + " d0"
+    for i in range(1, PQ_N_SUB):
+        joins += f" JOIN {d_names[i]} d{i} USING (vec_id)"
+    score = " + ".join(f"d{i}.d" for i in range(PQ_N_SUB))
+    parts.append(
+        f"pq_scores AS (SELECT d0.vec_id, round({score}, 6) AS pq_score"
+        f" FROM {joins})")
+    cos = (
+        "round(list_dot_product(e.embedding::DOUBLE[], qr.q::DOUBLE[])"
+        " / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(qr.q::DOUBLE[], qr.q::DOUBLE[]))), 6)"
+    )
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined}
+    SELECT s.vec_id, s.pq_score, {cos} AS cosine
+    FROM pq_scores s JOIN embeddings e ON s.vec_id = e.vec_id
+    CROSS JOIN qrow qr
+    WHERE s.vec_id <> {query_id}
+    ORDER BY s.pq_score DESC, s.vec_id
+    LIMIT {k}
+    """
+
+
+@query("sim_ann_pq_topk", oracle=_pq_oracle())
+def sim_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (Jegou et al. 2011, MIPS flavor): the
+    64-dim vector splits into 4x 16-dim subspaces, each quantized by
+    its own sampled-Lloyd codebook (<= 8 centroids); a corpus vector
+    compresses to 4 small codes and the query affinity is estimated as
+    the sum of per-subspace dot(query-sub, centroid-of-code) — the
+    asymmetric-distance trick that scans compressed codes instead of
+    raw vectors. Exact cosine rides along per returned row so the
+    estimation error is visible. Completes the ANN family:
+    sign-LSH buckets, IVF cells (single/multi-probe/trained), and now
+    code-compressed PQ.
+
+    Training is the bounded train-out-of-plan pattern (4 driver-side
+    codebooks, <= 8 rows each, re-entering as literals); the serving
+    plan is scan -> per-row encode/estimate -> TakeOrderedAndProject —
+    zero corpus shuffles (plan-gated). The oracle replays all four
+    training loops and the ADC estimate end-to-end."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_train_codebooks(
+        emb, n_sub=PQ_N_SUB, sub_dim=PQ_SUB_DIM, modulus=PQ_MODULUS,
+        iters=PQ_ITERS, init_limit=PQ_INIT_LIMIT)
+    return similarity.pq_topk(
+        emb, books, sub_dim=PQ_SUB_DIM, k=10, query_id=0)
+
+
+def _pq_recall_oracle() -> str:
+    from oracle_cassandra_migrator_spark.queries.registry import ORACLES
+
+    bf = ORACLES["sim_topk_bruteforce"]
+    pq = _pq_oracle()
+    return f"""
+    WITH bf AS (SELECT vec_id FROM ({bf})),
+    pq AS (SELECT vec_id FROM ({pq}))
+    SELECT CAST(count(*) AS BIGINT) AS n_hits, 10 AS k,
+           CAST(floor(count(*) * 1e6 / 10 + 0.5) AS BIGINT) AS recall_ppm
+    FROM bf JOIN pq USING (vec_id)
+    """
+
+
+@query("sim_ann_pq_recall", oracle=_pq_recall_oracle())
+def sim_ann_pq_recall(spark, sf_dir):
+    """Recall@10 of the PQ retriever against the exact brute-force
+    top-10 — the third row of the ANN quality story (IVF single-probe
+    and multi-probe audits exist); one <= 10-row join per arm."""
+    bf = sim_topk_bruteforce(spark, sf_dir).select("vec_id")
+    pq = sim_ann_pq_topk(spark, sf_dir).select("vec_id")
+    return bf.join(pq, "vec_id").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_hits")
+    ).selectExpr(
+        "n_hits", "10 AS k",
+        "CAST(floor(n_hits * 1e6 / 10 + 0.5) AS BIGINT) AS recall_ppm")

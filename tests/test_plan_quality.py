@@ -399,3 +399,26 @@ def test_interval_join_is_hash_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "__bucket" in plan
+
+
+def test_pq_serving_plan_is_shuffle_free(spark):
+    """The PQ retriever's serving plan must be scan -> per-row
+    encode/estimate against literal codebooks -> TakeOrderedAndProject:
+    no Window, no corpus-wide exchange (the one-row query side is a
+    broadcast), and the training DAG must stay OUT of the plan (no
+    HashAggregate from the Lloyd loop)."""
+    plan = plan_of(spark, "sim_ann_pq_topk")
+    assert "Window" not in plan
+    assert not re.search(r"Exchange (hash|range)partitioning", plan)
+    assert "TakeOrderedAndProject" in plan
+    assert "HashAggregate" not in plan
+
+
+def test_pagerank_broadcasts_rank_state(spark):
+    """Every PageRank round joins the edge table against |nodes|-row
+    state — those joins must be broadcasts, never sort-merge over the
+    edges (the per-iteration shuffles are the edge aggregations only,
+    deduplicated at runtime by ReuseExchange/AQE stage reuse)."""
+    plan = plan_of(spark, "graph_pagerank_nations")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastExchange") >= 6

@@ -59,3 +59,19 @@ def embedding_norms(embeddings: DataFrame) -> DataFrame:
         "vec_id",
         F.round(l2_norm("embedding"), 6).alias("l2_norm"),
     )
+
+
+@F.pandas_udf("double")
+def trimmed_mean_cents(cents: pd.Series) -> float:
+    """GROUPED_AGG pandas UDAF (Series -> scalar, usable inside
+    groupBy().agg() next to built-ins): 10%-trimmed mean over exact
+    integer cents. Spark feeds each group's column as one Arrow batch;
+    partial aggregation doesn't apply (the trim is order-statistic,
+    not decomposable), so state is bounded by the largest group — the
+    same boundedness argument as applyInPandas. Sum is exact int64,
+    the single float division is deterministic; rounding happens
+    Spark-side (F.round) to keep the engine-parity convention."""
+    c = cents.sort_values().to_numpy()
+    k = len(c) // 10
+    kept = c[k:len(c) - k]
+    return float(kept.sum()) / len(kept) / 100.0

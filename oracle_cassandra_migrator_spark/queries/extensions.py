@@ -3306,3 +3306,141 @@ def sim_ann_pq_recall(spark, sf_dir):
     ).selectExpr(
         "n_hits", "10 AS k",
         "CAST(floor(n_hits * 1e6 / 10 + 0.5) AS BIGINT) AS recall_ppm")
+
+
+@query(
+    "udaf_trimmed_mean_price",
+    oracle="""
+    WITH c AS (SELECT o_orderstatus AS order_status,
+                      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+               FROM orders),
+    r AS (SELECT order_status, cents,
+                 row_number() OVER (PARTITION BY order_status
+                                    ORDER BY cents) AS rn,
+                 COUNT(*) OVER (PARTITION BY order_status) AS n
+          FROM c)
+    SELECT order_status,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           round(CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100, 6)
+             AS trimmed_mean
+    FROM r
+    WHERE rn > CAST(floor(n / 10) AS BIGINT)
+      AND rn <= n - CAST(floor(n / 10) AS BIGINT)
+    GROUP BY order_status
+    """,
+)
+def udaf_trimmed_mean_price(spark, sf_dir):
+    """The UDAF surface (SURVEY.md §2.10's missing quadrant): a
+    GROUPED_AGG pandas_udf — a Series -> scalar aggregate usable
+    inside groupBy().agg() alongside built-ins — computing the
+    10%-trimmed mean order price per status. Order statistics aren't
+    decomposable, so this is genuinely beyond built-in SUM/AVG
+    composition; the oracle replays the trim via row_number trimming.
+    Exactness: prices become integer cents before the UDAF (exact
+    int64 sum; one float division; trim-by-value means tie choice
+    can't change the kept multiset)."""
+    from oracle_cassandra_migrator_spark.operators.udfs import (
+        trimmed_mean_cents,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderstatus AS order_status",
+        "CAST(floor(o_totalprice * 100 + 0.5d) AS BIGINT) AS cents")
+    # Spark disallows mixing a GROUPED_AGG pandas UDF with non-pandas
+    # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT) — the
+    # group count comes from its own aggregation, joined back over the
+    # |statuses|-row results.
+    tm = orders.groupBy("order_status").agg(
+        trimmed_mean_cents("cents").alias("tm"))
+    n = orders.groupBy("order_status").agg(F.expr("COUNT(*)").alias("n"))
+    return (
+        tm.join(n, "order_status")
+        .selectExpr(
+            "order_status",
+            "CAST(n - 2 * CAST(floor(n / 10) AS BIGINT) AS BIGINT) AS n_kept",
+            "round(tm, 6) AS trimmed_mean")
+    )
+
+
+@query(
+    "embedding_dim_stats",
+    oracle="""
+    WITH ex AS (SELECT CAST(t.i AS INT) AS dim_idx,
+                       CAST(embedding[t.i] AS DOUBLE) AS x
+                FROM embeddings,
+                     UNNEST(generate_series(1, len(embedding))) AS t(i))
+    SELECT dim_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_vals,
+           round(CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_val,
+           round(CAST(SUM(CAST(x * x AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*)
+                 - (CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*))
+                 * (CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)),
+                 6) AS var_val,
+           round(MIN(x), 6) AS min_val,
+           round(MAX(x), 6) AS max_val
+    FROM ex GROUP BY dim_idx
+    """,
+)
+def embedding_dim_stats(spark, sf_dir):
+    """Per-dimension profile of the embedding corpus (count, mean,
+    variance, min/max per coordinate) — the drift/normalization check
+    run before training quantizers or projections on an embedding
+    table; completes the profiler family (profile_documents_table)
+    for the vector column.
+
+    Scale shape: one posexplode to (dim, x) rows — a 64x row
+    multiplication of narrow rows, aggregated map-side to |dims|
+    partials per partition before the one |dims|-row exchange; exact
+    decimal sums make the moments partition-order-independent."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .alias("pos", "x")
+    ).selectExpr("CAST(pos + 1 AS INT) AS dim_idx", "x")
+    return ex.groupBy("dim_idx").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_vals"),
+        F.expr("round(CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE)"
+               " / COUNT(*), 6)").alias("mean_val"),
+        F.expr(
+            "round(CAST(SUM(CAST(x * x AS DECIMAL(27,12))) AS DOUBLE)"
+            " / COUNT(*)"
+            " - (CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*))"
+            " * (CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)),"
+            " 6)").alias("var_val"),
+        F.expr("round(MIN(x), 6)").alias("min_val"),
+        F.expr("round(MAX(x), 6)").alias("max_val"),
+    )
+
+
+def _lang_confusion_oracle() -> str:
+    from oracle_cassandra_migrator_spark.queries.registry import ORACLES
+
+    return f"""
+    WITH g AS ({ORACLES["text_lang_guess"]})
+    SELECT labeled_lang, guessed_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(floor(COUNT(*) * 1e6
+                      / SUM(COUNT(*)) OVER (PARTITION BY labeled_lang)
+                      + 0.5) AS BIGINT) AS row_share_ppm
+    FROM g GROUP BY labeled_lang, guessed_lang
+    """
+
+
+@query("text_lang_confusion", oracle=_lang_confusion_oracle())
+def text_lang_confusion(spark, sf_dir):
+    """Confusion matrix of the stopword language-ID heuristic against
+    the labeled lang column — the evaluation table a curation team
+    reads before trusting an auto-labeler (per true language, where do
+    its documents get routed, as counts and row-share ppm). The
+    window-over-aggregate shape: shares are computed over the
+    |langs|^2-row grouped result, never the corpus."""
+    g = text_lang_guess(spark, sf_dir)
+    return (
+        g.groupBy("labeled_lang", "guessed_lang")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"))
+        .withColumn(
+            "row_share_ppm",
+            F.expr("CAST(floor(n_docs * 1e6 / SUM(n_docs) OVER"
+                   " (PARTITION BY labeled_lang) + 0.5) AS BIGINT)"))
+    )

@@ -473,3 +473,22 @@ def connected_components(edges: DataFrame, src: str = "src",
             break
     sym.unpersist()
     return labels
+
+
+def dedup_keep_representative(
+    df: DataFrame, text_col: str, id_col: str,
+) -> DataFrame:
+    """Return ``df`` with exact duplicates removed, keeping the
+    smallest-id copy of each normalized-text group — the filtered-frame
+    counterpart of :func:`exact_dedup` (which returns group summaries).
+    One fingerprint aggregation + one fingerprint equi-join: both
+    shuffles are row-shaped on the 32-char hash, so the op holds at any
+    corpus size (same topology as the incremental-snapshot anti join)."""
+    reps = exact_dedup(df, text_col, id_col).select(
+        "fingerprint", F.col("representative_id").alias("__rep_id"))
+    fp = df.withColumn("__fp", F.expr(fingerprint_expr(text_col)))
+    kept = fp.join(
+        reps,
+        (fp["__fp"] == reps["fingerprint"])
+        & (fp[id_col] == reps["__rep_id"]))
+    return kept.drop("__fp", "fingerprint", "__rep_id")

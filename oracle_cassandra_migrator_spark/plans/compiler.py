@@ -269,3 +269,47 @@ def compile_pipeline(spark: SparkSession, spec: Mapping[str, Any]) -> DataFrame:
     if spec.get("sink"):
         write_sink(df, spec["sink"])
     return df
+
+
+def _op_dedup_exact(ns, step):
+    """{"op": "dedup_exact", "text": text_col, "id": id_col} — drop
+    exact duplicates (normalized-text fingerprint), keep the
+    smallest-id copy (operators/dedup.py)."""
+    from oracle_cassandra_migrator_spark.operators.dedup import (
+        dedup_keep_representative)
+
+    return dedup_keep_representative(
+        _input(ns, step), step["text"], step["id"])
+
+
+def _op_salted_join(ns, step):
+    """{"op": "salted_join", "left": big, "right": small,
+    "left_key": ..., "right_key": ..., "n_salts": 8, "how": "inner"}
+    — skew-safe equi-join replicating the small side across salts
+    (operators/skew.py)."""
+    from oracle_cassandra_migrator_spark.operators.skew import (
+        salted_broadcast_join)
+
+    return salted_broadcast_join(
+        ns.get(step["left"]), ns.get(step["right"]),
+        step["left_key"], step["right_key"],
+        n_salts=step.get("n_salts", 8), how=step.get("how", "inner"))
+
+
+def _op_zorder(ns, step):
+    """{"op": "zorder", "cols": [...], "n_files": 8, "bits": 8} —
+    Morton-order clustering for multi-column row-group pruning before
+    a sorted write (operators/layout.py)."""
+    from oracle_cassandra_migrator_spark.operators.layout import (
+        zorder_frame)
+
+    return zorder_frame(
+        _input(ns, step), step["cols"], step["n_files"],
+        bits=step.get("bits", 8))
+
+
+OPS.update({
+    "dedup_exact": _op_dedup_exact,
+    "salted_join": _op_salted_join,
+    "zorder": _op_zorder,
+})

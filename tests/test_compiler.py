@@ -24,6 +24,7 @@ def test_every_op_is_exercised_here():
         "sort", "limit", "distinct", "drop_duplicates", "union",
         "intersect", "except", "alias", "repartition", "sql",
         "quantile_bucket", "gapfill", "interval_join",
+        "dedup_exact", "salted_join", "zorder",
     }
     assert exercised == set(OPS)
 
@@ -184,3 +185,49 @@ def test_compiler_interval_join_step(spark):
     ]).collect()
     got = {(r["x"], r["band"]) for r in out}
     assert got == {(5.0, 1), (15.0, 2)}  # 250.0 falls in no interval
+
+
+def test_compiler_dedup_exact_step(spark):
+    from oracle_cassandra_migrator_spark.plans.compiler import (
+        compile_transform)
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "A  b c"), (3, "other text")],
+        "doc_id long, text string")
+    out = compile_transform(spark, {"d": docs}, [
+        {"op": "dedup_exact", "input": "d", "text": "text", "id": "doc_id"},
+    ]).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 3]  # 2 normalizes to 1
+    assert set(out[0].asDict()) == {"doc_id", "text"}  # no helper columns
+
+
+def test_compiler_salted_join_step(spark):
+    from oracle_cassandra_migrator_spark.plans.compiler import (
+        compile_transform)
+
+    big = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0)], "k long, v double")
+    small = spark.createDataFrame([(1, "x"), (2, "y")], "k2 long, tag string")
+    out = compile_transform(spark, {"b": big, "s": small}, [
+        {"op": "salted_join", "left": "b", "right": "s",
+         "left_key": "k", "right_key": "k2", "n_salts": 4},
+    ]).collect()
+    got = sorted((r["k"], r["v"], r["tag"]) for r in out)
+    assert got == [(1, 10.0, "x"), (1, 20.0, "x"), (2, 5.0, "y")]
+
+
+def test_compiler_zorder_step(spark):
+    from oracle_cassandra_migrator_spark.plans.compiler import (
+        compile_transform)
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    from tests.conftest import SF_SMALL
+
+    li = read_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice")
+    out = compile_transform(spark, {"li": li}, [
+        {"op": "zorder", "input": "li",
+         "cols": ["l_partkey", "l_extendedprice"], "n_files": 4},
+    ])
+    assert out.count() == li.count()  # layout-only: same rows
+    assert set(out.columns) == set(li.columns)

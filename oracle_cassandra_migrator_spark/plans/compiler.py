@@ -313,3 +313,27 @@ OPS.update({
     "salted_join": _op_salted_join,
     "zorder": _op_zorder,
 })
+
+
+def _op_expect(ns, step):
+    """{"op": "expect", "checks": ["count(*) > 0",
+    "sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) = 0"]} — data-quality
+    gate: every check is a boolean AGGREGATE expression; all of them
+    evaluate in ONE aggregation job over the input (a single tiny
+    collect), and any False aborts the pipeline with the failing
+    expressions listed. Passes the input through unchanged, so it
+    drops between any two steps without altering the plan around it."""
+    df = _input(ns, step)
+    checks = list(step["checks"])
+    row = df.agg(*[
+        F.expr(c).alias(f"__check_{i}") for i, c in enumerate(checks)
+    ]).collect()[0]
+    failed = [c for i, c in enumerate(checks) if not row[f"__check_{i}"]]
+    if failed:
+        raise ValueError(
+            f"expect step failed {len(failed)} of {len(checks)} checks: "
+            + "; ".join(failed))
+    return df
+
+
+OPS["expect"] = _op_expect

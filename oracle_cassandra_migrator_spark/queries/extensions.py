@@ -3444,3 +3444,136 @@ def text_lang_confusion(spark, sf_dir):
             F.expr("CAST(floor(n_docs * 1e6 / SUM(n_docs) OVER"
                    " (PARTITION BY labeled_lang) + 0.5) AS BIGINT)"))
     )
+
+
+@query(
+    "text_trigram_novelty",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {FAST_WORDS_SQL} AS w FROM documents),
+    sh AS (SELECT doc_id, {SHINGLES3_SQL} AS shingles FROM norm),
+    ex AS (SELECT doc_id, md5(s) AS h
+           FROM (SELECT doc_id, UNNEST(shingles) AS s FROM sh)),
+    firsts AS (SELECT h, min(doc_id) AS first_doc FROM ex GROUP BY h)
+    SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(floor(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                      * 1e6 / COUNT(*) + 0.5) AS BIGINT) AS novelty_ppm
+    FROM ex e JOIN firsts f ON e.h = f.h
+    GROUP BY e.doc_id
+    """,
+)
+def text_trigram_novelty(spark, sf_dir):
+    """Crawl-order novelty: per document, the share of its distinct
+    trigrams never seen in any lower-id document — the freshness
+    signal a curation pipeline uses to down-weight late near-copies
+    and detect a crawl that has stopped finding new content (novelty
+    decays toward the boilerplate floor).
+
+    Scale shape: shingles explode to (doc_id, md5) rows — 32-char
+    hashes, never shingle strings/arrays, cross the exchanges — one
+    min-aggregation per trigram (map-side partials), one equi-join
+    back, one per-doc aggregation: the inverted-index topology shared
+    with dedup_duplicate_segments."""
+    from oracle_cassandra_migrator_spark.operators.text import with_shingles
+
+    docs = read_table(spark, sf_dir, "documents")
+    ex = (
+        with_shingles(docs.select("doc_id", "text"), "text", 3)
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .selectExpr("doc_id", "md5(s) AS h")
+    )
+    firsts = ex.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        ex.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_trigrams"),
+            F.expr("CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)"
+                   " AS BIGINT)").alias("n_novel"),
+            F.expr("CAST(floor(SUM(CASE WHEN first_doc = doc_id THEN 1"
+                   " ELSE 0 END) * 1e6 / COUNT(*) + 0.5) AS BIGINT)")
+            .alias("novelty_ppm"),
+        )
+    )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH d AS (SELECT event_type,
+                      CAST(date_trunc('day', ts) AS DATE) AS day,
+                      CAST(count(*) AS BIGINT) AS n_events
+               FROM events GROUP BY 1, 2),
+    o AS (SELECT *, datediff('day', DATE '1970-01-01', day) AS day_ord
+          FROM d),
+    w AS (SELECT event_type, day, n_events,
+                 COUNT(n_events) OVER win AS cnt,
+                 SUM(n_events) OVER win AS s1,
+                 SUM(n_events * n_events) OVER win AS s2
+          FROM o
+          WINDOW win AS (PARTITION BY event_type ORDER BY day_ord
+                         RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, CAST(day AS VARCHAR) AS day, n_events,
+           CASE WHEN cnt > 0
+                THEN round(CAST(s1 AS DOUBLE) / cnt, 6) END AS mean7,
+           CASE WHEN cnt >= 3
+                 AND CAST(s2 AS DOUBLE) / cnt
+                     - (CAST(s1 AS DOUBLE) / cnt)
+                     * (CAST(s1 AS DOUBLE) / cnt) > 0
+                THEN round((n_events - CAST(s1 AS DOUBLE) / cnt)
+                           / sqrt(CAST(s2 AS DOUBLE) / cnt
+                                  - (CAST(s1 AS DOUBLE) / cnt)
+                                  * (CAST(s1 AS DOUBLE) / cnt)), 6)
+                END AS zscore,
+           coalesce(abs(CASE WHEN cnt >= 3
+                 AND CAST(s2 AS DOUBLE) / cnt
+                     - (CAST(s1 AS DOUBLE) / cnt)
+                     * (CAST(s1 AS DOUBLE) / cnt) > 0
+                THEN round((n_events - CAST(s1 AS DOUBLE) / cnt)
+                           / sqrt(CAST(s2 AS DOUBLE) / cnt
+                                  - (CAST(s1 AS DOUBLE) / cnt)
+                                  * (CAST(s1 AS DOUBLE) / cnt)), 6)
+                END) > 2.0, FALSE) AS is_anomaly
+    FROM w
+    """,
+)
+def events_anomaly_zscore(spark, sf_dir):
+    """Daily volume anomaly detection per event type: z-score of each
+    day's count against the trailing calendar week (RANGE 7..1
+    PRECEDING over a day ordinal, so quiet days shrink the baseline
+    instead of stretching it), flagged at |z| > 2 — the freshness/
+    pipeline-health monitor over an event stream.
+
+    Scale shape: aggregate-BEFORE-window again — the corpus collapses
+    to |type x day| rows first; the window carries exact integer
+    moments (sum, sum of squares of BIGINT counts), so mean/variance
+    are partition-order-independent and the oracle matches
+    bit-for-bit. Days with under 3 trailing observations or zero
+    variance yield NULL z (no flag)."""
+    events = read_table(spark, sf_dir, "events")
+    daily = (
+        events.selectExpr(
+            "event_type", "CAST(date_trunc('DAY', ts) AS DATE) AS day")
+        .groupBy("event_type", "day")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n_events"))
+        .withColumn("day_ord", F.expr("datediff(day, DATE '1970-01-01')"))
+    )
+    w = (Window.partitionBy("event_type").orderBy("day_ord")
+         .rangeBetween(-7, -1))
+    mean = "CAST(s1 AS DOUBLE) / cnt"
+    var = f"CAST(s2 AS DOUBLE) / cnt - ({mean}) * ({mean})"
+    z = (f"CASE WHEN cnt >= 3 AND {var} > 0 THEN "
+         f"round((n_events - {mean}) / sqrt({var}), 6) END")
+    return (
+        daily
+        .withColumn("cnt", F.count("n_events").over(w))
+        .withColumn("s1", F.sum("n_events").over(w))
+        .withColumn("s2", F.sum(F.expr("n_events * n_events")).over(w))
+        .selectExpr(
+            "event_type", "CAST(day AS STRING) AS day", "n_events",
+            f"CASE WHEN cnt > 0 THEN round({mean}, 6) END AS mean7",
+            f"{z} AS zscore",
+            f"coalesce(abs({z}) > 2.0, FALSE) AS is_anomaly")
+    )

@@ -24,7 +24,7 @@ def test_every_op_is_exercised_here():
         "sort", "limit", "distinct", "drop_duplicates", "union",
         "intersect", "except", "alias", "repartition", "sql",
         "quantile_bucket", "gapfill", "interval_join",
-        "dedup_exact", "salted_join", "zorder",
+        "dedup_exact", "salted_join", "zorder", "expect",
     }
     assert exercised == set(OPS)
 
@@ -231,3 +231,23 @@ def test_compiler_zorder_step(spark):
     ])
     assert out.count() == li.count()  # layout-only: same rows
     assert set(out.columns) == set(li.columns)
+
+
+def test_compiler_expect_step_passes_and_fails(spark):
+    import pytest as _pytest
+
+    from oracle_cassandra_migrator_spark.plans.compiler import (
+        compile_transform)
+
+    df = spark.createDataFrame([(1, "a"), (2, None)], "k long, v string")
+    out = compile_transform(spark, {"d": df}, [
+        {"op": "expect", "input": "d",
+         "checks": ["count(*) = 2", "min(k) >= 1"]},
+    ])
+    assert out.count() == 2  # pass-through
+
+    with _pytest.raises(ValueError, match="v IS NULL"):
+        compile_transform(spark, {"d": df}, [
+            {"op": "expect", "input": "d",
+             "checks": ["sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) = 0"]},
+        ])

@@ -3577,3 +3577,38 @@ def events_anomaly_zscore(spark, sf_dir):
             f"{z} AS zscore",
             f"coalesce(abs({z}) > 2.0, FALSE) AS is_anomaly")
     )
+
+
+@query(
+    "join_shuffle_hash_hint",
+    oracle=f"""
+    SELECT o.o_orderpriority AS order_priority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {dsum('l.l_extendedprice', 'total_price')}
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_shuffle_hash_hint(spark, sf_dir):
+    """Explicit join-strategy control: the lineitem-orders equi-join is
+    forced to a shuffled hash join via the SHUFFLE_HASH hint (plan-
+    gated) instead of the default sort-merge. When one side fits a
+    per-partition hash table but not a broadcast — the classic
+    fact-to-large-dim shape at 100 TB — hash beats merge by skipping
+    both sort passes; AQE can pick this conversion itself, and the hint
+    is the deterministic override an engine user reaches for. Same
+    rows either way: the oracle is the plain join."""
+    li = read_table(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey", "l_extendedprice")
+    orders = read_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey", "o_orderpriority AS order_priority")
+    return (
+        li.join(orders.hint("SHUFFLE_HASH"),
+                li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("order_priority")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_items"),
+            F.expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))"
+                   " AS DOUBLE)").alias("total_price"),
+        )
+    )

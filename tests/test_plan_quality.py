@@ -422,3 +422,11 @@ def test_pagerank_broadcasts_rank_state(spark):
     plan = plan_of(spark, "graph_pagerank_nations")
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastExchange") >= 6
+
+
+def test_shuffle_hash_hint_forces_hash_join(spark):
+    """The SHUFFLE_HASH hint must materialize as ShuffledHashJoin —
+    not SortMergeJoin (default) and not a broadcast."""
+    plan = plan_of(spark, "join_shuffle_hash_hint")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -547,3 +547,118 @@ def test_simhash_block_cap_bounds_mass_duplication(spark):
     assert all(a >= 100 for a, _ in pairs), (
         "mass-duplicated block group leaked through the cap")
     assert (100, 101) in pairs, "distinct near-dup pair lost by the cap"
+
+
+def test_pagerank_conserves_mass_on_closed_graph(spark):
+    """On a graph where every node has out-edges (no danglers), total
+    rank must stay 1 each iteration (up to the 12-dp rounding): the
+    (1-d)/N injections and d-scaled redistributions balance exactly."""
+    from oracle_cassandra_migrator_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 2), ("b", "c", 1), ("c", "a", 1), ("a", "c", 3)],
+        "src string, dst string, w long")
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",)], "node string")
+    ranks = {r["node"]: r["rank"]
+             for r in pagerank(edges, nodes, iters=3).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    # a receives from b and c fully plus nothing else; c gets 3/5 of a
+    assert ranks["c"] > ranks["b"]  # a sends 60% to c, 40% to b
+
+
+def test_pagerank_dangling_node_gets_base_rank_only(spark):
+    """A node with no in-edges settles at the (1-d)/N floor; mass sent
+    into a dangler is deliberately not redistributed (documented)."""
+    from oracle_cassandra_migrator_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([("a", "b", 1)], "src string, dst string, w long")
+    nodes = spark.createDataFrame([("a",), ("b",)], "node string")
+    ranks = {r["node"]: r["rank"]
+             for r in pagerank(edges, nodes, iters=3).collect()}
+    assert abs(ranks["a"] - 0.075) < 1e-9  # (1-0.85)/2, no in-edges
+    assert ranks["b"] > ranks["a"]
+
+
+def test_dedup_keep_representative_keeps_min_id_per_group(spark):
+    from oracle_cassandra_migrator_spark.operators.dedup import (
+        dedup_keep_representative)
+
+    docs = spark.createDataFrame(
+        [(5, "x  y"), (2, "X y "), (9, "unique"), (1, "other")],
+        "doc_id long, text string")
+    out = dedup_keep_representative(docs, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 9]
+    assert out.columns == ["doc_id", "text"]  # helper columns dropped
+
+
+def test_duplicate_segments_flags_planted_boilerplate(spark):
+    """Two docs sharing an identical 10-word opening must both report
+    that segment as duplicated; a unique doc reports zero."""
+    from oracle_cassandra_migrator_spark.queries.extensions import (
+        dedup_duplicate_segments)
+
+    header = " ".join(f"w{i}" for i in range(10))
+    rows = [
+        (1, header + " tail one two three four five six seven eight nine"),
+        (2, header + " other words here that differ a lot more than ten"),
+        (3, " ".join(f"u{i}" for i in range(20))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    import oracle_cassandra_migrator_spark.queries.extensions as ext
+    orig = ext.read_table  # patched in ext: the query binds it by name
+    ext.read_table = lambda s, d, n: docs if n == "documents" else orig(s, d, n)
+    try:
+        got = {r["doc_id"]: r for r in
+               dedup_duplicate_segments(spark, SF_SMALL).collect()}
+    finally:
+        ext.read_table = orig
+    assert got[1]["n_dup_segments"] == 1 and got[2]["n_dup_segments"] == 1
+    assert got[3]["n_dup_segments"] == 0 and got[3]["n_segments"] == 2
+
+
+def test_trigram_novelty_monotone_planted(spark):
+    """Doc 1 is all-novel by construction; doc 2 (a copy) has zero
+    novel trigrams; doc 3 mixes half-copied, half-new content."""
+    from oracle_cassandra_migrator_spark.queries.extensions import (
+        text_trigram_novelty)
+
+    base = " ".join(f"w{i}" for i in range(12))
+    rows = [(1, base), (2, base),
+            (3, base + " " + " ".join(f"n{i}" for i in range(12)))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    import oracle_cassandra_migrator_spark.queries.extensions as ext
+    orig = ext.read_table
+    ext.read_table = lambda s, d, n: docs if n == "documents" else orig(s, d, n)
+    try:
+        got = {r["doc_id"]: r for r in
+               text_trigram_novelty(spark, SF_SMALL).collect()}
+    finally:
+        ext.read_table = orig
+    assert got[1]["novelty_ppm"] == 1_000_000
+    assert got[2]["n_novel"] == 0
+    assert 0 < got[3]["novelty_ppm"] < 1_000_000
+
+
+def test_pq_topk_exact_on_clustered_data(spark):
+    """With well-separated clusters the ADC estimate must rank the
+    query's own cluster on top: PQ top-k == brute-force top-k."""
+    import math
+
+    from oracle_cassandra_migrator_spark.operators.similarity import (
+        pq_train_codebooks, pq_topk)
+
+    def vec(theta):
+        # 8-dim: two 4-dim subspaces tracing a circle each
+        c, s = math.cos(theta), math.sin(theta)
+        return [c, s, 0.0, 0.0, s, c, 0.0, 0.0]
+
+    # two clusters; ids all divisible by 13 so the codebook init
+    # samples BOTH clusters (0,13,26 near theta 0; 39,52,65 near 2.0)
+    rows = ([(13 * i, vec(0.02 * i)) for i in range(3)]
+            + [(39 + 13 * i, vec(2.0 + 0.02 * i)) for i in range(3)])
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_train_codebooks(
+        emb, n_sub=2, sub_dim=4, modulus=13, iters=1, init_limit=4)
+    got = [r["vec_id"] for r in
+           pq_topk(emb, books, sub_dim=4, k=2, query_id=0).collect()]
+    assert set(got) == {13, 26}  # own cluster, not the far one

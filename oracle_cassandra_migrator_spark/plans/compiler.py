@@ -174,14 +174,28 @@ def _op_sql(ns, step):
 
 def _op_quantile_bucket(ns, step):
     """{"op": "quantile_bucket", "col": ..., "k": 10,
-    "by": optional group col, "exact": bool, "accuracy": int} —
-    the two-pass scale-safe ntile (operators/quantiles.py)."""
+    "by": optional group col, "exact": bool, "accuracy": int,
+    "assign": bool} — the two-pass scale-safe ntile
+    (operators/quantiles.py). Default returns the per-bucket PROFILE
+    (bucket, n_rows, min/max); ``"assign": true`` instead tags every
+    input row with its 1-based ``bucket`` column (map-side broadcast
+    assignment, all original columns kept) so later steps can filter
+    or lay out by bucket. Per-row assign is global-only (no "by")."""
     from oracle_cassandra_migrator_spark.operators.quantiles import (
-        grouped_bucket_profile, quantile_bucket_profile)
+        assign_buckets, grouped_bucket_profile, quantile_boundaries,
+        quantile_bucket_profile)
 
     df = _input(ns, step)
     kwargs = dict(exact=step.get("exact", False),
                   accuracy=step.get("accuracy", 10000))
+    if step.get("assign"):
+        if step.get("by"):
+            raise ValueError(
+                "quantile_bucket: per-row assign supports only the "
+                "global variant (drop \"by\" or \"assign\")")
+        bounds = quantile_boundaries(
+            df.select(step["col"]), step["col"], step["k"], **kwargs)
+        return assign_buckets(df, bounds, step["col"])
     if step.get("by"):
         return grouped_bucket_profile(
             df, step["col"], step["k"], step["by"], **kwargs)

@@ -251,3 +251,20 @@ def test_compiler_expect_step_passes_and_fails(spark):
             {"op": "expect", "input": "d",
              "checks": ["sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) = 0"]},
         ])
+
+
+def test_compiler_quantile_bucket_assign_mode(spark):
+    from oracle_cassandra_migrator_spark.plans.compiler import (
+        compile_transform)
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    from tests.conftest import SF_SMALL
+
+    li = read_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_extendedprice")
+    out = compile_transform(spark, {"li": li}, [
+        {"op": "quantile_bucket", "input": "li", "col": "l_extendedprice",
+         "k": 4, "exact": True, "assign": True},
+    ])
+    assert set(out.columns) == {"l_orderkey", "l_extendedprice", "bucket"}
+    assert out.count() == li.count()  # per-row tagging, not a profile

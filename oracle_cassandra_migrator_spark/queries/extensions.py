@@ -3612,3 +3612,124 @@ def join_shuffle_hash_hint(spark, sf_dir):
                    " AS DOUBLE)").alias("total_price"),
         )
     )
+
+
+@query(
+    "agg_hll_sketch_rollup",
+    oracle="""
+    SELECT n.n_regionkey AS region_key,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS estimate_ok
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_regionkey
+    """,
+)
+def agg_hll_sketch_rollup(spark, sf_dir):
+    """MERGEABLE distinct-count sketches — the architecture that makes
+    hierarchical distinct counting linear at 100 TB: build one
+    DataSketches HLL per (region, nation) partial, then roll up to
+    region by sketch UNION (hll_union_agg) instead of re-scanning raw
+    keys. Exactness contract per the agg_approx_count_distinct
+    convention: sketch bytes differ across engines, so the compared
+    columns are the exact count (customers are disjoint across
+    nations, so the per-nation exact distincts SUM to the region
+    exact) and ``estimate_ok`` — the union-sketch estimate within 5%
+    of truth. If merging ever corrupted the sketch the boolean flips
+    and the driver hash fails."""
+    cust = read_table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", "c_nationkey")
+    nat = read_table(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey", "n_regionkey")
+    base = cust.join(F.broadcast(nat),
+                     cust["c_nationkey"] == nat["n_nationkey"])
+    per_nation = base.groupBy("n_regionkey", "c_nationkey").agg(
+        F.expr("hll_sketch_agg(c_custkey)").alias("sk"),
+        F.expr("COUNT(DISTINCT c_custkey)").alias("n_exact"))
+    return (
+        per_nation.groupBy("n_regionkey")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
+            F.expr("SUM(n_exact)").alias("exact_customers"))
+        .selectExpr(
+            "n_regionkey AS region_key",
+            "CAST(exact_customers AS BIGINT) AS exact_customers",
+            "abs(est - exact_customers) <= 0.05 * exact_customers"
+            " AS estimate_ok")
+    )
+
+
+_LATERAL_TOP2_SQL = """
+    SELECT c.c_custkey AS customer_id, t.o_orderkey AS order_key,
+           t.o_totalprice AS total_price
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+"""
+
+
+@query("lateral_subquery_top_orders", oracle=_LATERAL_TOP2_SQL)
+def lateral_subquery_top_orders(spark, sf_dir):
+    """Correlated LATERAL subquery (SQL:1999 lateral derived table,
+    Spark >= 3.2): each customer's top-2 orders by price via a
+    per-row subquery with its own ORDER BY ... LIMIT — the remaining
+    lateral shape after LATERAL VIEW explode
+    (lateral_explode_tokens). ONE SQL text runs on both engines.
+    Catalyst rewrites the correlation into a ranked join rather than
+    executing N subqueries; the equivalent windowed top-k
+    (window_rank_top_orders) is the explicit form of the same plan."""
+    for t in ("customer", "orders"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_TOP2_SQL)
+
+
+def _zorder_oracle(bits: int = 8) -> str:
+    terms = []
+    for j, (col, lo, hi) in enumerate(
+            (("o_custkey", "lo0", "hi0"), ("o_totalprice", "lo1", "hi1"))):
+        scaled = (f"CAST(least(greatest(floor((CAST({col} AS DOUBLE) - {lo})"
+                  f" / ({hi} - {lo}) * {2 ** bits}), 0), {2 ** bits - 1})"
+                  f" AS BIGINT)")
+        for i in range(bits):
+            terms.append(f"((({scaled} >> {i}) & 1) << {i * 2 + j})")
+    z = " + ".join(terms)
+    return f"""
+    WITH b AS (SELECT CAST(min(o_custkey) AS DOUBLE) AS lo0,
+                      CAST(max(o_custkey) AS DOUBLE) AS hi0,
+                      CAST(min(o_totalprice) AS DOUBLE) AS lo1,
+                      CAST(max(o_totalprice) AS DOUBLE) AS hi1
+               FROM orders)
+    SELECT o_orderkey, CAST({z} AS BIGINT) AS zval
+    FROM orders CROSS JOIN b
+    """
+
+
+@query("layout_zorder_values", oracle=_zorder_oracle())
+def layout_zorder_values(spark, sf_dir):
+    """The Z-order (Morton) key itself as a driver-checked value: per
+    order, the interleaved-bit code over (o_custkey, o_totalprice)
+    that operators/layout.py sorts by before a clustered write — the
+    layout trick behind multi-column row-group pruning on plain
+    parquet (Delta OSS OPTIMIZE ZORDER BY runs the same idea). The
+    pruning property itself is proven in
+    test_zorder_layout_narrows_file_stats_on_both_columns; this query
+    pins the bit arithmetic bit-for-bit against DuckDB.
+
+    Plan shape: one 2x2 min/max aggregation (driver-collected bounds,
+    the same bounded-literal pattern as every trained codebook), then
+    a pure per-row projection over the corpus — zero corpus
+    shuffles."""
+    from oracle_cassandra_migrator_spark.operators.layout import (
+        zorder_value_expr)
+
+    orders = read_table(spark, sf_dir, "orders")
+    row = orders.agg(
+        F.expr("CAST(min(o_custkey) AS DOUBLE)").alias("lo0"),
+        F.expr("CAST(max(o_custkey) AS DOUBLE)").alias("hi0"),
+        F.expr("CAST(min(o_totalprice) AS DOUBLE)").alias("lo1"),
+        F.expr("CAST(max(o_totalprice) AS DOUBLE)").alias("hi1"),
+    ).collect()[0]
+    bounds = {"o_custkey": (row["lo0"], row["hi0"]),
+              "o_totalprice": (row["lo1"], row["hi1"])}
+    z = zorder_value_expr(["o_custkey", "o_totalprice"], bounds, bits=8)
+    return orders.selectExpr("o_orderkey", f"{z} AS zval")

@@ -555,6 +555,8 @@ def pq_topk(
     embeddings: DataFrame, codebooks: list[list[dict]],
     sub_dim: int = 16, k: int = 10, query_id: int = 0,
     vec_col: str = "embedding", id_col: str = "vec_id",
+    query: DataFrame | None = None,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Product-quantization ANN (MIPS/ADC flavor): encode each corpus
     vector as ``n_sub`` small codes (per-subspace nearest centroid by
@@ -572,9 +574,15 @@ def pq_topk(
     compresses 64x (4 bytes -> 4x 3 bits) for the candidate sweep."""
     e = DOUBLE_VEC.format(col=vec_col)
     q = DOUBLE_VEC.format(col="q")
-    df = embeddings.where(f"{id_col} != {query_id}").crossJoin(F.broadcast(
-        embeddings.where(f"{id_col} = {query_id}")
-        .select(F.col(vec_col).alias("q"))))
+    if query is None:
+        # default: the query row comes from the corpus and excludes
+        # itself from the ranking. Callers that pre-filter the corpus
+        # (e.g. the IVF+PQ composite's probe semi-join) pass a one-row
+        # ``query`` frame with column ``q`` instead.
+        query = (embeddings.where(f"{id_col} = {query_id}")
+                 .select(F.col(vec_col).alias("q")))
+        embeddings = embeddings.where(f"{id_col} != {query_id}")
+    df = embeddings.crossJoin(F.broadcast(query))
     score_terms = []
     for s, book in enumerate(codebooks):
         off = s * sub_dim + 1
@@ -596,5 +604,5 @@ def pq_topk(
         .withColumn("cosine", F.expr(f"round({cosine_expr(e, q)}, 6)"))
         .orderBy(F.col("pq_score").desc(), F.col(id_col))
         .limit(k)
-        .select(id_col, "pq_score", "cosine")
+        .select(id_col, *extra_cols, "pq_score", "cosine")
     )

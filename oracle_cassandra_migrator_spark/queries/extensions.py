@@ -3733,3 +3733,121 @@ def layout_zorder_values(spark, sf_dir):
               "o_totalprice": (row["lo1"], row["hi1"])}
     z = zorder_value_expr(["o_custkey", "o_totalprice"], bounds, bits=8)
     return orders.selectExpr("o_orderkey", f"{z} AS zval")
+
+
+IVFPQ_SAMPLE_MOD = 7
+IVFPQ_INIT_LIMIT = 16
+IVFPQ_MODULUS = 43
+IVFPQ_N_PROBE = 2
+
+
+def _ivfpq_oracle(k: int = 10, query_id: int = 0) -> str:
+    """Coarse-IVF replay (bounded-sample training, prefix c_) + the
+    four PQ subspace replays (prefix p{s}_), composed: PQ-ADC scores
+    are computed only for vectors whose coarse cell is in the query's
+    top-n_probe list."""
+    parts = [
+        f"qrow AS (SELECT embedding AS q FROM embeddings"
+        f" WHERE vec_id = {query_id})"]
+    parts += _ivf_cells_parts(
+        IVFPQ_MODULUS, 1, sample_mod=IVFPQ_SAMPLE_MOD,
+        init_limit=IVFPQ_INIT_LIMIT, prefix="c_")
+    parts.append(
+        f"probes AS (SELECT cid FROM ("
+        f"SELECT c.cid, row_number() OVER ("
+        f"ORDER BY round(list_dot_product(qr.q::DOUBLE[], c.cvec), 6) DESC,"
+        f" c.cid) AS rn FROM c_cents1 c CROSS JOIN qrow qr)"
+        f" WHERE rn <= {IVFPQ_N_PROBE})")
+    d_names = []
+    for s in range(PQ_N_SUB):
+        off = s * PQ_SUB_DIM + 1
+        hi = off + PQ_SUB_DIM - 1
+        parts.append(
+            f"pq_sub{s} AS (SELECT vec_id, embedding[{off}:{hi}]"
+            f" AS embedding FROM embeddings)")
+        parts += _ivf_cells_parts(
+            PQ_MODULUS, PQ_ITERS, init_limit=PQ_INIT_LIMIT,
+            src=f"pq_sub{s}", prefix=f"p{s}_")
+        parts.append(
+            f"p{s}_d AS (SELECT c.vec_id,"
+            f" round(list_dot_product(qr.q[{off}:{hi}]::DOUBLE[], b.cvec), 6)"
+            f" AS d FROM p{s}_cells c"
+            f" JOIN p{s}_cents{PQ_ITERS} b ON c.cell_id = b.cid"
+            f" CROSS JOIN qrow qr)")
+        d_names.append(f"p{s}_d")
+    joins = d_names[0] + " d0"
+    for i in range(1, PQ_N_SUB):
+        joins += f" JOIN {d_names[i]} d{i} USING (vec_id)"
+    score = " + ".join(f"d{i}.d" for i in range(PQ_N_SUB))
+    parts.append(
+        f"pq_scores AS (SELECT d0.vec_id, round({score}, 6) AS pq_score"
+        f" FROM {joins})")
+    cos = (
+        "round(list_dot_product(e.embedding::DOUBLE[], qr.q::DOUBLE[])"
+        " / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(qr.q::DOUBLE[], qr.q::DOUBLE[]))), 6)"
+    )
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined}
+    SELECT s.vec_id, CAST(cc.cell_id AS BIGINT) AS cell_id, s.pq_score,
+           {cos} AS cosine
+    FROM pq_scores s
+    JOIN c_cells cc ON s.vec_id = cc.vec_id
+    JOIN probes pr ON cc.cell_id = pr.cid
+    JOIN embeddings e ON s.vec_id = e.vec_id
+    CROSS JOIN qrow qr
+    WHERE s.vec_id <> {query_id}
+    ORDER BY s.pq_score DESC, s.vec_id
+    LIMIT {k}
+    """
+
+
+@query("sim_ann_ivfpq_topk", oracle=_ivfpq_oracle())
+def sim_ann_ivfpq_topk(spark, sf_dir):
+    """IVF+PQ — the composite behind every production-scale ANN index
+    (FAISS's IVFADC, Jegou et al. 2011): a coarse quantizer prunes the
+    corpus to the query's top-n_probe cells, and the compressed-code
+    ADC estimate ranks only the survivors; exact cosine rides along
+    for the returned k. At 100 TB the coarse cell is the partition
+    key (probe reads corpus/|cells| x n_probe) and the PQ codes are
+    the only thing the candidate sweep touches.
+
+    Every trained artifact is the bounded train-out-of-plan pattern:
+    the coarse codebook (sampled Lloyd, <=16 rows) and the four PQ
+    codebooks (<=8 rows each) collect driver-side and re-enter as
+    literals, so the serving plan is scan -> per-row coarse-assign +
+    encode + estimate -> broadcast probe-list semi-join -> top-k: the
+    ONLY corpus-touching exchange-free pipeline with one broadcast
+    (plan-gated). The oracle replays all five training loops."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    sample = emb.where(f"vec_id % {IVFPQ_SAMPLE_MOD} = 0")
+    coarse = similarity.kmeans_codebook(
+        sample, modulus=IVFPQ_MODULUS, iters=1,
+        init_limit=IVFPQ_INIT_LIMIT)
+    cb = similarity.codebook_literal_expr(coarse.collect())
+    books = similarity.pq_train_codebooks(
+        emb, n_sub=PQ_N_SUB, sub_dim=PQ_SUB_DIM, modulus=PQ_MODULUS,
+        iters=PQ_ITERS, init_limit=PQ_INIT_LIMIT)
+    cells = similarity.assign_cells_literal(emb, cb)
+    q = emb.where("vec_id = 0").select(F.col("embedding").alias("q"))
+    qv = "transform(q, x -> CAST(x AS DOUBLE))"
+    probes = (
+        q.withColumn("cents", F.expr(cb))
+        .select(F.explode(F.expr(
+            f"transform(slice(reverse(array_sort(transform(cents, c -> "
+            f"struct(round({similarity.dot_expr(qv, 'c.cvec')}, 6) AS aff, "
+            f"-c.cid AS neg_cid)))), 1, {IVFPQ_N_PROBE}), s -> -s.neg_cid)"
+        )).alias("pcid"))
+    )
+    survivors = (
+        cells.join(F.broadcast(probes), cells["cell_id"] == probes["pcid"])
+        .where("vec_id != 0")
+        .select("vec_id", "embedding",
+                F.col("cell_id").cast("bigint").alias("cell_id"))
+    )
+    return similarity.pq_topk(
+        survivors, books, sub_dim=PQ_SUB_DIM, k=10,
+        query=q, extra_cols=("cell_id",))
+
+

@@ -430,3 +430,16 @@ def test_shuffle_hash_hint_forces_hash_join(spark):
     plan = plan_of(spark, "join_shuffle_hash_hint")
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ivfpq_serving_plan_one_broadcast_no_corpus_shuffle(spark):
+    """The IVF+PQ composite's serving plan: per-row coarse assignment
+    and PQ estimate against literal codebooks, ONE broadcast join for
+    the probe list, TakeOrderedAndProject — no corpus-wide exchange,
+    no Window, and none of the five training loops in the plan."""
+    plan = plan_of(spark, "sim_ann_ivfpq_topk")
+    assert "Window" not in plan
+    assert not re.search(r"Exchange (hash|range)partitioning", plan)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "HashAggregate" not in plan

@@ -75,3 +75,34 @@ def trimmed_mean_cents(cents: pd.Series) -> float:
     k = len(c) // 10
     kept = c[k:len(c) - k]
     return float(kept.sum()) / len(kept) / 100.0
+
+
+NORM_SCHEMA = "vec_id BIGINT, l2_norm DOUBLE"
+
+
+def embedding_norms_arrow(embeddings: DataFrame) -> DataFrame:
+    """The same per-vector L2 norm as ``embedding_norms`` but through
+    ``mapInArrow`` — the lowest-overhead Python data path (raw Arrow
+    RecordBatches, no pandas conversion on either side). Used where
+    the per-batch work is pure columnar math and even the
+    Arrow->pandas copy of a pandas_udf is measurable; completes the
+    Python-surface matrix: scalar pandas_udf, GROUPED_AGG pandas_udf,
+    applyInPandas, mapInPandas, applyInPandasWithState, UDTF, and now
+    mapInArrow."""
+    import pyarrow as pa
+
+    def batches(it):
+        for batch in it:
+            tbl = pa.table(batch)
+            flat = tbl.column("embedding").combine_chunks()
+            norms = []
+            for lst in flat:
+                v = np.asarray(lst.as_py(), dtype=np.float64)
+                norms.append(round(float(np.sqrt(np.dot(v, v))), 6))
+            yield pa.record_batch([
+                tbl.column("vec_id").combine_chunks(),
+                pa.array(norms, type=pa.float64()),
+            ], names=["vec_id", "l2_norm"])
+
+    return embeddings.select("vec_id", "embedding").mapInArrow(
+        batches, NORM_SCHEMA)

@@ -662,3 +662,21 @@ def test_pq_topk_exact_on_clustered_data(spark):
     got = [r["vec_id"] for r in
            pq_topk(emb, books, sub_dim=4, k=2, query_id=0).collect()]
     assert set(got) == {13, 26}  # own cluster, not the far one
+
+
+def test_map_in_arrow_norms_match_sql_expression(spark):
+    """mapInArrow path must agree with the JVM-side expression fold
+    (and therefore with the udf_embedding_norms oracle)."""
+    from oracle_cassandra_migrator_spark.operators.udfs import (
+        embedding_norms_arrow)
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    got = {r["vec_id"]: r["l2_norm"]
+           for r in embedding_norms_arrow(emb).collect()}
+    want = {r["vec_id"]: r["l2"] for r in emb.selectExpr(
+        "vec_id",
+        "round(sqrt(aggregate(zip_with(embedding, embedding,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (a, v) -> a + v)), 6) AS l2").collect()}
+    assert got == want

@@ -3851,3 +3851,62 @@ def sim_ann_ivfpq_topk(spark, sf_dir):
         query=q, extra_cols=("cell_id",))
 
 
+
+
+def _simhash_prune_oracle(max_distance: int = 2, bits: int = 32) -> str:
+    pairs = _simhash_hamming_oracle(max_distance, bits)
+    # unwrap: reuse the hamming oracle's CTE list inside a RECURSIVE WITH
+    body = pairs.strip()
+    assert body.startswith("WITH")
+    body = body[len("WITH"):]
+    cte_list, final_select = body.rsplit("SELECT doc_a, doc_b,", 1)
+    return f"""
+    WITH RECURSIVE {cte_list.rstrip()},
+    p AS (SELECT doc_a, doc_b,{final_select}),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+              UNION ALL SELECT doc_b, doc_a FROM p),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (SELECT a AS node, least(a, min(b)) AS component
+             FROM reach GROUP BY a)
+    SELECT d.doc_id,
+           CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS cluster_rep,
+           coalesce(c.component, d.doc_id) = d.doc_id AS is_kept
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """
+
+
+@query("dedup_simhash_prune", oracle=_simhash_prune_oracle(max_distance=1))
+def dedup_simhash_prune(spark, sf_dir):
+    """SimHash pairs -> DECISIONS: the pigeonhole hamming-distance
+    pairs feed hash-to-min connected components and every document
+    gets (cluster_rep, is_kept) — completing the pairs->decisions
+    story for ALL THREE dedup families (lexical MinHash
+    dedup_minhash_prune, semantic dedup_semantic_prune, and now the
+    bit-signature SimHash track). Same scale shape as the siblings:
+    components run over the PAIR graph only, one final left join back
+    to the corpus; the oracle replays pairs + a recursive
+    reachability CTE.
+
+    The DECISION gate runs at hamming distance <= 1 while the pairs
+    query reports distance <= 2: auto-drop wants the tighter
+    threshold (a 32-bit simhash at distance 2 is a weak near-dup
+    signal on short docs), and on this synthetic corpus the d=2
+    graph is pathologically dense (1.1M pairs at sf0.1 — word-soup
+    docs collide in majority-bit space), which makes the oracle's
+    transitive closure quadratic. d<=2 pairs remain available from
+    dedup_simhash_hamming for review pipelines."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_hamming_pairs(
+        docs, "text", "doc_id", max_distance=1)
+    comp = dedup.connected_components(pairs, src="doc_a", dst="doc_b")
+    return (
+        docs.select("doc_id")
+        .join(comp, docs.doc_id == comp.node, "left")
+        .selectExpr(
+            "doc_id",
+            "CAST(coalesce(component, doc_id) AS BIGINT) AS cluster_rep",
+            "coalesce(component, doc_id) = doc_id AS is_kept")
+    )

@@ -523,6 +523,7 @@ def pq_train_codebooks(
     embeddings: DataFrame, n_sub: int = 4, sub_dim: int = 16,
     modulus: int = 13, iters: int = 1, init_limit: int = 8,
     vec_col: str = "embedding", id_col: str = "vec_id",
+    sample_mod: int | None = None,
 ) -> list[list[dict]]:
     """Train the product-quantization codebooks: split the vector into
     ``n_sub`` contiguous subspaces and run the bounded-sample Lloyd
@@ -536,6 +537,11 @@ def pq_train_codebooks(
     driver-side collect of <= init_limit rows per subspace, and literal
     re-entry into the serving plan — at 100 TB the codebooks are
     trained once and the serving plan never sees the training DAG."""
+    if sample_mod is not None:
+        # the Lloyd passes (assignment + means) run over the sample,
+        # not the corpus — at 100 TB training must not be a full scan
+        # per subspace. The final ENCODE step still covers every row.
+        embeddings = embeddings.where(f"{id_col} % {sample_mod} = 0")
     books = []
     for s in range(n_sub):
         off = s * sub_dim + 1

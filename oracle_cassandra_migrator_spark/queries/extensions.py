@@ -3200,9 +3200,13 @@ def graph_pagerank_nations(spark, sf_dir):
 
 PQ_N_SUB = 4
 PQ_SUB_DIM = 16
-PQ_MODULUS = 13
+# training runs on the vec_id % 7 sample (train-out-of-plan: the Lloyd
+# passes must not scan the corpus); init = sample AND % 4 (= % 28),
+# capped at 8 centroids per subspace at every SF.
+PQ_MODULUS = 4
 PQ_ITERS = 1
 PQ_INIT_LIMIT = 8
+PQ_SAMPLE_MOD = 7
 
 
 def _pq_oracle(k: int = 10, query_id: int = 0) -> str:
@@ -3222,6 +3226,7 @@ def _pq_oracle(k: int = 10, query_id: int = 0) -> str:
             f" AS embedding FROM embeddings)")
         parts += _ivf_cells_parts(
             PQ_MODULUS, PQ_ITERS, init_limit=PQ_INIT_LIMIT,
+            sample_mod=PQ_SAMPLE_MOD,
             src=f"pq_sub{s}", prefix=f"p{s}_")
         parts.append(
             f"p{s}_d AS (SELECT c.vec_id,"
@@ -3275,7 +3280,8 @@ def sim_ann_pq_topk(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     books = similarity.pq_train_codebooks(
         emb, n_sub=PQ_N_SUB, sub_dim=PQ_SUB_DIM, modulus=PQ_MODULUS,
-        iters=PQ_ITERS, init_limit=PQ_INIT_LIMIT)
+        iters=PQ_ITERS, init_limit=PQ_INIT_LIMIT,
+        sample_mod=PQ_SAMPLE_MOD)
     return similarity.pq_topk(
         emb, books, sub_dim=PQ_SUB_DIM, k=10, query_id=0)
 
@@ -3767,6 +3773,7 @@ def _ivfpq_oracle(k: int = 10, query_id: int = 0) -> str:
             f" AS embedding FROM embeddings)")
         parts += _ivf_cells_parts(
             PQ_MODULUS, PQ_ITERS, init_limit=PQ_INIT_LIMIT,
+            sample_mod=PQ_SAMPLE_MOD,
             src=f"pq_sub{s}", prefix=f"p{s}_")
         parts.append(
             f"p{s}_d AS (SELECT c.vec_id,"
@@ -3828,7 +3835,8 @@ def sim_ann_ivfpq_topk(spark, sf_dir):
     cb = similarity.codebook_literal_expr(coarse.collect())
     books = similarity.pq_train_codebooks(
         emb, n_sub=PQ_N_SUB, sub_dim=PQ_SUB_DIM, modulus=PQ_MODULUS,
-        iters=PQ_ITERS, init_limit=PQ_INIT_LIMIT)
+        iters=PQ_ITERS, init_limit=PQ_INIT_LIMIT,
+        sample_mod=PQ_SAMPLE_MOD)
     cells = similarity.assign_cells_literal(emb, cb)
     q = emb.where("vec_id = 0").select(F.col("embedding").alias("q"))
     qv = "transform(q, x -> CAST(x AS DOUBLE))"

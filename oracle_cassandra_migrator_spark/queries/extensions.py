@@ -3859,8 +3859,6 @@ def sim_ann_ivfpq_topk(spark, sf_dir):
         query=q, extra_cols=("cell_id",))
 
 
-
-
 def _simhash_prune_oracle(max_distance: int = 2, bits: int = 32) -> str:
     pairs = _simhash_hamming_oracle(max_distance, bits)
     # unwrap: reuse the hamming oracle's CTE list inside a RECURSIVE WITH

@@ -443,3 +443,21 @@ def test_ivfpq_serving_plan_one_broadcast_no_corpus_shuffle(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "HashAggregate" not in plan
+
+
+def test_anomaly_zscore_window_sits_above_daily_aggregate(spark):
+    """events_anomaly_zscore must aggregate-BEFORE-window: the ordered
+    RANGE frame consumes the |type x day| daily table, never raw
+    events (same gate shape as events_rolling_weekly_counts)."""
+    plan = plan_of(spark, "events_anomaly_zscore")
+    assert "Window" in plan
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_segment_dedup_and_novelty_never_cartesian(spark):
+    """The two inverted-index text queries must candidate through
+    equi-joins on hashes — no cross product, no nested-loop join."""
+    for name in ("dedup_duplicate_segments", "text_trigram_novelty"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name

@@ -109,6 +109,13 @@ _RECHECK = frozenset({"events_rolling_weekly_counts"})
 
 
 def _verification_order(names):
+    # ROUND-N+1 MAINTENANCE (this stalled r3->r4 planning once): when a
+    # new CORRECTNESS_r0N.json lands, fold its green keys into an
+    # _R0N_CONFIRMED frozenset here and add it to `confirmed` below,
+    # else the driver's ~50-slot window re-verifies already-green
+    # queries and new ones never get a row. Keep any key whose oracle
+    # changed afterwards in _RECHECK instead. Update
+    # test_catalog_orders_least_verified_first alongside.
     confirmed = (
         _R02_CONFIRMED | _R03_CONFIRMED | _R04_CONFIRMED) - _RECHECK
     front = [n for n in names if n == "flagship_payment_pipeline"]

@@ -1,3 +1,6 @@
+from oracle_cassandra_migrator_spark.streaming.joins import (
+    interval_join_streams,
+)
 from oracle_cassandra_migrator_spark.streaming.sources import (
     read_stream_source,
 )
@@ -8,6 +11,7 @@ from oracle_cassandra_migrator_spark.streaming.windows import (
 )
 
 __all__ = [
+    "interval_join_streams",
     "read_stream_source",
     "tumbling_window_agg",
     "sliding_window_agg",

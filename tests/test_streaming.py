@@ -505,3 +505,41 @@ def test_heavy_hitters_stream_finds_planted_hot_keys(spark, tmp_path):
     assert 13 in cur and cur[13][0] <= 300 <= cur[13][1], cur.get(13)
     # state bound: distinct surviving items <= n_buckets * capacity
     assert len(cur) <= 4 * 8
+
+
+def test_interval_join_streams_operator_matches_batch(spark, tmp_path):
+    """The packaged stream-stream interval join: same function on the
+    stream and on the batch frames must agree (and the streaming run
+    must carry watermarks so state is bounded)."""
+    from pyspark.sql import functions as F
+
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+    from oracle_cassandra_migrator_spark.streaming import (
+        interval_join_streams)
+
+    events = read_table(spark, SF_SMALL, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "ij_src")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+
+    def sides(df):
+        p = df.where("event_type = 'purchase'").selectExpr(
+            "user_id", "ts AS purchase_ts", "event_id AS purchase_id")
+        c = df.where("event_type = 'click'").selectExpr(
+            "user_id AS user_id_r", "ts AS click_ts", "event_id AS click_id")
+        return p, c
+
+    sp, sc = sides(stream)
+    joined = interval_join_streams(
+        sp, sc, key="user_id", left_ts="purchase_ts", right_ts="click_ts")
+    q = (joined.writeStream.format("memory").queryName("ij_op")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("ij_op").count()
+
+    bp, bc = sides(events)
+    expected = interval_join_streams(
+        bp, bc, key="user_id", left_ts="purchase_ts",
+        right_ts="click_ts").count()
+    assert got == expected and got > 0

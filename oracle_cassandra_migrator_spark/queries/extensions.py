@@ -3916,3 +3916,169 @@ def dedup_simhash_prune(spark, sf_dir):
             "CAST(coalesce(component, doc_id) AS BIGINT) AS cluster_rep",
             "coalesce(component, doc_id) = doc_id AS is_kept")
     )
+
+
+@query(
+    "sample_fixed_n_per_group",
+    oracle="""
+    SELECT doc_id, lang, rnk FROM (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(concat('grpsample:', CAST(doc_id AS VARCHAR))),
+                        doc_id) AS INT) AS rnk
+      FROM documents)
+    WHERE rnk <= 20
+    """,
+)
+def sample_fixed_n_per_group(spark, sf_dir):
+    """Stratified FIXED-N sampling: exactly min(n, group size) docs
+    per language via bottom-n-by-salted-hash — the eval-set builder
+    (n per stratum, reproducible across runs, no fractional-rate
+    guesswork). Complements sample_fixed_n_by_hash (global) and
+    sample_stratified_by_lang (fractional).
+
+    At scale this is the salted-cap shape: the per-group bottom-n is
+    a windowed rank over a uniform hash — for a hot group, swap in
+    operators/curation.cap_per_group_salted, whose two-stage prune
+    provably preserves the same survivors."""
+    return (
+        read_table(spark, sf_dir, "documents")
+        .selectExpr(
+            "CAST(doc_id AS BIGINT) AS doc_id", "lang",
+            "md5(concat('grpsample:', CAST(doc_id AS STRING))) AS sk")
+        .withColumn(
+            "rnk",
+            F.expr("CAST(row_number() OVER (PARTITION BY lang"
+                   " ORDER BY sk, doc_id) AS INT)"))
+        .where("rnk <= 20")
+        .select("doc_id", "lang", "rnk")
+    )
+
+
+@query(
+    "agg_mode_order_priority",
+    oracle="""
+    SELECT order_status, order_priority AS modal_priority,
+           CAST(n AS BIGINT) AS n_orders
+    FROM (
+      SELECT o_orderstatus AS order_status,
+             o_orderpriority AS order_priority,
+             count(*) AS n,
+             row_number() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY count(*) DESC, o_orderpriority) AS rn
+      FROM orders GROUP BY 1, 2)
+    WHERE rn = 1
+    """,
+)
+def agg_mode_order_priority(spark, sf_dir):
+    """Deterministic MODE: the most frequent order priority per
+    status, ties to the lexicographically smallest value. The builtin
+    mode() aggregate is tie-nondeterministic on both engines, so the
+    portable form is count + row_number — two narrow aggregations
+    over |status x priority| groups, map-side partials first."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("order_status"),
+                 F.col("o_orderpriority").alias("order_priority"))
+        .agg(F.count("*").alias("n"))
+        .withColumn("rn", F.expr(
+            "row_number() OVER (PARTITION BY order_status"
+            " ORDER BY n DESC, order_priority)"))
+        .where("rn = 1")
+        .selectExpr("order_status", "order_priority AS modal_priority",
+                    "CAST(n AS BIGINT) AS n_orders")
+    )
+
+
+@query(
+    "quantile_assign_prices",
+    oracle="""
+    WITH b AS (SELECT [quantile_disc(o_totalprice, 0.25),
+                       quantile_disc(o_totalprice, 0.5),
+                       quantile_disc(o_totalprice, 0.75)] AS bounds
+               FROM orders)
+    SELECT o_orderkey,
+           CAST(1 + len(list_filter(bounds, x -> o_totalprice > x)) AS INT)
+             AS bucket
+    FROM orders CROSS JOIN b
+    """,
+)
+def quantile_assign_prices(spark, sf_dir):
+    """Per-ROW output of the two-pass quantile bucketing (the profile
+    variant quantile_bucket_prices checks counts; this one verifies
+    every row's assignment): exact quartile boundaries in one tiny
+    aggregate, broadcast as a single array row, bucket = 1 + #bounds
+    strictly below the value — a map-side projection, no global sort
+    (the ntile-at-scale contract, row-level-checked)."""
+    from oracle_cassandra_migrator_spark.operators.quantiles import (
+        assign_buckets, quantile_boundaries)
+
+    orders = read_table(spark, sf_dir, "orders")
+    bounds = quantile_boundaries(
+        orders.select("o_totalprice"), "o_totalprice", 4, exact=True)
+    return assign_buckets(
+        orders.select("o_orderkey", "o_totalprice"), bounds, "o_totalprice"
+    ).select("o_orderkey", "bucket")
+
+
+def _dedup_funnel_oracle() -> str:
+    minhash = _minhash_prune_oracle()
+    simhash = _simhash_prune_oracle(max_distance=1)
+    return f"""
+    SELECT 'a_total' AS stage, CAST(count(*) AS BIGINT) AS n_kept
+    FROM documents
+    UNION ALL
+    SELECT 'b_exact', CAST(count(DISTINCT md5({NORM_SQL})) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'c_prefix',
+           CAST(count(DISTINCT md5(array_to_string(({WORDS_SQL})[1:20], ' ')))
+                AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'd_minhash', CAST(sum(CASE WHEN is_kept THEN 1 ELSE 0 END)
+                             AS BIGINT)
+    FROM ({minhash})
+    UNION ALL
+    SELECT 'e_simhash', CAST(sum(CASE WHEN is_kept THEN 1 ELSE 0 END)
+                             AS BIGINT)
+    FROM ({simhash})
+    """
+
+
+@query("corpus_dedup_funnel", oracle=_dedup_funnel_oracle())
+def corpus_dedup_funnel(spark, sf_dir):
+    """The dedup story in ONE report: for each strategy, how many
+    documents it would keep — raw corpus, exact-fingerprint survivors,
+    prefix-boilerplate survivors, MinHash transitive-cluster keeps,
+    SimHash (d<=1) keeps. Each row is an INDEPENDENT decision count
+    (not a sequential pipeline), which is the comparison a curation
+    team reads to pick and order stages. Stage keys are prefixed
+    a_..e_ so every engine/driver sort agrees.
+
+    Costs what its parts cost: two count-distincts over per-row
+    fingerprints plus the two prune pipelines; the union glues five
+    1-row aggregates."""
+    docs = read_table(spark, sf_dir, "documents")
+    from oracle_cassandra_migrator_spark.operators.text import (
+        fingerprint_expr, prefix_fingerprint_expr)
+
+    total = docs.agg(F.expr("CAST(count(*) AS BIGINT)").alias("n_kept")) \
+        .selectExpr("'a_total' AS stage", "n_kept")
+    exact = docs.agg(F.expr(
+        f"CAST(count(DISTINCT {fingerprint_expr('text')}) AS BIGINT)"
+    ).alias("n_kept")).selectExpr("'b_exact' AS stage", "n_kept")
+    prefix = docs.agg(F.expr(
+        f"CAST(count(DISTINCT {prefix_fingerprint_expr('text', 20)})"
+        " AS BIGINT)").alias("n_kept")) \
+        .selectExpr("'c_prefix' AS stage", "n_kept")
+    mh = dedup_minhash_prune(spark, sf_dir).agg(F.expr(
+        "CAST(sum(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT)"
+    ).alias("n_kept")).selectExpr("'d_minhash' AS stage", "n_kept")
+    sh = dedup_simhash_prune(spark, sf_dir).agg(F.expr(
+        "CAST(sum(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT)"
+    ).alias("n_kept")).selectExpr("'e_simhash' AS stage", "n_kept")
+    return total.unionByName(exact).unionByName(prefix) \
+        .unionByName(mh).unionByName(sh)

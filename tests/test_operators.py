@@ -680,3 +680,22 @@ def test_map_in_arrow_norms_match_sql_expression(spark):
         " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
         " CAST(0.0 AS DOUBLE), (a, v) -> a + v)), 6) AS l2").collect()}
     assert got == want
+
+
+def test_dedup_funnel_stage_invariants(spark):
+    """Provable orderings between funnel stages: every strategy keeps
+    at most the raw count; prefix-fingerprinting merges at least as
+    much as whole-text fingerprinting (same first 20 words is implied
+    by same normalized text); MinHash clusters subsume exact
+    duplicates (identical docs have Jaccard 1 >= threshold), so its
+    keeps can't exceed the exact survivors."""
+    from oracle_cassandra_migrator_spark.queries.extensions import (
+        corpus_dedup_funnel)
+
+    got = {r["stage"]: r["n_kept"]
+           for r in corpus_dedup_funnel(spark, SF_SMALL).collect()}
+    assert got["b_exact"] <= got["a_total"]
+    assert got["c_prefix"] <= got["b_exact"]
+    assert got["d_minhash"] <= got["b_exact"]
+    assert got["e_simhash"] <= got["a_total"]
+    assert all(v > 0 for v in got.values())

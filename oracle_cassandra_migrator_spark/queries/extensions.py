@@ -4082,3 +4082,112 @@ def corpus_dedup_funnel(spark, sf_dir):
     ).alias("n_kept")).selectExpr("'e_simhash' AS stage", "n_kept")
     return total.unionByName(exact).unionByName(prefix) \
         .unionByName(mh).unionByName(sh)
+
+
+@query(
+    "scd2_asof_snapshot",
+    oracle="""
+    WITH hist AS (SELECT c_custkey, c_mktsegment,
+                         '1990-01-01' AS valid_from,
+                         CAST(NULL AS VARCHAR) AS valid_to
+                  FROM customer),
+    upd AS (SELECT c_custkey, 'PROMO' AS c_mktsegment,
+                   '2020-06-01' AS eff
+            FROM customer WHERE c_custkey % 53 = 0),
+    closed AS (SELECT h.c_custkey, h.c_mktsegment, h.valid_from,
+                      u.eff AS valid_to
+               FROM hist h JOIN upd u ON h.c_custkey = u.c_custkey),
+    untouched AS (SELECT h.* FROM hist h
+                  WHERE NOT EXISTS (SELECT 1 FROM upd u
+                                    WHERE u.c_custkey = h.c_custkey)),
+    newv AS (SELECT c_custkey, c_mktsegment, eff AS valid_from,
+                    CAST(NULL AS VARCHAR) AS valid_to FROM upd),
+    merged AS (SELECT * FROM closed UNION ALL
+               SELECT * FROM untouched UNION ALL
+               SELECT * FROM newv),
+    probe AS (SELECT '2020-01-01' AS asof_date
+              UNION ALL SELECT '2021-01-01')
+    SELECT a.asof_date, m.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(min(m.c_custkey) AS BIGINT) AS min_key
+    FROM merged m CROSS JOIN probe a
+    WHERE m.valid_from <= a.asof_date
+      AND (m.valid_to IS NULL OR m.valid_to > a.asof_date)
+    GROUP BY 1, 2
+    """,
+)
+def scd2_asof_snapshot(spark, sf_dir):
+    """Point-in-time (AS OF) reconstruction over the Type-2 dimension
+    scd2_customer_segments builds: the version valid at each probe
+    date is the row with valid_from <= asof < valid_to — queried at
+    one date BEFORE the 2020-06-01 segment change (nobody in PROMO)
+    and one AFTER (the %53 customers moved). This is the temporal
+    query a warehouse runs against SCD2 history; ISO-8601 date
+    strings compare lexicographically, so the predicate is a plain
+    string range on both engines. The two probe dates broadcast; the
+    snapshot filter is map-side over the history table."""
+    from oracle_cassandra_migrator_spark.operators.merge import scd2_apply
+
+    cust = read_table(spark, sf_dir, "customer")
+    hist = cust.selectExpr(
+        "c_custkey", "c_mktsegment", "'1990-01-01' AS valid_from",
+        "CAST(NULL AS STRING) AS valid_to")
+    upd = cust.where("c_custkey % 53 = 0").selectExpr(
+        "c_custkey", "'PROMO' AS c_mktsegment", "'2020-06-01' AS eff")
+    merged = scd2_apply(hist, upd, ["c_custkey"], effective_col="eff")
+    asof = spark.createDataFrame(
+        [("2020-01-01",), ("2021-01-01",)], "asof_date string")
+    return (
+        merged.crossJoin(F.broadcast(asof))
+        .where("valid_from <= asof_date"
+               " AND (valid_to IS NULL OR valid_to > asof_date)")
+        .groupBy("asof_date", "c_mktsegment")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n_customers"),
+             F.expr("CAST(min(c_custkey) AS BIGINT)").alias("min_key"))
+    )
+
+
+@query(
+    "events_first_touch_attribution",
+    oracle="""
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS pts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id, ts AS cts
+          FROM events WHERE event_type = 'click'),
+    j AS (SELECT p.purchase_id, c.click_id, p.pts, c.cts,
+                 row_number() OVER (PARTITION BY p.purchase_id
+                                    ORDER BY c.cts, c.click_id) AS rn
+          FROM p JOIN c ON p.user_id = c.user_id
+                       AND c.cts <= p.pts
+                       AND c.cts >= p.pts - INTERVAL 1 HOUR)
+    SELECT purchase_id, click_id AS first_click_id,
+           CAST(date_diff('microsecond', cts, pts) AS BIGINT) AS gap_us
+    FROM j WHERE rn = 1
+    """,
+)
+def events_first_touch_attribution(spark, sf_dir):
+    """FIRST-touch attribution: each purchase credits the EARLIEST
+    click by the same user within the preceding hour — the pick-rule
+    complement of asof_join_purchase_click (which takes the LATEST
+    preceding event). The earliest-in-window pick is a plain
+    min(struct(ts, id)) aggregation over the interval join — no
+    window function, so the per-purchase reduction happens map-side
+    before one purchase-keyed exchange; the oracle uses the
+    equivalent row_number formulation."""
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.where("event_type = 'purchase'").selectExpr(
+        "event_id AS purchase_id", "user_id", "ts AS pts")
+    c = ev.where("event_type = 'click'").selectExpr(
+        "event_id AS click_id", "user_id AS user_id_c", "ts AS cts")
+    j = p.join(c, F.expr(
+        "user_id = user_id_c AND cts <= pts"
+        " AND cts >= pts - INTERVAL 1 HOUR"))
+    return (
+        j.groupBy("purchase_id")
+        .agg(F.expr("min(struct(cts, click_id, pts))").alias("first"))
+        .selectExpr(
+            "purchase_id",
+            "first.click_id AS first_click_id",
+            "CAST(TIMESTAMPDIFF(MICROSECOND, first.cts, first.pts)"
+            " AS BIGINT) AS gap_us")
+    )

@@ -483,12 +483,18 @@ def dedup_keep_representative(
     counterpart of :func:`exact_dedup` (which returns group summaries).
     One fingerprint aggregation + one fingerprint equi-join: both
     shuffles are row-shaped on the 32-char hash, so the op holds at any
-    corpus size (same topology as the incremental-snapshot anti join)."""
-    reps = exact_dedup(df, text_col, id_col).select(
-        "fingerprint", F.col("representative_id").alias("__rep_id"))
+    corpus size (same topology as the incremental-snapshot anti join).
+
+    The representative keeps ``id_col``'s own type (unlike
+    exact_dedup's BIGINT-cast report column): a bigint cast of a
+    string/UUID id would be NULL, the join would match nothing, and
+    the op would silently drop every row — the compiler's
+    ``dedup_exact`` step feeds arbitrary specs through here."""
     fp = df.withColumn("__fp", F.expr(fingerprint_expr(text_col)))
+    reps = fp.groupBy("__fp").agg(F.min(id_col).alias("__rep_id")) \
+        .withColumnRenamed("__fp", "__rep_fp")
     kept = fp.join(
         reps,
-        (fp["__fp"] == reps["fingerprint"])
+        (fp["__fp"] == reps["__rep_fp"])
         & (fp[id_col] == reps["__rep_id"]))
-    return kept.drop("__fp", "fingerprint", "__rep_id")
+    return kept.drop("__fp", "__rep_fp", "__rep_id")

@@ -13,9 +13,10 @@ edge-table aggregation, exactly like the connected-components rounds.
 Fixed iteration count keeps the whole computation SQL-replayable
 (unrolled CTEs) for the exact-value oracle.
 
-Exactness: per-edge contributions are rounded to 12 decimals and
-summed through DECIMAL(30,16) (order-independent), so ranks are
-bit-reproducible across engines and partitionings.
+Exactness: edge fractions and per-round rank updates are rounded to
+12 decimals, per-edge contributions to 14 before the exact
+DECIMAL(30,16) sum (order-independent), so ranks are bit-reproducible
+across engines and partitionings.
 
 The unrolled logical plan repeats the edge-aggregation subtree once
 per iteration; those subtrees are identical, so ReuseExchange / AQE

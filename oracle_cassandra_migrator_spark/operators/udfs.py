@@ -95,13 +95,22 @@ def embedding_norms_arrow(embeddings: DataFrame) -> DataFrame:
         for batch in it:
             tbl = pa.table(batch)
             flat = tbl.column("embedding").combine_chunks()
-            norms = []
-            for lst in flat:
-                v = np.asarray(lst.as_py(), dtype=np.float64)
-                norms.append(round(float(np.sqrt(np.dot(v, v))), 6))
+            # genuinely columnar: read the ListArray's flat values
+            # buffer + offsets directly — no per-row as_py()/ndarray
+            # allocation (that would be slower than the pandas_udf
+            # this path exists to beat)
+            vals = flat.values.to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False)
+            offsets = flat.offsets.to_numpy(zero_copy_only=False)
+            sq = vals * vals
+            # reduceat sums each row's segment independently and
+            # sequentially — same order as the SQL fold the parity
+            # test compares against (a cumsum-difference would subtract
+            # large prefixes and drift in the last bits)
+            norms = np.sqrt(np.add.reduceat(sq, offsets[:-1]))
             yield pa.record_batch([
                 tbl.column("vec_id").combine_chunks(),
-                pa.array(norms, type=pa.float64()),
+                pa.array(np.round(norms, 6), type=pa.float64()),
             ], names=["vec_id", "l2_norm"])
 
     return embeddings.select("vec_id", "embedding").mapInArrow(

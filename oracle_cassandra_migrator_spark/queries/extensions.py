@@ -327,7 +327,11 @@ def dedup_simhash_buckets(spark, sf_dir):
     return dedup.simhash_buckets(docs, "text", "doc_id")
 
 
-def _simhash_hamming_oracle(max_distance: int = 2, bits: int = 32) -> str:
+def _simhash_pair_parts(max_distance: int = 2,
+                        bits: int = 32) -> tuple[str, str]:
+    """(cte_list, pairs_select) shared by the hamming-pairs oracle and
+    the prune oracle — composed, never string-spliced, so a reformat
+    of one cannot silently break the other at import time."""
     widths = dedup.pigeonhole_widths(bits, max_distance + 1)
     selects, shift = [], 0
     for i, w in enumerate(widths):
@@ -337,18 +341,25 @@ def _simhash_hamming_oracle(max_distance: int = 2, bits: int = 32) -> str:
             f" FROM sh")
         shift += w
     blocks = "\n    UNION ALL ".join(selects)
-    return f"""
-    WITH {_SIMHASH_CTES},
+    ctes = f"""{_SIMHASH_CTES},
     blocks AS ({blocks}),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                     a.simhash AS sh_a, b.simhash AS sh_b
              FROM blocks a
              JOIN blocks b ON a.block_idx = b.block_idx
                           AND a.block_val = b.block_val
-                          AND a.doc_id < b.doc_id)
-    SELECT doc_a, doc_b,
+                          AND a.doc_id < b.doc_id)"""
+    pairs = f"""SELECT doc_a, doc_b,
            CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
-    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_distance}
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_distance}"""
+    return ctes, pairs
+
+
+def _simhash_hamming_oracle(max_distance: int = 2, bits: int = 32) -> str:
+    ctes, pairs = _simhash_pair_parts(max_distance, bits)
+    return f"""
+    WITH {ctes}
+    {pairs}
     """
 
 
@@ -3069,13 +3080,10 @@ def skew_salted_join_supplier_revenue(spark, sf_dir):
     )
 
 
-_SEG_WORDS_SQL = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
-
-
 @query(
     "dedup_duplicate_segments",
     oracle=f"""
-    WITH w AS (SELECT doc_id, {_SEG_WORDS_SQL} AS words FROM documents),
+    WITH w AS (SELECT doc_id, {FAST_WORDS_SQL} AS words FROM documents),
     seg AS (SELECT DISTINCT doc_id,
                    md5(array_to_string(words[(i-1)*10 + 1 : i*10], ' ')) AS seg
             FROM w, UNNEST(generate_series(1,
@@ -3209,14 +3217,14 @@ PQ_INIT_LIMIT = 8
 PQ_SAMPLE_MOD = 7
 
 
-def _pq_oracle(k: int = 10, query_id: int = 0) -> str:
-    """Replay PQ end-to-end: per-subspace sampled Lloyd training
-    (_ivf_cells_parts once per subspace over a sliced view), encode =
-    the per-subspace cell assignment, ADC estimate = sum of
-    dot(query-sub, centroid-of-code), exact cosine alongside."""
-    parts = [
-        f"qrow AS (SELECT embedding AS q FROM embeddings"
-        f" WHERE vec_id = {query_id})"]
+def _pq_subspace_parts() -> list[str]:
+    """CTE parts shared verbatim by the PQ and IVF+PQ oracles: per
+    subspace the sliced view, the sampled-Lloyd replay, and the
+    per-vector ADC term p{s}_d; then the joined pq_scores CTE. A
+    one-sided edit to the PQ encode/ADC replay is impossible — both
+    oracles read this single source (requires a ``qrow`` CTE in
+    scope)."""
+    parts = []
     d_names = []
     for s in range(PQ_N_SUB):
         off = s * PQ_SUB_DIM + 1
@@ -3242,11 +3250,26 @@ def _pq_oracle(k: int = 10, query_id: int = 0) -> str:
     parts.append(
         f"pq_scores AS (SELECT d0.vec_id, round({score}, 6) AS pq_score"
         f" FROM {joins})")
-    cos = (
-        "round(list_dot_product(e.embedding::DOUBLE[], qr.q::DOUBLE[])"
-        " / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
-        " * sqrt(list_dot_product(qr.q::DOUBLE[], qr.q::DOUBLE[]))), 6)"
-    )
+    return parts
+
+
+_PQ_COSINE_SQL = (
+    "round(list_dot_product(e.embedding::DOUBLE[], qr.q::DOUBLE[])"
+    " / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(qr.q::DOUBLE[], qr.q::DOUBLE[]))), 6)"
+)
+
+
+def _pq_oracle(k: int = 10, query_id: int = 0) -> str:
+    """Replay PQ end-to-end: per-subspace sampled Lloyd training
+    (_ivf_cells_parts once per subspace over a sliced view), encode =
+    the per-subspace cell assignment, ADC estimate = sum of
+    dot(query-sub, centroid-of-code), exact cosine alongside."""
+    parts = [
+        f"qrow AS (SELECT embedding AS q FROM embeddings"
+        f" WHERE vec_id = {query_id})"]
+    parts += _pq_subspace_parts()
+    cos = _PQ_COSINE_SQL
     joined = ",\n    ".join(parts)
     return f"""
     WITH {joined}
@@ -3764,36 +3787,8 @@ def _ivfpq_oracle(k: int = 10, query_id: int = 0) -> str:
         f"ORDER BY round(list_dot_product(qr.q::DOUBLE[], c.cvec), 6) DESC,"
         f" c.cid) AS rn FROM c_cents1 c CROSS JOIN qrow qr)"
         f" WHERE rn <= {IVFPQ_N_PROBE})")
-    d_names = []
-    for s in range(PQ_N_SUB):
-        off = s * PQ_SUB_DIM + 1
-        hi = off + PQ_SUB_DIM - 1
-        parts.append(
-            f"pq_sub{s} AS (SELECT vec_id, embedding[{off}:{hi}]"
-            f" AS embedding FROM embeddings)")
-        parts += _ivf_cells_parts(
-            PQ_MODULUS, PQ_ITERS, init_limit=PQ_INIT_LIMIT,
-            sample_mod=PQ_SAMPLE_MOD,
-            src=f"pq_sub{s}", prefix=f"p{s}_")
-        parts.append(
-            f"p{s}_d AS (SELECT c.vec_id,"
-            f" round(list_dot_product(qr.q[{off}:{hi}]::DOUBLE[], b.cvec), 6)"
-            f" AS d FROM p{s}_cells c"
-            f" JOIN p{s}_cents{PQ_ITERS} b ON c.cell_id = b.cid"
-            f" CROSS JOIN qrow qr)")
-        d_names.append(f"p{s}_d")
-    joins = d_names[0] + " d0"
-    for i in range(1, PQ_N_SUB):
-        joins += f" JOIN {d_names[i]} d{i} USING (vec_id)"
-    score = " + ".join(f"d{i}.d" for i in range(PQ_N_SUB))
-    parts.append(
-        f"pq_scores AS (SELECT d0.vec_id, round({score}, 6) AS pq_score"
-        f" FROM {joins})")
-    cos = (
-        "round(list_dot_product(e.embedding::DOUBLE[], qr.q::DOUBLE[])"
-        " / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
-        " * sqrt(list_dot_product(qr.q::DOUBLE[], qr.q::DOUBLE[]))), 6)"
-    )
+    parts += _pq_subspace_parts()
+    cos = _PQ_COSINE_SQL
     joined = ",\n    ".join(parts)
     return f"""
     WITH {joined}
@@ -3860,15 +3855,10 @@ def sim_ann_ivfpq_topk(spark, sf_dir):
 
 
 def _simhash_prune_oracle(max_distance: int = 2, bits: int = 32) -> str:
-    pairs = _simhash_hamming_oracle(max_distance, bits)
-    # unwrap: reuse the hamming oracle's CTE list inside a RECURSIVE WITH
-    body = pairs.strip()
-    assert body.startswith("WITH")
-    body = body[len("WITH"):]
-    cte_list, final_select = body.rsplit("SELECT doc_a, doc_b,", 1)
+    ctes, pairs = _simhash_pair_parts(max_distance, bits)
     return f"""
-    WITH RECURSIVE {cte_list.rstrip()},
-    p AS (SELECT doc_a, doc_b,{final_select}),
+    WITH RECURSIVE {ctes},
+    p AS ({pairs}),
     edges AS (SELECT doc_a AS a, doc_b AS b FROM p
               UNION ALL SELECT doc_b, doc_a FROM p),
     reach(a, b) AS (

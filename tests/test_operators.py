@@ -688,7 +688,11 @@ def test_dedup_funnel_stage_invariants(spark):
     much as whole-text fingerprinting (same first 20 words is implied
     by same normalized text); MinHash clusters subsume exact
     duplicates (identical docs have Jaccard 1 >= threshold), so its
-    keeps can't exceed the exact survivors."""
+    keeps can't exceed the exact survivors — PROVIDED no exact-dup
+    group exceeds the LSH band cap (an over-cap mass-duplicate group
+    has all its band groups dropped and every copy kept; this corpus
+    has no such group, and the cap's contract routes those to the
+    linear exact_dedup pass anyway — see minhash_lsh_pairs)."""
     from oracle_cassandra_migrator_spark.queries.extensions import (
         corpus_dedup_funnel)
 
@@ -699,3 +703,16 @@ def test_dedup_funnel_stage_invariants(spark):
     assert got["d_minhash"] <= got["b_exact"]
     assert got["e_simhash"] <= got["a_total"]
     assert all(v > 0 for v in got.values())
+
+
+def test_dedup_keep_representative_string_ids(spark):
+    """String/UUID ids must work: the representative join must not
+    coerce the id to bigint (which would NULL out and drop all rows)."""
+    from oracle_cassandra_migrator_spark.operators.dedup import (
+        dedup_keep_representative)
+
+    docs = spark.createDataFrame(
+        [("u-b", "same  text"), ("u-a", "same text"), ("u-c", "other")],
+        "doc_id string, text string")
+    out = dedup_keep_representative(docs, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == ["u-a", "u-c"]

@@ -1,6 +1,9 @@
 from oracle_cassandra_migrator_spark.streaming.joins import (
     interval_join_streams,
 )
+from oracle_cassandra_migrator_spark.streaming.stateful import (
+    sessionize_stateful,
+)
 from oracle_cassandra_migrator_spark.streaming.sources import (
     read_stream_source,
 )
@@ -12,6 +15,7 @@ from oracle_cassandra_migrator_spark.streaming.windows import (
 
 __all__ = [
     "interval_join_streams",
+    "sessionize_stateful",
     "read_stream_source",
     "tumbling_window_agg",
     "sliding_window_agg",

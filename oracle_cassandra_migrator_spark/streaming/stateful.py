@@ -155,3 +155,100 @@ def heavy_hitters_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id BIGINT, session_start_us BIGINT, session_end_us BIGINT, "
+    "n_events BIGINT"
+)
+SESSION_STATE_SCHEMA = "start_us BIGINT, last_us BIGINT, n BIGINT"
+
+
+def _update_sessions(gap_us: int):
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        def row(start_us: int, last_us: int, n: int) -> pd.DataFrame:
+            return pd.DataFrame({
+                "user_id": [key[0]],
+                "session_start_us": [int(start_us)],
+                "session_end_us": [int(last_us)],
+                "n_events": [int(n)],
+            })
+
+        if state.hasTimedOut:
+            # the watermark passed last_event + gap with no new data:
+            # the open session is definitively closed — emit and drop.
+            start_us, last_us, n = state.get
+            state.remove()
+            yield row(start_us, last_us, n)
+            return
+
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        ts_us = list((pdf["ts"].astype("int64") // 1_000).to_numpy())
+        if not ts_us:
+            if state.exists:
+                _, last_us, _ = state.get
+                state.setTimeoutTimestamp(max(
+                    last_us // 1_000 + gap_us // 1_000,
+                    state.getCurrentWatermarkMs() + 1))
+            return
+        if state.exists:
+            start_us, last_us, n = state.get
+            if ts_us and ts_us[0] - last_us <= gap_us:
+                # batch continues the open session
+                sess_start, sess_last, sess_n = start_us, last_us, n
+            else:
+                yield row(start_us, last_us, n)
+                sess_start = sess_last = ts_us[0]
+                sess_n = 1
+                ts_us = ts_us[1:]
+        else:
+            sess_start = sess_last = ts_us[0]
+            sess_n = 1
+            ts_us = ts_us[1:]
+        for t in ts_us:
+            if t - sess_last > gap_us:
+                yield row(sess_start, sess_last, sess_n)
+                sess_start, sess_n = t, 0
+            sess_last = t
+            sess_n += 1
+        state.update((int(sess_start), int(sess_last), int(sess_n)))
+        # fire when the event-time watermark passes last + gap; Spark
+        # rejects a timeout at-or-before the current watermark, so
+        # clamp just past it (fires on the next microbatch)
+        timeout_ms = int(sess_last) // 1_000 + gap_us // 1_000
+        state.setTimeoutTimestamp(
+            max(timeout_ms, state.getCurrentWatermarkMs() + 1))
+
+    return update
+
+
+def sessionize_stateful(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom sessionization with EVENT-TIME STATE TIMEOUT — the
+    applyInPandasWithState capability ``F.session_window`` cannot
+    express (arbitrary per-session logic + explicit state eviction):
+    per user, events within ``gap_minutes`` of the previous one extend
+    the open session; a session is emitted either when a later event
+    provably splits it, or when the WATERMARK passes last_event + gap
+    and ``state.hasTimedOut`` fires — so state for idle users is
+    dropped deterministically instead of accumulating forever. State
+    per key is one (start, last, n) triple; output is in append mode
+    (sessions emit exactly once, when closed)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    return (
+        events.select("user_id", "event_id", "ts")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_sessions(gap_us),
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -543,3 +543,65 @@ def test_interval_join_streams_operator_matches_batch(spark, tmp_path):
         bp, bc, key="user_id", left_ts="purchase_ts",
         right_ts="click_ts").count()
     assert got == expected and got > 0
+
+
+def test_sessionize_stateful_timeout_closes_idle_session(spark, tmp_path):
+    """Event-time state timeout: user 1's burst must be emitted as a
+    closed session once OTHER users' later events advance the
+    watermark past burst_end + gap — no user-1 event ever closes it.
+    Also checks the split path: user 2 has two bursts far apart, so
+    the second burst's arrival closes the first inline."""
+    import datetime
+    import time
+
+    from oracle_cassandra_migrator_spark.streaming.stateful import (
+        sessionize_stateful)
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(uid, eid, minutes):
+        return (uid, eid, t0 + datetime.timedelta(minutes=minutes))
+
+    schema = "user_id long, event_id long, ts timestamp"
+    batch1 = spark.createDataFrame(
+        [ev(1, 10, 0), ev(1, 11, 5), ev(1, 12, 9),      # user-1 burst
+         ev(2, 20, 0)],                                  # user-2 burst A
+        schema)
+    # hours later: user 2 again (splits their own session) and user 3
+    # (advances the watermark so user 1's state times out)
+    batch2 = spark.createDataFrame(
+        [ev(2, 21, 300), ev(3, 30, 310), ev(3, 31, 600)], schema)
+
+    src = str(tmp_path / "sess_src")
+    batch1.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(batch1.schema).option(
+        "maxFilesPerTrigger", "1").parquet(src)
+    q = (sessionize_stateful(stream, gap_minutes=30, watermark="10 minutes")
+         .writeStream.format("memory").queryName("sessions")
+         .outputMode("append").trigger(processingTime="500 milliseconds")
+         .start())
+
+    def us(minutes):
+        return int((t0 + datetime.timedelta(minutes=minutes))
+                   .timestamp() * 1_000_000)
+
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not spark.sparkContext:
+            time.sleep(0.5)
+        batch2.coalesce(1).write.mode("append").parquet(src)
+        batch2.limit(0).coalesce(1).write.mode("append").parquet(src)
+        want_user1 = (1, us(0), us(9), 3)
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            rows = {tuple(r) for r in spark.table("sessions").collect()}
+            if want_user1 in rows and (2, us(0), us(0), 1) in rows:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    rows = {tuple(r) for r in spark.table("sessions").collect()}
+    assert want_user1 in rows          # closed by TIMEOUT, not by data
+    assert (2, us(0), us(0), 1) in rows  # closed inline by the split

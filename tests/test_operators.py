@@ -716,3 +716,25 @@ def test_dedup_keep_representative_string_ids(spark):
         "doc_id string, text string")
     out = dedup_keep_representative(docs, "text", "doc_id")
     assert sorted(r["doc_id"] for r in out.collect()) == ["u-a", "u-c"]
+
+
+def test_pagerank_is_partition_invariant(spark):
+    """The decimal-summed contributions make ranks bit-identical under
+    any physical partitioning — the exactness contract the unrolled
+    SQL oracle relies on."""
+    from oracle_cassandra_migrator_spark.operators.graph import pagerank
+
+    edge_rows = [(f"n{i}", f"n{(i * 7 + j) % 40}", 1 + (i + j) % 5)
+                 for i in range(40) for j in range(3)]
+    node_rows = [(f"n{i}",) for i in range(40)]
+    schema_e = "src string, dst string, w long"
+    base = spark.createDataFrame(edge_rows, schema_e)
+    nodes = spark.createDataFrame(node_rows, "node string")
+
+    def ranks(edges):
+        return {r["node"]: r["rank"]
+                for r in pagerank(edges, nodes, iters=3).collect()}
+
+    a = ranks(base.repartition(1))
+    b = ranks(base.repartition(13, "dst"))
+    assert a == b  # bit-identical, not approximately equal

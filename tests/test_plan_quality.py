@@ -461,3 +461,37 @@ def test_segment_dedup_and_novelty_never_cartesian(spark):
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+# Queries whose plans legitimately contain a BroadcastNestedLoopJoin:
+# every entry is either a deliberate coverage query (the J5 cross join,
+# the theta range join) or a broadcast of a ONE-ROW / tiny-literal
+# side (query vector, quantile-bounds row, corpus-total row, probe
+# list) — the NL join's streamed side never multiplies. Regenerated by
+# scanning every plan; adding an entry requires the same justification.
+_NL_JOIN_ALLOWED = {
+    "corpus_mix_report", "dedup_embedding_cosine_baseline",
+    "events_hot_users_report", "join_cross_region_pairs",
+    "join_range_price_buckets", "quantile_assign_prices",
+    "quantile_bucket_prices", "sample_temperature_by_lang",
+    "scd2_asof_snapshot", "search_bm25_topk", "search_hybrid_rrf",
+    "sim_ann_ivfpq_topk", "sim_ann_pq_recall", "sim_ann_pq_topk",
+    "sim_ann_recall_audit", "sim_ann_recall_curve",
+    "sim_ivf_multiprobe_topk", "sim_ivf_topk", "sim_ivf_trained_topk",
+    "sim_topk_bruteforce", "text_tfidf_topk", "text_vocab_coverage",
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_unexpected_nested_loop_or_cartesian(spark, name):
+    """Catalog-wide quadratic-join gate: NO CartesianProduct anywhere,
+    and a BroadcastNestedLoopJoin only on the frozen allowlist of
+    one-row-broadcast/coverage plans. An accidental non-equi join of
+    two real relations fails here before it ever reaches a cluster."""
+    spark.catalog.clearCache()
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+    if name not in _NL_JOIN_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: unexpected nested-loop join — equi-key it or "
+            f"justify an allowlist entry")

@@ -8,6 +8,7 @@ from oracle_cassandra_migrator_spark.queries.registry import QUERIES, ORACLES, q
 from oracle_cassandra_migrator_spark.queries import relational  # noqa: E402,F401
 from oracle_cassandra_migrator_spark.queries import tpch_suite  # noqa: E402,F401
 from oracle_cassandra_migrator_spark.queries import extensions  # noqa: E402,F401
+from oracle_cassandra_migrator_spark.queries import round6  # noqa: E402,F401
 
 # The external correctness gate verifies queries() entries in insertion
 # order and caps each round at ~50 queries, so the catalog is ordered:
@@ -112,6 +113,13 @@ def _verification_order(names):
     # ROUND-N+1 MAINTENANCE (this stalled r3->r4 planning once): when a
     # new CORRECTNESS_r0N.json lands, fold its green keys into an
     # _R0N_CONFIRMED frozenset here and add it to `confirmed` below,
+    # ROUND-6 STATUS: the driver produced NO CORRECTNESS_r05.json /
+    # BENCH_r05.json, so there is nothing to fold — every round-5 query
+    # stays in the unverified front region. Window math for r6:
+    # flagship (1) + 44 round-5 unverified + 5 round-6 additions = 50,
+    # exactly the driver's window. Do NOT add more driver queries this
+    # round without retiring one, and fold _R06_CONFIRMED when
+    # CORRECTNESS_r06.json lands.
     # else the driver's ~50-slot window re-verifies already-green
     # queries and new ones never get a row. Keep any key whose oracle
     # changed afterwards in _RECHECK instead. Update

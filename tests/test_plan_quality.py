@@ -479,6 +479,9 @@ _NL_JOIN_ALLOWED = {
     "sim_ann_recall_audit", "sim_ann_recall_curve",
     "sim_ivf_multiprobe_topk", "sim_ivf_topk", "sim_ivf_trained_topk",
     "sim_topk_bruteforce", "text_tfidf_topk", "text_vocab_coverage",
+    # r6: ivfpq_recall composes sim_ann_ivfpq_topk (already allowed);
+    # text_word_pmi broadcast-crossjoins the two ONE-ROW corpus totals.
+    "sim_ann_ivfpq_recall", "text_word_pmi",
 }
 
 
@@ -495,3 +498,45 @@ def test_no_unexpected_nested_loop_or_cartesian(spark, name):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name}: unexpected nested-loop join — equi-key it or "
             f"justify an allowlist entry")
+
+
+def test_null_safe_eq_is_hash_join(spark):
+    """join_null_safe_eq's whole point: <=> plans as a HASH-joinable
+    equi key (coalesced-key BroadcastHashJoin), never a nested loop —
+    a nullable-key fact-to-dim join stays O(n) at any scale."""
+    plan = plan_of(spark, "join_null_safe_eq")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_transition_matrix_normalizes_above_aggregate(spark):
+    """events_type_transition_matrix: the probability-normalization
+    window must consume the |type|^2 transition-count aggregate, never
+    raw events (aggregate-before-window, same gate shape as
+    events_anomaly_zscore); the only corpus-sized window is the
+    user-keyed lead(), which sits BELOW the aggregate."""
+    plan = plan_of(spark, "events_type_transition_matrix")
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_word_pmi_broadcasts_vocab_and_takes_topk(spark):
+    """text_word_pmi: the unigram (vocab-sized) table re-enters via
+    broadcast — no shuffle join against the pair table — and the
+    final ranking is TakeOrderedAndProject, not a global sort."""
+    plan = plan_of(spark, "text_word_pmi")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_triangle_count_builds_oriented_edges_once(spark):
+    """graph_triangle_count materializes the oriented edge list
+    (persist) so the wedge/closure joins reuse it — as inline SQL the
+    CTE re-expansion re-ran the 6-way edge build at every reference
+    (measured 113 exchanges vs ~21 plan-text / few runtime here)."""
+    spark.catalog.clearCache()
+    plan = plan_of(spark, "graph_triangle_count")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -4,6 +4,9 @@ from oracle_cassandra_migrator_spark.streaming.joins import (
 from oracle_cassandra_migrator_spark.streaming.stateful import (
     sessionize_stateful,
 )
+from oracle_cassandra_migrator_spark.streaming.quota import (
+    quota_limit_stream,
+)
 from oracle_cassandra_migrator_spark.streaming.sources import (
     read_stream_source,
 )
@@ -16,6 +19,7 @@ from oracle_cassandra_migrator_spark.streaming.windows import (
 __all__ = [
     "interval_join_streams",
     "sessionize_stateful",
+    "quota_limit_stream",
     "read_stream_source",
     "tumbling_window_agg",
     "sliding_window_agg",

@@ -127,3 +127,64 @@ def pagerank_oracle_sql(
             f" FROM nodes n LEFT JOIN s{i + 1} s ON n.node = s.dst)")
     joined = ",\n    ".join(parts)
     return f"WITH {joined}\n    SELECT node, rank FROM r{iters}"
+
+
+def triangle_counts(und: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Per-node triangle counts by degree-oriented wedge counting
+    (Suri & Vassilvitskii 2011). ``und`` is an undirected edge list
+    with columns (a, b), canonicalized a < b, no self-loops, no
+    duplicates; ``nodes`` has column (node) and supplies zero-count
+    rows. Returns (node, n_triangles BIGINT).
+
+    Each undirected edge is oriented from the lower to the higher
+    endpoint under the total order (degree, node); wedges are pairs of
+    out-edges at a common low endpoint, closed by one more equi-join.
+    Every triangle is counted exactly once (owned by its minimum-rank
+    vertex) and per-node out-degree is bounded by O(sqrt(|E|)), which
+    bounds the wedge-join output. The oriented edge list is persisted:
+    it feeds three join legs, and recomputation would re-run the
+    upstream edge build each time (see graph_triangle_count's measured
+    113-exchange inline-SQL plan)."""
+    und = und.persist()
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("n"))
+        .groupBy("n").agg(F.count("*").cast("bigint").alias("d"))
+    )
+    from pyspark.sql.window import Window
+
+    rk = deg.select(
+        "n",
+        F.row_number().over(Window.orderBy("d", "n"))
+        .cast("bigint").alias("r"))
+    ra = rk.selectExpr("n AS an", "r AS ar")
+    rb = rk.selectExpr("n AS bn", "r AS br")
+    ore = (
+        und.join(F.broadcast(ra), F.col("a") == F.col("an"))
+        .join(F.broadcast(rb), F.col("b") == F.col("bn"))
+        .selectExpr(
+            "CASE WHEN ar < br THEN a ELSE b END AS u",
+            "CASE WHEN ar < br THEN b ELSE a END AS v",
+            "CASE WHEN ar < br THEN br ELSE ar END AS rv")
+        .persist()
+    )
+    e1 = ore.selectExpr("u AS u1", "v AS v1", "rv AS rv1")
+    e2 = ore.selectExpr("u AS u2", "v AS v2", "rv AS rv2")
+    e3 = ore.selectExpr("u AS u3", "v AS v3")
+    tri = (
+        e1.join(e2, (F.col("u1") == F.col("u2"))
+                & (F.col("rv1") < F.col("rv2")))
+        .join(e3, (F.col("v1") == F.col("u3"))
+              & (F.col("v2") == F.col("v3")))
+        .selectExpr("u1 AS x", "v1 AS y", "v2 AS z")
+    )
+    cnt = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    return (
+        nodes.join(cnt, "node", "left")
+        .selectExpr(
+            "node",
+            "CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles")
+    )

@@ -317,52 +317,16 @@ def graph_triangle_count(spark, sf_dir):
     explode(array(..)) instead of self-UNION so each input is scanned
     once. The oracle runs the same algorithm as one DuckDB SQL text
     (DuckDB does materialize CTEs)."""
+    from oracle_cassandra_migrator_spark.operators.graph import (
+        triangle_counts)
+
     for t in ("orders", "lineitem", "customer", "supplier", "nation"):
         read_table(spark, sf_dir, t).createOrReplaceTempView(t)
-    e0 = spark.sql(_ext._PAGERANK_EDGES_SQL)
     und = (
-        e0.where("src <> dst")
+        spark.sql(_ext._PAGERANK_EDGES_SQL)
+        .where("src <> dst")
         .selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
         .distinct()
-        .persist()
-    )
-    deg = (
-        und.select(F.explode(F.array("a", "b")).alias("n"))
-        .groupBy("n").agg(F.count("*").cast("bigint").alias("d"))
-    )
-    # |V|-sized ranking: the unpartitioned window is over nodes only.
-    rk = deg.select(
-        "n",
-        F.row_number().over(Window.orderBy("d", "n"))
-        .cast("bigint").alias("r"))
-    ra = rk.selectExpr("n AS an", "r AS ar")
-    rb = rk.selectExpr("n AS bn", "r AS br")
-    ore = (
-        und.join(F.broadcast(ra), F.col("a") == F.col("an"))
-        .join(F.broadcast(rb), F.col("b") == F.col("bn"))
-        .selectExpr(
-            "CASE WHEN ar < br THEN a ELSE b END AS u",
-            "CASE WHEN ar < br THEN b ELSE a END AS v",
-            "CASE WHEN ar < br THEN br ELSE ar END AS rv")
-        .persist()
-    )
-    e1 = ore.selectExpr("u AS u1", "v AS v1", "rv AS rv1")
-    e2 = ore.selectExpr("u AS u2", "v AS v2", "rv AS rv2")
-    e3 = ore.selectExpr("u AS u3", "v AS v3")
-    tri = (
-        e1.join(e2, (F.col("u1") == F.col("u2")) & (F.col("rv1") < F.col("rv2")))
-        .join(e3, (F.col("v1") == F.col("u3")) & (F.col("v2") == F.col("v3")))
-        .selectExpr("u1 AS x", "v1 AS y", "v2 AS z")
-    )
-    cnt = (
-        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
-        .groupBy("node")
-        .agg(F.count("*").cast("bigint").alias("n_triangles"))
     )
     nation = read_table(spark, sf_dir, "nation").selectExpr("n_name AS node")
-    return (
-        nation.join(cnt, "node", "left")
-        .selectExpr(
-            "node",
-            "CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles")
-    )
+    return triangle_counts(und, nation)

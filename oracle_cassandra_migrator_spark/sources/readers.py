@@ -36,7 +36,13 @@ from typing import Any, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
 
-READ_PATH_FORMATS = {"parquet", "csv", "json", "orc", "text", "avro"}
+READ_PATH_FORMATS = {"parquet", "csv", "json", "orc", "text", "avro",
+                     "jsonl_dir"}
+
+# Formats served by this package's Python Data Source classes
+# (sources/pydatasource.py) — registered on first use so a spec can
+# name them like any built-in format.
+PYTHON_DS_FORMATS = {"jsonl_dir", "synth_events"}
 
 
 def avro_available(spark: SparkSession) -> bool:
@@ -69,6 +75,11 @@ def read_source(spark: SparkSession, spec: Mapping[str, Any]) -> DataFrame:
     fmt = spec.get("format", "parquet").lower()
     if fmt == "avro":
         _require_avro(spark)
+    if fmt in PYTHON_DS_FORMATS:
+        from oracle_cassandra_migrator_spark.sources.pydatasource import (
+            register_python_sources)
+
+        register_python_sources(spark)
     reader = spark.read.format(fmt)
 
     options = dict(spec.get("options") or {})

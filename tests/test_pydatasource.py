@@ -126,3 +126,25 @@ def test_synth_stream_end_to_end_exactly_once_prefix(spark, tmp_path):
     ids = [r["event_id"] for r in rows]
     assert ids == list(range(len(ids)))  # gap-free, duplicate-free prefix
     assert all(tuple(r) == synth_row(r["event_id"]) for r in rows)
+
+
+def test_read_source_spec_drives_python_formats(spark, jsonl_dir):
+    """Pipeline specs can name the Python formats like any built-in:
+    read_source auto-registers them, path/filter/select/alias apply."""
+    from oracle_cassandra_migrator_spark.sources import read_source
+
+    df = read_source(spark, {
+        "format": "jsonl_dir",
+        "path": jsonl_dir,
+        "filter": "event_type = 'click'",
+        "select": ["event_id", "value * 2 AS double_value"],
+        "alias": "clicks",
+    })
+    rows = sorted(df.collect(), key=lambda r: r["event_id"])
+    assert [r["event_id"] for r in rows] == [i for i in range(40) if i % 3]
+    assert rows[0]["double_value"] == 2.0
+    synth = read_source(spark, {
+        "format": "synth_events",
+        "options": {"n_rows": "30", "n_partitions": "3"},
+    })
+    assert synth.count() == 30 and synth.rdd.getNumPartitions() == 3

@@ -26,11 +26,14 @@ from __future__ import annotations
 
 import json
 import os
+from dataclasses import dataclass
 from typing import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -40,6 +43,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -134,6 +138,12 @@ class JsonlDirDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return JsonlDirReader(schema, self.options)
 
+    def writer(self, schema: StructType, overwrite: bool):
+        return JsonlDirWriter(schema, self.options, overwrite=overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return JsonlDirStreamWriter(schema, self.options)
+
 
 # ---------------------------------------------------------------------------
 # synth_events — deterministic generator: streaming + range-partitioned batch
@@ -220,3 +230,126 @@ def register_python_sources(spark) -> None:
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(JsonlDirDataSource)
     spark.dataSource.register(SynthEventsDataSource)
+
+
+# ---------------------------------------------------------------------------
+# jsonl_dir writer — task-temp + driver-commit rename (batch and streaming)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _JsonlCommit(WriterCommitMessage):
+    temp_path: str
+    final_name: str
+    n_rows: int
+
+
+class JsonlDirWriter(DataSourceWriter):
+    """Per-task: write rows to a uniquely-named ``.tmp`` file; return
+    the path in the commit message. Driver commit: rename every temp
+    to its final ``.jsonl`` name — readers never observe a partial
+    file (the same temp-write + deterministic-rename protocol as the
+    package's exactly-once file sink, sinks/writers.py). Abort removes
+    the temps."""
+
+    def __init__(self, schema: StructType, options, prefix: str = "part",
+                 overwrite: bool = False):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_dir writer requires a 'path' option")
+        self.field_names = [f.name for f in schema.fields]
+        self.prefix = prefix
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _JsonlCommit:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        os.makedirs(self.path, exist_ok=True)
+        final_name = f"{self.prefix}-{pid:05d}.jsonl"
+        temp_path = os.path.join(self.path, f".{final_name}.tmp")
+        n = 0
+        with open(temp_path, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(
+                    {k: row[k] for k in self.field_names}) + "\n")
+                n += 1
+        return _JsonlCommit(temp_path=temp_path, final_name=final_name,
+                            n_rows=n)
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            # truncate-on-commit: stale files vanish only after every
+            # task succeeded, so a failed overwrite leaves the old data
+            keep = {m.final_name for m in messages if m is not None}
+            for name in os.listdir(self.path):
+                if name.endswith(".jsonl") and name not in keep:
+                    os.remove(os.path.join(self.path, name))
+        for m in messages:
+            if m is None:
+                continue
+            os.replace(
+                m.temp_path, os.path.join(self.path, m.final_name))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(m.temp_path)
+            except FileNotFoundError:
+                pass
+
+
+class JsonlDirStreamWriter(DataSourceStreamWriter):
+    """Streaming flavor: each micro-batch commits under a
+    ``batch-<id>-`` prefix, so a replayed batch OVERWRITES its own
+    files instead of duplicating rows — idempotent exactly-once
+    delivery on top of at-least-once batch replay, the
+    marker-per-batch recipe of streaming/sinks.py expressed through
+    the public writer API."""
+
+    def __init__(self, schema: StructType, options):
+        self.schema = schema
+        self.options = options
+
+    def _delegate(self, batch_id: int) -> JsonlDirWriter:
+        return JsonlDirWriter(
+            self.schema, self.options, prefix=f"batch-{batch_id:08d}")
+
+    def write(self, iterator) -> _JsonlCommit:
+        # batchId is not visible inside write(); stage under a task-
+        # unique temp and let commit(batchId) assign the final name.
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        path = self.options.get("path")
+        os.makedirs(path, exist_ok=True)
+        names = [f.name for f in self.schema.fields]
+        temp_path = os.path.join(path, f".stream-{pid:05d}.tmp")
+        n = 0
+        with open(temp_path, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps({k: row[k] for k in names}) + "\n")
+                n += 1
+        return _JsonlCommit(temp_path=temp_path, final_name=f"{pid:05d}",
+                            n_rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        path = self.options.get("path")
+        for m in messages:
+            if m is None:
+                continue
+            os.replace(m.temp_path, os.path.join(
+                path, f"batch-{batchId:08d}-{m.final_name}.jsonl"))
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(m.temp_path)
+            except FileNotFoundError:
+                pass

@@ -148,3 +148,70 @@ def test_read_source_spec_drives_python_formats(spark, jsonl_dir):
         "options": {"n_rows": "30", "n_partitions": "3"},
     })
     assert synth.count() == 30 and synth.rdd.getNumPartitions() == 3
+
+
+def test_jsonl_dir_batch_writer_roundtrip(spark, tmp_path):
+    """Custom Python writer: temp-write + driver-commit rename; a
+    read-back through the same source equals what was written, and no
+    .tmp residue survives a successful commit."""
+    import os
+
+    register_python_sources(spark)
+    out = str(tmp_path / "out")
+    df = (spark.read.format("synth_events")
+          .option("n_rows", 60).option("n_partitions", 3).load())
+    df.write.format("jsonl_dir").option("path", out).mode("append").save()
+    files = sorted(os.listdir(out))
+    assert files == [f"part-{i:05d}.jsonl" for i in range(3)]
+    back = spark.read.format("jsonl_dir").option("path", out).load()
+    assert sorted(tuple(r) for r in back.collect()) == [
+        synth_row(i) for i in range(60)]
+
+
+def test_jsonl_dir_stream_writer_batch_prefixed_idempotent(
+        spark, tmp_path):
+    """Streaming writer: per-micro-batch commit under a batch-<id>
+    prefix (a replayed batch overwrites itself — idempotent delivery);
+    rows written across batches reassemble to the exact input."""
+    import os
+
+    register_python_sources(spark)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    events = [(i, "click" if i % 2 else "view", float(i)) for i in range(40)]
+    sdf = spark.createDataFrame(
+        events, "event_id BIGINT, event_type STRING, value DOUBLE")
+    sdf.repartition(2).write.parquet(src)
+    stream = (spark.readStream.schema(sdf.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.format("jsonl_dir")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    names = sorted(os.listdir(out))
+    assert all(n.startswith("batch-") and n.endswith(".jsonl")
+               for n in names)
+    assert len({n.split("-")[1] for n in names}) >= 2  # >=2 batch ids
+    back = spark.read.format("jsonl_dir").option("path", out).load()
+    assert sorted(tuple(r) for r in back.collect()) == sorted(events)
+
+
+def test_jsonl_dir_writer_overwrite_truncates_on_commit(spark, tmp_path):
+    """mode('overwrite') removes stale files only at commit time: the
+    second (smaller) write leaves exactly its own files behind."""
+    import os
+
+    register_python_sources(spark)
+    out = str(tmp_path / "out")
+    big = (spark.read.format("synth_events")
+           .option("n_rows", 40).option("n_partitions", 4).load())
+    big.write.format("jsonl_dir").option("path", out).mode("append").save()
+    assert len(os.listdir(out)) == 4
+    small = (spark.read.format("synth_events")
+             .option("n_rows", 10).option("n_partitions", 1).load())
+    small.write.format("jsonl_dir").option("path", out).mode(
+        "overwrite").save()
+    assert sorted(os.listdir(out)) == ["part-00000.jsonl"]
+    back = spark.read.format("jsonl_dir").option("path", out).load()
+    assert back.count() == 10

@@ -70,6 +70,16 @@ def write_sink(df: DataFrame, spec: Mapping[str, Any]) -> None:
         )
 
         _require_avro(df.sparkSession)
+    from oracle_cassandra_migrator_spark.sources.readers import (
+        PYTHON_DS_FORMATS,
+    )
+
+    if fmt in PYTHON_DS_FORMATS:
+        from oracle_cassandra_migrator_spark.sources.pydatasource import (
+            register_python_sources,
+        )
+
+        register_python_sources(df.sparkSession)
     zorder = spec.get("zorder_by")
     if zorder:
         # z-clustered layout for multi-column row-group pruning;

@@ -215,3 +215,21 @@ def test_jsonl_dir_writer_overwrite_truncates_on_commit(spark, tmp_path):
     assert sorted(os.listdir(out)) == ["part-00000.jsonl"]
     back = spark.read.format("jsonl_dir").option("path", out).load()
     assert back.count() == 10
+
+
+def test_write_sink_spec_drives_jsonl_dir(spark, tmp_path):
+    """Sink specs can target the Python writer like any built-in
+    format (write_sink auto-registers)."""
+    import os
+
+    from oracle_cassandra_migrator_spark.sinks.writers import write_sink
+
+    df = spark.createDataFrame(
+        [(1, "view", 1.0), (2, "click", 2.0)],
+        "event_id BIGINT, event_type STRING, value DOUBLE")
+    out = str(tmp_path / "sink_out")
+    write_sink(df.coalesce(1), {
+        "format": "jsonl_dir", "path": out, "mode": "append"})
+    assert os.listdir(out) == ["part-00000.jsonl"]
+    back = spark.read.format("jsonl_dir").option("path", out).load()
+    assert back.count() == 2

@@ -498,3 +498,66 @@ def dedup_keep_representative(
         (fp["__fp"] == reps["__rep_fp"])
         & (fp[id_col] == reps["__rep_id"]))
     return kept.drop("__fp", "__rep_fp", "__rep_id")
+
+
+def allpairs_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str,
+    n: int = 3, threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (AllPairs /
+    PPJoin family): every pair with word-n-gram Jaccard >= threshold,
+    no false negatives, without joining on all shingles.
+
+    Prefix-filtering theorem: order each doc's shingles by one global
+    total order (here: ascending document frequency, shingle string as
+    tiebreak) and keep only the first |x| - ceil(t*|x|) + 1 of them;
+    any pair with J >= t must collide on at least one *prefix* shingle
+    in both docs. The prefix is the doc's RAREST shingles, so join
+    blocks are small by construction — the frequency order is doing
+    the same work the LSH band cap does adversarially, but without
+    giving up exactness.
+
+    Three corpus-row-shaped shuffles: the df count (groupBy shingle,
+    map-side partials), the per-doc prefix rank (window partitioned by
+    doc_id — high-cardinality, no skew), and the prefix self-join +
+    pair aggregation. Verification counts |A ∩ B| by re-joining the
+    full inverted index on the candidate set only (same
+    no-arrays-in-shuffles rule as ngram_jaccard_pairs). At 100 TB a
+    hot-shingle guard (max_token_df, as in ngram_jaccard_pairs) bounds
+    a pathological near-all-equal corpus; the catalog query runs
+    uncapped so the oracle replays exact semantics.
+    """
+    from pyspark.sql.window import Window
+
+    shingled = with_shingles(df.select(id_col, text_col), text_col, n)
+    ex = (shingled
+          .select(F.col(id_col), F.expr("size(shingles)").alias("n_sh"),
+                  F.explode("shingles").alias("sh"))
+          .where("n_sh > 0"))
+    dfreq = ex.groupBy("sh").agg(F.count("*").alias("df"))
+    ranked = ex.join(dfreq, "sh").withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy(id_col).orderBy("df", "sh")))
+    prefix = ranked.where(
+        F.expr(f"rn <= n_sh - ceil({threshold} * n_sh) + 1"))
+    cand = (
+        prefix.select(F.col(id_col).alias("doc_a"), "sh")
+        .join(prefix.select(F.col(id_col).alias("doc_b"), "sh"), "sh")
+        .where("doc_a < doc_b")
+        .select("doc_a", "doc_b")
+        .distinct())
+    a = ex.select(F.col(id_col).alias("doc_a"),
+                  F.col("n_sh").alias("n_a"), "sh")
+    b = ex.select(F.col(id_col).alias("doc_b"),
+                  F.col("n_sh").alias("n_b"), "sh")
+    return (
+        cand.join(a, "doc_a").join(b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"),
+             F.first("n_a").alias("n_a"),
+             F.first("n_b").alias("n_b"))
+        .withColumn("jaccard", F.expr(
+            "round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6)"))
+        .where(f"jaccard >= {threshold}")
+        .select("doc_a", "doc_b", "jaccard")
+    )

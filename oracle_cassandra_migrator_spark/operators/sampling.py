@@ -140,3 +140,26 @@ def temperature_resample_audit(df: DataFrame, id_col: str,
             stratum_col, "n_docs", "threshold_ppm",
             F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"))
     )
+
+
+def reservoir_key_expr(id_col: str, weight_expr: str) -> str:
+    """A-ES weighted-reservoir key (Efraimidis & Spirakis): with
+    u ~ Uniform(0,1), taking the k SMALLEST values of -ln(u)/w draws a
+    weighted sample without replacement where P(pick) scales with w.
+    u is md5-derived from the id (deterministic: same sample on every
+    run and any partitioning — no RNG state across executors), strictly
+    inside (0,1) via the +0.5 offset. The key is rounded to 9 dp
+    BEFORE ranking so both engines order identically even if their
+    libm ln() differs in the last ulp; ties break on the id."""
+    h = (f"CAST(conv(substring(md5(CAST({id_col} AS STRING)), 1, 15), "
+         f"16, 10) AS BIGINT) % 1000000000")
+    u = f"(({h}) + 0.5) / 1000000000.0"
+    return f"round(-ln({u}) / ({weight_expr}), 9)"
+
+
+def reservoir_key_sql(id_col: str, weight_expr: str) -> str:
+    """DuckDB twin of reservoir_key_expr."""
+    h = (f"(('0x' || substring(md5(CAST({id_col} AS VARCHAR)), 1, 15))"
+         f"::BIGINT % 1000000000)")
+    u = f"(({h}) + 0.5) / 1000000000.0"
+    return f"round(-ln({u}) / ({weight_expr}), 9)"

@@ -1,0 +1,186 @@
+"""Mergeable frequency/membership sketches: Bloom-filter pre-join
+pruning and Count-Min frequency estimation.
+
+Both sketches are tiny, *mergeable* aggregates — the shape that scales:
+at 100 TB the build side is a map-side partial aggregation that
+collapses to a fixed-size table (<= M_BITS/64 rows for the Bloom
+filter, DEPTH*WIDTH rows for Count-Min) regardless of input size, and
+the probe/estimate side is either a pure projection (Bloom words
+re-entered as a map literal — the same bounded train-out-of-plan
+pattern as the IVF/SemDeDup codebooks) or a broadcast hash join against
+the sketch table. Nothing here shuffles the corpus more than once.
+
+All hashing is md5-derived (NOTES.md exactness conventions) so every
+DuckDB oracle replays the sketch bit-for-bit: position/slot i of key x
+is the top-60-bit integer of md5(i || ':' || x) reduced mod the table
+size. Deterministic across engines, partitionings, and reruns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Bloom geometry: 16384 bits = 256 x 64-bit words, 3 probes. For the
+# catalog's snapshot sizes (~thousands of fingerprints) that is an
+# ~1-2% false-positive rate — large enough to be observable in the
+# audit query, small enough to prune almost all of the exact-join work.
+# At 100 TB you scale M_BITS with the base-snapshot cardinality (the
+# build stays a fixed-size bit_or aggregate) and either keep the
+# broadcast join or, past a few GB of filter, partition both sides by
+# fingerprint range and build one bloom per range.
+BLOOM_M_BITS = 16_384
+BLOOM_K = 3
+
+# Count-Min geometry: depth 3 x width 1024. Estimates are biased UP
+# (est >= exact always, with this exact hash family in both engines),
+# and the min over 3 independent rows is what makes the bias small.
+CMS_DEPTH = 3
+CMS_WIDTH = 1024
+
+
+def md5_mod_spark(expr: str, m: int) -> str:
+    """Deterministic value in [0, m) from md5 of a string expression
+    (Spark side). 15 hex chars < 2^60 so the conv() result is a
+    positive BIGINT and % == pmod."""
+    return (f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+            f" % {m}")
+
+
+def md5_mod_sql(expr: str, m: int) -> str:
+    """DuckDB twin of md5_mod_spark."""
+    return f"(('0x' || substring(md5({expr}), 1, 15))::BIGINT % {m})"
+
+
+def bloom_pos_spark(i: int, key_col: str) -> str:
+    return md5_mod_spark(f"concat('{i}:', {key_col})", BLOOM_M_BITS)
+
+
+def bloom_pos_sql(i: int, key_col: str) -> str:
+    return md5_mod_sql(f"'{i}:' || {key_col}", BLOOM_M_BITS)
+
+
+def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
+    """Aggregate a key column into Bloom-filter words: one row per
+    64-bit word that has at least one bit set -> (word_idx BIGINT,
+    word BIGINT). A bit_or aggregation over <= BLOOM_M_BITS/64 groups:
+    map-side partials collapse each task's keys to <= 256 rows, so the
+    exchange moves O(n_tasks * 256) rows no matter the corpus size —
+    this is what makes the filter buildable at 100 TB."""
+    positions = ", ".join(
+        bloom_pos_spark(i, key_col) for i in range(BLOOM_K))
+    return (
+        keys.select(F.explode(F.expr(f"array({positions})")).alias("pos"))
+        .groupBy(F.expr("pos div 64").alias("word_idx"))
+        .agg(F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))"
+        ).alias("word"))
+    )
+
+
+def bloom_literal_map(words: DataFrame) -> str:
+    """Collect the built words (bounded by construction: <= 256 rows,
+    enforced here) and re-enter them as a Spark map literal, so the
+    probe is a zero-shuffle projection. Same train-out-of-plan pattern
+    as the IVF codebooks; on a real cluster this collect moves < 4 KiB
+    to the driver."""
+    rows = sorted(words.collect(), key=lambda r: r["word_idx"])
+    if len(rows) > BLOOM_M_BITS // 64:
+        raise ValueError(
+            f"bloom_literal_map: {len(rows)} words exceed the "
+            f"{BLOOM_M_BITS // 64}-word geometry — not a bloom build")
+    entries = ", ".join(
+        f"{int(r['word_idx'])}L, {int(r['word'])}L" for r in rows)
+    return f"map({entries})"
+
+
+def bloom_probe_expr(map_expr: str, key_col: str) -> str:
+    """Boolean expression: all BLOOM_K bits set for this key. The
+    positions array is bound once via a transform lambda (text.py's
+    shingles_once trick) so the md5s are evaluated BLOOM_K times per
+    row, not 2*BLOOM_K."""
+    positions = ", ".join(
+        bloom_pos_spark(i, key_col) for i in range(BLOOM_K))
+    checks = " AND ".join(
+        f"((shiftright(coalesce(element_at({map_expr}, "
+        f"element_at(p, {i + 1}) div 64), 0L), "
+        f"CAST(element_at(p, {i + 1}) % 64 AS INT)) & 1) = 1)"
+        for i in range(BLOOM_K))
+    return (f"element_at(transform(array(array({positions})), "
+            f"p -> ({checks})), 1)")
+
+
+def bloom_sql_ctes(base_select: str) -> str:
+    """DuckDB replay of the build: CTE bodies producing ``bwords``
+    (word_idx, word) from ``SELECT <key AS fp> ...``-shaped
+    ``base_select``."""
+    return f"""
+    bkeys AS ({base_select}),
+    bpos AS (SELECT ('0x' || substring(md5(u.i::VARCHAR || ':' || fp), 1, 15))::BIGINT
+                    % {BLOOM_M_BITS} AS pos
+             FROM bkeys CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) u),
+    bwords AS (SELECT pos // 64 AS word_idx,
+                      bit_or(CASE WHEN pos % 64 = 63
+                                  THEN (-9223372036854775808)::BIGINT
+                                  ELSE 1::BIGINT << CAST(pos % 64 AS INT)
+                             END) AS word
+               FROM bpos GROUP BY 1)
+    """
+
+
+def bloom_hit_sql(key_col: str) -> str:
+    """DuckDB boolean: all BLOOM_K bits of ``key_col`` set in bwords
+    (correlated EXISTS per probe — the oracle favors clarity over the
+    literal-map plan, the *values* are what must match)."""
+    probes = []
+    for i in range(BLOOM_K):
+        pos = bloom_pos_sql(i, key_col)
+        probes.append(
+            f"EXISTS (SELECT 1 FROM bwords b WHERE b.word_idx = ({pos}) // 64"
+            f" AND ((b.word >> CAST(({pos}) % 64 AS INT)) & 1) = 1)")
+    return "(" + " AND ".join(probes) + ")"
+
+
+def cms_slot_spark(d: int, key_col: str) -> str:
+    return md5_mod_spark(f"concat('{d}:', {key_col})", CMS_WIDTH)
+
+
+def cms_slot_sql(d: int, key_col: str) -> str:
+    return md5_mod_sql(f"'{d}:' || {key_col}", CMS_WIDTH)
+
+
+def cms_sketch(key_counts: DataFrame, key_col: str,
+               cnt_col: str) -> DataFrame:
+    """Fold (key, count) rows into the Count-Min table: (depth, slot,
+    cms_count), <= CMS_DEPTH * CMS_WIDTH rows. Building from
+    pre-aggregated counts is identical to hashing every occurrence
+    (sums commute) and one corpus pass cheaper. Mergeable: sketches of
+    two corpus shards add slot-wise, so at scale each partition/day
+    builds its own and a <= 3072-group agg merges them."""
+    slots = ", ".join(
+        cms_slot_spark(d, key_col) for d in range(CMS_DEPTH))
+    return (
+        key_counts
+        .select(F.col(cnt_col),
+                F.posexplode(F.expr(f"array({slots})")).alias("depth", "slot"))
+        .groupBy("depth", "slot")
+        .agg(F.sum(cnt_col).cast("bigint").alias("cms_count"))
+    )
+
+
+def cms_estimate(keys: DataFrame, sketch: DataFrame,
+                 key_col: str) -> DataFrame:
+    """Point-estimate every key: min over depths of its slot counter.
+    CMS_DEPTH broadcast hash joins against the fixed-size sketch —
+    map-side at any corpus scale."""
+    est = keys
+    for d in range(CMS_DEPTH):
+        side = (sketch.where(F.col("depth") == d)
+                .select(F.col("slot").alias(f"slot_{d}"),
+                        F.col("cms_count").alias(f"c_{d}")))
+        est = (est.withColumn(f"slot_{d}",
+                              F.expr(cms_slot_spark(d, key_col)))
+               .join(F.broadcast(side), f"slot_{d}"))
+    mins = ", ".join(f"c_{d}" for d in range(CMS_DEPTH))
+    return (est.withColumn("est_cnt", F.expr(f"least({mins})"))
+            .drop(*[c for d in range(CMS_DEPTH)
+                    for c in (f"slot_{d}", f"c_{d}")]))

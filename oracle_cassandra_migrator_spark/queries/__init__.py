@@ -108,29 +108,64 @@ _R04_CONFIRMED = frozenset({
 # present days to a calendar-bounded RANGE frame (ADVICE r4).)
 _RECHECK = frozenset({"events_rolling_weekly_counts"})
 
+# The round-5 verification window: the driver caps each round's
+# correctness pass at ~50 entries, and flagship + these 49 fill it
+# exactly. Queries added after this set was frozen (the round6.py
+# second wave) deliberately sort BEHIND it — they get their first
+# driver row next round, when _R05_CONFIRMED is folded in and the
+# window re-opens. Keep this set byte-stable for the rest of round 5.
+_R05_WINDOW = frozenset({
+    "agg_regression_stats", "dedup_minhash_prune",
+    "dedup_cluster_size_histogram", "corpus_trigram_diversity",
+    "sim_ann_recall_audit", "sim_ann_recall_curve",
+    "sample_fixed_n_by_hash", "corpus_mix_weights",
+    "profile_documents_table", "search_hybrid_rrf",
+    "events_hot_users_report", "events_rolling_weekly_counts",
+    "events_daily_gapfill", "text_vocab_coverage",
+    "events_dau_wau_stickiness", "dedup_jaccard_histogram",
+    "join_interval_bucketed_prices", "text_feature_hashing",
+    "text_quality_linear_score", "quantile_bucket_doclen_by_lang",
+    "quantile_bucket_prices", "pipeline_curation_v2",
+    "skew_salted_join_supplier_revenue", "dedup_duplicate_segments",
+    "graph_pagerank_nations", "sim_ann_pq_topk", "sim_ann_pq_recall",
+    "udaf_trimmed_mean_price", "embedding_dim_stats",
+    "text_lang_confusion", "text_trigram_novelty",
+    "events_anomaly_zscore", "join_shuffle_hash_hint",
+    "agg_hll_sketch_rollup", "lateral_subquery_top_orders",
+    "layout_zorder_values", "sim_ann_ivfpq_topk", "dedup_simhash_prune",
+    "sample_fixed_n_per_group", "agg_mode_order_priority",
+    "quantile_assign_prices", "corpus_dedup_funnel",
+    "scd2_asof_snapshot", "events_first_touch_attribution",
+    "sim_ann_ivfpq_recall", "events_type_transition_matrix",
+    "join_null_safe_eq", "text_word_pmi", "graph_triangle_count",
+})
+
 
 def _verification_order(names):
     # ROUND-N+1 MAINTENANCE (this stalled r3->r4 planning once): when a
     # new CORRECTNESS_r0N.json lands, fold its green keys into an
     # _R0N_CONFIRMED frozenset here and add it to `confirmed` below,
-    # ROUND-6 STATUS: the driver produced NO CORRECTNESS_r05.json /
-    # BENCH_r05.json, so there is nothing to fold — every round-5 query
-    # stays in the unverified front region. Window math for r6:
-    # flagship (1) + 44 round-5 unverified + 5 round-6 additions = 50,
-    # exactly the driver's window. Do NOT add more driver queries this
-    # round without retiring one, and fold _R06_CONFIRMED when
-    # CORRECTNESS_r06.json lands.
     # else the driver's ~50-slot window re-verifies already-green
     # queries and new ones never get a row. Keep any key whose oracle
     # changed afterwards in _RECHECK instead. Update
     # test_catalog_orders_least_verified_first alongside.
+    #
+    # ROUND-5 STATUS: the window is exactly full — flagship + the 49
+    # _R05_WINDOW queries. Second-wave additions sort into the
+    # "deferred" region between the window and the confirmed tail;
+    # they are verified in round 6 (fold _R05_CONFIRMED then, and fold
+    # _R05_WINDOW's green keys into it).
     confirmed = (
         _R02_CONFIRMED | _R03_CONFIRMED | _R04_CONFIRMED) - _RECHECK
     front = [n for n in names if n == "flagship_payment_pipeline"]
     front += [n for n in names
-              if n not in confirmed and n != "flagship_payment_pipeline"]
+              if n in _R05_WINDOW and n != "flagship_payment_pipeline"]
     front += [n for n in names
-              if n in confirmed and n != "flagship_payment_pipeline"]
+              if n not in confirmed and n not in _R05_WINDOW
+              and n != "flagship_payment_pipeline"]
+    front += [n for n in names
+              if n in confirmed and n not in _R05_WINDOW
+              and n != "flagship_payment_pipeline"]
     return front
 
 

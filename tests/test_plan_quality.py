@@ -208,23 +208,35 @@ def test_catalog_orders_least_verified_first():
     the 50-entry window so one gate pass reaches all of it."""
     from oracle_cassandra_migrator_spark.queries import QUERIES
     from oracle_cassandra_migrator_spark.queries import (
-        _R02_CONFIRMED, _R03_CONFIRMED, _R04_CONFIRMED, _RECHECK)
+        _R02_CONFIRMED, _R03_CONFIRMED, _R04_CONFIRMED, _R05_WINDOW,
+        _RECHECK)
 
     names = list(QUERIES)
     confirmed = (
         _R02_CONFIRMED | _R03_CONFIRMED | _R04_CONFIRMED) - _RECHECK
     assert names[0] == "flagship_payment_pipeline"
-    tail_started = False
+    # Region order: flagship, the frozen r5 window, deferred (post-
+    # window additions awaiting the r6 window), confirmed tail.
+    regions = []
     for n in names[1:]:
-        if n in confirmed:
-            tail_started = True
-        else:
-            assert not tail_started, (
-                f"unverified query {n!r} registered after the confirmed set")
-    unverified = [n for n in names if n not in confirmed]
-    assert len(unverified) + 1 <= 50, (
-        f"{len(unverified)} unverified queries exceed the ~50-entry "
-        f"driver window; some would never get a correctness row")
+        r = ("window" if n in _R05_WINDOW
+             else "tail" if n in confirmed else "deferred")
+        regions.append((n, r))
+    order = {"window": 0, "deferred": 1, "tail": 2}
+    last = -1
+    for n, r in regions:
+        assert order[r] >= last, (
+            f"{n!r} ({r}) registered after a later region began")
+        last = order[r]
+    # This round's driver pass must reach the whole frozen window...
+    assert 1 + len(_R05_WINDOW) <= 50, "r5 window overflows the driver cap"
+    assert all(n in names for n in _R05_WINDOW)
+    # ...and next round's pass must fit flagship + every deferred query
+    # (plus slack for window queries that fail their r5 check).
+    deferred = [n for n, r in regions if r == "deferred"]
+    assert 1 + len(deferred) <= 40, (
+        f"{len(deferred)} deferred queries leave no r6 slack for "
+        f"re-checking r5 failures")
 
 
 def test_connected_components_plan_stays_truncated(spark):

@@ -1,0 +1,235 @@
+"""Semantics + plan gates for the sketch operators (Bloom pre-filter,
+Count-Min heavy hitters), the AllPairs prefix-filtered similarity
+join, and the A-ES weighted reservoir sample."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_cassandra_migrator_spark.operators import sketches
+from oracle_cassandra_migrator_spark.queries import QUERIES
+from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+from tests.conftest import SF_SMALL
+
+
+def plan_of(spark, name):
+    return (QUERIES[name](spark, SF_SMALL)
+            ._jdf.queryExecution().executedPlan().toString())
+
+
+# --------------------------------------------------------------------------
+# Bloom filter
+# --------------------------------------------------------------------------
+
+
+def test_bloom_has_no_false_negatives(spark):
+    """Every inserted key must probe positive — the property the
+    incremental-dedup pruning correctness rests on (a false negative
+    would silently re-admit a duplicate)."""
+    keys = spark.range(500).selectExpr(
+        "md5(CAST(id AS STRING)) AS k")
+    bloom = sketches.bloom_literal_map(sketches.bloom_build(keys, "k"))
+    n_miss = (keys.withColumn(
+        "hit", F.expr(sketches.bloom_probe_expr(bloom, "k")))
+        .where("NOT hit").count())
+    assert n_miss == 0
+
+
+def test_bloom_false_positive_rate_is_small(spark):
+    """Non-members must mostly miss: with 500 keys in 16384 bits / 3
+    probes the theoretical FP rate is ~0.1%; assert < 5% so geometry
+    regressions (e.g. an accidental modulus change) fail loudly."""
+    keys = spark.range(500).selectExpr("md5(CAST(id AS STRING)) AS k")
+    others = spark.range(500, 2500).selectExpr(
+        "md5(CAST(id AS STRING)) AS k")
+    bloom = sketches.bloom_literal_map(sketches.bloom_build(keys, "k"))
+    n_hit = (others.withColumn(
+        "hit", F.expr(sketches.bloom_probe_expr(bloom, "k")))
+        .where("hit").count())
+    assert n_hit / 2000 < 0.05
+
+
+def test_bloom_build_is_bounded(spark):
+    words = sketches.bloom_build(
+        spark.range(5000).selectExpr("CAST(id AS STRING) AS k"), "k")
+    rows = words.collect()
+    assert len(rows) <= sketches.BLOOM_M_BITS // 64
+    assert all(0 <= r["word_idx"] < sketches.BLOOM_M_BITS // 64
+               for r in rows)
+
+
+def test_bloom_prefilter_query_audit_invariants(spark):
+    """Every base-side doc must hit (no false negatives: n_members ==
+    the 400 base docs exactly), hits decompose into members + false
+    positives, and the 100 held-out docs bound the FP count — the
+    audit row is non-vacuous in both directions."""
+    row = QUERIES["dedup_bloom_prefilter"](spark, SF_SMALL).collect()[0]
+    assert row.n_members + row.n_false_pos == row.n_bloom_hit
+    assert row.n_probed == 500
+    assert row.n_members == 400  # all base docs hit — no false negatives
+    assert row.n_false_pos <= 100
+
+
+def test_bloom_probe_plan_is_projection_only(spark):
+    """The probe must be a map-literal projection: the only join in
+    the whole query is the broadcast exact-check on bloom hits — no
+    shuffle join anywhere."""
+    plan = plan_of(spark, "dedup_bloom_prefilter")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --------------------------------------------------------------------------
+# Count-Min
+# --------------------------------------------------------------------------
+
+
+def test_cms_never_underestimates(spark):
+    """est >= exact for EVERY key — the one-sided error guarantee that
+    makes CMS usable for threshold filtering. Checked over the full
+    vocabulary, not just the top-k the query returns."""
+    docs = read_table(spark, SF_SMALL, "documents")
+    tc = (docs.select(F.explode(F.split(
+            F.lower("text"), r"\s+")).alias("tok"))
+          .where("tok != ''")
+          .groupBy("tok").agg(F.count("*").alias("cnt")))
+    sketch = sketches.cms_sketch(tc, "tok", "cnt")
+    est = sketches.cms_estimate(tc, sketch, "tok")
+    assert est.where("est_cnt < cnt").count() == 0
+    assert sketch.count() <= sketches.CMS_DEPTH * sketches.CMS_WIDTH
+
+
+def test_cms_sketch_is_mergeable(spark):
+    """Sketching two disjoint halves and summing slot-wise must equal
+    sketching the whole — the property that lets every shard/day build
+    its own sketch at 100 TB."""
+    docs = read_table(spark, SF_SMALL, "documents")
+    tc = (docs.select(F.explode(F.split(
+            F.lower("text"), r"\s+")).alias("tok"), "doc_id")
+          .where("tok != ''"))
+    whole = sketches.cms_sketch(
+        tc.groupBy("tok").agg(F.count("*").alias("cnt")), "tok", "cnt")
+    half = [
+        sketches.cms_sketch(
+            tc.where(f"doc_id % 2 = {i}").groupBy("tok")
+            .agg(F.count("*").alias("cnt")), "tok", "cnt")
+        for i in (0, 1)]
+    merged = (half[0].unionByName(half[1])
+              .groupBy("depth", "slot")
+              .agg(F.sum("cms_count").cast("bigint").alias("cms_count")))
+    diff = (whole.alias("w").join(
+                merged.alias("m"), ["depth", "slot"], "full")
+            .where("coalesce(w.cms_count, -1) != coalesce(m.cms_count, -1)")
+            .count())
+    assert diff == 0
+
+
+def test_cms_query_plan_broadcasts_sketch(spark):
+    plan = plan_of(spark, "sketch_cms_heavy_hitters")
+    assert plan.count("BroadcastHashJoin") >= sketches.CMS_DEPTH
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# --------------------------------------------------------------------------
+# AllPairs prefix filtering
+# --------------------------------------------------------------------------
+
+
+def test_allpairs_equals_inverted_index_join(spark):
+    """Prefix filtering is EXACT: its output must be identical to the
+    all-shingles inverted-index join at the same threshold — any
+    missing pair is a prefix-selection bug (the theorem violated)."""
+    got = {(r.doc_a, r.doc_b, r.jaccard) for r in
+           QUERIES["dedup_allpairs_prefix"](spark, SF_SMALL).collect()}
+    want = {(r.doc_a, r.doc_b, r.jaccard) for r in
+            QUERIES["dedup_ngram_jaccard"](spark, SF_SMALL).collect()}
+    assert got == want
+    assert len(want) > 0
+
+
+def test_allpairs_prefix_shrinks_join_input(spark):
+    """The candidate join must see strictly fewer rows than the full
+    inverted index — otherwise the prefix is not filtering and the
+    operator is just a slower ngram join."""
+    from pyspark.sql.window import Window
+    from oracle_cassandra_migrator_spark.operators.text import (
+        with_shingles)
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    sh = with_shingles(docs.select("doc_id", "text"), "text", 3)
+    ex = (sh.select("doc_id", F.expr("size(shingles)").alias("n_sh"),
+                    F.explode("shingles").alias("sh"))
+          .where("n_sh > 0"))
+    total = ex.count()
+    dfreq = ex.groupBy("sh").agg(F.count("*").alias("df"))
+    ranked = ex.join(dfreq, "sh").withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "sh")))
+    n_prefix = ranked.where(
+        "rn <= n_sh - ceil(0.5 * n_sh) + 1").count()
+    assert n_prefix < 0.6 * total
+
+
+def test_allpairs_plan_windows_on_doc_id(spark):
+    """The prefix rank must be windowed on the high-cardinality doc_id
+    (never a global or low-cardinality sort) and the join graph must
+    stay all-equi."""
+    plan = plan_of(spark, "dedup_allpairs_prefix")
+    assert re.search(r"Window \[row_number\(\).*partitionBy=\[doc_id", plan) \
+        or "hashpartitioning(doc_id" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --------------------------------------------------------------------------
+# Weighted reservoir
+# --------------------------------------------------------------------------
+
+
+def test_reservoir_matches_unsalted_window(spark):
+    """cap_per_group_salted must reproduce the plain per-stratum
+    window exactly (output AND rank) on the reservoir keys."""
+    from pyspark.sql.window import Window
+    from oracle_cassandra_migrator_spark.operators.sampling import (
+        reservoir_key_expr)
+    from oracle_cassandra_migrator_spark.operators.text import (
+        token_count_expr)
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    keyed = docs.selectExpr(
+        "lang", "doc_id",
+        f"greatest(CAST(1 AS BIGINT), {token_count_expr('text')})"
+        " AS w_tokens",
+    ).withColumn("res_key", F.expr(
+        reservoir_key_expr("doc_id", "CAST(w_tokens AS DOUBLE)")))
+    w = Window.partitionBy("lang").orderBy("res_key", "doc_id")
+    plain = {(r.lang, r.keep_rank, r.doc_id) for r in
+             keyed.withColumn("keep_rank", F.row_number().over(w))
+             .where("keep_rank <= 5")
+             .selectExpr("lang", "CAST(keep_rank AS BIGINT) AS keep_rank",
+                         "doc_id").collect()}
+    got = {(r.lang, r.keep_rank, r.doc_id) for r in
+           QUERIES["sample_weighted_reservoir"](spark, SF_SMALL)
+           .select("lang", "keep_rank", "doc_id").collect()}
+    assert got == plain
+
+
+def test_reservoir_favors_heavy_weights(spark):
+    """With exponential keys, weight w multiplies -ln(u) by 1/w: for a
+    FIXED u the key strictly decreases as w grows, so heavier rows can
+    only rank better. Checked on the expression directly."""
+    rows = spark.sql(
+        "SELECT " + ", ".join(
+            f"round(-ln(0.37) / {w}.0, 9) AS k{w}" for w in (1, 10, 100))
+    ).collect()[0]
+    assert rows.k1 > rows.k10 > rows.k100
+
+
+def test_reservoir_plan_is_salted_two_stage(spark):
+    plan = plan_of(spark, "sample_weighted_reservoir")
+    assert plan.count("Window") >= 2
+    assert "__salt" in plan

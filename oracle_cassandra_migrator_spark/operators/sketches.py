@@ -70,6 +70,7 @@ def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
         bloom_pos_spark(i, key_col) for i in range(BLOOM_K))
     return (
         keys.select(F.explode(F.expr(f"array({positions})")).alias("pos"))
+        .where(F.col("pos").isNotNull())  # NULL keys can't set bits
         .groupBy(F.expr("pos div 64").alias("word_idx"))
         .agg(F.expr(
             "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))"

@@ -268,3 +268,32 @@ def test_compiler_quantile_bucket_assign_mode(spark):
     ])
     assert set(out.columns) == {"l_orderkey", "l_extendedprice", "bucket"}
     assert out.count() == li.count()  # per-row tagging, not a profile
+
+
+def test_compiler_anti_join_bloom_matches_plain_anti_join(spark):
+    """The bloom-accelerated anti join must be row-identical to the
+    plain left_anti join (no false negatives ever; false positives
+    only cost join work). Includes a NULL left key, which left_anti
+    keeps and the probe must too."""
+    from pyspark.sql import functions as F
+
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    cust = read_table(spark, SF_SMALL, "customer").selectExpr(
+        "c_custkey", "c_mktsegment",
+        # plant NULL keys: every 7th customer probes with NULL
+        "CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey END AS k")
+    urgent = read_table(spark, SF_SMALL, "orders").where(
+        "o_orderpriority = '1-URGENT'")
+    got = compile_transform(
+        spark, {"cust": cust, "urgent": urgent},
+        [{"op": "anti_join_bloom", "left": "cust", "right": "urgent",
+          "left_key": "k", "right_key": "o_custkey"}])
+    want = cust.join(
+        urgent.selectExpr("CAST(o_custkey AS STRING) AS __bk").distinct(),
+        F.expr("CAST(k AS STRING) = __bk"), "left_anti")
+    got_set = {tuple(r) for r in got.collect()}
+    want_set = {tuple(r) for r in want.collect()}
+    assert got_set == want_set
+    assert 0 < len(want_set) < cust.count()  # non-vacuous both ways
+    assert any(r[2] is None for r in want_set)  # NULL keys kept

@@ -233,3 +233,31 @@ def test_reservoir_plan_is_salted_two_stage(spark):
     plan = plan_of(spark, "sample_weighted_reservoir")
     assert plan.count("Window") >= 2
     assert "__salt" in plan
+
+
+def test_cms_sketch_stream_matches_batch(spark, tmp_path):
+    """The CMS build is ONE commutative aggregation, so the identical
+    code runs as a Structured Streaming complete-mode query: sketching
+    the token stream across micro-batches must equal the batch sketch
+    — the streaming form of the mergeability property."""
+    docs = read_table(spark, SF_SMALL, "documents")
+    toks = (docs.select(F.explode(F.split(
+                F.lower("text"), r"\s+")).alias("tok"))
+            .where("tok != ''"))
+    src = str(tmp_path / "cms_toks")
+    toks.repartition(3).write.mode("overwrite").parquet(src)
+
+    batch_sketch = sketches.cms_sketch(
+        spark.read.parquet(src).withColumn("cnt", F.lit(1)),
+        "tok", "cnt")
+    stream = (spark.readStream.schema("tok string")
+              .option("maxFilesPerTrigger", "1").parquet(src)
+              .withColumn("cnt", F.lit(1)))
+    q = (sketches.cms_sketch(stream, "tok", "cnt")
+         .writeStream.format("memory").queryName("cms_stream")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.depth, r.slot): r.cms_count
+           for r in spark.table("cms_stream").collect()}
+    want = {(r.depth, r.slot): r.cms_count for r in batch_sketch.collect()}
+    assert got == want and len(want) > 0

@@ -517,15 +517,23 @@ def allpairs_jaccard_pairs(
     the same work the LSH band cap does adversarially, but without
     giving up exactness.
 
-    Three corpus-row-shaped shuffles: the df count (groupBy shingle,
-    map-side partials), the per-doc prefix rank (window partitioned by
-    doc_id — high-cardinality, no skew), and the prefix self-join +
-    pair aggregation. Verification counts |A ∩ B| by re-joining the
-    full inverted index on the candidate set only (same
-    no-arrays-in-shuffles rule as ngram_jaccard_pairs). At 100 TB a
-    hot-shingle guard (max_token_df, as in ngram_jaccard_pairs) bounds
-    a pathological near-all-equal corpus; the catalog query runs
-    uncapped so the oracle replays exact semantics.
+    Two corpus-shingle shuffles, both narrow: shingles are first
+    hashed to 60-bit BIGINTs (md5 idiom — same value in the oracle, so
+    parity is exact by construction even in the astronomically
+    unlikely collision case), which roughly halves every shuffle
+    payload vs raw 3-word strings. Document frequency comes from a
+    count-over-window on the shingle key — it rides the SAME exchange
+    the prefix self-join needs (the ngram cap idiom) instead of a
+    groupBy + join-back (measured: the join-back variant was a third
+    corpus shuffle, +40%; persisting the explode lost even harder —
+    17 s first-run cache materialization for a table consumed by
+    cheap recomputes). The per-doc prefix rank windows on doc_id
+    (high-cardinality, no skew); verification is the candidate-
+    restricted intersection count minhash_lsh_pairs uses, same
+    no-arrays-in-shuffles rule. At 100 TB a hot-shingle guard
+    (max_token_df, as in ngram_jaccard_pairs) bounds a pathological
+    near-all-equal corpus; the catalog query runs uncapped so the
+    oracle replays exact semantics.
     """
     from pyspark.sql.window import Window
 
@@ -533,11 +541,12 @@ def allpairs_jaccard_pairs(
     ex = (shingled
           .select(F.col(id_col), F.expr("size(shingles)").alias("n_sh"),
                   F.explode("shingles").alias("sh"))
-          .where("n_sh > 0"))
-    dfreq = ex.groupBy("sh").agg(F.count("*").alias("df"))
-    ranked = ex.join(dfreq, "sh").withColumn(
-        "rn", F.row_number().over(
-            Window.partitionBy(id_col).orderBy("df", "sh")))
+          .where("n_sh > 0")
+          .select(id_col, "n_sh", F.expr(BASE_HASH_SPARK).alias("sh")))
+    ranked = (ex.withColumn("df", F.count("*").over(
+                  Window.partitionBy("sh")))
+              .withColumn("rn", F.row_number().over(
+                  Window.partitionBy(id_col).orderBy("df", "sh"))))
     prefix = ranked.where(
         F.expr(f"rn <= n_sh - ceil({threshold} * n_sh) + 1"))
     cand = (

@@ -542,15 +542,23 @@ def sample_weighted_reservoir(spark, sf_dir):
 
 
 def _allpairs_oracle(threshold: float = 0.5) -> str:
+    # Shingles are hashed to 60-bit BIGINTs exactly as the Spark side
+    # does (operators/dedup.py BASE_HASH idiom) so the prefix order —
+    # and therefore the candidate set — is bit-identical by
+    # construction, collisions included.
     return f"""
     WITH {_ext._SHINGLE_CTE},
-    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS tok
-           FROM sh WHERE len(shingles) > 0),
-    dfreq AS (SELECT tok, count(*) AS df FROM ex GROUP BY tok),
-    ranked AS (SELECT e.doc_id, e.n_sh, e.tok,
-                      row_number() OVER (PARTITION BY e.doc_id
-                                         ORDER BY d.df, e.tok) AS rn
-               FROM ex e JOIN dfreq d USING (tok)),
+    ex0 AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS tok
+            FROM sh WHERE len(shingles) > 0),
+    ex AS (SELECT doc_id, n_sh,
+                  ('0x' || substring(md5(tok), 1, 15))::BIGINT AS tok
+           FROM ex0),
+    withdf AS (SELECT doc_id, n_sh, tok,
+                      count(*) OVER (PARTITION BY tok) AS df FROM ex),
+    ranked AS (SELECT doc_id, n_sh, tok,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY df, tok) AS rn
+               FROM withdf),
     pre AS (SELECT * FROM ranked
             WHERE rn <= n_sh - ceil({threshold} * n_sh) + 1),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

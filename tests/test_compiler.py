@@ -25,6 +25,7 @@ def test_every_op_is_exercised_here():
         "intersect", "except", "alias", "repartition", "sql",
         "quantile_bucket", "gapfill", "interval_join",
         "dedup_exact", "salted_join", "zorder", "expect",
+        "anti_join_bloom",
     }
     assert exercised == set(OPS)
 

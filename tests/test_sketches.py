@@ -261,3 +261,42 @@ def test_cms_sketch_stream_matches_batch(spark, tmp_path):
            for r in spark.table("cms_stream").collect()}
     want = {(r.depth, r.slot): r.cms_count for r in batch_sketch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_allpairs_equals_inverted_index_on_random_corpora(spark):
+    """Seeded-random adversarial cross-check: tiny vocabularies force
+    dense shingle sharing (the regime that stresses prefix selection
+    hardest — high-df tokens everywhere), docs include empty and
+    sub-shingle-length texts, and thresholds hit both ceil() branches.
+    AllPairs must equal the inverted-index join on every corpus."""
+    import random
+
+    from oracle_cassandra_migrator_spark.operators.dedup import (
+        allpairs_jaccard_pairs, ngram_jaccard_pairs)
+
+    letters = "abcdefghijkl"
+    for seed, vocab, n_docs, t in [
+            (1, 8, 60, 0.5), (2, 5, 40, 0.7), (3, 12, 80, 0.3)]:
+        rng = random.Random(seed)
+        rows = []
+        for i in range(n_docs):
+            if i >= 5 and i % 5 == 0:
+                # planted near-dup: copy an earlier doc, mutate 1 word
+                words = rows[rng.randrange(i)][1].split()
+                if words:
+                    words[rng.randrange(len(words))] = rng.choice(
+                        letters[:vocab])
+                rows.append((i, " ".join(words)))
+            else:
+                rows.append((i, " ".join(
+                    rng.choice(letters[:vocab])
+                    for _ in range(rng.randint(0, 12)))))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r.doc_a, r.doc_b, r.jaccard) for r in
+               allpairs_jaccard_pairs(
+                   df, "text", "doc_id", threshold=t).collect()}
+        want = {(r.doc_a, r.doc_b, r.jaccard) for r in
+                ngram_jaccard_pairs(
+                    df, "text", "doc_id", threshold=t).collect()}
+        assert got == want, (seed, t, len(got), len(want))
+        assert want, f"vacuous corpus for seed {seed}"

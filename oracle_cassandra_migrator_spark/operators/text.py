@@ -389,3 +389,81 @@ def char_entropy_expr(text_col: str) -> str:
         f"acc -> {closed}) / size({chars}) "
         f"ELSE CAST(0.0 AS DOUBLE) END, 6)"
     )
+
+
+def _sql_quote(s: str) -> str:
+    """Escape a token for embedding in a single-quoted SQL literal
+    (both engines double the quote)."""
+    return s.replace("'", "''")
+
+
+def bpe_merge_expr(a: str, b: str) -> str:
+    """Spark expression applying ONE BPE merge (a, b) -> ab to a
+    ``toks`` array column: greedy left-to-right non-overlapping merge
+    via an aggregate() fold carrying (accumulated list, pending
+    token). Pure per-row array work — zero shuffle; the same greedy
+    semantics the oracle expresses relationally (run-parity rule),
+    equal because for a != b matches are never adjacent and for a == b
+    greedy merges exactly the even offsets of each match run."""
+    qa, qb = _sql_quote(a), _sql_quote(b)
+    qm = _sql_quote(a + b)
+    empty = "CAST(array() AS ARRAY<STRING>)"
+    return (
+        f"aggregate(toks, "
+        f"named_struct('acc', {empty}, 'pend', CAST(NULL AS STRING)), "
+        f"(s, t) -> CASE "
+        f"WHEN s.pend IS NULL THEN named_struct('acc', s.acc, 'pend', t) "
+        f"WHEN s.pend = '{qa}' AND t = '{qb}' THEN "
+        f"named_struct('acc', concat(s.acc, array('{qm}')), "
+        f"'pend', CAST(NULL AS STRING)) "
+        f"ELSE named_struct('acc', concat(s.acc, array(s.pend)), "
+        f"'pend', t) END, "
+        f"s -> IF(s.pend IS NULL, s.acc, concat(s.acc, array(s.pend))))"
+    )
+
+
+def bpe_merge_rules(spark, docs, text_col: str, k: int = 5):
+    """Train the first ``k`` BPE merge rules on the corpus and return
+    them as a DataFrame (merge_idx, left_tok, right_tok, merged,
+    pair_count).
+
+    This is tokenizer training the way real BPE trainers run it: ONE
+    corpus pass collapses the text to the word-frequency table (the
+    only corpus-scale aggregation), then every iteration works on the
+    vocab table — pair counting is a vocab-size explode + groupBy, the
+    winning pair is a deterministic argmax (count DESC, pair ASC)
+    collected driver-side (1 row — the train-out-of-plan pattern), and
+    the merge applies as a per-row fold. At 100 TB only the first
+    aggregation sees the corpus; k iterations touch O(|vocab|) rows.
+
+    The DuckDB oracle (queries/round6.py) replays all k iterations as
+    unrolled CTEs with the relational form of the same greedy merge,
+    so the rules — counts, ties, everything — match exactly."""
+    from pyspark.sql import functions as F
+
+    wc = (docs.select(F.explode(
+              F.expr(fast_words_expr(text_col))).alias("word"))
+          .groupBy("word").agg(F.count("*").alias("cnt"))
+          .withColumn("toks", F.expr("regexp_extract_all(word, '.', 0)")))
+    rules = []
+    for i in range(k):
+        pairs = wc.selectExpr(
+            "cnt",
+            "explode(CASE WHEN size(toks) >= 2 THEN "
+            "transform(sequence(1, size(toks) - 1), "
+            "j -> named_struct('a', element_at(toks, j), "
+            "'b', element_at(toks, j + 1))) "
+            "ELSE CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>) "
+            "END) AS p")
+        top = (pairs.groupBy("p.a", "p.b")
+               .agg(F.sum("cnt").cast("bigint").alias("n"))
+               .orderBy(F.col("n").desc(), "a", "b")
+               .limit(1).collect())
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        rules.append((i + 1, a, b, a + b, n))
+        wc = wc.withColumn("toks", F.expr(bpe_merge_expr(a, b)))
+    return spark.createDataFrame(
+        rules, "merge_idx long, left_tok string, right_tok string, "
+               "merged string, pair_count long")

@@ -587,3 +587,224 @@ def dedup_allpairs_prefix(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     return dedup.allpairs_jaccard_pairs(
         docs, "text", "doc_id", n=3, threshold=0.5)
+
+
+def _bpe_oracle(k: int = 5) -> str:
+    """Unrolled-CTE DuckDB replay of the k-iteration BPE train loop.
+    The greedy left-to-right merge is expressed relationally: match
+    positions, detect runs of consecutive matches (only possible when
+    left == right), merge even run offsets, drop consumed positions,
+    rebuild each word's token list ordered by position. Equivalent to
+    the Spark side's aggregate() fold (operators/text.py:
+    bpe_merge_expr)."""
+    parts = [f"""
+    w0 AS (SELECT unnest({_ext.FAST_WORDS_SQL}) AS word FROM documents),
+    v0 AS (SELECT word, count(*) AS cnt,
+                  regexp_extract_all(word, '.') AS toks
+           FROM w0 GROUP BY word)"""]
+    for i in range(1, k + 1):
+        p = i - 1
+        parts.append(f"""
+    pc{i} AS (SELECT toks[t.j] AS a, toks[t.j + 1] AS b,
+                     CAST(sum(cnt) AS BIGINT) AS n
+              FROM v{p}, UNNEST(generate_series(1, len(toks) - 1)) AS t(j)
+              GROUP BY 1, 2),
+    m{i} AS (SELECT a, b, n FROM pc{i} ORDER BY n DESC, a, b LIMIT 1),
+    p{i} AS (SELECT word, cnt, t.j AS j, toks[t.j] AS tok
+             FROM v{p}, UNNEST(generate_series(1, len(toks))) AS t(j)),
+    q{i} AS (SELECT *, lead(tok) OVER (PARTITION BY word ORDER BY j) AS nxt
+             FROM p{i}),
+    f{i} AS (SELECT *, coalesce(tok = (SELECT a FROM m{i})
+                                AND nxt = (SELECT b FROM m{i}),
+                                false) AS mt
+             FROM q{i}),
+    g{i} AS (SELECT *, CASE WHEN mt THEN
+                         j - row_number() OVER (PARTITION BY word, mt
+                                                ORDER BY j) END AS grp
+             FROM f{i}),
+    h{i} AS (SELECT *, CASE WHEN mt THEN
+                         (j - min(j) OVER (PARTITION BY word, grp)) % 2 = 0
+                       ELSE false END AS mg
+             FROM g{i}),
+    r{i} AS (SELECT *, coalesce(lag(mg) OVER (PARTITION BY word ORDER BY j),
+                                false) AS consumed
+             FROM h{i}),
+    v{i} AS (SELECT word, cnt,
+                    list(CASE WHEN mg THEN (SELECT a || b FROM m{i})
+                         ELSE tok END ORDER BY j) AS toks
+             FROM r{i} WHERE NOT consumed GROUP BY word, cnt)""")
+    rules = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_idx, a AS left_tok, "
+        f"b AS right_tok, a || b AS merged, n AS pair_count FROM m{i}"
+        for i in range(1, k + 1))
+    return "WITH " + ",".join(parts) + "\n    " + rules
+
+
+@query("text_bpe_merge_rules", oracle=_bpe_oracle())
+def text_bpe_merge_rules(spark, sf_dir):
+    """BPE tokenizer training: the first 5 merge rules learned from
+    the corpus, with the pair count each rule was chosen at
+    (deterministic argmax: count DESC, pair ASC). The train loop runs
+    the way production BPE trainers do — one corpus pass builds the
+    word-frequency table, then every iteration is vocab-sized: pair
+    counting is an explode + map-side-partial groupBy over O(|vocab|)
+    rows, the winner is a 1-row driver collect (train-out-of-plan),
+    and the merge applies as a zero-shuffle per-row fold. The oracle
+    replays all 5 iterations as unrolled CTEs with the relational
+    form of the same greedy merge, so counts and tie-breaks match
+    bit-for-bit. See operators/text.py:bpe_merge_rules."""
+    from oracle_cassandra_migrator_spark.operators.text import (
+        bpe_merge_rules)
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bpe_merge_rules(spark, docs, "text", k=5)
+
+
+# Post-contingency cluster-quality math, shared VERBATIM by the Spark
+# query (over a `ct` temp view) and the DuckDB oracle (over a `ct`
+# CTE) — one source of truth for the purity/MI/NMI arithmetic. All
+# floating terms go through floor(x * 1e9 + 0.5) integer nano-units
+# BEFORE summing, so the cross-row additions are exact and
+# order-independent on both engines; only per-term log2 rounding is
+# IEEE (same double inputs both sides).
+_CLUSTER_NMI_TAIL = """
+    t AS (
+      SELECT cell_id, label, n_cl,
+             SUM(n_cl) OVER () AS n_total,
+             SUM(n_cl) OVER (PARTITION BY cell_id) AS n_c,
+             SUM(n_cl) OVER (PARTITION BY label) AS n_l,
+             MAX(n_cl) OVER (PARTITION BY cell_id) AS mx_c,
+             ROW_NUMBER() OVER (PARTITION BY cell_id ORDER BY label) AS rn_c,
+             ROW_NUMBER() OVER (PARTITION BY label ORDER BY cell_id) AS rn_l
+      FROM ct),
+    terms AS (
+      SELECT
+        CAST(floor((CAST(n_cl AS DOUBLE) / n_total)
+             * log2((CAST(n_cl AS DOUBLE) * n_total)
+                    / (CAST(n_c AS DOUBLE) * n_l))
+             * 1e9 + 0.5) AS BIGINT) AS mi_nano,
+        CASE WHEN rn_c = 1 THEN
+          CAST(floor(-(CAST(n_c AS DOUBLE) / n_total)
+               * log2(CAST(n_c AS DOUBLE) / n_total) * 1e9 + 0.5) AS BIGINT)
+          ELSE 0 END AS hc_nano,
+        CASE WHEN rn_l = 1 THEN
+          CAST(floor(-(CAST(n_l AS DOUBLE) / n_total)
+               * log2(CAST(n_l AS DOUBLE) / n_total) * 1e9 + 0.5) AS BIGINT)
+          ELSE 0 END AS hl_nano,
+        CASE WHEN rn_c = 1 THEN mx_c ELSE 0 END AS pure_n,
+        CASE WHEN rn_c = 1 THEN 1 ELSE 0 END AS is_cell,
+        CASE WHEN rn_l = 1 THEN 1 ELSE 0 END AS is_label,
+        n_total
+      FROM t)
+    SELECT CAST(max(n_total) AS BIGINT) AS n_vecs,
+           CAST(sum(is_cell) AS BIGINT) AS n_cells,
+           CAST(sum(is_label) AS BIGINT) AS n_labels,
+           CAST(floor(CAST(sum(pure_n) AS DOUBLE) * 1e6 / max(n_total)
+                      + 0.5) AS BIGINT) AS purity_ppm,
+           round(CAST(sum(mi_nano) AS DOUBLE) / 1e9, 6) AS mutual_info_bits,
+           CASE WHEN sum(hc_nano) = 0 OR sum(hl_nano) = 0
+                THEN CAST(0.0 AS DOUBLE)
+                ELSE round(CAST(sum(mi_nano) AS DOUBLE)
+                           / sqrt(CAST(sum(hc_nano) AS DOUBLE)
+                                  * sum(hl_nano)), 6) END AS nmi
+    FROM terms
+"""
+
+
+def _cluster_nmi_oracle() -> str:
+    parts = _ext._ivf_cells_parts(43, 2)
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined},
+    ct AS (SELECT c.cell_id, e.label, CAST(count(*) AS BIGINT) AS n_cl
+           FROM cells c JOIN embeddings e ON c.vec_id = e.vec_id
+           GROUP BY c.cell_id, e.label),
+    {_CLUSTER_NMI_TAIL}
+    """
+
+
+@query("sim_cluster_quality_nmi", oracle=_cluster_nmi_oracle())
+def sim_cluster_quality_nmi(spark, sf_dir):
+    """Cluster-quality audit of the trained IVF codebook against the
+    embeddings' ground-truth labels: purity (fraction of vectors in
+    their cell's majority label) and normalized mutual information —
+    the standard external clustering metrics, closing the loop the
+    recall audits opened (recall measures retrieval quality; this
+    measures whether the cells themselves carve the space along real
+    structure, which is what IVF pruning quality rests on).
+
+    Scale shape: training + assignment are the existing bounded
+    patterns (broadcast codebook, zero-shuffle argmax); the corpus
+    then collapses to the |cells| x |labels| contingency table via one
+    keyed join + map-side-partial groupBy, and ALL metric math runs
+    over that tiny table (windows over the aggregate, never the
+    corpus). The arithmetic is the engine-shared _CLUSTER_NMI_TAIL:
+    nano-unit integer terms summed exactly, so the driver hash
+    matches."""
+    from oracle_cassandra_migrator_spark.operators import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_codebook(emb, modulus=43, iters=2)
+    cells = similarity._assign_cells(emb, cents, "embedding", "vec_id")
+    ct = (cells.join(emb.select("vec_id", "label"), "vec_id")
+          .groupBy("cell_id", "label")
+          .agg(F.count("*").cast("bigint").alias("n_cl")))
+    ct.createOrReplaceTempView("ct")
+    return spark.sql("WITH " + _CLUSTER_NMI_TAIL)
+
+
+@query(
+    "events_daily_ewma",
+    oracle="""
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1, 2),
+    j AS (SELECT *, date_diff('day',
+                              min(d) OVER (PARTITION BY event_type),
+                              d) AS jd
+          FROM daily),
+    t AS (SELECT *, SUM(CASE WHEN jd = 0 THEN n
+                             ELSE n * (1::BIGINT << CAST(jd - 1 AS INT)) END)
+                    OVER (PARTITION BY event_type ORDER BY d
+                          ROWS UNBOUNDED PRECEDING) AS tacc
+          FROM j)
+    SELECT event_type, CAST(d AS VARCHAR) AS day, n AS n_events,
+           round(CAST(tacc AS DOUBLE)
+                 / CAST((1::BIGINT << CAST(jd AS INT)) AS DOUBLE), 6) AS ewma
+    FROM t
+    """,
+)
+def events_daily_ewma(spark, sf_dir):
+    """Exponentially-weighted moving average of daily event counts per
+    type (alpha = 1/2, s_0 = x_0) — the smoothing/trend primitive
+    behind anomaly baselines, computed WITHOUT recursion: with a
+    half-life alpha the closed form s_d = (x_0 + sum_{j>=1} 2^(j-1)
+    x_j) / 2^d is a windowed prefix sum of INTEGER terms divided by a
+    power of two, so every intermediate is an exact IEEE double and
+    the two engines agree bit-for-bit (no pow(), no ordered float
+    accumulation). Weights come from shiftleft, not pow.
+
+    Scale shape: aggregate-BEFORE-window — the corpus collapses to
+    |type| x |day| rows before any ordered frame (the
+    events_anomaly_zscore gate shape). The exact closed form needs
+    day-index < 53 to stay in the double mantissa; beyond that span a
+    production pipeline chunks by epoch or maintains the recursion
+    incrementally per batch (the streaming form), which is why the
+    operator documents rather than hides the bound."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type",
+                        F.expr("CAST(ts AS DATE)").alias("d"))
+             .agg(F.count("*").cast("bigint").alias("n")))
+    j = daily.withColumn("jd", F.expr(
+        "datediff(d, min(d) OVER (PARTITION BY event_type))"))
+    t = j.withColumn("tacc", F.expr(
+        "SUM(CASE WHEN jd = 0 THEN n "
+        "ELSE n * shiftleft(CAST(1 AS BIGINT), CAST(jd - 1 AS INT)) END) "
+        "OVER (PARTITION BY event_type ORDER BY d "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
+    return t.selectExpr(
+        "event_type", "CAST(d AS STRING) AS day",
+        "n AS n_events",
+        "round(CAST(tacc AS DOUBLE) / "
+        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(jd AS INT)) AS DOUBLE), 6)"
+        " AS ewma")

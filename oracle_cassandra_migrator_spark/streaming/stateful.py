@@ -252,3 +252,63 @@ def sessionize_stateful(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+EWMA_OUT_SCHEMA = "key STRING, n_obs BIGINT, ewma DOUBLE, last_ts_us BIGINT"
+EWMA_STATE_SCHEMA = "n BIGINT, s DOUBLE, last_us BIGINT"
+
+
+def _update_ewma(alpha: float):
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, s, last_us = state.get if state.exists else (0, 0.0, -1)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "x"], kind="mergesort")
+        for r in batch.itertuples(index=False):
+            x = float(r.x)
+            s = x if n == 0 else alpha * x + (1.0 - alpha) * s
+            n += 1
+            last_us = max(last_us, int(r.ts_us))
+        state.update((int(n), float(s), int(last_us)))
+        yield pd.DataFrame({
+            "key": [key[0]], "n_obs": [int(n)],
+            "ewma": [float(s)], "last_ts_us": [int(last_us)],
+        })
+
+    return update
+
+
+def ewma_stream(
+    stream: DataFrame, key_col: str, value_col: str, ts_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Streaming per-key EWMA: the incremental recursive form of
+    ``events_daily_ewma``'s closed formula — s := alpha*x +
+    (1-alpha)*s per observation, folded in (event-time, value) order
+    within each micro-batch, with s carried across batches in the
+    state store. This IS the 100 TB/unbounded-span answer the batch
+    query's docstring points to: the closed form needs the day index
+    inside the double mantissa, the recursion needs only O(keys)
+    state forever.
+
+    Emits one updated (key, n_obs, ewma, last_ts_us) row per key per
+    micro-batch (update mode). Exactly equal to the batch fold over
+    the same rows in the same order — identical FP operations — which
+    the stream==batch pytest pins across a two-batch split."""
+    from pyspark.sql import functions as F
+
+    prepared = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.expr(f"CAST(unix_micros(CAST({ts_col} AS TIMESTAMP)) AS BIGINT)")
+        .alias("ts_us"),
+        F.col(value_col).cast("double").alias("x"))
+    return prepared.groupBy("key").applyInPandasWithState(
+        _update_ewma(alpha),
+        outputStructType=EWMA_OUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

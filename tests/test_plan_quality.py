@@ -494,6 +494,10 @@ _NL_JOIN_ALLOWED = {
     # r6: ivfpq_recall composes sim_ann_ivfpq_topk (already allowed);
     # text_word_pmi broadcast-crossjoins the two ONE-ROW corpus totals.
     "sim_ann_ivfpq_recall", "text_word_pmi",
+    # cluster NMI assigns cells via the standard ONE-ROW broadcast
+    # codebook crossJoin (similarity._assign_cells, same as the sim_ivf
+    # family above); the metric math itself is window-only.
+    "sim_cluster_quality_nmi",
 }
 
 

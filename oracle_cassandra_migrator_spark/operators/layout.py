@@ -61,3 +61,56 @@ def zorder_frame(df: DataFrame, cols: list[str], n_files: int,
     z = zorder_value_expr(cols, bounds, bits)
     return (df.repartitionByRange(n_files, F.expr(z))
             .sortWithinPartitions(F.expr(z)))
+
+
+def plan_compaction(
+    files: list[tuple[str, int]], target_bytes: int,
+) -> list[list[str]]:
+    """Small-files compaction plan: first-fit-decreasing bin packing
+    of (path, size) pairs into bins of at most ``target_bytes`` (a
+    file larger than the target gets its own bin — compaction never
+    splits files). Returns lists of paths, deterministic for a given
+    input (sizes descending, path ascending tiebreak).
+
+    This is the ops half of the small-files problem every incremental
+    pipeline accumulates (the reference writes one object per staged
+    file, so daily runs produce thousands of KB-sized parquet files;
+    scan cost and NameNode/liststore pressure are O(files)). The plan
+    is pure driver-side metadata — O(files) like the marker store,
+    never touching rows; the APPLY step is a per-bin coalesced read →
+    write (see compact_parquet_bins), embarrassingly parallel across
+    bins at any scale. FFD guarantees <= (11/9)·OPT + 1 bins — within
+    ~22% of the best possible file count."""
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    ordered = sorted(files, key=lambda f: (-f[1], f[0]))
+    bins: list[list[str]] = []
+    space: list[int] = []
+    for path, size in ordered:
+        for i in range(len(bins)):
+            if space[i] >= size:
+                bins[i].append(path)
+                space[i] -= size
+                break
+        else:
+            bins.append([path])
+            space.append(max(target_bytes - size, 0))
+    return bins
+
+
+def compact_parquet_bins(
+    spark, bins: list[list[str]], dest_dir: str,
+) -> list[str]:
+    """Apply a compaction plan: each bin's files are read together and
+    written as ONE parquet file under ``dest_dir/bin-<i>`` (coalesce(1)
+    is safe — a bin is at most target_bytes by construction). Returns
+    the bin output directories. Bins are independent: on a cluster,
+    run them as parallel jobs or one job over a bin-id-partitioned
+    file list; locally the loop is fine because each bin is tiny."""
+    out = []
+    for i, paths in enumerate(bins):
+        d = f"{dest_dir.rstrip('/')}/bin-{i:05d}"
+        spark.read.parquet(*paths).coalesce(1).write.mode(
+            "overwrite").parquet(d)
+        out.append(d)
+    return out

@@ -300,3 +300,38 @@ def test_allpairs_equals_inverted_index_on_random_corpora(spark):
                     df, "text", "doc_id", threshold=t).collect()}
         assert got == want, (seed, t, len(got), len(want))
         assert want, f"vacuous corpus for seed {seed}"
+
+
+def test_hll_sketch_stream_matches_batch(spark, tmp_path):
+    """Streaming distinct-user estimation: hll_sketch_agg is a
+    commutative mergeable aggregate, so the identical groupBy runs as
+    a complete-mode streaming query and must produce the same
+    per-type estimates as the batch aggregation — the streaming
+    composition of the agg_hll_sketch_rollup pattern (state is one
+    fixed-size sketch per key, never the user set)."""
+    ev = (read_table(spark, SF_SMALL, "events")
+          .select("event_type", "user_id"))
+    src = str(tmp_path / "hll_src")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+
+    def estimates(df):
+        return (df.groupBy("event_type")
+                .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))")
+                     .alias("est")))
+
+    batch = {(r.event_type, r.est)
+             for r in estimates(spark.read.parquet(src)).collect()}
+    stream = (spark.readStream.schema("event_type string, user_id long")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (estimates(stream)
+         .writeStream.format("memory").queryName("hll_stream")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.event_type, r.est) for r in spark.table("hll_stream").collect()}
+    assert got == batch and len(batch) > 0
+    # sanity vs exact: estimates within 5% of true distinct counts
+    exact = {r.event_type: r.n for r in
+             spark.read.parquet(src).groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    for typ, est in got:
+        assert abs(est - exact[typ]) <= 0.05 * exact[typ] + 1

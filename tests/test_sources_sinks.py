@@ -220,3 +220,67 @@ def test_zorder_layout_narrows_file_stats_on_both_columns(spark, tmp_path):
         z = mean_span(z_dir, col)
         plain = mean_span(plain_dir, col)
         assert z < 0.7 * plain, (col, z, plain)
+
+
+def test_compaction_plan_properties():
+    """FFD plan invariants under hypothesis: every file lands in
+    exactly one bin, no bin exceeds the target unless it holds a
+    single oversized file, and the bin count is within the FFD bound
+    of the volume lower bound."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from oracle_cassandra_migrator_spark.operators.layout import (
+        plan_compaction)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(1, 5000), min_size=0, max_size=60),
+        target=st.integers(1, 6000),
+    )
+    def check(sizes, target):
+        files = [(f"f{i:03d}", s) for i, s in enumerate(sizes)]
+        by_path = dict(files)
+        bins = plan_compaction(files, target)
+        flat = [p for b in bins for p in b]
+        assert sorted(flat) == sorted(p for p, _ in files)
+        for b in bins:
+            total = sum(by_path[p] for p in b)
+            assert total <= target or len(b) == 1
+        if sizes and all(s <= target for s in sizes):
+            lower = math.ceil(sum(sizes) / target)
+            assert len(bins) <= math.ceil(11 * lower / 9) + 1
+        assert bins == plan_compaction(list(reversed(files)), target)
+
+    check()
+
+
+def test_compaction_apply_roundtrip(spark, tmp_path):
+    """Applying the plan merges many small files into one file per
+    bin with no row lost or duplicated."""
+    import glob
+    import os
+
+    from oracle_cassandra_migrator_spark.operators.layout import (
+        compact_parquet_bins, plan_compaction)
+
+    src = tmp_path / "small"
+    for i in range(6):
+        (spark.range(i * 100, (i + 1) * 100)
+         .coalesce(1).write.mode("overwrite")
+         .parquet(str(src / f"part{i}")))
+    files = []
+    for i in range(6):
+        for p in glob.glob(str(src / f"part{i}" / "*.parquet")):
+            files.append((p, os.path.getsize(p)))
+    target = 3 * max(s for _, s in files)
+    bins = plan_compaction(files, target)
+    assert 1 < len(bins) < 6
+    outs = compact_parquet_bins(spark, bins, str(tmp_path / "compacted"))
+    for d in outs:
+        assert len(glob.glob(f"{d}/*.parquet")) == 1
+    total = spark.read.parquet(*outs).count()
+    assert total == 600
+    assert (spark.read.parquet(*outs).distinct().count() == 600)

@@ -808,3 +808,71 @@ def events_daily_ewma(spark, sf_dir):
         "round(CAST(tacc AS DOUBLE) / "
         "CAST(shiftleft(CAST(1 AS BIGINT), CAST(jd AS INT)) AS DOUBLE), 6)"
         " AS ewma")
+
+
+@query(
+    "corpus_drift_report",
+    oracle=f"""
+    WITH d AS (SELECT doc_id % 5 = 0 AS is_new, {_ext.FAST_WORDS_SQL} AS w
+               FROM documents),
+    ex AS (SELECT is_new, unnest(w) AS tok FROM d),
+    tc AS (SELECT tok,
+                  CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT)
+                      AS n_base,
+                  CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_new
+           FROM ex GROUP BY tok),
+    t AS (SELECT *,
+                 SUM(n_base) OVER () AS t_base,
+                 SUM(n_new) OVER () AS t_new
+          FROM tc),
+    r AS (SELECT tok AS token, n_base, n_new,
+                 CAST(floor(CAST(n_base AS DOUBLE) * 1e6 / t_base + 0.5)
+                      AS BIGINT) AS rate_base_ppm,
+                 CAST(floor(CAST(n_new AS DOUBLE) * 1e6 / t_new + 0.5)
+                      AS BIGINT) AS rate_new_ppm
+          FROM t)
+    SELECT token, n_base, n_new, rate_base_ppm, rate_new_ppm,
+           abs(rate_base_ppm - rate_new_ppm) AS drift_ppm
+    FROM r
+    ORDER BY drift_ppm DESC, token
+    LIMIT 20
+    """,
+)
+def corpus_drift_report(spark, sf_dir):
+    """Snapshot-over-snapshot distribution drift: token rates (ppm) in
+    the base slice (doc_id % 5 != 0) vs the new slice, top-20 tokens by
+    absolute rate drift — the data-quality gate an incremental corpus
+    pipeline runs before accepting a crawl (a scraper regression or
+    boilerplate flood shows up here before it poisons training).
+
+    Scale shape: ONE pass — both slices' counts come out of a single
+    conditional-sum groupBy on the token (map-side partials), never
+    two scans joined; corpus totals are windows OVER the vocab-sized
+    aggregate; the ranking is TakeOrderedAndProject. Rates are
+    floor(+0.5) integer ppm so the driver hash is exact."""
+    from oracle_cassandra_migrator_spark.operators.text import (
+        fast_words_expr)
+
+    docs = read_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        F.expr("doc_id % 5 = 0").alias("is_new"),
+        F.explode(F.expr(fast_words_expr("text"))).alias("tok"))
+    tc = (ex.groupBy("tok")
+          .agg(F.expr("CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END)"
+                      " AS BIGINT)").alias("n_base"),
+               F.expr("CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END)"
+                      " AS BIGINT)").alias("n_new")))
+    t = (tc.withColumn("t_base", F.expr("SUM(n_base) OVER ()"))
+         .withColumn("t_new", F.expr("SUM(n_new) OVER ()")))
+    r = t.selectExpr(
+        "tok AS token", "n_base", "n_new",
+        "CAST(floor(CAST(n_base AS DOUBLE) * 1e6 / t_base + 0.5)"
+        " AS BIGINT) AS rate_base_ppm",
+        "CAST(floor(CAST(n_new AS DOUBLE) * 1e6 / t_new + 0.5)"
+        " AS BIGINT) AS rate_new_ppm")
+    return (r.withColumn(
+                "drift_ppm",
+                F.expr("abs(rate_base_ppm - rate_new_ppm)"))
+            .orderBy(F.col("drift_ppm").desc(), "token")
+            .limit(20))

@@ -54,6 +54,11 @@ class PipelineResult:
     files_written: int = 0
     files_skipped: int = 0
     duration_sec: float = 0.0
+    # in-flight metrics captured DURING the transform write via
+    # df.observe() — zero extra jobs (vs. the reference's count()-
+    # after-write at py:317-325); {} when the phase was skipped on
+    # resume (metrics describe work actually performed this run).
+    transform_metrics: dict = field(default_factory=dict)
 
 
 class Pipeline:
@@ -113,10 +118,24 @@ class Pipeline:
             return out
         staged = self.stage_sources(result)
         df = compile_transform(self.spark, staged, self.spec["transform"])
+        # Observation metrics ride the write job itself: n_rows always,
+        # plus any spec-declared aggregate expressions ("observe":
+        # {"metric": "agg expr"}). One job total — the metrics are
+        # side outputs of the write, not follow-up scans.
+        from pyspark.sql import Observation, functions as F
+
+        obs = Observation(f"{self.name}-transform")
+        metric_cols = [F.count(F.lit(1)).alias("n_rows")]
+        for mname, expr in self.spec.get("observe", {}).items():
+            metric_cols.append(F.expr(expr).alias(mname))
+        df = df.observe(obs, *metric_cols)
         write_sink(df, {
             "format": "parquet", "path": out, "mode": "overwrite",
             "repartition": self.spec.get("transform_partitions"),
         })
+        result.transform_metrics = dict(obs.get)
+        logger.info("[%s] transform metrics: %s", self.name,
+                    result.transform_metrics)
         result.phases_run.append("transform")
         return out
 

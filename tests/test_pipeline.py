@@ -166,3 +166,25 @@ def test_crash_after_write_before_marker_does_not_duplicate(spark, tmp_path):
     r2 = Pipeline(spark, spec, state).run()
     assert r2.files_written == r1.files_written  # rewrote every file
     assert spark.read.parquet(str(tmp_path / "sink")).count() == expected
+
+
+def test_transform_observation_metrics_ride_the_write(spark, tmp_path):
+    """df.observe() metrics are captured during the transform write —
+    n_rows always, spec-declared aggregates too — with NO extra count
+    job; a resumed run that skips the phase reports no metrics (it did
+    no transform work)."""
+    spec = make_spec(tmp_path)
+    spec["observe"] = {
+        "n_null_names": "sum(CASE WHEN name IS NULL THEN 1 ELSE 0 END)",
+        "max_total": "max(total)",
+    }
+    state = LocalFSStateStore()
+    r1 = Pipeline(spark, spec, state).run()
+    sink_rows = spark.read.parquet(str(tmp_path / "sink")).count()
+    assert r1.transform_metrics["n_rows"] == sink_rows > 0
+    assert r1.transform_metrics["n_null_names"] == 0
+    assert r1.transform_metrics["max_total"] == \
+        spark.read.parquet(str(tmp_path / "sink")).agg(
+            {"total": "max"}).collect()[0][0]
+    r2 = Pipeline(spark, spec, state).run()
+    assert r2.transform_metrics == {}

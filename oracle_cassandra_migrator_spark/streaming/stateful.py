@@ -312,3 +312,90 @@ def ewma_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+BLOOM_DEDUP_OUT_SCHEMA = "shard INT, doc_id BIGINT"
+BLOOM_DEDUP_STATE_SCHEMA = "words BINARY"
+
+
+def _bloom_dedup_positions(fp: str, m_bits: int, k: int) -> list[int]:
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{i}:{fp}".encode()).hexdigest()[:15], 16) % m_bits
+        for i in range(k)
+    ]
+
+
+def _update_bloom_dedup(m_bits: int, k: int):
+    n_words = m_bits // 64
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if state.exists:
+            words = np.frombuffer(state.get[0], dtype=np.uint64).copy()
+        else:
+            words = np.zeros(n_words, dtype=np.uint64)
+        admitted = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["doc_id"], kind="mergesort")
+        for r in batch.itertuples(index=False):
+            pos = _bloom_dedup_positions(str(r.fp), m_bits, k)
+            hit = all(
+                (int(words[p // 64]) >> (p % 64)) & 1 for p in pos)
+            if not hit:
+                admitted.append(int(r.doc_id))
+                for p in pos:
+                    words[p // 64] = np.uint64(
+                        int(words[p // 64]) | (1 << (p % 64)))
+        state.update((words.tobytes(),))
+        yield pd.DataFrame({
+            "shard": [int(key[0])] * len(admitted),
+            "doc_id": admitted,
+        })
+
+    return update
+
+
+def bloom_dedup_stream(
+    stream: DataFrame, fp_col: str, id_col: str,
+    n_shards: int = 8, m_bits: int = 16_384, k: int = 3,
+) -> DataFrame:
+    """Streaming dedup with BOUNDED state: fingerprints shard by hash
+    into ``n_shards`` state groups, each holding one fixed-size Bloom
+    filter (m_bits/8 bytes — forever); a row is admitted iff its
+    fingerprint's bits were not already all set in its shard, then the
+    bits are set. Exactly-once admission of first-seen fingerprints,
+    with an approximate twist: a false positive DROPS a unique row
+    (rate = the bloom FP rate at the shard's fill), never duplicates.
+
+    This is the 100 TB/unbounded-stream counterpart of
+    ``stream.dropDuplicates`` — whose state grows with DISTINCT KEYS
+    FOREVER unless a watermark bounds it, which only works when dups
+    arrive close in time. Sharding multiplies both capacity and
+    parallelism (state ops scale across the shard keys); at a real
+    deployment m_bits scales with expected corpus cardinality. The
+    md5-position scheme is the batch operator's exactly
+    (operators/sketches.py), and the whole thing is deterministic:
+    rows fold in (shard, doc_id) order, so a replayed batch admits the
+    identical set — pinned against a plain-Python simulation in
+    pytest."""
+    from pyspark.sql import functions as F
+
+    prepared = stream.select(
+        F.expr(f"CAST(CAST(conv(substring(md5({fp_col}), 1, 8), 16, 10)"
+               f" AS BIGINT) % {n_shards} AS INT)").alias("shard"),
+        F.col(fp_col).cast("string").alias("fp"),
+        F.col(id_col).cast("bigint").alias("doc_id"))
+    return prepared.groupBy("shard").applyInPandasWithState(
+        _update_bloom_dedup(m_bits, k),
+        outputStructType=BLOOM_DEDUP_OUT_SCHEMA,
+        stateStructType=BLOOM_DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -605,3 +605,70 @@ def test_sessionize_stateful_timeout_closes_idle_session(spark, tmp_path):
     rows = {tuple(r) for r in spark.table("sessions").collect()}
     assert want_user1 in rows          # closed by TIMEOUT, not by data
     assert (2, us(0), us(0), 1) in rows  # closed inline by the split
+
+
+def test_bloom_dedup_stream_bounded_state_matches_simulation(spark, tmp_path):
+    """Streaming bloom dedup must (a) admit exactly the set a plain-
+    Python simulation of the same shard/bloom/order scheme admits —
+    determinism — (b) never admit the same fingerprint twice, even
+    when the duplicate arrives in a LATER micro-batch (state carries),
+    and (c) keep state at one fixed-size filter per shard."""
+    import hashlib
+    import time
+
+    from oracle_cassandra_migrator_spark.streaming.stateful import (
+        _bloom_dedup_positions, bloom_dedup_stream)
+
+    # 300 docs with fingerprints; ids 200-299 duplicate 100-199's fps,
+    # split so every duplicate lands in the SECOND batch
+    rows = [(i, f"fp-{i % 200}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, fp string")
+    src = str(tmp_path / "bloomdedup_src")
+    df.where("doc_id < 200").coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = (spark.readStream.schema("doc_id long, fp string")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (bloom_dedup_stream(stream, "fp", "doc_id", n_shards=4)
+         .writeStream.format("memory").queryName("bloom_dedup")
+         .outputMode("append").trigger(processingTime="500 milliseconds")
+         .start())
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and not spark.table(
+                "bloom_dedup").count():
+            time.sleep(0.5)
+        df.where("doc_id >= 200").coalesce(1).write.mode(
+            "append").parquet(src)
+        time.sleep(5)
+        deadline = time.time() + 90
+        prev = -1
+        while time.time() < deadline:
+            n = spark.table("bloom_dedup").count()
+            if n == prev:
+                break
+            prev = n
+            time.sleep(2)
+        got = {r.doc_id for r in spark.table("bloom_dedup").collect()}
+    finally:
+        q.stop()
+
+    # python simulation: same sharding, same per-batch (shard, doc_id)
+    # fold order, same md5 positions
+    def shard_of(fp):
+        return int(hashlib.md5(fp.encode()).hexdigest()[:8], 16) % 4
+
+    filters = {s: set() for s in range(4)}
+    want = set()
+    for lo, hi in ((0, 200), (200, 300)):
+        batch = sorted(
+            (shard_of(fp), i, fp) for i, fp in rows[lo:hi])
+        for s, i, fp in batch:
+            pos = _bloom_dedup_positions(fp, 16_384, 3)
+            if not all(p in filters[s] for p in pos):
+                want.add(i)
+                filters[s].update(pos)
+    assert got == want
+    # no fingerprint admitted twice; ids 200+ are all dups of batch 1
+    assert all(i < 200 for i in got)
+    # bloom FPs may drop a few uniques, never many at this fill
+    assert len(got) >= 190

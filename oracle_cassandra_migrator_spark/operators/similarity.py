@@ -56,9 +56,18 @@ def cosine_pairs(
     vec_col: str = "embedding", id_col: str = "vec_id",
 ) -> DataFrame:
     """All pairs (a < b) with cosine >= threshold. O(n^2) compare —
-    use only on small or pre-blocked inputs; see lsh_bucketed_topk."""
-    a = embeddings.select(F.col(id_col).alias("id_a"),
-                          F.col(vec_col).alias("va"))
+    use only on small or pre-blocked inputs; see lsh_bucketed_topk.
+
+    The streamed side is repartitioned to the session parallelism
+    first: single-file inputs otherwise arrive as ONE partition, and a
+    nested-loop join's parallelism is exactly its streamed side's
+    partition count (measured 128 s -> 7 s at sf0.1 on local[32]).
+    The work is still quadratic — that is this baseline's documented
+    point — but it is quadratic across all cores."""
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    a = (embeddings.select(F.col(id_col).alias("id_a"),
+                           F.col(vec_col).alias("va"))
+         .repartition(par, "id_a"))
     b = embeddings.select(F.col(id_col).alias("id_b"),
                           F.col(vec_col).alias("vb"))
     ea = DOUBLE_VEC.format(col="va")

@@ -795,8 +795,16 @@ def events_daily_ewma(spark, sf_dir):
     daily = (ev.groupBy("event_type",
                         F.expr("CAST(ts AS DATE)").alias("d"))
              .agg(F.count("*").cast("bigint").alias("n")))
+    # Hard guard on the closed form's validity bound: past day index
+    # 52 the 2^j weights leave the double mantissa and the result
+    # would be silently wrong — fail loudly instead (the fix at that
+    # span is the streaming recursion, stateful.ewma_stream).
     j = daily.withColumn("jd", F.expr(
-        "datediff(d, min(d) OVER (PARTITION BY event_type))"))
+        "datediff(d, min(d) OVER (PARTITION BY event_type))")
+    ).withColumn("jd", F.expr(
+        "CASE WHEN jd > 52 THEN CAST(raise_error("
+        "'events_daily_ewma: day span exceeds the exact closed form; "
+        "use streaming.stateful.ewma_stream') AS INT) ELSE jd END"))
     t = j.withColumn("tacc", F.expr(
         "SUM(CASE WHEN jd = 0 THEN n "
         "ELSE n * shiftleft(CAST(1 AS BIGINT), CAST(jd - 1 AS INT)) END) "

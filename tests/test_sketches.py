@@ -335,3 +335,27 @@ def test_hll_sketch_stream_matches_batch(spark, tmp_path):
              .agg(F.countDistinct("user_id").alias("n")).collect()}
     for typ, est in got:
         assert abs(est - exact[typ]) <= 0.05 * exact[typ] + 1
+
+
+def test_reservoir_weighting_actually_biases_selection(spark):
+    """A-ES must pick heavier items more often: 400 strata, each with
+    one weight-9 and one weight-1 item; with k=1 per stratum the
+    heavy item's inclusion probability is 0.9, so its deterministic
+    md5-driven win count must land near 360 — a sampler that ignores
+    weights (p=0.5) or inverts them would fall far outside the band."""
+    from oracle_cassandra_migrator_spark.operators.sampling import (
+        reservoir_key_expr)
+    from pyspark.sql.window import Window
+
+    rows = []
+    for s in range(400):
+        rows.append((s, s * 2, 9.0))      # heavy item
+        rows.append((s, s * 2 + 1, 1.0))  # light item
+    df = spark.createDataFrame(rows, "stratum int, item_id long, w double")
+    keyed = df.withColumn("res_key", F.expr(
+        reservoir_key_expr("item_id", "w")))
+    win = Window.partitionBy("stratum").orderBy("res_key", "item_id")
+    picked = (keyed.withColumn("rn", F.row_number().over(win))
+              .where("rn = 1"))
+    heavy_wins = picked.where("w = 9.0").count()
+    assert 330 <= heavy_wins <= 385, heavy_wins

@@ -359,3 +359,46 @@ def test_reservoir_weighting_actually_biases_selection(spark):
               .where("rn = 1"))
     heavy_wins = picked.where("w = 9.0").count()
     assert 330 <= heavy_wins <= 385, heavy_wins
+
+
+def test_custom_minhash_vs_spark_ml_minhashlsh(spark):
+    """SURVEY 2.12 maps near-dedup to ml.feature.MinHashLSH; the
+    catalog ships its own md5-deterministic MinHash instead (ML's
+    per-instance hash seeds are not oracle-replayable). Cross-validate
+    the two against the exact inverted-index pairs on the SAME shingle
+    sets: approxSimilarityJoin's exact-distance filter must emit only
+    true pairs, and both LSH front-ends must recall most of them
+    (P(band hit) >= 0.82 at j = 0.5 for ours; 1-(1-j)^6 = 0.98 for
+    ML's 6 OR-ed tables)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from oracle_cassandra_migrator_spark.operators.text import (
+        with_shingles)
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    exact = {(r.doc_a, r.doc_b) for r in
+             QUERIES["dedup_ngram_jaccard"](spark, SF_SMALL).collect()}
+    assert exact
+
+    shingled = (with_shingles(docs.select("doc_id", "text"), "text", 3)
+                .where("size(shingles) > 0"))
+    tf = HashingTF(inputCol="shingles", outputCol="features",
+                   numFeatures=1 << 18, binary=True)
+    feats = tf.transform(shingled)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
+                     numHashTables=6, seed=42).fit(feats)
+    joined = (lsh.approxSimilarityJoin(feats, feats, 0.5, "dist")
+              .selectExpr("datasetA.doc_id AS doc_a",
+                          "datasetB.doc_id AS doc_b")
+              .where("doc_a < doc_b"))
+    ml_pairs = {(r.doc_a, r.doc_b) for r in joined.collect()}
+
+    # precision: every ML pair passed an exact distance filter on the
+    # same shingle sets (modulo 2^18-feature hash collisions: none at
+    # this vocab size)
+    assert ml_pairs <= exact
+    # recall of both approximate front-ends
+    assert len(ml_pairs & exact) >= 0.8 * len(exact)
+    ours = {(r.doc_a, r.doc_b) for r in
+            QUERIES["dedup_minhash_lsh"](spark, SF_SMALL).collect()}
+    assert len(ours & exact) >= 0.8 * len(exact)

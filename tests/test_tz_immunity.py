@@ -22,6 +22,11 @@ DATE_BEARING = [
     "pricing_summary",
     "tpch_q6_forecast_revenue",
     "events_funnel_counts",
+    # round-5 second wave: the EWMA day index derives from CAST(ts AS
+    # DATE) over NTZ micros, the rolling/gapfill pair already proved
+    # the pattern; drift/sampling are date-free but ride along cheap
+    "events_daily_ewma",
+    "events_type_transition_matrix",
 ]
 
 

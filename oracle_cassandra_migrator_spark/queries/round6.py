@@ -884,3 +884,117 @@ def corpus_drift_report(spark, sf_dir):
                 F.expr("abs(rate_base_ppm - rate_new_ppm)"))
             .orderBy(F.col("drift_ppm").desc(), "token")
             .limit(20))
+
+
+@query(
+    "sketch_theta_set_algebra",
+    oracle="""
+    WITH pu AS (SELECT user_id,
+                       max(event_type = 'purchase') AS has_a,
+                       max(event_type = 'click') AS has_b
+                FROM events
+                WHERE CAST(ts AS DATE) < DATE '2024-01-06'
+                GROUP BY user_id)
+    SELECT CAST(sum(CASE WHEN has_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN has_b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(sum(CASE WHEN has_a AND has_b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_both,
+           CAST(sum(CASE WHEN has_a OR has_b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_union,
+           CAST(sum(CASE WHEN has_a AND NOT has_b THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_only_a,
+           TRUE AS inter_ok, TRUE AS union_ok, TRUE AS diff_ok
+    FROM pu
+    """,
+)
+def sketch_theta_set_algebra(spark, sf_dir):
+    """Theta-sketch set algebra (Spark 4.1 DataSketches builtins) as a
+    checked bounded-error contract: early-window purchasers (set A) vs
+    clickers (set B), with |A∩B|, |A∪B|, |A\\B| estimated via
+    theta_intersection / theta_union / theta_difference — the
+    capability HLL fundamentally lacks (HLL unions only; see
+    agg_hll_sketch_rollup). Exact counts are the hash-compared
+    columns; the booleans pin each theta estimate within 2% of truth
+    (below the sketch's 4096 nominal entries theta runs in exact mode,
+    so there is wide headroom — a silent estimator regression flips
+    the hash).
+
+    Scale shape: ONE user-keyed aggregation collapses events to
+    per-user flags; exact counts and all six sketches come out of a
+    single second aggregation over that — no joins, no corpus rescans.
+    At 100 TB the sketches become the only carried state: fixed-size,
+    mergeable across shards/days, and intersectable AFTER the fact —
+    the audience-overlap query pattern."""
+    ev = read_table(spark, sf_dir, "events")
+    pu = (ev.where("CAST(ts AS DATE) < DATE '2024-01-06'")
+          .groupBy("user_id")
+          .agg(F.expr("max(event_type = 'purchase')").alias("has_a"),
+               F.expr("max(event_type = 'click')").alias("has_b")))
+    agg = pu.agg(
+        F.expr("CAST(sum(CASE WHEN has_a THEN 1 ELSE 0 END) AS BIGINT)")
+            .alias("n_a"),
+        F.expr("CAST(sum(CASE WHEN has_b THEN 1 ELSE 0 END) AS BIGINT)")
+            .alias("n_b"),
+        F.expr("CAST(sum(CASE WHEN has_a AND has_b THEN 1 ELSE 0 END)"
+               " AS BIGINT)").alias("n_both"),
+        F.expr("CAST(sum(CASE WHEN has_a OR has_b THEN 1 ELSE 0 END)"
+               " AS BIGINT)").alias("n_union"),
+        F.expr("CAST(sum(CASE WHEN has_a AND NOT has_b THEN 1 ELSE 0 END)"
+               " AS BIGINT)").alias("n_only_a"),
+        F.expr("theta_sketch_agg(CASE WHEN has_a THEN user_id END)")
+            .alias("ska"),
+        F.expr("theta_sketch_agg(CASE WHEN has_b THEN user_id END)")
+            .alias("skb"),
+    )
+    ok = ("abs(theta_sketch_estimate({expr}) - {exact})"
+          " <= 0.02 * {exact} + 1")
+    return agg.selectExpr(
+        "n_a", "n_b", "n_both", "n_union", "n_only_a",
+        ok.format(expr="theta_intersection(ska, skb)", exact="n_both")
+        + " AS inter_ok",
+        ok.format(expr="theta_union(ska, skb)", exact="n_union")
+        + " AS union_ok",
+        ok.format(expr="theta_difference(ska, skb)", exact="n_only_a")
+        + " AS diff_ok",
+    )
+
+
+@query(
+    "sketch_kll_price_quantiles",
+    oracle="""
+    SELECT round(quantile_cont(l_extendedprice::DOUBLE, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice::DOUBLE, 0.90), 4) AS p90,
+           TRUE AS kll_p50_ok, TRUE AS kll_p90_ok
+    FROM lineitem
+    """,
+)
+def sketch_kll_price_quantiles(spark, sf_dir):
+    """KLL quantile sketch (Spark 4.1 DataSketches builtins) as a
+    checked bounded-error contract: exact interpolated p50/p90 of
+    lineitem prices are the hash-compared values (percentile ==
+    DuckDB quantile_cont, the convention agg_approx_percentiles
+    proved); the booleans pin each KLL estimate inside the exact
+    quantile envelope at rank +/- 2% — KLL's guarantee is ~1.7% rank
+    error at the default k=200, so a regression flips the hash.
+
+    Why carry KLL next to approx_percentile: KLL sketches are
+    MERGEABLE FIRST-CLASS VALUES (kll_merge_agg_double) — per-shard /
+    per-day sketches roll up like the HLL and theta families, which
+    approx_percentile's internal-only sketch cannot do. That is the
+    quantile story at 100 TB: one fixed-size sketch per partition,
+    merged hierarchically, queried at any rank after the fact."""
+    val = "CAST(l_extendedprice AS DOUBLE)"
+    li = read_table(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.expr(f"percentile({val}, array(0.50D, 0.90D))").alias("ex"),
+        F.expr(f"percentile({val}, array(0.48D, 0.88D))").alias("lo"),
+        F.expr(f"percentile({val}, array(0.52D, 0.92D))").alias("hi"),
+        F.expr(f"kll_sketch_agg_double({val})").alias("sk"),
+    )
+    return agg.selectExpr(
+        "round(ex[0], 4) AS p50", "round(ex[1], 4) AS p90",
+        "kll_sketch_get_quantile_double(sk, 0.50)"
+        " BETWEEN lo[0] AND hi[0] AS kll_p50_ok",
+        "kll_sketch_get_quantile_double(sk, 0.90)"
+        " BETWEEN lo[1] AND hi[1] AS kll_p90_ok",
+    )

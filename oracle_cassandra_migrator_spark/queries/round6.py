@@ -998,3 +998,54 @@ def sketch_kll_price_quantiles(spark, sf_dir):
         "kll_sketch_get_quantile_double(sk, 0.90)"
         " BETWEEN lo[1] AND hi[1] AS kll_p90_ok",
     )
+
+
+@query(
+    "events_props_variant_stats",
+    oracle="""
+    WITH m AS (SELECT event_type,
+                      CASE WHEN event_id % 97 = 0
+                           THEN substring(props, 1, 3) ELSE props END AS p
+               FROM events),
+    v AS (SELECT event_type,
+                 CASE WHEN json_valid(p)
+                      THEN CAST(json_extract_string(p, '$.k') AS BIGINT)
+                 END AS k,
+                 CASE WHEN json_valid(p) THEN 0 ELSE 1 END AS bad
+          FROM m)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(bad) AS BIGINT) AS n_malformed,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(max(k) AS BIGINT) AS max_k
+    FROM v GROUP BY event_type
+    """,
+)
+def events_props_variant_stats(spark, sf_dir):
+    """The VARIANT type (Spark 4 semi-structured columnar encoding) in
+    the driver-checked catalog, not just pytest: props parse through
+    try_parse_json into VARIANT, fields extract via typed
+    variant_get, and deliberately-mangled rows (event_id % 97 — a
+    truncated prefix) exercise the malformed path: try_parse_json
+    nulls them instead of failing the job, and they are counted
+    explicitly. The DuckDB oracle mirrors with json_valid +
+    json_extract_string.
+
+    Scale shape: parse + extract are per-row (VARIANT's shredded
+    binary encoding is exactly what makes repeated path access cheap
+    at scale vs re-parsing JSON text); the only shuffle is the final
+    |type|-group aggregate with map-side partials."""
+    ev = read_table(spark, sf_dir, "events")
+    m = ev.selectExpr(
+        "event_type",
+        "CASE WHEN event_id % 97 = 0 THEN substring(props, 1, 3)"
+        " ELSE props END AS p")
+    v = m.selectExpr(
+        "event_type",
+        "variant_get(try_parse_json(p), '$.k', 'bigint') AS k",
+        "CASE WHEN try_parse_json(p) IS NULL THEN 1 ELSE 0 END AS bad")
+    return v.groupBy("event_type").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_events"),
+        F.expr("CAST(sum(bad) AS BIGINT)").alias("n_malformed"),
+        F.expr("CAST(sum(k) AS BIGINT)").alias("sum_k"),
+        F.expr("CAST(max(k) AS BIGINT)").alias("max_k"))

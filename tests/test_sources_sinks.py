@@ -284,3 +284,27 @@ def test_compaction_apply_roundtrip(spark, tmp_path):
     total = spark.read.parquet(*outs).count()
     assert total == 600
     assert (spark.read.parquet(*outs).distinct().count() == 600)
+
+
+def test_read_source_merges_evolved_schemas(spark, tmp_path):
+    """Incremental snapshots drift columns over time; read_source must
+    surface the union schema via option passthrough (mergeSchema) with
+    NULLs for the missing columns — the evolution-safe read an
+    append-only corpus needs."""
+    from oracle_cassandra_migrator_spark.sources.readers import read_source
+
+    base = str(tmp_path / "evolved")
+    spark.createDataFrame(
+        [(1, "a")], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(base + "/day=1")
+    spark.createDataFrame(
+        [(2, "b", "en")], "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(base + "/day=2")
+
+    df = read_source(spark, {
+        "format": "parquet", "path": base,
+        "options": {"mergeSchema": "true", "recursiveFileLookup": "true"},
+    })
+    assert set(df.columns) >= {"doc_id", "text", "lang"}
+    rows = {r.doc_id: (r.text, r.lang) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", "en")}

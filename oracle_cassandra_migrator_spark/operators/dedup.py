@@ -570,3 +570,59 @@ def allpairs_jaccard_pairs(
         .where(f"jaccard >= {threshold}")
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def minshingle_neighbor_pairs(
+    df: DataFrame, text_col: str, id_col: str,
+    n: int = 3, width: int = 2, threshold: float = 0.5,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (the classic windowed ER method,
+    Hernandez & Stolfo 1995) keyed by each doc's MINIMUM hashed
+    shingle: docs sharing their min shingle — which near-duplicates do
+    with probability >= their Jaccard, the 1-hash MinHash collision
+    bound — sort by id inside the block and only the ``width`` nearest
+    neighbors become candidates, then exact Jaccard verifies. The
+    cheapest member of the blocking family: ONE window over a
+    high-cardinality block key and at most ``width`` candidates per
+    doc, total output O(n * width) before verification — no self-join
+    at all. Recall trades accordingly (a doc's near-dup must share the
+    min shingle AND sit within the neighborhood); the pytest pins the
+    recall floor against the exact inverted-index pairs."""
+    from pyspark.sql.window import Window
+
+    h = ("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)")
+    shingled = with_shingles(df.select(id_col, text_col), text_col, n)
+    blocks = (shingled.where("size(shingles) > 0")
+              .select(F.col(id_col),
+                      F.expr(f"array_min(transform(shingles, s -> {h}))")
+                      .alias("blk")))
+    w = Window.partitionBy("blk").orderBy(id_col)
+    # window exprs can't sit inside a generator's argument — compute
+    # the lead columns first, explode in a second projection
+    nb = blocks.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.lead(id_col, k).over(w).alias(f"n{k}")
+          for k in range(1, width + 1)])
+    leads = nb.select(
+        "doc_a",
+        F.explode(F.array(*[F.col(f"n{k}")
+                            for k in range(1, width + 1)])).alias("doc_b"))
+    cand = leads.where("doc_b IS NOT NULL").distinct()
+    ex = (shingled
+          .select(F.col(id_col), F.expr("size(shingles)").alias("n_sh"),
+                  F.explode("shingles").alias("sh")))
+    a = ex.select(F.col(id_col).alias("doc_a"),
+                  F.col("n_sh").alias("n_a"), "sh")
+    b = ex.select(F.col(id_col).alias("doc_b"),
+                  F.col("n_sh").alias("n_b"), "sh")
+    return (
+        cand.join(a, "doc_a").join(b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"),
+             F.first("n_a").alias("n_a"),
+             F.first("n_b").alias("n_b"))
+        .withColumn("jaccard", F.expr(
+            "round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6)"))
+        .where(f"jaccard >= {threshold}")
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1049,3 +1049,43 @@ def events_props_variant_stats(spark, sf_dir):
         F.expr("CAST(sum(bad) AS BIGINT)").alias("n_malformed"),
         F.expr("CAST(sum(k) AS BIGINT)").alias("sum_k"),
         F.expr("CAST(max(k) AS BIGINT)").alias("max_k"))
+
+
+def _minshingle_oracle(threshold: float = 0.5, width: int = 2) -> str:
+    leads = "\n           UNION ALL ".join(
+        f"SELECT doc_a, n{k} AS doc_b FROM nb WHERE n{k} IS NOT NULL"
+        for k in range(1, width + 1))
+    lead_cols = ",\n              ".join(
+        f"lead(doc_id, {k}) OVER (PARTITION BY blk ORDER BY doc_id) AS n{k}"
+        for k in range(1, width + 1))
+    return f"""
+    WITH {_ext._SHINGLE_CTE},
+    b AS (SELECT doc_id,
+                 list_aggregate(list_transform(shingles,
+                     s -> ('0x' || substring(md5(s), 1, 15))::BIGINT),
+                     'min') AS blk
+          FROM sh WHERE len(shingles) > 0),
+    nb AS (SELECT doc_id AS doc_a,
+              {lead_cols}
+           FROM b),
+    cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+           {leads}))
+    SELECT * FROM ({_ext._JACCARD_SQL}) WHERE jaccard >= {threshold}
+    """
+
+
+@query("dedup_minshingle_neighbors", oracle=_minshingle_oracle())
+def dedup_minshingle_neighbors(spark, sf_dir):
+    """Fourth candidate-generation family beside the inverted index
+    (exact, joins every shingle), MinHash-LSH (approximate, banded
+    signatures), and AllPairs (exact, rarest-prefix joins):
+    sorted-neighborhood blocking on the min hashed shingle — zero
+    self-joins, one window, O(n * width) candidates. The cheapest
+    blocking pass a crawl pipeline runs FIRST, catching the bulk of
+    near-identical docs before the heavier strategies see the
+    residue. See operators/dedup.py:minshingle_neighbor_pairs."""
+    from oracle_cassandra_migrator_spark.operators import dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.minshingle_neighbor_pairs(
+        docs, "text", "doc_id", n=3, width=2, threshold=0.5)

@@ -402,3 +402,51 @@ def test_custom_minhash_vs_spark_ml_minhashlsh(spark):
     ours = {(r.doc_a, r.doc_b) for r in
             QUERIES["dedup_minhash_lsh"](spark, SF_SMALL).collect()}
     assert len(ours & exact) >= 0.8 * len(exact)
+
+
+def test_custom_cms_vs_spark_builtin_count_min_sketch(spark):
+    """Cross-validate the md5-CMS against Spark's builtin
+    count_min_sketch aggregate (read back through the JVM sketch
+    class): both must respect the one-sided guarantee (est >= exact
+    for every token) and both must be exact on this vocab at matched
+    width — so their estimates for the true heavy hitters agree with
+    the exact counts and with each other."""
+    docs = read_table(spark, SF_SMALL, "documents")
+    tc = (docs.select(F.explode(F.split(
+            F.lower("text"), r"\s+")).alias("tok"))
+          .where("tok != ''")
+          .groupBy("tok").agg(F.count("*").alias("cnt")))
+    top = tc.orderBy(F.col("cnt").desc(), "tok").limit(10).collect()
+
+    # builtin: eps/confidence sized to a comparable width (w = ceil(e/eps))
+    row = (docs.select(F.explode(F.split(
+              F.lower("text"), r"\s+")).alias("tok"))
+           .where("tok != ''")
+           .agg(F.expr("count_min_sketch(tok, 0.001d, 0.99d, 42)")
+                .alias("sk")).collect()[0])
+    jsketch = spark._jvm.org.apache.spark.util.sketch.CountMinSketch \
+        .readFrom(bytes(row.sk))
+
+    ours = {r2.tok: r2.est_cnt for r2 in sketches.cms_estimate(
+        tc, sketches.cms_sketch(tc, "tok", "cnt"), "tok").collect()}
+    for r2 in top:
+        builtin_est = jsketch.estimateCount(r2.tok)
+        assert builtin_est >= r2.cnt
+        assert ours[r2.tok] >= r2.cnt
+        # both sketches are effectively exact on the vocab's heavy
+        # tail at these widths — any disagreement is a bug in one
+        assert builtin_est == r2.cnt == ours[r2.tok], (
+            r2.tok, builtin_est, r2.cnt, ours[r2.tok])
+
+
+def test_minshingle_neighbors_recall_and_precision(spark):
+    """Sorted-neighborhood blocking: every emitted pair must be a true
+    pair (exact verification), and recall vs the inverted-index truth
+    must clear the floor its 1-hash collision bound implies (planted
+    pairs have J >= 0.5; observed 24/28 here)."""
+    got = {(r.doc_a, r.doc_b) for r in
+           QUERIES["dedup_minshingle_neighbors"](spark, SF_SMALL).collect()}
+    exact = {(r.doc_a, r.doc_b) for r in
+             QUERIES["dedup_ngram_jaccard"](spark, SF_SMALL).collect()}
+    assert got <= exact
+    assert len(got) >= 0.6 * len(exact)

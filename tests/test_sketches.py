@@ -450,3 +450,23 @@ def test_minshingle_neighbors_recall_and_precision(spark):
              QUERIES["dedup_ngram_jaccard"](spark, SF_SMALL).collect()}
     assert got <= exact
     assert len(got) >= 0.6 * len(exact)
+
+
+def test_kll_sketches_merge_hierarchically(spark):
+    """The KLL rollup story: per-half sketches merged via
+    kll_merge_agg_double must estimate the same quantiles (within the
+    sketch's rank-error envelope) as one whole-corpus sketch — the
+    per-shard/per-day hierarchical pattern the catalog query's
+    docstring claims."""
+    li = read_table(spark, SF_SMALL, "lineitem")
+    val = "CAST(l_extendedprice AS DOUBLE)"
+    halves = (li.selectExpr(f"{val} AS v", "l_orderkey % 2 AS half")
+              .groupBy("half")
+              .agg(F.expr("kll_sketch_agg_double(v)").alias("sk")))
+    merged = halves.agg(F.expr(
+        "kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.5)"
+    ).alias("m50")).collect()[0].m50
+    bounds = li.selectExpr(
+        f"percentile({val}, 0.46D) AS lo",
+        f"percentile({val}, 0.54D) AS hi").collect()[0]
+    assert bounds.lo <= merged <= bounds.hi, (merged, bounds)

@@ -58,6 +58,9 @@ def main(argv: list[str] | None = None) -> int:
             "phases_run": res.phases_run,
             "files_written": res.files_written,
             "files_skipped": res.files_skipped,
+            # in-flight Observation metrics from the transform write
+            # ({} when the phase was skipped on resume)
+            "transform_metrics": res.transform_metrics,
         }))
     return 0
 

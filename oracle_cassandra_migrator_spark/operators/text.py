@@ -441,10 +441,16 @@ def bpe_merge_rules(spark, docs, text_col: str, k: int = 5):
     so the rules — counts, ties, everything — match exactly."""
     from pyspark.sql import functions as F
 
+    from pyspark import StorageLevel
+
+    # Persist the vocab table or the lazy lineage re-runs the corpus
+    # aggregation on EVERY iteration's argmax collect — the "corpus is
+    # seen once" claim depends on this line.
     wc = (docs.select(F.explode(
               F.expr(fast_words_expr(text_col))).alias("word"))
           .groupBy("word").agg(F.count("*").alias("cnt"))
-          .withColumn("toks", F.expr("regexp_extract_all(word, '.', 0)")))
+          .withColumn("toks", F.expr("regexp_extract_all(word, '.', 0)"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
     rules = []
     for i in range(k):
         pairs = wc.selectExpr(

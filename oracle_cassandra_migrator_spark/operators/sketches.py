@@ -118,7 +118,8 @@ def bloom_sql_ctes(base_select: str) -> str:
     bkeys AS ({base_select}),
     bpos AS (SELECT ('0x' || substring(md5(u.i::VARCHAR || ':' || fp), 1, 15))::BIGINT
                     % {BLOOM_M_BITS} AS pos
-             FROM bkeys CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) u),
+             FROM bkeys CROSS JOIN
+                  (SELECT unnest([{", ".join(str(i) for i in range(BLOOM_K))}]) AS i) u),
     bwords AS (SELECT pos // 64 AS word_idx,
                       bit_or(CASE WHEN pos % 64 = 63
                                   THEN (-9223372036854775808)::BIGINT
@@ -172,7 +173,9 @@ def cms_estimate(keys: DataFrame, sketch: DataFrame,
                  key_col: str) -> DataFrame:
     """Point-estimate every key: min over depths of its slot counter.
     CMS_DEPTH broadcast hash joins against the fixed-size sketch —
-    map-side at any corpus scale."""
+    map-side at any corpus scale. LEFT joins with a 0 default: a probe
+    key whose slot received no build mass estimates 0 (an inner join
+    would silently DROP unseen keys from the output instead)."""
     est = keys
     for d in range(CMS_DEPTH):
         side = (sketch.where(F.col("depth") == d)
@@ -180,7 +183,9 @@ def cms_estimate(keys: DataFrame, sketch: DataFrame,
                         F.col("cms_count").alias(f"c_{d}")))
         est = (est.withColumn(f"slot_{d}",
                               F.expr(cms_slot_spark(d, key_col)))
-               .join(F.broadcast(side), f"slot_{d}"))
+               .join(F.broadcast(side), f"slot_{d}", "left")
+               .withColumn(f"c_{d}", F.expr(
+                   f"coalesce(c_{d}, CAST(0 AS BIGINT))")))
     mins = ", ".join(f"c_{d}" for d in range(CMS_DEPTH))
     return (est.withColumn("est_cnt", F.expr(f"least({mins})"))
             .drop(*[c for d in range(CMS_DEPTH)

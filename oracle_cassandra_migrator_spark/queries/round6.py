@@ -404,15 +404,22 @@ def dedup_bloom_prefilter(spark, sf_dir):
               .select("doc_id", F.expr(fp).alias("fingerprint"))
               .withColumn("bloom_hit", F.expr(
                   sketches.bloom_probe_expr(bloom_map, "fingerprint"))))
-    marked = base_fp.withColumn("in_base", F.lit(1))
-    hits = (probed.where("bloom_hit")
-            .join(F.broadcast(marked), "fingerprint", "left")
-            .select("doc_id", "bloom_hit",
-                    F.coalesce("in_base", F.lit(0)).alias("in_base")))
-    misses = (probed.where("NOT bloom_hit")
-              .select("doc_id", "bloom_hit",
-                      F.lit(0).alias("in_base")))
-    return hits.unionByName(misses).agg(
+    marked = base_fp.selectExpr("fingerprint AS base_fp",
+                                "1 AS in_base_raw")
+    # ONE corpus pass: a hits/misses union re-scanned documents and
+    # re-ran every md5 twice (review finding). The broadcast left join
+    # keys on fingerprint with bloom_hit as a residual condition, so
+    # misses never probe the hash relation and in_base is 0 for them
+    # by construction — bloom has no false negatives, so a miss can
+    # never be a member.
+    joined = probed.join(
+        F.broadcast(marked),
+        F.expr("fingerprint = base_fp AND bloom_hit"), "left")
+    flags = joined.select(
+        "doc_id", "bloom_hit",
+        F.expr("CASE WHEN bloom_hit THEN coalesce(in_base_raw, 0)"
+               " ELSE 0 END").alias("in_base"))
+    return flags.agg(
         F.count("*").cast("bigint").alias("n_probed"),
         F.expr("CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)")
             .alias("n_bloom_hit"),
@@ -429,11 +436,11 @@ def _cms_oracle(k: int = 20) -> str:
         f"sum(cnt) AS c FROM tc GROUP BY 1)"
         for d in range(sketches.CMS_DEPTH))
     joins = "\n           ".join(
-        f"JOIN sk{d} s{d} ON s{d}.slot = "
+        f"LEFT JOIN sk{d} s{d} ON s{d}.slot = "
         f"{sketches.cms_slot_sql(d, 't.tok')}"
         for d in range(sketches.CMS_DEPTH))
     mins = ", ".join(
-        f"s{d}.c" for d in range(sketches.CMS_DEPTH))
+        f"coalesce(s{d}.c, 0)" for d in range(sketches.CMS_DEPTH))
     return f"""
     WITH d AS (SELECT {_ext.FAST_WORDS_SQL} AS w FROM documents),
     ex AS (SELECT unnest(w) AS tok FROM d),

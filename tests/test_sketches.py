@@ -470,3 +470,37 @@ def test_kll_sketches_merge_hierarchically(spark):
         f"percentile({val}, 0.46D) AS lo",
         f"percentile({val}, 0.54D) AS hi").collect()[0]
     assert bounds.lo <= merged <= bounds.hi, (merged, bounds)
+
+
+def test_theta_sketch_stream_matches_batch(spark, tmp_path):
+    """theta_sketch_agg is order-insensitive and mergeable, so the
+    same per-type distinct-user estimation runs as a complete-mode
+    streaming aggregation and must equal the batch result — the third
+    leg of the mergeable-sketch streaming matrix (CMS, HLL, theta)."""
+    ev = (read_table(spark, SF_SMALL, "events")
+          .select("event_type", "user_id"))
+    src = str(tmp_path / "theta_src")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+
+    def estimates(df):
+        return (df.groupBy("event_type")
+                .agg(F.expr(
+                    "theta_sketch_estimate(theta_sketch_agg(user_id))")
+                    .alias("est")))
+
+    batch = {(r.event_type, r.est)
+             for r in estimates(spark.read.parquet(src)).collect()}
+    stream = (spark.readStream.schema("event_type string, user_id long")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (estimates(stream)
+         .writeStream.format("memory").queryName("theta_stream")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.event_type, r.est)
+           for r in spark.table("theta_stream").collect()}
+    assert got == batch and len(batch) > 0
+    # exact mode at this cardinality: estimates equal true distincts
+    exact = {(r.event_type, float(r.n)) for r in
+             spark.read.parquet(src).groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert {(t, float(e)) for t, e in got} == exact

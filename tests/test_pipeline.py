@@ -188,3 +188,33 @@ def test_transform_observation_metrics_ride_the_write(spark, tmp_path):
             {"total": "max"}).collect()[0][0]
     r2 = Pipeline(spark, spec, state).run()
     assert r2.transform_metrics == {}
+
+
+def test_corpus_refresh_example_spec_runs_end_to_end(spark):
+    """The shipped corpus-refresh example (expect gate -> bloom anti
+    join -> exact dedup -> length filter -> quartile tag -> zorder)
+    must run through the real Pipeline runner, resume idempotently,
+    and report its Observation metrics."""
+    import json
+    import pathlib
+    import shutil
+
+    shutil.rmtree("/tmp/ocm-refresh", ignore_errors=True)
+    spec_path = (pathlib.Path(__file__).resolve().parent.parent
+                 / "examples" / "corpus_refresh_pipeline.json")
+    cfg = json.load(open(spec_path))
+    spec = cfg["tables"][0]
+    spec["staging_dir"] = cfg["staging_dir"]  # run_pipelines injects this
+    spec["retry"] = {"retries": 3, "delay": 0.0, "sleep": lambda s: None}
+    state = LocalFSStateStore()
+    r1 = Pipeline(spark, spec, state).run()
+    assert r1.files_written > 0
+    assert r1.transform_metrics["n_null_text"] == 0
+    out = spark.read.parquet("/tmp/ocm-refresh/out")
+    assert 0 < out.count() <= 100          # only the incoming slice
+    assert "bucket" in out.columns
+    assert out.where("n_chars < 40").count() == 0
+    assert r1.transform_metrics["n_rows"] == out.count()
+    r2 = Pipeline(spark, spec, state).run()
+    assert r2.files_written == 0 and r2.transform_metrics == {}
+    shutil.rmtree("/tmp/ocm-refresh", ignore_errors=True)

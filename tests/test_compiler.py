@@ -298,3 +298,36 @@ def test_compiler_anti_join_bloom_matches_plain_anti_join(spark):
     assert got_set == want_set
     assert 0 < len(want_set) < cust.count()  # non-vacuous both ways
     assert any(r[2] is None for r in want_set)  # NULL keys kept
+
+
+def test_anti_join_bloom_random_key_sets(spark):
+    """Seeded-random key universes with heavy overlap, disjoint zones,
+    NULLs, and a saturating build side: the bloom-accelerated anti
+    join must equal plain left_anti on every one."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    for seed, n_left, n_right, universe in [
+            (5, 300, 200, 250),     # heavy overlap
+            (6, 150, 150, 10_000),  # mostly disjoint
+            (7, 400, 2_000, 1_500), # build side saturates harder
+    ]:
+        rng = random.Random(seed)
+        left = [(i, rng.randrange(universe) if rng.random() > 0.05
+                 else None) for i in range(n_left)]
+        right = [(rng.randrange(universe),) for _ in range(n_right)]
+        ldf = spark.createDataFrame(left, "row_id long, k long")
+        rdf = spark.createDataFrame(right, "k long")
+        from oracle_cassandra_migrator_spark.plans.compiler import (
+            compile_transform)
+
+        got = compile_transform(
+            spark, {"l": ldf, "r": rdf},
+            [{"op": "anti_join_bloom", "left": "l", "right": "r",
+              "left_key": "k", "right_key": "k"}])
+        want = ldf.join(
+            rdf.selectExpr("CAST(k AS STRING) AS __bk").distinct(),
+            F.expr("CAST(k AS STRING) = __bk"), "left_anti")
+        assert ({tuple(r) for r in got.collect()}
+                == {tuple(r) for r in want.collect()}), seed

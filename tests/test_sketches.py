@@ -504,3 +504,26 @@ def test_theta_sketch_stream_matches_batch(spark, tmp_path):
              spark.read.parquet(src).groupBy("event_type")
              .agg(F.countDistinct("user_id").alias("n")).collect()}
     assert {(t, float(e)) for t, e in got} == exact
+
+
+def test_reservoir_key_matches_python_md5_reference(spark):
+    """The A-ES key expression must reproduce, bit-for-bit at 9 dp,
+    a from-scratch Python implementation of the same md5 -> uniform ->
+    -ln(u)/w formula — so the 'deterministic on any cluster' claim is
+    anchored outside Spark."""
+    import hashlib
+    import math
+
+    from oracle_cassandra_migrator_spark.operators.sampling import (
+        reservoir_key_expr)
+
+    rows = [(i, float(w)) for i, w in
+            [(3, 1), (17, 2), (123456, 50), (999, 7), (42, 1000)]]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = {r.doc_id: r.k for r in df.selectExpr(
+        "doc_id", reservoir_key_expr("doc_id", "w") + " AS k").collect()}
+    for i, w in rows:
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        u = ((h % 1_000_000_000) + 0.5) / 1_000_000_000.0
+        want = round(-math.log(u) / w, 9)
+        assert got[i] == want, (i, got[i], want)

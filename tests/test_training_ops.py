@@ -216,3 +216,63 @@ def test_ewma_stream_carries_state_across_batches(spark, tmp_path):
     for k, r in got.items():
         assert r.n_obs == ref[k][1], k
         assert r.ewma == ref[k][0], (k, r.ewma, ref[k][0])
+
+
+def test_ewma_stream_recovers_state_from_checkpoint(spark, tmp_path):
+    """Kill-and-restart: the EWMA query processes batch 1, STOPS, and
+    a new query instance restarts from the same checkpointLocation to
+    process batch 2 — the final per-key state must equal the
+    uninterrupted fold, proving the state store (not recomputation)
+    carried s across the restart. This is the crash-recovery contract
+    a production stateful pipeline leans on."""
+    import time
+
+    from oracle_cassandra_migrator_spark.streaming.stateful import (
+        ewma_stream)
+
+    ev = (read_table(spark, SF_SMALL, "events")
+          .select("event_type", "ts", "value"))
+    rows = sorted(ev.collect(), key=lambda r: (r.ts, r.value))
+    cut = rows[len(rows) // 2].ts
+    src = str(tmp_path / "ewma_ckpt_src")
+    ckpt = str(tmp_path / "ewma_ckpt")
+    ev.where(F.col("ts") < F.lit(cut)).coalesce(1).write.mode(
+        "overwrite").parquet(src)
+
+    out = str(tmp_path / "ewma_ckpt_out")
+
+    def start():
+        # memory sinks can't recover from a checkpoint — foreachBatch
+        # to parquet is the restartable sink shape
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", "10").parquet(src))
+
+        def write_batch(df, _bid):
+            df.write.mode("append").parquet(out)
+
+        return (ewma_stream(stream, "event_type", "value", "ts")
+                .writeStream.foreachBatch(write_batch)
+                .option("checkpointLocation", ckpt)
+                .outputMode("update").trigger(availableNow=True).start())
+
+    q1 = start()
+    q1.awaitTermination(120)          # batch 1 fully absorbed
+    ev.where(F.col("ts") >= F.lit(cut)).coalesce(1).write.mode(
+        "append").parquet(src)
+    q2 = start()                      # NEW query, same checkpoint
+    q2.awaitTermination(120)
+
+    got = {r.key: r for r in spark.read.parquet(out)
+           .withColumn("rn", F.expr(
+               "row_number() OVER (PARTITION BY key ORDER BY n_obs DESC)"))
+           .where("rn = 1").collect()}
+    ref = {}
+    for half in ([r for r in rows if r.ts < cut],
+                 [r for r in rows if r.ts >= cut]):
+        for r in half:
+            s, n = ref.get(r.event_type, (0.0, 0))
+            s = float(r.value) if n == 0 else 0.5 * float(r.value) + 0.5 * s
+            ref[r.event_type] = (s, n + 1)
+    assert sum(r.n_obs for r in got.values()) == len(rows)
+    for k, r in got.items():
+        assert r.n_obs == ref[k][1] and r.ewma == ref[k][0], k

@@ -1096,3 +1096,73 @@ def dedup_minshingle_neighbors(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     return dedup.minshingle_neighbor_pairs(
         docs, "text", "doc_id", n=3, width=2, threshold=0.5)
+
+
+def _dedup_recall_oracle() -> str:
+    strat = {
+        "a_exact_inverted": ORACLES["dedup_ngram_jaccard"],
+        "b_allpairs_prefix": ORACLES["dedup_allpairs_prefix"],
+        "c_minhash_lsh": ORACLES["dedup_minhash_lsh"],
+        "d_minshingle_neighbors": ORACLES["dedup_minshingle_neighbors"],
+    }
+    legs = "\n    UNION ALL ".join(
+        f"""SELECT '{k}' AS strategy,
+               CAST((SELECT count(*) FROM ({sql}) s) AS BIGINT) AS n_pairs,
+               CAST((SELECT count(*) FROM ({sql}) s
+                     JOIN ex0 USING (doc_a, doc_b)) AS BIGINT) AS n_hits"""
+        for k, sql in strat.items())
+    return f"""
+    WITH ex0 AS (SELECT doc_a, doc_b
+                 FROM ({ORACLES["dedup_ngram_jaccard"]}) e),
+    legs AS ({legs})
+    SELECT strategy, n_pairs, n_hits,
+           CAST(floor(n_hits * 1e6
+                      / (SELECT count(*) FROM ex0) + 0.5) AS BIGINT)
+               AS recall_ppm
+    FROM legs
+    """
+
+
+@query("dedup_strategy_recall_report", oracle=_dedup_recall_oracle())
+def dedup_strategy_recall_report(spark, sf_dir):
+    """The candidate-generation capstone: one row per strategy —
+    inverted index (exact reference), AllPairs prefix filtering
+    (exact, must hit 1e6 ppm), MinHash-LSH (banded approximate), and
+    min-shingle sorted-neighborhood (cheapest, lowest recall) — with
+    pair counts and recall vs the exact truth in integer ppm. This is
+    the table a curation team reads when choosing how much exactness
+    to pay for at which corpus scale; the per-strategy costs are in
+    SCALE.md's measured-scaling section.
+
+    Composition query: each leg IS the corresponding catalog query
+    (same functions, same oracles composed as CTEs), so a drift in
+    any strategy shows up here as a recall change the driver hashes.
+    The recall normalizer rides a window over the 4-row union — no
+    cross join."""
+    from pyspark.sql.window import Window
+
+    exact = (_ext.dedup_ngram_jaccard(spark, sf_dir)
+             .select("doc_a", "doc_b").persist())
+    legs = {
+        "a_exact_inverted": exact,
+        "b_allpairs_prefix": dedup_allpairs_prefix(spark, sf_dir),
+        "c_minhash_lsh": _ext.dedup_minhash_lsh(spark, sf_dir),
+        "d_minshingle_neighbors": dedup_minshingle_neighbors(
+            spark, sf_dir),
+    }
+    rows = None
+    for k, df in legs.items():
+        pairs = df.select("doc_a", "doc_b")
+        leg = pairs.join(exact, ["doc_a", "doc_b"], "left_semi").agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_hits"),
+        ).crossJoin(pairs.agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_pairs"))
+        ).selectExpr(f"'{k}' AS strategy", "n_pairs", "n_hits")
+        rows = leg if rows is None else rows.unionByName(leg)
+    w = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    total = F.max(F.expr(
+        "CASE WHEN strategy = 'a_exact_inverted' THEN n_pairs END")).over(w)
+    return rows.withColumn("__tot", total).selectExpr(
+        "strategy", "n_pairs", "n_hits",
+        "CAST(floor(n_hits * 1e6 / __tot + 0.5) AS BIGINT) AS recall_ppm")

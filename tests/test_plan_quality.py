@@ -498,6 +498,10 @@ _NL_JOIN_ALLOWED = {
     # codebook crossJoin (similarity._assign_cells, same as the sim_ivf
     # family above); the metric math itself is window-only.
     "sim_cluster_quality_nmi",
+    # the strategy recall report glues 1-row-x-1-row count aggregates
+    # per leg (n_pairs x n_hits) — four 1-row broadcasts, nothing
+    # streamed.
+    "dedup_strategy_recall_report",
 }
 
 

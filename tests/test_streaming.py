@@ -672,3 +672,42 @@ def test_bloom_dedup_stream_bounded_state_matches_simulation(spark, tmp_path):
     assert all(i < 200 for i in got)
     # bloom FPs may drop a few uniques, never many at this fill
     assert len(got) >= 190
+
+
+def test_bloom_dedup_stream_recovers_filters_from_checkpoint(spark, tmp_path):
+    """Kill-and-restart for the BINARY bloom state: batch 1 admits the
+    originals, the query stops, a new instance restarts from the same
+    checkpoint for batch 2 (pure duplicates) — zero new admissions,
+    proving the packed filter bytes round-tripped the state store."""
+    from oracle_cassandra_migrator_spark.streaming.stateful import (
+        bloom_dedup_stream)
+
+    rows = [(i, f"fp-{i % 150}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, fp string")
+    src = str(tmp_path / "bd_ckpt_src")
+    out = str(tmp_path / "bd_ckpt_out")
+    ckpt = str(tmp_path / "bd_ckpt")
+    df.where("doc_id < 150").coalesce(1).write.mode("overwrite").parquet(src)
+
+    def start():
+        stream = (spark.readStream.schema("doc_id long, fp string")
+                  .option("maxFilesPerTrigger", "10").parquet(src))
+
+        def write_batch(bdf, _bid):
+            bdf.write.mode("append").parquet(out)
+
+        return (bloom_dedup_stream(stream, "fp", "doc_id", n_shards=4)
+                .writeStream.foreachBatch(write_batch)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append").trigger(availableNow=True).start())
+
+    q1 = start()
+    q1.awaitTermination(120)
+    n_first = spark.read.parquet(out).count()
+    assert n_first >= 145  # all originals admitted (minus rare FPs)
+    df.where("doc_id >= 150").coalesce(1).write.mode("append").parquet(src)
+    q2 = start()
+    q2.awaitTermination(120)
+    admitted = [r.doc_id for r in spark.read.parquet(out).collect()]
+    assert len(admitted) == n_first        # batch 2 admitted NOTHING
+    assert all(i < 150 for i in admitted)  # only originals ever pass

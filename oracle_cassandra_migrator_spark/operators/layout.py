@@ -30,9 +30,20 @@ def zorder_value_expr(cols: list[str],
     (min, max) bounds, then bit i of column j lands at position
     i * n_cols + j. Degenerate columns (min == max) contribute 0."""
     n = len(cols)
+    if bits * n > 63:
+        # Spark's shift is mod 64 and bit 63 is the BIGINT sign: past
+        # that the interleave silently wraps/inverts — fail loudly
+        raise ValueError(
+            f"zorder: {n} cols x {bits} bits = {bits * n} interleaved "
+            f"bits exceeds the 63 a positive BIGINT holds; lower bits "
+            f"or split the key")
     parts = []
     for j, c in enumerate(cols):
         lo, hi = bounds[c]
+        # empty/all-NULL inputs bound to (None, None): treat like a
+        # degenerate column so an empty incremental batch still writes
+        if lo is None or hi is None:
+            continue
         span = hi - lo
         if span <= 0:
             continue

@@ -282,7 +282,7 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
         F.count("*").cast("bigint").alias("n_docs"),
         F.expr("round(CAST(SUM(size(w)) AS DOUBLE) / COUNT(*), 6)")
         .alias("avgdl"))
-    terms_lit = ", ".join(f"'{t}'" for t in terms)
+    terms_lit = ", ".join(f"'{_sql_quote(t)}'" for t in terms)
     tf = (
         words.select(id_col, F.expr("CAST(size(w) AS BIGINT)").alias("dl"),
                      F.explode("w").alias("tok"))
@@ -312,7 +312,7 @@ STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is", "on", "for"]
 
 def stopword_count_expr(col: str, stopwords: list[str] | None = None) -> str:
     stop = stopwords or STOPWORDS
-    lit = ", ".join(f"'{s}'" for s in stop)
+    lit = ", ".join(f"'{_sql_quote(s)}'" for s in stop)
     return (
         f"CAST(size(filter({words_expr(col)}, "
         f"x -> array_contains(array({lit}), x))) AS BIGINT)"

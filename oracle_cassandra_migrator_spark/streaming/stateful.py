@@ -31,12 +31,15 @@ def _update_user_totals(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     n, total, last_type = state.get if state.exists else (0, 0.0, None)
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-        if len(pdf):
-            last_type = str(pdf["event_type"].iloc[-1])
+    # concat BEFORE sorting: the runtime delivers a group's batch as
+    # multiple arrow chunks in shuffle order, so per-chunk sorting
+    # would take last_event_type from whichever chunk arrived last
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch):
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        n += len(batch)
+        total += float(batch["value"].sum())
+        last_type = str(batch["event_type"].iloc[-1])
     state.update((n, total, last_type))
     yield pd.DataFrame({
         "user_id": [key[0]],
@@ -366,6 +369,10 @@ def bloom_dedup_stream(
     stream: DataFrame, fp_col: str, id_col: str,
     n_shards: int = 8, m_bits: int = 16_384, k: int = 3,
 ) -> DataFrame:
+    if m_bits % 64 != 0:
+        raise ValueError(
+            f"bloom_dedup_stream: m_bits must be a multiple of 64 "
+            f"(packed words), got {m_bits}")
     """Streaming dedup with BOUNDED state: fingerprints shard by hash
     into ``n_shards`` state groups, each holding one fixed-size Bloom
     filter (m_bits/8 bytes — forever); a row is admitted iff its

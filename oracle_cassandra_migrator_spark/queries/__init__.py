@@ -104,17 +104,16 @@ _R04_CONFIRMED = frozenset({
 # row — treat as unverified so the driver re-checks them under the new
 # contract. (r3: agg_approx_count_distinct gained its bounded-error
 # full oracle after r01/r02 rows-only checks — re-confirmed r04.
-# r5: events_rolling_weekly_counts moved from a ROWS frame over
-# present days to a calendar-bounded RANGE frame (ADVICE r4).)
-_RECHECK = frozenset({"events_rolling_weekly_counts"})
+# r5: events_rolling_weekly_counts moved to a calendar RANGE frame —
+# re-confirmed r05. Currently empty.)
+_RECHECK = frozenset()
 
-# The round-5 verification window: the driver caps each round's
-# correctness pass at ~50 entries, and flagship + these 49 fill it
-# exactly. Queries added after this set was frozen (the round6.py
-# second wave) deliberately sort BEHIND it — they get their first
-# driver row next round, when _R05_CONFIRMED is folded in and the
-# window re-opens. Keep this set byte-stable for the rest of round 5.
-_R05_WINDOW = frozenset({
+# CORRECTNESS_r05.json: 50/50 green (rows+schema+hash) — the literal
+# key set, folded per the round-6 maintenance note below. This closed
+# the r5 window; the former _R05_WINDOW special-casing is gone and the
+# 13 second-wave queries now sort into the unverified front region.
+_R05_CONFIRMED = frozenset({
+    "flagship_payment_pipeline",
     "agg_regression_stats", "dedup_minhash_prune",
     "dedup_cluster_size_histogram", "corpus_trigram_diversity",
     "sim_ann_recall_audit", "sim_ann_recall_curve",
@@ -141,32 +140,40 @@ _R05_WINDOW = frozenset({
 })
 
 
+_CONFIRMED_ROUNDS = (
+    _R02_CONFIRMED, _R03_CONFIRMED, _R04_CONFIRMED, _R05_CONFIRMED)
+
+
+def _last_green_round(name):
+    """0 = never driver-green; k = last round (2..5) with a green row."""
+    last = 0
+    for i, s in enumerate(_CONFIRMED_ROUNDS, start=2):
+        if name in s:
+            last = i
+    return last
+
+
 def _verification_order(names):
     # ROUND-N+1 MAINTENANCE (this stalled r3->r4 planning once): when a
     # new CORRECTNESS_r0N.json lands, fold its green keys into an
-    # _R0N_CONFIRMED frozenset here and add it to `confirmed` below,
+    # _R0N_CONFIRMED frozenset here and append it to _CONFIRMED_ROUNDS,
     # else the driver's ~50-slot window re-verifies already-green
     # queries and new ones never get a row. Keep any key whose oracle
     # changed afterwards in _RECHECK instead. Update
     # test_catalog_orders_least_verified_first alongside.
     #
-    # ROUND-5 STATUS: the window is exactly full — flagship + the 49
-    # _R05_WINDOW queries. Second-wave additions sort into the
-    # "deferred" region between the window and the confirmed tail;
-    # they are verified in round 6 (fold _R05_CONFIRMED then, and fold
-    # _R05_WINDOW's green keys into it).
-    confirmed = (
-        _R02_CONFIRMED | _R03_CONFIRMED | _R04_CONFIRMED) - _RECHECK
-    front = [n for n in names if n == "flagship_payment_pipeline"]
-    front += [n for n in names
-              if n in _R05_WINDOW and n != "flagship_payment_pipeline"]
-    front += [n for n in names
-              if n not in confirmed and n not in _R05_WINDOW
-              and n != "flagship_payment_pipeline"]
-    front += [n for n in names
-              if n in confirmed and n not in _R05_WINDOW
-              and n != "flagship_payment_pipeline"]
-    return front
+    # ROUND-6 ORDER: flagship first (entry() contract), then every
+    # query with NO green driver row (the 13 r5-deferred queries plus
+    # anything added this round), then the confirmed tail sorted by
+    # STALENESS — oldest last-green round first — so the window's spare
+    # slots re-verify the r02-era rows whose oracle canonicalization
+    # conventions predate the dtype/decimal audits. Sort is stable:
+    # registration order is preserved within a staleness bucket.
+    def key(n):
+        last = 0 if n in _RECHECK else _last_green_round(n)
+        return (0 if n == "flagship_payment_pipeline" else 1, last)
+
+    return sorted(names, key=key)
 
 
 _ordered = {n: QUERIES[n] for n in _verification_order(list(QUERIES))}

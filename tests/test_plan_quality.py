@@ -208,35 +208,27 @@ def test_catalog_orders_least_verified_first():
     the 50-entry window so one gate pass reaches all of it."""
     from oracle_cassandra_migrator_spark.queries import QUERIES
     from oracle_cassandra_migrator_spark.queries import (
-        _R02_CONFIRMED, _R03_CONFIRMED, _R04_CONFIRMED, _R05_WINDOW,
-        _RECHECK)
+        _RECHECK, _last_green_round)
 
     names = list(QUERIES)
-    confirmed = (
-        _R02_CONFIRMED | _R03_CONFIRMED | _R04_CONFIRMED) - _RECHECK
     assert names[0] == "flagship_payment_pipeline"
-    # Region order: flagship, the frozen r5 window, deferred (post-
-    # window additions awaiting the r6 window), confirmed tail.
-    regions = []
-    for n in names[1:]:
-        r = ("window" if n in _R05_WINDOW
-             else "tail" if n in confirmed else "deferred")
-        regions.append((n, r))
-    order = {"window": 0, "deferred": 1, "tail": 2}
-    last = -1
-    for n, r in regions:
-        assert order[r] >= last, (
-            f"{n!r} ({r}) registered after a later region began")
-        last = order[r]
-    # This round's driver pass must reach the whole frozen window...
-    assert 1 + len(_R05_WINDOW) <= 50, "r5 window overflows the driver cap"
-    assert all(n in names for n in _R05_WINDOW)
-    # ...and next round's pass must fit flagship + every deferred query
-    # (plus slack for window queries that fail their r5 check).
-    deferred = [n for n, r in regions if r == "deferred"]
-    assert 1 + len(deferred) <= 40, (
-        f"{len(deferred)} deferred queries leave no r6 slack for "
-        f"re-checking r5 failures")
+    # After flagship, staleness must be non-decreasing: never-green
+    # queries (last==0, incl. forced rechecks) first, then the
+    # confirmed tail oldest-round-first — so the driver's ~50-slot
+    # window always covers every unverified query plus the stalest
+    # green rows.
+    lasts = [0 if n in _RECHECK else _last_green_round(n)
+             for n in names[1:]]
+    for i in range(1, len(lasts)):
+        assert lasts[i] >= lasts[i - 1], (
+            f"{names[1 + i]!r} (last green r{lasts[i]}) registered "
+            f"after a fresher query")
+    # The unverified region must leave slack inside the window for
+    # re-verifying stale greens.
+    unverified = sum(1 for v in lasts if v == 0)
+    assert 1 + unverified <= 40, (
+        f"{unverified} unverified queries leave no slack for "
+        f"re-checking stale green rows")
 
 
 def test_connected_components_plan_stays_truncated(spark):

@@ -131,10 +131,11 @@ def ngram_jaccard_pairs(
         .agg(F.count("*").alias("n_common"),
              F.first("n_a").alias("n_a"),
              F.first("n_b").alias("n_b"))
+        .where(f"CAST(n_common AS DOUBLE) / (n_a + n_b - n_common)"
+               f" >= {threshold}")
         .withColumn(
             "jaccard",
             F.expr("round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6)"))
-        .where(f"jaccard >= {threshold}")
         .select("doc_a", "doc_b", "jaccard")
     )
 
@@ -182,11 +183,12 @@ def minhash_lsh_pairs(
         .agg(F.count("*").alias("n_common"),
              F.first("n_a").alias("n_a"),
              F.first("n_b").alias("n_b"))
+        .where(f"CAST(n_common AS DOUBLE) / (n_a + n_b - n_common)"
+               f" >= {threshold}")
         .withColumn(
             "jaccard",
             F.expr("round(CAST(n_common AS DOUBLE) /"
                    " (n_a + n_b - n_common), 6)"))
-        .where(f"jaccard >= {threshold}")
         .select("doc_a", "doc_b", "jaccard")
     )
 
@@ -565,9 +567,10 @@ def allpairs_jaccard_pairs(
         .agg(F.count("*").alias("n_common"),
              F.first("n_a").alias("n_a"),
              F.first("n_b").alias("n_b"))
+        .where(f"CAST(n_common AS DOUBLE) / (n_a + n_b - n_common)"
+               f" >= {threshold}")
         .withColumn("jaccard", F.expr(
             "round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6)"))
-        .where(f"jaccard >= {threshold}")
         .select("doc_a", "doc_b", "jaccard")
     )
 
@@ -621,8 +624,9 @@ def minshingle_neighbor_pairs(
         .agg(F.count("*").alias("n_common"),
              F.first("n_a").alias("n_a"),
              F.first("n_b").alias("n_b"))
+        .where(f"CAST(n_common AS DOUBLE) / (n_a + n_b - n_common)"
+               f" >= {threshold}")
         .withColumn("jaccard", F.expr(
             "round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6)"))
-        .where(f"jaccard >= {threshold}")
         .select("doc_a", "doc_b", "jaccard")
     )

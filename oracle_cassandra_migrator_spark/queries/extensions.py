@@ -50,11 +50,21 @@ _SHINGLE_CTE = f"""
     norm AS (SELECT doc_id, {FAST_WORDS_SQL} AS w FROM documents),
     sh AS (SELECT doc_id, {SHINGLES3_SQL} AS shingles FROM norm)
 """
-_JACCARD_SQL = """
+# Thresholds compare the UNROUNDED ratio (``jaccard_raw``): the
+# rounded ``jaccard`` is output-display parity only. Filtering on the
+# rounded value would admit pairs with true J in [t - 5e-7, t), which
+# the prefix-filtering theorem (dedup_allpairs_prefix) does not
+# guarantee as candidates — a latent cross-strategy equality break
+# (ADVICE r5).
+_JACCARD_RAW_SQL = (
+    "CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)"
+    " / (len(x.shingles) + len(y.shingles)"
+    " - len(list_intersect(x.shingles, y.shingles)))"
+)
+_JACCARD_SQL = f"""
     SELECT c.doc_a, c.doc_b,
-           round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-                 / (len(x.shingles) + len(y.shingles)
-                    - len(list_intersect(x.shingles, y.shingles))), 6) AS jaccard
+           round({_JACCARD_RAW_SQL}, 6) AS jaccard,
+           {_JACCARD_RAW_SQL} AS jaccard_raw
     FROM cand c
     JOIN sh x ON x.doc_id = c.doc_a
     JOIN sh y ON y.doc_id = c.doc_b
@@ -87,7 +97,8 @@ def dedup_exact_documents(spark, sf_dir):
     ex AS (SELECT doc_id, unnest(shingles) AS tok FROM sh),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id)
-    SELECT * FROM ({_JACCARD_SQL}) WHERE jaccard >= 0.5
+    SELECT doc_a, doc_b, jaccard
+    FROM ({_JACCARD_SQL}) WHERE jaccard_raw >= 0.5
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
@@ -129,7 +140,8 @@ def _minhash_oracle(bands: int = dedup.LSH_BANDS, rows: int = dedup.LSH_ROWS,
                     max_band_size: int = dedup.LSH_MAX_BAND_SIZE) -> str:
     return f"""
     WITH {_minhash_cand_cte(bands, rows, max_band_size)}
-    SELECT * FROM ({_JACCARD_SQL}) WHERE jaccard >= 0.5
+    SELECT doc_a, doc_b, jaccard
+    FROM ({_JACCARD_SQL}) WHERE jaccard_raw >= 0.5
     """
 
 
@@ -165,7 +177,7 @@ def _minhash_prune_oracle(
         max_band_size: int = dedup.LSH_MAX_BAND_SIZE) -> str:
     return f"""
     WITH RECURSIVE {_minhash_cand_cte(bands, rows, max_band_size)},
-    p AS (SELECT doc_a, doc_b FROM ({_JACCARD_SQL}) WHERE jaccard >= 0.5),
+    p AS (SELECT doc_a, doc_b FROM ({_JACCARD_SQL}) WHERE jaccard_raw >= 0.5),
     edges AS (SELECT doc_a AS a, doc_b AS b FROM p
               UNION ALL SELECT doc_b, doc_a FROM p),
     reach(a, b) AS (
@@ -1479,7 +1491,7 @@ def pack_token_budget_bins(spark, sf_dir):
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id),
     pairs AS (SELECT doc_a, doc_b FROM ({_JACCARD_SQL})
-              WHERE jaccard >= 0.5),
+              WHERE jaccard_raw >= 0.5),
     edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
               UNION ALL SELECT doc_b, doc_a FROM pairs),
     reach(a, b) AS (

@@ -571,7 +571,8 @@ def _allpairs_oracle(threshold: float = 0.5) -> str:
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM pre a JOIN pre b
                ON a.tok = b.tok AND a.doc_id < b.doc_id)
-    SELECT * FROM ({_ext._JACCARD_SQL}) WHERE jaccard >= {threshold}
+    SELECT doc_a, doc_b, jaccard
+    FROM ({_ext._JACCARD_SQL}) WHERE jaccard_raw >= {threshold}
     """
 
 
@@ -670,10 +671,14 @@ def text_bpe_merge_rules(spark, sf_dir):
 # Post-contingency cluster-quality math, shared VERBATIM by the Spark
 # query (over a `ct` temp view) and the DuckDB oracle (over a `ct`
 # CTE) — one source of truth for the purity/MI/NMI arithmetic. All
-# floating terms go through floor(x * 1e9 + 0.5) integer nano-units
-# BEFORE summing, so the cross-row additions are exact and
-# order-independent on both engines; only per-term log2 rounding is
-# IEEE (same double inputs both sides).
+# floating terms go through floor(x * 1e6 + 0.5) * 1000 integer
+# nano-units BEFORE summing, so the cross-row additions are exact and
+# order-independent on both engines. The half-up floor quantizes at
+# MICRO granularity (ADVICE r5): a 1-ulp JVM-vs-libm log2 difference
+# sits 1000x further from a micro boundary than from a nano one, so
+# the per-term integers agree even when the engines' doubles differ
+# in the last ulp. (floor(x+0.5), never round(): Spark rounds HALF_UP,
+# DuckDB HALF_EVEN.)
 _CLUSTER_NMI_TAIL = """
     t AS (
       SELECT cell_id, label, n_cl,
@@ -689,14 +694,16 @@ _CLUSTER_NMI_TAIL = """
         CAST(floor((CAST(n_cl AS DOUBLE) / n_total)
              * log2((CAST(n_cl AS DOUBLE) * n_total)
                     / (CAST(n_c AS DOUBLE) * n_l))
-             * 1e9 + 0.5) AS BIGINT) AS mi_nano,
+             * 1e6 + 0.5) AS BIGINT) * 1000 AS mi_nano,
         CASE WHEN rn_c = 1 THEN
           CAST(floor(-(CAST(n_c AS DOUBLE) / n_total)
-               * log2(CAST(n_c AS DOUBLE) / n_total) * 1e9 + 0.5) AS BIGINT)
+               * log2(CAST(n_c AS DOUBLE) / n_total) * 1e6 + 0.5) AS BIGINT)
+          * 1000
           ELSE 0 END AS hc_nano,
         CASE WHEN rn_l = 1 THEN
           CAST(floor(-(CAST(n_l AS DOUBLE) / n_total)
-               * log2(CAST(n_l AS DOUBLE) / n_total) * 1e9 + 0.5) AS BIGINT)
+               * log2(CAST(n_l AS DOUBLE) / n_total) * 1e6 + 0.5) AS BIGINT)
+          * 1000
           ELSE 0 END AS hl_nano,
         CASE WHEN rn_c = 1 THEN mx_c ELSE 0 END AS pure_n,
         CASE WHEN rn_c = 1 THEN 1 ELSE 0 END AS is_cell,
@@ -1077,7 +1084,8 @@ def _minshingle_oracle(threshold: float = 0.5, width: int = 2) -> str:
            FROM b),
     cand AS (SELECT DISTINCT doc_a, doc_b FROM (
            {leads}))
-    SELECT * FROM ({_ext._JACCARD_SQL}) WHERE jaccard >= {threshold}
+    SELECT doc_a, doc_b, jaccard
+    FROM ({_ext._JACCARD_SQL}) WHERE jaccard_raw >= {threshold}
     """
 
 

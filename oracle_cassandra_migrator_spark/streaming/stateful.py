@@ -369,10 +369,6 @@ def bloom_dedup_stream(
     stream: DataFrame, fp_col: str, id_col: str,
     n_shards: int = 8, m_bits: int = 16_384, k: int = 3,
 ) -> DataFrame:
-    if m_bits % 64 != 0:
-        raise ValueError(
-            f"bloom_dedup_stream: m_bits must be a multiple of 64 "
-            f"(packed words), got {m_bits}")
     """Streaming dedup with BOUNDED state: fingerprints shard by hash
     into ``n_shards`` state groups, each holding one fixed-size Bloom
     filter (m_bits/8 bytes — forever); a row is admitted iff its
@@ -394,8 +390,16 @@ def bloom_dedup_stream(
     pytest."""
     from pyspark.sql import functions as F
 
+    if m_bits % 64 != 0:
+        raise ValueError(
+            f"bloom_dedup_stream: m_bits must be a multiple of 64 "
+            f"(packed words), got {m_bits}")
+    # Hash the STRING-cast fingerprint: positions/state probe the cast
+    # `fp`, and md5() rejects non-string input — a binary/bigint
+    # fp_col must shard through the same cast it probes with.
     prepared = stream.select(
-        F.expr(f"CAST(CAST(conv(substring(md5({fp_col}), 1, 8), 16, 10)"
+        F.expr(f"CAST(CAST(conv(substring("
+               f"md5(CAST({fp_col} AS STRING)), 1, 8), 16, 10)"
                f" AS BIGINT) % {n_shards} AS INT)").alias("shard"),
         F.col(fp_col).cast("string").alias("fp"),
         F.col(id_col).cast("bigint").alias("doc_id"))

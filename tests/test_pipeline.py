@@ -218,3 +218,45 @@ def test_corpus_refresh_example_spec_runs_end_to_end(spark):
     r2 = Pipeline(spark, spec, state).run()
     assert r2.files_written == 0 and r2.transform_metrics == {}
     shutil.rmtree("/tmp/ocm-refresh", ignore_errors=True)
+
+
+def test_example_spec_fingerprint_keys_match_fingerprint_expr(spark):
+    """Regression for the JSON-escaping trap (ADVICE r5): a spec key of
+    ``'\\s+'`` in JSON reaches Spark SQL as ``'\\s+'``-with-one-slash,
+    which Spark's string literal unescapes to the regex ``s+`` —
+    collapsing runs of the LETTER s, not whitespace. Both shipped
+    example specs must carry exactly ``fingerprint_expr('text')``, and
+    the expression must actually collapse whitespace variants."""
+    import json
+    import pathlib
+
+    from oracle_cassandra_migrator_spark.operators.text import (
+        fingerprint_expr)
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "examples"
+    want = fingerprint_expr("text")
+    for name in ("corpus_refresh_pipeline.json", "curation_pipeline.json"):
+        cfg = json.load(open(root / name))
+        found = []
+        def walk(o):
+            if isinstance(o, dict):
+                for k, v in o.items():
+                    if k in ("left_key", "right_key", "fingerprint"):
+                        found.append(v)
+                    walk(v)
+            elif isinstance(o, list):
+                for v in o:
+                    walk(v)
+        walk(cfg)
+        assert found, name
+        for expr in found:
+            assert expr == want, (name, expr)
+    # And the expression's semantics: whitespace variants collapse to
+    # one fingerprint; an s-run variant does NOT collapse to it.
+    row = spark.sql(
+        f"SELECT {want} AS a, "
+        f"{fingerprint_expr(repr('hello   world'))} AS b, "
+        f"{fingerprint_expr(repr('hesssllo world'))} AS c "
+        f"FROM (SELECT 'hello world' AS text)").collect()[0]
+    assert row.a == row.b
+    assert row.a != row.c

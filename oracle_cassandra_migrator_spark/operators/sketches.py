@@ -142,6 +142,62 @@ def bloom_hit_sql(key_col: str) -> str:
     return "(" + " AND ".join(probes) + ")"
 
 
+def bloom_range_expr(key_col: str, n_ranges: int) -> str:
+    """Deterministic hash-range id in [0, n_ranges) for the ranged
+    bloom family. A distinct salt ('r:') keeps the range hash
+    independent of the BLOOM_K position hashes."""
+    return md5_mod_spark(f"concat('r:', {key_col})", n_ranges)
+
+
+def bloom_build_ranged(keys: DataFrame, key_col: str,
+                       n_ranges: int) -> DataFrame:
+    """The documented past-a-few-GB scale path (see BLOOM_M_BITS
+    note): hash-partition the key space into ``n_ranges`` ranges and
+    build one fixed-geometry bloom per range -> (range_id BIGINT,
+    wmap MAP<BIGINT, BIGINT>). Total capacity scales linearly with
+    ``n_ranges`` at constant per-range FP rate, and NO driver collect
+    ever happens — the filters stay distributed as an
+    O(n_ranges * 256)-row table that the probe side joins by range, so
+    each executor task holds only its ranges' words instead of the
+    whole filter."""
+    positions = ", ".join(
+        bloom_pos_spark(i, key_col) for i in range(BLOOM_K))
+    words = (
+        keys.select(
+            F.expr(bloom_range_expr(key_col, n_ranges)).alias("range_id"),
+            F.explode(F.expr(f"array({positions})")).alias("pos"))
+        .where(F.col("pos").isNotNull())
+        .groupBy("range_id", F.expr("pos div 64").alias("word_idx"))
+        .agg(F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))"
+        ).alias("word"))
+    )
+    return words.groupBy("range_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "word"))).alias("wmap"))
+
+
+def bloom_probe_ranged(df: DataFrame, blooms: DataFrame, key_expr: str,
+                       n_ranges: int, hit_col: str = "__hit") -> DataFrame:
+    """Annotate ``df`` with ``hit_col``: whether ``key_expr`` probes
+    true in its range's bloom. One equi-join on range_id (left join: a
+    range with no base keys has no bloom row and probes false), then
+    the same zero-extra-pass map probe as the literal path, reading
+    the ``wmap`` column instead of a literal. Co-partitioning both
+    sides on range_id is exactly "partition both sides by fingerprint
+    range" — no single-node filter materialization anywhere."""
+    probed = (
+        df.withColumn("__rid",
+                      F.expr(bloom_range_expr(key_expr, n_ranges)))
+        .join(blooms.withColumnRenamed("range_id", "__rid"),
+              "__rid", "left"))
+    return (probed.withColumn(
+        hit_col,
+        F.coalesce(F.expr(bloom_probe_expr("wmap", key_expr)),
+                   F.lit(False)))
+        .drop("__rid", "wmap"))
+
+
 def cms_slot_spark(d: int, key_col: str) -> str:
     return md5_mod_spark(f"concat('{d}:', {key_col})", CMS_WIDTH)
 

@@ -355,26 +355,44 @@ OPS["expect"] = _op_expect
 
 def _op_anti_join_bloom(ns, step):
     """{"op": "anti_join_bloom", "left": new, "right": base,
-    "left_key": expr, "right_key": expr} — incremental-dedup anti join
-    accelerated by a Bloom pre-filter (operators/sketches.py): base
-    keys fold into a fixed-size filter; left rows the filter REJECTS
-    are definitely new and bypass the join entirely (zero-shuffle
-    map-literal probe), so only bloom hits pay the exact anti join.
-    Output is row-identical to a plain left_anti join at any fill
-    ratio (no false negatives; a saturated filter just prunes less) —
-    pytest-pinned. NULL left keys never probe true (NULL-safe coalesce)
-    and are kept, matching left_anti's NULL semantics."""
+    "left_key": expr, "right_key": expr[, "n_ranges": N]} —
+    incremental-dedup anti join accelerated by a Bloom pre-filter
+    (operators/sketches.py): base keys fold into a fixed-size filter;
+    left rows the filter REJECTS are definitely new and bypass the
+    join entirely (zero-shuffle map-literal probe), so only bloom hits
+    pay the exact anti join. Output is row-identical to a plain
+    left_anti join at any fill ratio (no false negatives; a saturated
+    filter just prunes less) — pytest-pinned. NULL left keys never
+    probe true (NULL-safe coalesce) and are kept, matching left_anti's
+    NULL semantics.
+
+    ``n_ranges`` switches to the per-range variant: the key space hash
+    partitions into N ranges with one fixed-geometry bloom each, kept
+    DISTRIBUTED and joined to the probe side by range_id — no driver
+    collect, no broadcast of the whole filter. That is the documented
+    switch once the single filter outgrows a literal/broadcast (a few
+    GB): capacity scales with N at constant FP rate while every probe
+    task holds only its ranges' words. Same output contract,
+    pytest-pinned identical to the single-bloom path and to plain
+    left_anti."""
     from oracle_cassandra_migrator_spark.operators.sketches import (
-        bloom_build, bloom_literal_map, bloom_probe_expr)
+        bloom_build, bloom_build_ranged, bloom_literal_map,
+        bloom_probe_expr, bloom_probe_ranged)
 
     left, right = ns.get(step["left"]), ns.get(step["right"])
     lk, rk = step["left_key"], step["right_key"]
     keys = (right.selectExpr(f"CAST(({rk}) AS STRING) AS __bk")
             .where("__bk IS NOT NULL").distinct())
-    bloom = bloom_literal_map(bloom_build(keys, "__bk"))
-    probed = left.withColumn("__hit", F.coalesce(
-        F.expr(bloom_probe_expr(bloom, f"CAST(({lk}) AS STRING)")),
-        F.lit(False)))
+    n_ranges = step.get("n_ranges")
+    if n_ranges:
+        blooms = bloom_build_ranged(keys, "__bk", int(n_ranges))
+        probed = bloom_probe_ranged(
+            left, blooms, f"CAST(({lk}) AS STRING)", int(n_ranges))
+    else:
+        bloom = bloom_literal_map(bloom_build(keys, "__bk"))
+        probed = left.withColumn("__hit", F.coalesce(
+            F.expr(bloom_probe_expr(bloom, f"CAST(({lk}) AS STRING)")),
+            F.lit(False)))
     misses = probed.where("NOT __hit").drop("__hit")
     hits = (probed.where("__hit").drop("__hit")
             .join(keys, F.expr(f"CAST(({lk}) AS STRING) = __bk"),

@@ -346,3 +346,66 @@ def test_anti_join_bloom_random_key_sets(spark):
             F.expr("CAST(k AS STRING) = __bk"), "left_anti")
         assert ({tuple(r) for r in got.collect()}
                 == {tuple(r) for r in want.collect()}), seed
+
+
+def test_anti_join_bloom_ranged_matches_single_bloom_and_plain(spark):
+    """The per-range bloom variant (n_ranges) must be row-identical to
+    BOTH the single-bloom path and plain left_anti on the same random
+    key universes (overlap / disjoint / saturating), including NULL
+    probe keys and an n_ranges larger than the key count (empty
+    ranges must probe false, not crash)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from oracle_cassandra_migrator_spark.plans.compiler import (
+        compile_transform)
+
+    for seed, n_left, n_right, universe, n_ranges in [
+            (11, 300, 200, 250, 4),      # heavy overlap
+            (12, 150, 150, 10_000, 16),  # mostly disjoint
+            (13, 400, 2_000, 1_500, 8),  # build side saturates harder
+            (14, 50, 3, 100, 64),        # n_ranges >> keys: empty ranges
+    ]:
+        rng = random.Random(seed)
+        left = [(i, rng.randrange(universe) if rng.random() > 0.05
+                 else None) for i in range(n_left)]
+        right = [(rng.randrange(universe),) for _ in range(n_right)]
+        ldf = spark.createDataFrame(left, "row_id long, k long")
+        rdf = spark.createDataFrame(right, "k long")
+        ranged = compile_transform(
+            spark, {"l": ldf, "r": rdf},
+            [{"op": "anti_join_bloom", "left": "l", "right": "r",
+              "left_key": "k", "right_key": "k", "n_ranges": n_ranges}])
+        single = compile_transform(
+            spark, {"l": ldf, "r": rdf},
+            [{"op": "anti_join_bloom", "left": "l", "right": "r",
+              "left_key": "k", "right_key": "k"}])
+        want = ldf.join(
+            rdf.selectExpr("CAST(k AS STRING) AS __bk").distinct(),
+            F.expr("CAST(k AS STRING) = __bk"), "left_anti")
+        got_set = {tuple(r) for r in ranged.collect()}
+        assert got_set == {tuple(r) for r in single.collect()}, seed
+        assert got_set == {tuple(r) for r in want.collect()}, seed
+        assert set(ranged.columns) == set(ldf.columns), seed
+
+
+def test_bloom_build_ranged_geometry(spark):
+    """Each range's bloom is an independent full-geometry filter: the
+    words table never exceeds n_ranges * (M_BITS/64) rows, and probing
+    a key against the WRONG range's filter is prevented by
+    construction (the probe joins on the same range hash the build
+    used)."""
+    from oracle_cassandra_migrator_spark.operators.sketches import (
+        BLOOM_M_BITS, bloom_build_ranged, bloom_probe_ranged)
+
+    keys = spark.range(0, 2000).selectExpr("CAST(id AS STRING) AS k")
+    n_ranges = 8
+    blooms = bloom_build_ranged(keys, "k", n_ranges)
+    rows = blooms.collect()
+    assert len(rows) <= n_ranges
+    assert all(len(r["wmap"]) <= BLOOM_M_BITS // 64 for r in rows)
+    # every built key must probe true (zero false negatives)
+    probed = bloom_probe_ranged(keys, blooms, "k", n_ranges,
+                                hit_col="hit")
+    assert probed.where("NOT hit").count() == 0

@@ -1174,3 +1174,68 @@ def dedup_strategy_recall_report(spark, sf_dir):
     return rows.withColumn("__tot", total).selectExpr(
         "strategy", "n_pairs", "n_hits",
         "CAST(floor(n_hits * 1e6 / __tot + 0.5) AS BIGINT) AS recall_ppm")
+
+
+# ---------------------------------------------------------------------------
+# stream_dedup_admission_batch — the streaming bloom dedup's batch twin
+# ---------------------------------------------------------------------------
+
+# Shards and fingerprints mirror streaming/stateful.bloom_dedup_stream
+# exactly (8 shards, md5 hashing): the stream's admission decision —
+# first arrival of a fingerprint wins, in event order — IS
+# SQL-expressible even though the stream itself is not, so the batch
+# twin gets a full driver row while the streaming form stays pytest
+# (stream==batch admission parity pinned in test_streaming.py).
+_ADMISSION_FP = "md5(concat(CAST(user_id AS STRING), ':', event_type))"
+_ADMISSION_N_SHARDS = 8
+
+
+@query(
+    "stream_dedup_admission_batch",
+    oracle=f"""
+    WITH f AS (SELECT event_id,
+                      md5(user_id::VARCHAR || ':' || event_type)
+                          AS fingerprint
+               FROM events),
+    r AS (SELECT *,
+                 row_number() OVER (PARTITION BY fingerprint
+                                    ORDER BY event_id) AS rn,
+                 count(*) OVER (PARTITION BY fingerprint) AS n
+          FROM f)
+    SELECT CAST(('0x' || substring(md5(fingerprint), 1, 8))::BIGINT
+                % {_ADMISSION_N_SHARDS} AS INT) AS shard,
+           fingerprint,
+           CAST(event_id AS BIGINT) AS admitted_event_id,
+           CAST(n - 1 AS BIGINT) AS n_suppressed
+    FROM r WHERE rn = 1
+    """,
+)
+def stream_dedup_admission_batch(spark, sf_dir):
+    """First-seen admission over event order — the exact-semantics
+    batch twin of ``streaming.stateful.bloom_dedup_stream`` (VERDICT
+    r5 #6): per fingerprint md5(user:type), the earliest event_id is
+    admitted and every later arrival is suppressed; ``shard`` is the
+    stream operator's state-shard hash verbatim, so a row here names
+    which stream shard would have owned the decision. The stream's
+    only divergence from this table is its bounded-state approximation
+    (a bloom false positive suppresses a first arrival); equality on
+    this corpus is pinned in test_streaming.py.
+
+    Scale shape: one map-side-combined groupBy on the fingerprint
+    (min/count — no window over the raw stream of rows); the oracle
+    uses the row_number formulation to prove the pick-first semantics
+    independently. At 100 TB this is the standard first-touch
+    collapse: shuffle O(|distinct fingerprints|) after partial
+    aggregation, never the event log."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.selectExpr("event_id", f"{_ADMISSION_FP} AS fingerprint")
+        .groupBy("fingerprint")
+        .agg(F.expr("CAST(min(event_id) AS BIGINT)")
+             .alias("admitted_event_id"),
+             F.expr("CAST(count(*) - 1 AS BIGINT)").alias("n_suppressed"))
+        .selectExpr(
+            f"CAST(CAST(conv(substring(md5(fingerprint), 1, 8), 16, 10)"
+            f" AS BIGINT) % {_ADMISSION_N_SHARDS} AS INT) AS shard",
+            "fingerprint", "admitted_event_id", "n_suppressed")
+    )

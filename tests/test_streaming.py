@@ -711,3 +711,41 @@ def test_bloom_dedup_stream_recovers_filters_from_checkpoint(spark, tmp_path):
     admitted = [r.doc_id for r in spark.read.parquet(out).collect()]
     assert len(admitted) == n_first        # batch 2 admitted NOTHING
     assert all(i < 150 for i in admitted)  # only originals ever pass
+
+
+def test_bloom_dedup_stream_matches_batch_twin_query(spark, tmp_path):
+    """Stream==batch parity for the admission semantics (VERDICT r5
+    #6): bloom_dedup_stream over the events fingerprints must admit
+    exactly the `stream_dedup_admission_batch` driver query's
+    admitted_event_ids on this corpus (the only permitted divergence —
+    a bloom false positive suppressing a first arrival — does not
+    occur at this fill, which this test also proves)."""
+    import time
+
+    from oracle_cassandra_migrator_spark.queries.round6 import (
+        _ADMISSION_FP, stream_dedup_admission_batch)
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+    from oracle_cassandra_migrator_spark.streaming.stateful import (
+        bloom_dedup_stream)
+
+    from tests.conftest import SF_SMALL
+
+    want = {r.admitted_event_id
+            for r in stream_dedup_admission_batch(
+                spark, SF_SMALL).collect()}
+
+    src = str(tmp_path / "admission_src")
+    (read_table(spark, SF_SMALL, "events")
+     .selectExpr("event_id", f"{_ADMISSION_FP} AS fp")
+     .coalesce(1).write.mode("overwrite").parquet(src))
+    stream = spark.readStream.schema("event_id long, fp string").parquet(src)
+    q = (bloom_dedup_stream(stream, "fp", "event_id")
+         .writeStream.format("memory").queryName("admission_twin")
+         .outputMode("append").trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {r.doc_id for r in spark.table("admission_twin").collect()}
+    assert got == want
+    assert len(want) > 0

@@ -352,19 +352,29 @@ LANG_PROFILES: dict[str, list[str]] = {
 
 
 def lang_guess_expr(text_col: str) -> str:
-    counts = {
-        lang: stopword_count_expr(text_col, words)
-        for lang, words in LANG_PROFILES.items()
-    }
-    greatest = "greatest(" + ", ".join(counts.values()) + ")"
-    case = " ".join(
-        f"WHEN {counts[lang]} = __g THEN '{lang}'" for lang in LANG_PROFILES
-    )
-    return (
-        f"CASE WHEN {greatest} = 0 THEN 'und' "
-        + case.replace("__g", greatest)
-        + " ELSE 'und' END"
-    )
+    """Stopword-profile language guess with the words array bound ONCE
+    (the shingles_once lambda trick): the naive form inlined the full
+    normalize+split pipeline into every stopword-count reference —
+    ~2 regex passes per language per row — where this evaluates the
+    split exactly once per row, counts each profile once into a bound
+    array ``c``, and picks the argmax with array_max. Value-identical
+    to the naive inlining by construction (same counts, same
+    first-match tie order, same 'und' floors) — pinned in pytest
+    against the un-bound reference formula."""
+    def count_body(words: list[str]) -> str:
+        lit = ", ".join(f"'{_sql_quote(s)}'" for s in words)
+        return (f"CAST(size(filter(w, "
+                f"x -> array_contains(array({lit}), x))) AS BIGINT)")
+
+    counts = ", ".join(count_body(ws) for ws in LANG_PROFILES.values())
+    whens = " ".join(
+        f"WHEN element_at(c, {i + 1}) = array_max(c) THEN '{lang}'"
+        for i, lang in enumerate(LANG_PROFILES))
+    case = f"CASE WHEN array_max(c) = 0 THEN 'und' {whens} ELSE 'und' END"
+    bound_counts = (f"element_at(transform(array(array({counts})), "
+                    f"c -> {case}), 1)")
+    return (f"element_at(transform(array({words_expr(text_col)}), "
+            f"w -> {bound_counts}), 1)")
 
 
 def char_entropy_expr(text_col: str) -> str:

@@ -738,3 +738,34 @@ def test_pagerank_is_partition_invariant(spark):
     a = ranks(base.repartition(1))
     b = ranks(base.repartition(13, "dst"))
     assert a == b  # bit-identical, not approximately equal
+
+
+def test_lang_guess_bound_rewrite_value_identical(spark):
+    """The r6 bound-once rewrite of lang_guess_expr must produce the
+    exact language the naive per-profile inlining produced, row for
+    row, on the real corpus (both SFs' documents share the generator;
+    sf0.01 suffices) plus adversarial literals (empty, no stopwords,
+    cross-language ties)."""
+    from oracle_cassandra_migrator_spark.operators.text import (
+        LANG_PROFILES, lang_guess_expr, stopword_count_expr)
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    def naive(col):
+        counts = {lang: stopword_count_expr(col, words)
+                  for lang, words in LANG_PROFILES.items()}
+        greatest = "greatest(" + ", ".join(counts.values()) + ")"
+        case = " ".join(f"WHEN {counts[lang]} = {greatest} THEN '{lang}'"
+                        for lang in LANG_PROFILES)
+        return (f"CASE WHEN {greatest} = 0 THEN 'und' {case} "
+                f"ELSE 'und' END")
+
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    lit = spark.createDataFrame(
+        [("",), ("zzz qqq xyz",), ("the el le der und est",),
+         ("la la la",), ("de la que",)], "text string")
+    for df in (docs, lit):
+        n_diff = (df.selectExpr(
+            f"{lang_guess_expr('text')} AS new_guess",
+            f"{naive('text')} AS old_guess")
+            .where("new_guess IS DISTINCT FROM old_guess").count())
+        assert n_diff == 0

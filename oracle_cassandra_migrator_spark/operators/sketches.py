@@ -198,6 +198,48 @@ def bloom_probe_ranged(df: DataFrame, blooms: DataFrame, key_expr: str,
         .drop("__rid", "wmap"))
 
 
+def bloom_range_sql(key_col: str, n_ranges: int) -> str:
+    """DuckDB twin of bloom_range_expr."""
+    return md5_mod_sql(f"'r:' || {key_col}", n_ranges)
+
+
+def bloom_sql_ctes_ranged(base_select: str, n_ranges: int) -> str:
+    """DuckDB replay of bloom_build_ranged: CTE bodies producing
+    ``bwords`` (range_id, word_idx, word) from a
+    ``SELECT <key AS fp> ...``-shaped ``base_select``."""
+    return f"""
+    bkeys AS ({base_select}),
+    brange AS (SELECT fp, {bloom_range_sql('fp', n_ranges)} AS range_id
+               FROM bkeys),
+    bpos AS (SELECT range_id,
+                    ('0x' || substring(md5(u.i::VARCHAR || ':' || fp), 1, 15))::BIGINT
+                    % {BLOOM_M_BITS} AS pos
+             FROM brange CROSS JOIN
+                  (SELECT unnest([{", ".join(str(i) for i in range(BLOOM_K))}]) AS i) u),
+    bwords AS (SELECT range_id, pos // 64 AS word_idx,
+                      bit_or(CASE WHEN pos % 64 = 63
+                                  THEN (-9223372036854775808)::BIGINT
+                                  ELSE 1::BIGINT << CAST(pos % 64 AS INT)
+                             END) AS word
+               FROM bpos GROUP BY 1, 2)
+    """
+
+
+def bloom_hit_sql_ranged(key_col: str, n_ranges: int) -> str:
+    """DuckDB boolean: all BLOOM_K bits of ``key_col`` set in ITS
+    range's filter (ranged twin of bloom_hit_sql)."""
+    rid = bloom_range_sql(key_col, n_ranges)
+    probes = []
+    for i in range(BLOOM_K):
+        pos = bloom_pos_sql(i, key_col)
+        probes.append(
+            f"EXISTS (SELECT 1 FROM bwords b"
+            f" WHERE b.range_id = ({rid})"
+            f" AND b.word_idx = ({pos}) // 64"
+            f" AND ((b.word >> CAST(({pos}) % 64 AS INT)) & 1) = 1)")
+    return "(" + " AND ".join(probes) + ")"
+
+
 def cms_slot_spark(d: int, key_col: str) -> str:
     return md5_mod_spark(f"concat('{d}:', {key_col})", CMS_WIDTH)
 

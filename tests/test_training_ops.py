@@ -103,7 +103,10 @@ def test_cluster_nmi_matches_python_reference(spark):
     for (c, l), n in ct.items():
         n_c[c] = n_c.get(c, 0) + n
         n_l[l] = n_l.get(l, 0) + n
-    nano = lambda x: math.floor(x * 1e9 + 0.5)
+    # micro-quantized then scaled to nano — mirrors _CLUSTER_NMI_TAIL's
+    # r6 half-up micro convention (ADVICE r5: nano floors sat 1 ulp
+    # from libm boundaries)
+    nano = lambda x: math.floor(x * 1e6 + 0.5) * 1000
     mi = sum(nano((n / n_total) * math.log2(n * n_total
                                            / (n_c[c] * n_l[l])))
              for (c, l), n in ct.items()) / 1e9

@@ -21,9 +21,20 @@ NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"
 
 @lru_cache(maxsize=256)
 def _nano_ts_columns(path: str) -> tuple[str, ...]:
-    """Names of timestamp[ns] columns, from the parquet footer only."""
+    """Names of timestamp[ns] columns, from the parquet footer only.
+    Accepts both a single parquet file (the driver testdata shape) and
+    a Spark-written directory (first part file's footer — one writer,
+    one schema)."""
+    import glob
+    import os
+
     import pyarrow.parquet as pq
 
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return ()
+        path = parts[0]
     schema = pq.ParquetFile(path).schema_arrow
     return tuple(
         field.name

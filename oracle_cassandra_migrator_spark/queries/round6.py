@@ -1326,3 +1326,110 @@ def dedup_bloom_ranged_audit(spark, sf_dir):
         F.expr("CAST(sum(in_base) AS BIGINT)").alias("n_members"),
         F.expr("CAST(sum(CASE WHEN bloom_hit AND in_base = 0 "
                "THEN 1 ELSE 0 END) AS BIGINT)").alias("n_false_pos"))
+
+
+# ---------------------------------------------------------------------------
+# join_fuzzy_customer_names — blocked edit-distance record linkage
+# ---------------------------------------------------------------------------
+
+# Deterministic "dirty" probe set: every customer name with ONE digit
+# deleted from the varying window (digit positions 5-9 of the 9-digit
+# suffix; positions 1-4 are constant zeros at these SFs, deleting one
+# would make every probe collide). Deletion position = md5(name) mod 5.
+_FUZZY_POS = ("(5 + CAST(conv(substring(md5(c_name), 1, 15), 16, 10)"
+              " AS BIGINT) % 5)")
+_FUZZY_POS_SQL = ("(5 + ('0x' || substring(md5(c_name), 1, 15))::BIGINT"
+                  " % 5)")
+
+
+def _fuzzy_oracle() -> str:
+    return f"""
+    WITH clean AS (SELECT c_custkey, c_name,
+                          substring(c_name, 10, 9) AS dig
+                   FROM customer),
+    dirty AS (SELECT c_custkey AS dirty_id, c_name AS orig_name,
+                     substring(c_name, 1, 9 + {_FUZZY_POS_SQL} - 1)
+                     || substring(c_name, 9 + {_FUZZY_POS_SQL} + 1)
+                         AS dirty_name
+              FROM clean),
+    dkeys AS (SELECT dirty_id, dirty_name, 'A' AS tag,
+                     substring(dirty_name, 14, 2) AS k FROM dirty
+              UNION ALL
+              SELECT dirty_id, dirty_name, 'B',
+                     substring(dirty_name, 16, 2) FROM dirty),
+    ckeys AS (SELECT c_custkey, c_name, 'A' AS tag,
+                     substring(c_name, 14, 2) AS k FROM clean
+              UNION ALL
+              SELECT c_custkey, c_name, 'B',
+                     substring(c_name, 17, 2) FROM clean),
+    cand AS (SELECT DISTINCT d.dirty_id, d.dirty_name,
+                    c.c_custkey, c.c_name
+             FROM dkeys d JOIN ckeys c ON d.tag = c.tag AND d.k = c.k),
+    ver AS (SELECT dirty_id, dirty_name, c_custkey, c_name,
+                   levenshtein(dirty_name, c_name) AS lev_dist
+            FROM cand),
+    best AS (SELECT *, row_number() OVER (
+                 PARTITION BY dirty_id
+                 ORDER BY lev_dist, c_name) AS rn
+             FROM ver WHERE lev_dist <= 1)
+    SELECT CAST(dirty_id AS BIGINT) AS dirty_id, dirty_name,
+           CAST(c_custkey AS BIGINT) AS matched_custkey,
+           CAST(lev_dist AS BIGINT) AS lev_dist,
+           (c_custkey = dirty_id) AS is_correct
+    FROM best WHERE rn = 1
+    """
+
+
+@query("join_fuzzy_customer_names", oracle=_fuzzy_oracle())
+def join_fuzzy_customer_names(spark, sf_dir):
+    """Blocked edit-distance similarity join (record linkage): a
+    deterministic dirty probe set — every customer name with one digit
+    deleted — links back to the clean names via TWO blocking keys,
+    then exact levenshtein verifies candidates and the best match
+    (min distance, name tiebreak) wins per probe. ``is_correct``
+    makes linkage accuracy a driver-hashed column: ambiguous probes
+    (several names within distance 1) resolve to the tiebreak winner,
+    which is not always the source row.
+
+    Zero false negatives BY CONSTRUCTION, the property naive q-gram
+    blocking loses on zero-padded ids (every name shares the high
+    digits, so selective grams don't exist): the deletion lands in the
+    5-char varying window, key A = window chars 1-2 survives deletions
+    at window offsets 3-5, key B = window's last 2 chars survives
+    offsets 1-3 — every single-deletion keeps at least one key intact,
+    so the true pair is always a candidate. Block sizes are bounded by
+    key selectivity (~|rows|/10^2 per key), the candidate join is two
+    equi-joins + a distinct — never all-pairs — and the verify step is
+    per-candidate O(len^2) on 18-char strings. At 100 TB: exactly the
+    inverted-index topology of dedup_ngram_jaccard with the same
+    hot-block cap option if a key degenerates."""
+    cust = read_table(spark, sf_dir, "customer")
+    clean = cust.selectExpr("c_custkey", "c_name")
+    dirty = clean.selectExpr(
+        "c_custkey AS dirty_id",
+        f"concat(substring(c_name, 1, 9 + {_FUZZY_POS} - 1), "
+        f"substring(c_name, 9 + {_FUZZY_POS} + 1)) AS dirty_name")
+    dkeys = dirty.selectExpr(
+        "dirty_id", "dirty_name",
+        "explode(array(struct('A' AS tag, substring(dirty_name, 14, 2) AS k), "
+        "struct('B' AS tag, substring(dirty_name, 16, 2) AS k))) AS dk"
+    ).selectExpr("dirty_id", "dirty_name", "dk.tag AS tag", "dk.k AS k")
+    ckeys = clean.selectExpr(
+        "c_custkey", "c_name",
+        "explode(array(struct('A' AS tag, substring(c_name, 14, 2) AS k), "
+        "struct('B' AS tag, substring(c_name, 17, 2) AS k))) AS ck"
+    ).selectExpr("c_custkey", "c_name", "ck.tag AS tag", "ck.k AS k")
+    cand = (dkeys.join(ckeys, ["tag", "k"])
+            .select("dirty_id", "dirty_name", "c_custkey", "c_name")
+            .distinct())
+    ver = cand.withColumn(
+        "lev_dist", F.expr("levenshtein(dirty_name, c_name)")).where(
+        "lev_dist <= 1")
+    w = Window.partitionBy("dirty_id").orderBy("lev_dist", "c_name")
+    return (ver.withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .selectExpr(
+                "CAST(dirty_id AS BIGINT) AS dirty_id", "dirty_name",
+                "CAST(c_custkey AS BIGINT) AS matched_custkey",
+                "CAST(lev_dist AS BIGINT) AS lev_dist",
+                "c_custkey = dirty_id AS is_correct"))

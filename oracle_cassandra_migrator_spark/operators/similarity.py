@@ -621,3 +621,69 @@ def pq_topk(
         .limit(k)
         .select(id_col, *extra_cols, "pq_score", "cosine")
     )
+
+
+def mmr_topk(
+    embeddings: DataFrame, k: int = 5, pool: int = 20, lam: float = 0.7,
+    query_id: int = 0, vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily pick argmax of
+    lam*rel(v) - (1-lam)*max_{s in S} sim(v, s) — relevance traded
+    against redundancy with what is already selected, the standard
+    re-ranker for retrieval-augmented pipelines where the plain top-k
+    returns k near-copies.
+
+    Scale shape: the DISTRIBUTED stage is candidate generation — one
+    corpus scan + TakeOrdered to a ``pool`` of candidates (the same
+    plan as cosine_topk, linear at any corpus size). The greedy loop
+    then runs k steps over the pool only: each step's scores are
+    computed BY THE ENGINE on the persisted pool (a pool x |S| compare,
+    |S| < k), and only the 1-row argmax is collected — the bounded
+    train-out-of-plan pattern (IVF codebooks, BPE merges). Every
+    cosine is rounded to 6 dp before comparison and ties break on id,
+    so the selection is deterministic and replayable cross-engine;
+    the DuckDB oracle unrolls all k steps."""
+    spark = embeddings.sparkSession
+    e = DOUBLE_VEC.format(col=vec_col)
+    q = DOUBLE_VEC.format(col="q")
+    qrow = (embeddings.where(f"{id_col} = {query_id}")
+            .select(F.col(vec_col).alias("q")))
+    pool_df = (
+        embeddings.where(f"{id_col} <> {query_id}")
+        .crossJoin(F.broadcast(qrow))
+        .withColumn("rel", F.expr(f"round({cosine_expr(e, q)}, 6)"))
+        .orderBy(F.col("rel").desc(), id_col)
+        .limit(pool)
+        .select(id_col, vec_col, "rel")
+        .persist())
+    ca = DOUBLE_VEC.format(col=vec_col)
+    cb = DOUBLE_VEC.format(col="__sv")
+    out = []
+    selected_ids: list[int] = []
+    for t in range(1, k + 1):
+        if not selected_ids:
+            pick = pool_df.orderBy(
+                F.col("rel").desc(), id_col).limit(1).collect()[0]
+            out.append((t, pick[id_col], pick["rel"], pick["rel"]))
+        else:
+            sel_vecs = (pool_df
+                        .where(F.col(id_col).isin(selected_ids))
+                        .select(F.col(vec_col).alias("__sv")))
+            scored = (
+                pool_df.where(~F.col(id_col).isin(selected_ids))
+                .crossJoin(F.broadcast(sel_vecs))
+                .withColumn("__sim", F.expr(
+                    f"round({cosine_expr(ca, cb)}, 6)"))
+                .groupBy(id_col, "rel")
+                .agg(F.max("__sim").alias("red"))
+                .withColumn("mmr", F.expr(
+                    f"round({lam}e0 * rel - {round(1 - lam, 10)}e0 * red,"
+                    f" 6)")))
+            pick = scored.orderBy(
+                F.col("mmr").desc(), id_col).limit(1).collect()[0]
+            out.append((t, pick[id_col], pick["rel"], pick["mmr"]))
+        selected_ids.append(out[-1][1])
+    pool_df.unpersist()
+    return spark.createDataFrame(
+        out, f"pick_rank long, {id_col} long, rel double, mmr double")

@@ -1433,3 +1433,75 @@ def join_fuzzy_customer_names(spark, sf_dir):
                 "CAST(c_custkey AS BIGINT) AS matched_custkey",
                 "CAST(lev_dist AS BIGINT) AS lev_dist",
                 "c_custkey = dirty_id AS is_correct"))
+
+
+# ---------------------------------------------------------------------------
+# sim_mmr_diversified_topk — MMR re-ranking over the retrieval pool
+# ---------------------------------------------------------------------------
+
+_MMR_K = 5
+_MMR_POOL = 20
+
+
+def _mmr_cos_sql(a: str, b: str) -> str:
+    return (
+        f"round(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+        f" / (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+        f" * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))), 6)"
+    )
+
+
+def _mmr_oracle(k: int = _MMR_K, pool: int = _MMR_POOL) -> str:
+    """Unrolled k-step replay of the greedy MMR selection: step CTEs
+    s1..sk each pick the deterministic argmax (mmr DESC, vec_id) over
+    the pool minus the running selection; redundancy is the max of
+    6-dp-rounded cosines to every prior pick — the exact arithmetic
+    operators/similarity.mmr_topk runs engine-side."""
+    cos_pq = _mmr_cos_sql("e.embedding", "q.q")
+    parts = [
+        "qrow AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)",
+        f"""pool AS (SELECT e.vec_id, e.embedding, {cos_pq} AS rel
+             FROM embeddings e CROSS JOIN qrow q
+             WHERE e.vec_id <> 0
+             ORDER BY rel DESC, e.vec_id LIMIT {pool})""",
+        """s1 AS (SELECT vec_id, embedding, rel, rel AS mmr FROM pool
+             ORDER BY rel DESC, vec_id LIMIT 1)""",
+        "u1 AS (SELECT * FROM s1)",
+    ]
+    cos_ps = _mmr_cos_sql("p.embedding", "s.embedding")
+    for t in range(2, k + 1):
+        p = t - 1
+        parts.append(f"""
+    r{t} AS (SELECT p.vec_id, p.rel, max({cos_ps}) AS red
+             FROM pool p CROSS JOIN u{p} s
+             WHERE p.vec_id NOT IN (SELECT vec_id FROM u{p})
+             GROUP BY p.vec_id, p.rel)""")
+        parts.append(f"""
+    s{t} AS (SELECT r.vec_id, p.embedding, r.rel,
+                    round(0.7e0 * r.rel - 0.3e0 * r.red, 6) AS mmr
+             FROM r{t} r JOIN pool p USING (vec_id)
+             ORDER BY mmr DESC, r.vec_id LIMIT 1)""")
+        parts.append(
+            f"u{t} AS (SELECT * FROM u{p} UNION ALL SELECT * FROM s{t})")
+    sel = "\n    UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS pick_rank, vec_id, rel, mmr"
+        f" FROM s{t}" for t in range(1, k + 1))
+    return "WITH " + ",\n    ".join(parts) + "\n    " + sel
+
+
+@query("sim_mmr_diversified_topk", oracle=_mmr_oracle())
+def sim_mmr_diversified_topk(spark, sf_dir):
+    """MMR-diversified retrieval (lambda=0.7, k=5 over a pool of 20):
+    the re-ranker that turns a plain cosine top-k into a diverse
+    answer set — each pick maximizes relevance minus redundancy with
+    what is already picked. See operators/similarity.mmr_topk for the
+    algorithm and the bounded-collect scale argument (candidate
+    generation is the only corpus-scale stage; the greedy loop is
+    k engine-side argmaxes over the persisted pool). The oracle
+    unrolls all 5 greedy steps as CTEs, so the driver hash pins every
+    pick, its relevance, and its marginal score."""
+    from oracle_cassandra_migrator_spark.operators import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.mmr_topk(
+        emb, k=_MMR_K, pool=_MMR_POOL, lam=0.7, query_id=0)

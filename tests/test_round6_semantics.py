@@ -113,3 +113,57 @@ def test_pq_recall_headroom_after_retrain():
         row = QUERIES[name](
             spark, "/root/testdata/sf0.01").collect()[0]
         assert row.recall_ppm >= 400000, (name, row)
+
+
+def test_mmr_matches_python_greedy_reference(spark):
+    """Independent check of the MMR selection: recompute the greedy
+    loop in plain Python over the collected pool (numpy-free exact
+    float arithmetic on the same 6-dp-rounded cosines) and compare
+    every pick and score."""
+    from oracle_cassandra_migrator_spark.queries.round6 import (
+        _MMR_K, _MMR_POOL, sim_mmr_diversified_topk)
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    vecs = {r.vec_id: [float(x) for x in r.embedding]
+            for r in emb.collect()}
+    q = vecs[0]
+
+    import math
+
+    def r6(x):
+        # engines round HALF_UP = away from zero (Spark round, and
+        # DuckDB agrees on these values — the oracle test proves it);
+        # python round() is banker's, so use the floor convention,
+        # mirrored for negatives
+        s = -1.0 if x < 0 else 1.0
+        return s * math.floor(abs(x) * 1e6 + 0.5) / 1e6
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(
+            sum(y * y for y in b))
+        return r6(num / den)
+
+    rel = {i: cos(v, q) for i, v in vecs.items() if i != 0}
+    pool = sorted(rel, key=lambda i: (-rel[i], i))[:_MMR_POOL]
+    picks, sel = [], []
+    for t in range(1, _MMR_K + 1):
+        if not sel:
+            best = min(pool, key=lambda i: (-rel[i], i))
+            picks.append((t, best, rel[best], rel[best]))
+        else:
+            cand = [i for i in pool if i not in sel]
+            scores = {
+                i: r6(0.7 * rel[i]
+                      - 0.3 * max(cos(vecs[i], vecs[s]) for s in sel))
+                for i in cand}
+            best = min(cand, key=lambda i: (-scores[i], i))
+            picks.append((t, best, rel[best], scores[best]))
+        sel.append(best)
+    got = [(r.pick_rank, r.vec_id, r.rel, r.mmr)
+           for r in sim_mmr_diversified_topk(spark, SF_SMALL).collect()]
+    assert got == picks
+    # the picks must actually diversify: not simply the top-k by rel
+    plain = sorted(rel, key=lambda i: (-rel[i], i))[:_MMR_K]
+    assert [p[1] for p in picks] != plain

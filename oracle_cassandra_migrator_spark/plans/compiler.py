@@ -401,3 +401,27 @@ def _op_anti_join_bloom(ns, step):
 
 
 OPS["anti_join_bloom"] = _op_anti_join_bloom
+
+
+def _op_fuzzy_join(ns, step):
+    """{"op": "fuzzy_join", "left": probe, "right": reference,
+    "left_col": expr, "right_col": expr, "left_block_keys": [...],
+    "right_block_keys": [...], "max_dist": 1, "pick_best": true,
+    "left_id": col} — blocked edit-distance record linkage
+    (operators/linkage.py): candidates from multi-key blocking, exact
+    levenshtein verify, optional best-match pick per probe row.
+    Choose block keys so every expected edit leaves one key intact
+    and recall is proven (see join_fuzzy_customer_names)."""
+    from oracle_cassandra_migrator_spark.operators.linkage import (
+        fuzzy_join)
+
+    return fuzzy_join(
+        ns.get(step["left"]), ns.get(step["right"]),
+        step["left_col"], step["right_col"],
+        list(step["left_block_keys"]), list(step["right_block_keys"]),
+        max_dist=int(step.get("max_dist", 1)),
+        pick_best=bool(step.get("pick_best", True)),
+        left_id=step.get("left_id"))
+
+
+OPS["fuzzy_join"] = _op_fuzzy_join

@@ -1403,36 +1403,27 @@ def join_fuzzy_customer_names(spark, sf_dir):
     per-candidate O(len^2) on 18-char strings. At 100 TB: exactly the
     inverted-index topology of dedup_ngram_jaccard with the same
     hot-block cap option if a key degenerates."""
+    from oracle_cassandra_migrator_spark.operators.linkage import (
+        fuzzy_join)
+
     cust = read_table(spark, sf_dir, "customer")
     clean = cust.selectExpr("c_custkey", "c_name")
     dirty = clean.selectExpr(
         "c_custkey AS dirty_id",
         f"concat(substring(c_name, 1, 9 + {_FUZZY_POS} - 1), "
         f"substring(c_name, 9 + {_FUZZY_POS} + 1)) AS dirty_name")
-    dkeys = dirty.selectExpr(
-        "dirty_id", "dirty_name",
-        "explode(array(struct('A' AS tag, substring(dirty_name, 14, 2) AS k), "
-        "struct('B' AS tag, substring(dirty_name, 16, 2) AS k))) AS dk"
-    ).selectExpr("dirty_id", "dirty_name", "dk.tag AS tag", "dk.k AS k")
-    ckeys = clean.selectExpr(
-        "c_custkey", "c_name",
-        "explode(array(struct('A' AS tag, substring(c_name, 14, 2) AS k), "
-        "struct('B' AS tag, substring(c_name, 17, 2) AS k))) AS ck"
-    ).selectExpr("c_custkey", "c_name", "ck.tag AS tag", "ck.k AS k")
-    cand = (dkeys.join(ckeys, ["tag", "k"])
-            .select("dirty_id", "dirty_name", "c_custkey", "c_name")
-            .distinct())
-    ver = cand.withColumn(
-        "lev_dist", F.expr("levenshtein(dirty_name, c_name)")).where(
-        "lev_dist <= 1")
-    w = Window.partitionBy("dirty_id").orderBy("lev_dist", "c_name")
-    return (ver.withColumn("rn", F.row_number().over(w))
-            .where("rn = 1")
-            .selectExpr(
-                "CAST(dirty_id AS BIGINT) AS dirty_id", "dirty_name",
-                "CAST(c_custkey AS BIGINT) AS matched_custkey",
-                "CAST(lev_dist AS BIGINT) AS lev_dist",
-                "c_custkey = dirty_id AS is_correct"))
+    best = fuzzy_join(
+        dirty, clean, "dirty_name", "c_name",
+        left_block_keys=["substring(dirty_name, 14, 2)",
+                         "substring(dirty_name, 16, 2)"],
+        right_block_keys=["substring(c_name, 14, 2)",
+                          "substring(c_name, 17, 2)"],
+        max_dist=1, pick_best=True, left_id="dirty_id")
+    return best.selectExpr(
+        "CAST(dirty_id AS BIGINT) AS dirty_id", "dirty_name",
+        "CAST(c_custkey AS BIGINT) AS matched_custkey",
+        "CAST(lev_dist AS BIGINT) AS lev_dist",
+        "c_custkey = dirty_id AS is_correct")
 
 
 # ---------------------------------------------------------------------------

@@ -25,7 +25,7 @@ def test_every_op_is_exercised_here():
         "intersect", "except", "alias", "repartition", "sql",
         "quantile_bucket", "gapfill", "interval_join",
         "dedup_exact", "salted_join", "zorder", "expect",
-        "anti_join_bloom",
+        "anti_join_bloom", "fuzzy_join",
     }
     assert exercised == set(OPS)
 
@@ -409,3 +409,50 @@ def test_bloom_build_ranged_geometry(spark):
     probed = bloom_probe_ranged(keys, blooms, "k", n_ranges,
                                 hit_col="hit")
     assert probed.where("NOT hit").count() == 0
+
+
+def test_compiler_fuzzy_join_matches_exhaustive_reference(spark):
+    """The fuzzy_join step must find exactly the pairs an exhaustive
+    levenshtein cross-compare finds, when the block keys cover the
+    planted noise (prefix-3 OR suffix-3 of two-sided padded words:
+    a single interior edit keeps both, an edge edit keeps one)."""
+    from pyspark.sql import functions as F
+
+    from oracle_cassandra_migrator_spark.plans.compiler import (
+        compile_transform)
+
+    ref_rows = [("alpha-red",), ("alpha-blu",), ("gamma-red",),
+                ("delta-xyz",), ("omega-one",)]
+    probe_rows = [("alpha-rXd",), ("alpha-blu",), ("gamma-rel",),
+                  ("Xelta-xyz",), ("omega-onX",), ("nomatch-zz",)]
+    ref = spark.createDataFrame(ref_rows, "name string")
+    probe = spark.createDataFrame(probe_rows, "p string")
+    got = compile_transform(
+        spark, {"p": probe, "r": ref},
+        [{"op": "fuzzy_join", "left": "p", "right": "r",
+          "left_col": "p", "right_col": "name",
+          "left_block_keys": ["substring(p, 1, 3)",
+                              "substring(p, -3, 3)"],
+          "right_block_keys": ["substring(name, 1, 3)",
+                               "substring(name, -3, 3)"],
+          "max_dist": 1, "pick_best": False}])
+    want = (probe.crossJoin(ref)
+            .withColumn("lev_dist", F.expr("levenshtein(p, name)"))
+            .where("lev_dist <= 1"))
+    g = {(r["p"], r["name"], r["lev_dist"]) for r in got.collect()}
+    w = {(r["p"], r["name"], r["lev_dist"]) for r in want.collect()}
+    assert g == w
+    assert len(w) >= 5          # non-vacuous
+    # pick_best keeps exactly one row per probe that matched
+    best = compile_transform(
+        spark, {"p": probe, "r": ref},
+        [{"op": "fuzzy_join", "left": "p", "right": "r",
+          "left_col": "p", "right_col": "name",
+          "left_block_keys": ["substring(p, 1, 3)",
+                              "substring(p, -3, 3)"],
+          "right_block_keys": ["substring(name, 1, 3)",
+                               "substring(name, -3, 3)"],
+          "max_dist": 1, "pick_best": True}])
+    rows = best.collect()
+    assert len(rows) == len({r["p"] for r in rows})
+    assert {r["p"] for r in rows} == {p for p, _, _ in w}

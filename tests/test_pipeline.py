@@ -260,3 +260,32 @@ def test_example_spec_fingerprint_keys_match_fingerprint_expr(spark):
         f"FROM (SELECT 'hello world' AS text)").collect()[0]
     assert row.a == row.b
     assert row.a != row.c
+
+
+def test_linkage_example_spec_runs_end_to_end(spark):
+    """The shipped record-linkage example (dirty probe build ->
+    fuzzy_join -> expect gate -> sink) must run through the real
+    Pipeline runner and produce one best match per probe."""
+    import json
+    import pathlib
+    import shutil
+
+    shutil.rmtree("/tmp/ocm-linkage", ignore_errors=True)
+    spec_path = (pathlib.Path(__file__).resolve().parent.parent
+                 / "examples" / "linkage_pipeline.json")
+    cfg = json.load(open(spec_path))
+    spec = cfg["tables"][0]
+    spec["staging_dir"] = cfg["staging_dir"]
+    spec["retry"] = {"retries": 3, "delay": 0.0, "sleep": lambda s: None}
+    state = LocalFSStateStore()
+    r1 = Pipeline(spark, spec, state).run()
+    assert r1.files_written > 0
+    out = spark.read.parquet("/tmp/ocm-linkage/out")
+    n_cust = spark.read.parquet(
+        "/root/testdata/sf0.001/customer.parquet").count()
+    assert out.count() == n_cust              # every probe matched
+    assert out.where("lev_dist > 1").count() == 0
+    assert out.where("is_correct").count() > 0
+    r2 = Pipeline(spark, spec, state).run()
+    assert r2.files_written == 0
+    shutil.rmtree("/tmp/ocm-linkage", ignore_errors=True)

@@ -630,3 +630,70 @@ def minshingle_neighbor_pairs(
             "round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6)"))
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def containment_pairs(
+    df: DataFrame, text_col: str, id_col: str,
+    n: int = 3, threshold: float = 0.6,
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """DIRECTIONAL near-duplicate detection: ordered pairs
+    (doc_inner, doc_outer) whose shingle containment
+    C(inner -> outer) = |S_inner ∩ S_outer| / |S_inner| >= threshold.
+
+    Containment is the sub-document relation Jaccard misses: a short
+    doc fully embedded in a long one (quoted article, excerpt + added
+    commentary, template wrapping real content) has J ≈ |A|/|B| — far
+    below any Jaccard threshold — but containment 1.0 from the short
+    side. Training-data curation wants exactly this signal to drop the
+    superseded fragment and keep the superset document.
+
+    Plan shape is ngram_jaccard_pairs' inverted-index topology
+    unchanged (one shingle explode, one equi self-join on the shingle,
+    one pair aggregation — |A ∩ B| falls out of the join, set sizes
+    ride along): the only difference is POST-aggregation — each
+    undirected candidate fans out into its two directions (a 2-element
+    explode of an already pair-sized relation, no new shuffle) and the
+    filter divides by the inner side's size instead of the union. The
+    ``max_token_df`` guard is the same 100 TB quadratic-melt switch
+    documented on ngram_jaccard_pairs.
+
+    Threshold semantics follow the catalog convention: the UNROUNDED
+    ratio is compared; ``containment`` is rounded for display only."""
+    shingled = with_shingles(df.select(id_col, text_col), text_col, n)
+    exploded = shingled.select(
+        F.col(id_col), F.expr("size(shingles)").alias("n_sh"),
+        F.explode("shingles").alias("sh"))
+    if max_token_df is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("sh")
+        exploded = (exploded.withColumn("__df", F.count("*").over(w))
+                    .where(F.col("__df") <= max_token_df)
+                    .drop("__df"))
+    a = exploded.select(F.col(id_col).alias("doc_a"),
+                        F.col("n_sh").alias("n_a"), "sh")
+    b = exploded.select(F.col(id_col).alias("doc_b"),
+                        F.col("n_sh").alias("n_b"), "sh")
+    und = (
+        a.join(b, "sh")
+        .where("doc_a < doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"),
+             F.first("n_a").alias("n_a"),
+             F.first("n_b").alias("n_b"))
+    )
+    directed = und.select(
+        F.expr("explode(array("
+               "struct(doc_a AS doc_inner, doc_b AS doc_outer,"
+               "       n_a AS n_inner),"
+               "struct(doc_b AS doc_inner, doc_a AS doc_outer,"
+               "       n_b AS n_inner)))").alias("d"),
+        "n_common").select("d.*", "n_common")
+    return (
+        directed
+        .where(f"CAST(n_common AS DOUBLE) / n_inner >= {threshold}")
+        .withColumn("containment", F.expr(
+            "round(CAST(n_common AS DOUBLE) / n_inner, 6)"))
+        .select("doc_inner", "doc_outer", "containment")
+    )

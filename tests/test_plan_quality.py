@@ -494,6 +494,10 @@ _NL_JOIN_ALLOWED = {
     # per leg (n_pairs x n_hits) — four 1-row broadcasts, nothing
     # streamed.
     "dedup_strategy_recall_report",
+    # r6b: the exact-pairs and est-pairs arms are both ONE-ROW
+    # aggregates glued by a broadcast crossJoin (same shape as the
+    # recall audits).
+    "sketch_cms_join_size",
 }
 
 

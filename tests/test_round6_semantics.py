@@ -4,6 +4,8 @@ operators against brute force or algebraic invariants."""
 
 import itertools
 
+from pyspark.sql import functions as F
+
 from oracle_cassandra_migrator_spark.queries import QUERIES
 
 from tests.conftest import SF_SMALL
@@ -167,3 +169,105 @@ def test_mmr_matches_python_greedy_reference(spark):
     # the picks must actually diversify: not simply the top-k by rel
     plain = sorted(rel, key=lambda i: (-rel[i], i))[:_MMR_K]
     assert [p[1] for p in picks] != plain
+
+
+def test_containment_detects_planted_subdocument(spark):
+    """A document fully embedded in a longer one must surface with
+    containment 1.0 from the inner side — the sub-document relation
+    whose Jaccard (|A|/|B|) sits far below any Jaccard threshold.
+    Brute-force shingle sets verify every emitted pair's ratio."""
+    from oracle_cassandra_migrator_spark.operators.dedup import (
+        containment_pairs)
+
+    inner = "the quick brown fox jumps over the lazy dog again today"
+    outer = (inner + " and then it ran far away across the wide green "
+             "field toward the distant hills before resting quietly")
+    other = "completely unrelated text about spark physical plans here"
+    df = spark.createDataFrame(
+        [(1, inner), (2, outer), (3, other)], ["doc_id", "text"])
+    rows = {(r["doc_inner"], r["doc_outer"]): r["containment"]
+            for r in containment_pairs(
+                df, "text", "doc_id", n=3, threshold=0.6).collect()}
+    assert rows.get((1, 2)) == 1.0
+    # Jaccard for the same pair is |A|/|B| < 0.5 — the pair the
+    # Jaccard catalog query would MISS at its threshold
+    def sh(t, n=3):
+        w = t.split()
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+    j = len(sh(inner) & sh(outer)) / len(sh(inner) | sh(outer))
+    assert j < 0.5
+    # outer -> inner direction must NOT pass (containment |A∩B|/|B|)
+    assert (2, 1) not in rows
+    assert not any(3 in p for p in rows)
+
+
+def test_cms_join_size_overestimates_one_sided(spark):
+    """The CMS inner product must upper-bound the exact join size
+    (collisions only ADD mass) and the audit row must assert it."""
+    r = QUERIES["sketch_cms_join_size"](spark, SF_SMALL).collect()[0]
+    assert r["est_ge_exact"] is True
+    assert r["est_pairs"] >= r["exact_pairs"] > 0
+
+
+def test_winsorized_mean_is_pulled_toward_center(spark):
+    """Clamping at [p05, p95] must keep the mean strictly between the
+    group min and max, bounds must be real order statistics, and the
+    winsorized mean of a heavy-tailed column must differ from the
+    plain mean (the clamp actually bit)."""
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    rows = QUERIES["agg_winsorized_mean_price"](spark, SF_SMALL).collect()
+    li = read_table(spark, SF_SMALL, "lineitem")
+    plain = {r["l_returnflag"]: r["m"] for r in li.groupBy("l_returnflag")
+             .agg(F.expr("avg(l_extendedprice) AS m")).collect()}
+    assert len(rows) >= 2
+    for r in rows:
+        assert r["lo"] < r["win_mean"] < r["hi"]
+        assert r["win_mean"] != plain[r["l_returnflag"]]
+
+
+def test_target_encoding_shrinks_toward_global_mean(spark):
+    """enc must sit strictly between the category's raw mean and the
+    global mean (for n_c > 0, m > 0) — the defining property of
+    additive-smoothing target encoding."""
+    rows = QUERIES["encode_target_mean_smoothed"](spark, SF_SMALL).collect()
+    gmean = (sum(r["raw_mean_micro"] * r["n_orders"] for r in rows)
+             / sum(r["n_orders"] for r in rows))
+    for r in rows:
+        lo, hi = sorted((r["raw_mean_micro"], gmean))
+        assert lo - 1 <= r["enc_micro"] <= hi + 1, r
+
+
+def test_pruning_stats_clustered_beats_hash(spark):
+    """The month-clustered layout must prune a nonzero bucket share;
+    the hash layout must prune nothing (every bucket spans the full
+    date range) — the zone-map physics the query exists to show."""
+    rows = {r["layout"]: r for r in QUERIES["layout_minmax_pruning_stats"](
+        spark, SF_SMALL).collect()}
+    assert rows["hash64"]["n_prunable"] == 0
+    assert rows["hash64"]["scan_ppm"] == 1_000_000
+    assert rows["bymonth"]["n_prunable"] > 0
+    assert rows["bymonth"]["scan_ppm"] < 1_000_000
+
+
+def test_session_stats_consistent_with_sessionize(spark):
+    """The daily rollup must conserve the session population of
+    events_sessionize: same total sessions, same total bounce count,
+    same summed duration."""
+    sess = QUERIES["events_sessionize"](spark, SF_SMALL).collect()
+    daily = QUERIES["events_session_stats"](spark, SF_SMALL).collect()
+    assert sum(r["n_sessions"] for r in daily) == len(sess)
+    assert (sum(r["n_bounce"] for r in daily)
+            == sum(1 for r in sess if r["n_events"] == 1))
+    assert (sum(r["total_duration_us"] for r in daily)
+            == sum(r["duration_us"] for r in sess))
+
+
+def test_wow_delta_first_week_null_and_deltas_consistent(spark):
+    """Deltas must equal the difference of consecutive ordered weekly
+    counts; exactly the first week has NULL deltas."""
+    rows = sorted(QUERIES["events_wow_delta"](spark, SF_SMALL).collect(),
+                  key=lambda r: r["week_start"])
+    assert rows[0]["wow_delta"] is None and rows[0]["wow_ppm"] is None
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["wow_delta"] == cur["n_events"] - prev["n_events"]

@@ -561,3 +561,357 @@ def events_wow_delta(spark, sf_dir):
         (F.col("n_events") - prev).alias("wow_delta"),
         F.floor((F.col("n_events") - prev) * F.lit(1e6) / prev + F.lit(0.5))
         .cast("bigint").alias("wow_ppm"))
+
+
+# ---------------------------------------------------------------------------
+# orders_rfm_segments — quantile-bucketed RFM segmentation, no global sort
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_rfm_segments",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(MAX(CAST(o_orderdate AS DATE)) AS DATE) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS f,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS m
+      FROM orders GROUP BY 1),
+    r AS (SELECT o_custkey,
+                 CAST(date_diff('day', last_order,
+                      MAX(last_order) OVER ()) AS BIGINT) AS r_days,
+                 f, m
+          FROM cust),
+    b AS (SELECT quantile_disc(r_days, 0.25) AS r1, quantile_disc(r_days, 0.5) AS r2,
+                 quantile_disc(r_days, 0.75) AS r3,
+                 quantile_disc(f, 0.25) AS f1, quantile_disc(f, 0.5) AS f2,
+                 quantile_disc(f, 0.75) AS f3,
+                 quantile_disc(m, 0.25) AS m1, quantile_disc(m, 0.5) AS m2,
+                 quantile_disc(m, 0.75) AS m3
+          FROM r),
+    seg AS (
+      SELECT CAST(1 + CASE WHEN r_days > b.r1 THEN 1 ELSE 0 END
+                    + CASE WHEN r_days > b.r2 THEN 1 ELSE 0 END
+                    + CASE WHEN r_days > b.r3 THEN 1 ELSE 0 END AS INT)
+               AS r_bucket,
+             CAST(1 + CASE WHEN f > b.f1 THEN 1 ELSE 0 END
+                    + CASE WHEN f > b.f2 THEN 1 ELSE 0 END
+                    + CASE WHEN f > b.f3 THEN 1 ELSE 0 END AS INT) AS f_bucket,
+             CAST(1 + CASE WHEN m > b.m1 THEN 1 ELSE 0 END
+                    + CASE WHEN m > b.m2 THEN 1 ELSE 0 END
+                    + CASE WHEN m > b.m3 THEN 1 ELSE 0 END AS INT) AS m_bucket
+      FROM r, b)
+    SELECT r_bucket, f_bucket, m_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM seg GROUP BY 1, 2, 3
+    """,
+)
+def orders_rfm_segments(spark, sf_dir):
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the classic lifecycle-marketing cube — with every dimension
+    quartile-bucketed by the catalog's two-pass quantile recipe
+    instead of `ntile() OVER (ORDER BY ...)`: one aggregation
+    collapses orders to |customers| rows (exact decimal monetary
+    sums), the corpus max-date and the nine quartile boundaries are
+    1-row aggregates OVER/cross-joined back (broadcast at any scale;
+    approx_percentile is the documented 100 TB drop-in), and bucket
+    assignment is a pure map-side CASE — no global sort anywhere.
+    Ties fall in the LOWER bucket (strict >), the assign_buckets
+    convention, so segmentation is a pure function of the values.
+    Quartile fractions 0.25/0.5/0.75 are exactly-representable
+    doubles — no cross-engine literal-parsing knife edge."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice")
+    cust = o.groupBy("o_custkey").agg(
+        F.expr("CAST(MAX(CAST(o_orderdate AS DATE)) AS DATE)")
+        .alias("last_order"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("f"),
+        F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,4)))").alias("m"))
+    r = cust.select(
+        "o_custkey",
+        F.expr("CAST(datediff(MAX(last_order) OVER (), last_order)"
+               " AS BIGINT)").alias("r_days"),
+        "f", "m")
+    aggs = []
+    for col, pre in (("r_days", "r"), ("f", "f"), ("m", "m")):
+        for i, p in enumerate((0.25, 0.5, 0.75), start=1):
+            aggs.append(F.expr(
+                f"percentile_disc({p}) WITHIN GROUP (ORDER BY {col})")
+                .alias(f"{pre}{i}"))
+    b = r.agg(*aggs)
+    seg = r.crossJoin(F.broadcast(b)).selectExpr(
+        "CAST(1 + CASE WHEN r_days > r1 THEN 1 ELSE 0 END"
+        " + CASE WHEN r_days > r2 THEN 1 ELSE 0 END"
+        " + CASE WHEN r_days > r3 THEN 1 ELSE 0 END AS INT) AS r_bucket",
+        "CAST(1 + CASE WHEN f > f1 THEN 1 ELSE 0 END"
+        " + CASE WHEN f > f2 THEN 1 ELSE 0 END"
+        " + CASE WHEN f > f3 THEN 1 ELSE 0 END AS INT) AS f_bucket",
+        "CAST(1 + CASE WHEN m > m1 THEN 1 ELSE 0 END"
+        " + CASE WHEN m > m2 THEN 1 ELSE 0 END"
+        " + CASE WHEN m > m3 THEN 1 ELSE 0 END AS INT) AS m_bucket")
+    return seg.groupBy("r_bucket", "f_bucket", "m_bucket").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_customers"))
+
+
+# ---------------------------------------------------------------------------
+# stats_bootstrap_ci_revenue — one-pass Poisson bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+
+_BOOT_B = 32
+# Poisson(1) CDF in integer micro-units (floor(P(X<=k) * 1e6)): the
+# inverse-CDF ladder below maps a uniform md5 integer in [0, 1e6) to a
+# deterministic Poisson(1) replicate weight — identical integers on
+# both engines, no floating-point sampling anywhere.
+_POIS_CDF_MICRO = (367879, 735758, 919698, 981011, 996340,
+                   999405, 999916, 999989, 999998)
+
+
+def _pois_w_sql(u: str) -> str:
+    ladder = " ".join(
+        f"WHEN {u} < {t} THEN {k}"
+        for k, t in enumerate(_POIS_CDF_MICRO))
+    return f"CASE {ladder} ELSE {len(_POIS_CDF_MICRO)} END"
+
+
+def _bootstrap_oracle() -> str:
+    from oracle_cassandra_migrator_spark.operators.sketches import (
+        md5_mod_sql)
+
+    u = md5_mod_sql("l_orderkey || ':' || l_linenumber || ':' || b",
+                    1_000_000)
+    return f"""
+    WITH reps AS (
+      SELECT b, {_pois_w_sql(f'({u})')} AS w,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS rev
+      FROM lineitem,
+           UNNEST(generate_series(0, {_BOOT_B - 1})) AS t(b)),
+    means AS (
+      SELECT b,
+             CAST(floor(CAST(SUM(w * rev) AS DOUBLE) / SUM(w) * 1e6 + 0.5)
+                  AS BIGINT) AS mean_micro
+      FROM reps GROUP BY b),
+    ci AS (SELECT quantile_disc(mean_micro, 0.05) AS ci_lo_micro,
+                  quantile_disc(mean_micro, 0.95) AS ci_hi_micro,
+                  CAST(COUNT(*) AS BIGINT) AS n_replicates
+           FROM means),
+    pt AS (SELECT CAST(floor(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) * 1e6 + 0.5)
+                    AS BIGINT) AS point_mean_micro
+           FROM lineitem)
+    SELECT pt.point_mean_micro, ci.n_replicates,
+           ci.ci_lo_micro, ci.ci_hi_micro,
+           pt.point_mean_micro BETWEEN ci.ci_lo_micro AND ci.ci_hi_micro
+             AS ci_contains_point
+    FROM pt, ci
+    """
+
+
+@query("stats_bootstrap_ci_revenue", oracle=_bootstrap_oracle())
+def stats_bootstrap_ci_revenue(spark, sf_dir):
+    """Poisson bootstrap (Chamandy et al., the streaming-scale
+    resampling scheme): each row contributes an independent
+    Poisson(1)-weighted copy to each of B=32 replicates, so replicate
+    means come out of ONE corpus pass — classic resampling would need
+    B shuffled copies of the data. The uniform driving each weight is
+    an md5 integer of (row id, replicate id), so the whole experiment
+    is deterministic and the oracle replays it bit-for-bit; the CI is
+    the [p05, p95] order-statistic envelope of the 32 replicate means.
+
+    Scale shape: the 32x row fan-out is a pipelined explode feeding a
+    map-side-combined aggregation — every task emits at most 32
+    partial rows regardless of input size, and the final exchange
+    moves 32 groups. The CI and point-estimate arms are 1-row
+    aggregates glued by broadcast crossJoins."""
+    from oracle_cassandra_migrator_spark.operators.sketches import (
+        md5_mod_spark)
+
+    u = md5_mod_spark(
+        "concat(l_orderkey, ':', l_linenumber, ':', b)", 1_000_000)
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    reps = li.select(
+        F.explode(F.expr(f"sequence(0, {_BOOT_B - 1})")).alias("b"),
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    ).select(
+        "b", F.expr(f"{_pois_w_sql(f'({u})')}").alias("w"),
+        F.expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))")
+        .alias("rev"))
+    means = reps.groupBy("b").agg(
+        F.expr("CAST(floor(CAST(SUM(w * rev) AS DOUBLE) / SUM(w) * 1e6"
+               " + 0.5) AS BIGINT)").alias("mean_micro"))
+    ci = means.agg(
+        F.expr("CAST(percentile_disc(0.05) WITHIN GROUP"
+               " (ORDER BY mean_micro) AS BIGINT)").alias("ci_lo_micro"),
+        F.expr("CAST(percentile_disc(0.95) WITHIN GROUP"
+               " (ORDER BY mean_micro) AS BIGINT)").alias("ci_hi_micro"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_replicates"))
+    pt = li.agg(
+        F.expr("CAST(floor(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)"
+               " AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) * 1e6 + 0.5)"
+               " AS BIGINT)").alias("point_mean_micro"))
+    return pt.crossJoin(F.broadcast(ci)).selectExpr(
+        "point_mean_micro", "n_replicates", "ci_lo_micro", "ci_hi_micro",
+        "point_mean_micro BETWEEN ci_lo_micro AND ci_hi_micro"
+        " AS ci_contains_point")
+
+
+# ---------------------------------------------------------------------------
+# events_user_gini — inequality / concentration of per-user activity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_user_gini",
+    oracle="""
+    WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY 1),
+    rk AS (SELECT n,
+                  CAST(row_number() OVER (ORDER BY n, user_id) AS BIGINT)
+                    AS i
+           FROM c)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n) AS BIGINT) AS total_events,
+           CAST(floor((2 * SUM(i * n) - (COUNT(*) + 1) * SUM(n)) * 1e6
+                      / (COUNT(*) * SUM(n)) + 0.5) AS BIGINT) AS gini_ppm
+    FROM rk
+    """,
+)
+def events_user_gini(spark, sf_dir):
+    """Gini coefficient of per-user event counts — the concentration
+    metric behind "is our traffic a few whales or a broad base", and
+    for training corpora "is one contributor dominating the data".
+    Computed from the rank identity G = (2·Σ i·x_i − (n+1)·Σx) /
+    (n·Σx) over ascending-sorted counts: every term is an exact
+    integer, so the ppm output is deterministic on both engines.
+
+    Scale shape: the corpus collapses to a |users|-row aggregate
+    FIRST; only that aggregate flows through the ordered ranking
+    window (aggregate-before-window). At billions of users the exact
+    rank needs a sort of the aggregate — the documented approximation
+    is binning counts through the two-pass quantile recipe and
+    computing the Gini over the bin histogram."""
+    ev = read_table(spark, sf_dir, "events").select("user_id")
+    c = ev.groupBy("user_id").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"))
+    w = Window.orderBy("n", "user_id")
+    rk = c.select("n", F.row_number().over(w).cast("bigint").alias("i"))
+    return rk.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_users"),
+        F.expr("CAST(SUM(n) AS BIGINT)").alias("total_events"),
+        F.expr("CAST(floor((2 * SUM(i * n) - (COUNT(*) + 1) * SUM(n))"
+               " * 1e6 / (COUNT(*) * SUM(n)) + 0.5) AS BIGINT)")
+        .alias("gini_ppm"))
+
+
+# ---------------------------------------------------------------------------
+# parts_pareto_coverage — 80/20 revenue-concentration report
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "parts_pareto_coverage",
+    oracle="""
+    WITH p AS (SELECT l_partkey,
+                      SUM(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(18,4))) AS rev
+               FROM lineitem GROUP BY 1),
+    rs AS (SELECT rev,
+                  SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS run,
+                  SUM(rev) OVER () AS total
+           FROM p)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CASE WHEN 5 * run < 4 * total THEN 1 ELSE 0 END) + 1
+                AS BIGINT) AS n_parts_p80,
+           CAST(floor((SUM(CASE WHEN 5 * run < 4 * total THEN 1 ELSE 0 END)
+                       + 1) * 1e6 / COUNT(*) + 0.5) AS BIGINT)
+             AS parts_share_ppm
+    FROM rs
+    """,
+)
+def parts_pareto_coverage(spark, sf_dir):
+    """Pareto (80/20) concentration: the smallest number of parts —
+    taken in descending revenue order — whose cumulative revenue
+    reaches 80% of the total, and the share of the catalog they
+    represent. The inventory-curation dual of cap_docs_per_source:
+    how head-heavy is the distribution before you cap it.
+
+    The 80% crossing is found without any floating-point division:
+    `5·running < 4·total` compares exact decimals (both sides integer
+    multiples of cents), so the crossover index is knife-edge-free.
+    Scale shape: corpus → |parts| aggregate first, then ordered
+    prefix-sum windows over that aggregate only
+    (aggregate-before-window); the ordering key carries a total-order
+    tiebreak (revenue DESC, partkey)."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount")
+    p = li.groupBy("l_partkey").agg(
+        F.expr("SUM(CAST(l_extendedprice * (1 - l_discount)"
+               " AS DECIMAL(18,4)))").alias("rev"))
+    wrun = (Window.orderBy(F.col("rev").desc(), F.col("l_partkey"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.partitionBy()
+    rs = p.select(
+        "rev",
+        F.sum("rev").over(wrun).alias("run"),
+        F.sum("rev").over(wall).alias("total"))
+    return rs.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_parts"),
+        F.expr("CAST(SUM(CASE WHEN 5 * run < 4 * total THEN 1 ELSE 0 END)"
+               " + 1 AS BIGINT)").alias("n_parts_p80"),
+        F.expr("CAST(floor((SUM(CASE WHEN 5 * run < 4 * total THEN 1"
+               " ELSE 0 END) + 1) * 1e6 / COUNT(*) + 0.5) AS BIGINT)")
+        .alias("parts_share_ppm"))
+
+
+# ---------------------------------------------------------------------------
+# events_funnel_latency — time-to-convert distribution (view -> purchase)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_funnel_latency",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+      FROM events GROUP BY 1),
+    d AS (SELECT date_diff('microsecond', fv, fp) AS delta_us
+          FROM u WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp > fv)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           quantile_disc(delta_us, 0.5) AS p50_us,
+           quantile_disc(delta_us, 0.9) AS p90_us
+    FROM d
+    """,
+)
+def events_funnel_latency(spark, sf_dir):
+    """Funnel time-to-convert: per user, microseconds from first
+    'view' to first 'purchase' (converted = both present, purchase
+    after the first view), reported as exact p50/p90 order statistics
+    — the latency distribution product teams tune onboarding against,
+    and the step-gap complement of events_funnel_counts' step totals.
+
+    One conditional-min aggregation collapses the corpus to |users|
+    rows (map-side partials; no window over raw events), then the
+    percentiles run over that aggregate. Durations are exact integer
+    microseconds; percentile_disc picks real elements, so both
+    engines emit identical BIGINTs."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts")
+    u = ev.groupBy("user_id").agg(
+        F.expr("MIN(CASE WHEN event_type = 'view' THEN ts END)")
+        .alias("fv"),
+        F.expr("MIN(CASE WHEN event_type = 'purchase' THEN ts END)")
+        .alias("fp"))
+    d = (u.where("fv IS NOT NULL AND fp IS NOT NULL AND fp > fv")
+         .select(F.expr("TIMESTAMPDIFF(MICROSECOND, fv, fp)")
+                 .alias("delta_us")))
+    return d.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_converted"),
+        F.expr("CAST(percentile_disc(0.5) WITHIN GROUP"
+               " (ORDER BY delta_us) AS BIGINT)").alias("p50_us"),
+        F.expr("CAST(percentile_disc(0.9) WITHIN GROUP"
+               " (ORDER BY delta_us) AS BIGINT)").alias("p90_us"))

@@ -498,6 +498,10 @@ _NL_JOIN_ALLOWED = {
     # aggregates glued by a broadcast crossJoin (same shape as the
     # recall audits).
     "sketch_cms_join_size",
+    # r6b: RFM crossJoins the ONE-ROW nine-quantile boundary
+    # aggregate (the quantile_assign pattern); the bootstrap glues
+    # the 1-row point-estimate and 1-row CI aggregates.
+    "orders_rfm_segments", "stats_bootstrap_ci_revenue",
 }
 
 

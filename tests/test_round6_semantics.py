@@ -271,3 +271,127 @@ def test_wow_delta_first_week_null_and_deltas_consistent(spark):
     assert rows[0]["wow_delta"] is None and rows[0]["wow_ppm"] is None
     for prev, cur in zip(rows, rows[1:]):
         assert cur["wow_delta"] == cur["n_events"] - prev["n_events"]
+
+
+def test_rfm_segments_partition_customers_into_quartiles(spark):
+    """Segment counts must sum to |customers|, every bucket id must be
+    in 1..4, and each dimension's quartile marginals must be balanced
+    to within the tie slack (no bucket can exceed what lower-bucket
+    tie spill allows: marginals sorted ascending are each >= the exact
+    quartile floor only when values are distinct — assert the weaker
+    invariants that hold under ties: totals conserve and all three
+    marginals cover >= 2 distinct buckets)."""
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    rows = QUERIES["orders_rfm_segments"](spark, SF_SMALL).collect()
+    n_cust = (read_table(spark, SF_SMALL, "orders")
+              .select("o_custkey").distinct().count())
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for dim in ("r_bucket", "f_bucket", "m_bucket"):
+        vals = {r[dim] for r in rows}
+        assert vals <= {1, 2, 3, 4}
+        assert len(vals) >= 2, dim
+
+
+def test_bootstrap_weights_match_python_poisson_ladder(spark):
+    """The md5 inverse-CDF ladder must reproduce a Python reference
+    on a sample of (row, replicate) pairs, and the mean Poisson weight
+    must be ~1 (the scheme's resampling-consistency requirement)."""
+    import hashlib
+
+    from oracle_cassandra_migrator_spark.queries.round6b import (
+        _POIS_CDF_MICRO, _pois_w_sql)
+    from oracle_cassandra_migrator_spark.operators.sketches import (
+        md5_mod_spark)
+
+    def py_w(key):
+        u = int(hashlib.md5(key.encode()).hexdigest()[:15], 16) % 1_000_000
+        for k, t in enumerate(_POIS_CDF_MICRO):
+            if u < t:
+                return k
+        return len(_POIS_CDF_MICRO)
+
+    pairs = [(ok, ln, b) for ok in (1, 7, 1337) for ln in (1, 4)
+             for b in range(8)]
+    df = spark.createDataFrame(
+        pairs, ["l_orderkey", "l_linenumber", "b"])
+    u = md5_mod_spark(
+        "concat(l_orderkey, ':', l_linenumber, ':', b)", 1_000_000)
+    got = df.selectExpr(
+        "l_orderkey", "l_linenumber", "b",
+        f"{_pois_w_sql(f'({u})')} AS w").collect()
+    for r in got:
+        assert r["w"] == py_w(
+            f"{r['l_orderkey']}:{r['l_linenumber']}:{r['b']}")
+    # CDF ladder integrates to mean ~1 over the uniform grid
+    grid = [py_w(f"g:{i}") for i in range(2000)]
+    assert 0.9 < sum(grid) / len(grid) < 1.1
+
+
+def test_gini_zero_for_equal_counts_and_positive_for_skew(spark):
+    """Algebraic sanity of the rank-identity Gini on constructed
+    inputs: equal counts -> 0 ppm; a maximally-skewed split must land
+    near the closed-form (n-1)/n bound."""
+    from pyspark.sql import functions as SF
+
+    def gini_of(counts):
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(counts)], ["user_id", "n"])
+        from pyspark.sql.window import Window as W
+        w = W.orderBy("n", "user_id")
+        rk = df.select("n", SF.row_number().over(w).cast("bigint").alias("i"))
+        return rk.selectExpr(
+            "CAST(floor((2 * SUM(i * n) - (COUNT(*) + 1) * SUM(n)) * 1e6"
+            " / (COUNT(*) * SUM(n)) + 0.5) AS BIGINT) AS g").collect()[0]["g"]
+
+    assert gini_of([5] * 10) == 0
+    skewed = gini_of([0] * 9 + [1000])
+    assert abs(skewed - 900_000) <= 1  # (n-1)/n with n=10
+    real = QUERIES["events_user_gini"](spark, SF_SMALL).collect()[0]
+    assert 0 <= real["gini_ppm"] < 1_000_000
+
+
+def test_pareto_crossing_matches_python_reference(spark):
+    """n_parts_p80 must equal the Python cumulative-sort reference on
+    the same revenue aggregate."""
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+    from decimal import Decimal
+
+    li = read_table(spark, SF_SMALL, "lineitem")
+    rev = (li.selectExpr(
+        "l_partkey",
+        "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS r")
+        .groupBy("l_partkey").agg(F.expr("SUM(r) AS rev")).collect())
+    vals = sorted(((r["rev"], r["l_partkey"]) for r in rev),
+                  key=lambda t: (-t[0], t[1]))
+    total = sum(v for v, _ in vals)
+    run = Decimal(0)
+    n80 = 0
+    for v, _ in vals:
+        run += v
+        n80 += 1
+        if 5 * run >= 4 * total:
+            break
+    row = QUERIES["parts_pareto_coverage"](spark, SF_SMALL).collect()[0]
+    assert row["n_parts_p80"] == n80
+    assert row["n_parts"] == len(vals)
+
+
+def test_funnel_latency_only_counts_purchase_after_view(spark):
+    """n_converted must equal the brute-force count of users whose
+    first purchase strictly follows their first view, and p50 <= p90."""
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    ev = read_table(spark, SF_SMALL, "events").collect()
+    fv, fp = {}, {}
+    for r in ev:
+        if r["event_type"] == "view":
+            if r["user_id"] not in fv or r["ts"] < fv[r["user_id"]]:
+                fv[r["user_id"]] = r["ts"]
+        if r["event_type"] == "purchase":
+            if r["user_id"] not in fp or r["ts"] < fp[r["user_id"]]:
+                fp[r["user_id"]] = r["ts"]
+    expected = sum(1 for u in fv if u in fp and fp[u] > fv[u])
+    row = QUERIES["events_funnel_latency"](spark, SF_SMALL).collect()[0]
+    assert row["n_converted"] == expected
+    assert row["p50_us"] <= row["p90_us"]

@@ -203,3 +203,30 @@ def incremental_fingerprint_dedup(
             F.count("*").cast("bigint").alias("n_new_copies"),
         )
     )
+
+
+def target_encoding_table(
+    df: DataFrame, cat_col: str, target_col: str, m: float = 10.0,
+) -> DataFrame:
+    """Smoothed target (mean) encoding table for a categorical
+    feature: one row per category with ``n`` (support) and ``enc`` =
+    (Σ_c y + m·ȳ) / (n_c + m) — rare categories shrink toward the
+    global mean, the standard leakage-averse alternative to raw
+    per-category means (encode_target_mean_smoothed is the
+    driver-checked query form).
+
+    One aggregation collapses the input to |categories| rows with
+    exact decimal target sums; the global prior is a window OVER that
+    aggregate. The result is the broadcast-sized table a training
+    pipeline joins onto its feature frame map-side."""
+    from pyspark.sql.window import Window
+
+    g = df.groupBy(cat_col).agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+        F.expr(f"SUM(CAST({target_col} AS DECIMAL(18,4)))").alias("__s"))
+    w = Window.partitionBy()
+    gmean = F.sum("__s").over(w).cast("double") / F.sum("n").over(w)
+    return g.select(
+        cat_col, "n",
+        ((F.expr("CAST(__s AS DOUBLE)") + F.lit(m) * gmean)
+         / (F.col("n") + F.lit(m))).alias("enc"))

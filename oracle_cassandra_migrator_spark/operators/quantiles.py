@@ -136,3 +136,39 @@ def grouped_bucket_profile(
         F.min(col).alias(f"min_{col}"),
         F.max(col).alias(f"max_{col}"),
     )
+
+
+def winsorize(
+    df: DataFrame, col: str, lo: float = 0.05, hi: float = 0.95,
+    by: str | None = None, exact: bool = True, accuracy: int = 10000,
+    out: str | None = None,
+) -> DataFrame:
+    """Clamp ``col`` to its [lo, hi] quantile envelope — globally or
+    per ``by`` group — writing the clamped value to ``out`` (default:
+    replace ``col`` in place). The robust-aggregation building block
+    behind agg_winsorized_mean_price, exposed as an operator so
+    pipelines can winsorize BEFORE any downstream aggregation.
+
+    Same two-pass shape as the bucketing recipe: pass 1 collapses the
+    input to one boundary row per group (``percentile_disc`` exact, or
+    the ``approx_percentile`` sketch at scale — ``exact=False``);
+    pass 2 broadcast-joins the tiny boundary table back and clamps
+    map-side. No sort, no window over raw rows."""
+    out = out or col
+    if exact:
+        lo_agg = F.expr(
+            f"percentile_disc({lo}) WITHIN GROUP (ORDER BY {col})")
+        hi_agg = F.expr(
+            f"percentile_disc({hi}) WITHIN GROUP (ORDER BY {col})")
+    else:
+        lo_agg = F.expr(f"approx_percentile({col}, {lo}, {accuracy})")
+        hi_agg = F.expr(f"approx_percentile({col}, {hi}, {accuracy})")
+    clamp = F.expr(f"least(greatest({col}, __wlo), __whi)")
+    if by is None:
+        bounds = df.agg(lo_agg.alias("__wlo"), hi_agg.alias("__whi"))
+        return (df.crossJoin(F.broadcast(bounds))
+                .withColumn(out, clamp).drop("__wlo", "__whi"))
+    bounds = df.groupBy(by).agg(
+        lo_agg.alias("__wlo"), hi_agg.alias("__whi"))
+    return (df.join(F.broadcast(bounds), by)
+            .withColumn(out, clamp).drop("__wlo", "__whi"))

@@ -425,3 +425,44 @@ def _op_fuzzy_join(ns, step):
 
 
 OPS["fuzzy_join"] = _op_fuzzy_join
+
+
+def _op_winsorize(ns, step):
+    """{"op": "winsorize", "col": ..., "lo": 0.05, "hi": 0.95,
+    "by": optional group col, "exact": bool, "out": optional} —
+    clamp a column to its quantile envelope before downstream
+    aggregation (operators/quantiles.py): two-pass, boundary row
+    broadcast back, map-side clamp — no sort, no window over rows."""
+    from oracle_cassandra_migrator_spark.operators.quantiles import (
+        winsorize)
+
+    return winsorize(
+        _input(ns, step), step["col"],
+        lo=step.get("lo", 0.05), hi=step.get("hi", 0.95),
+        by=step.get("by"), exact=step.get("exact", False),
+        accuracy=step.get("accuracy", 10000), out=step.get("out"))
+
+
+OPS["winsorize"] = _op_winsorize
+
+
+def _op_target_encode(ns, step):
+    """{"op": "target_encode", "input": features, "cat": col,
+    "target": col, "m": 10.0, "join": true} — smoothed target
+    encoding (operators/curation.py). Default returns the
+    |categories|-row encoding table (cat, n, enc); ``"join": true``
+    instead broadcast-joins ``enc`` onto every input row (n dropped)
+    so the step slots directly into a feature pipeline."""
+    from oracle_cassandra_migrator_spark.operators.curation import (
+        target_encoding_table)
+
+    df = _input(ns, step)
+    table = target_encoding_table(
+        df, step["cat"], step["target"], m=step.get("m", 10.0))
+    if step.get("join"):
+        return df.join(
+            F.broadcast(table.drop("n")), step["cat"], "left")
+    return table
+
+
+OPS["target_encode"] = _op_target_encode

@@ -456,3 +456,63 @@ def test_compiler_fuzzy_join_matches_exhaustive_reference(spark):
     rows = best.collect()
     assert len(rows) == len({r["p"] for r in rows})
     assert {r["p"] for r in rows} == {p for p, _, _ in w}
+
+
+def test_compiler_winsorize_step(spark):
+    """The winsorize step must clamp exactly to the exact [p05, p95]
+    order statistics (checked against a Python reference) and keep
+    the row count."""
+    import math
+
+    from oracle_cassandra_migrator_spark.plans.compiler import (
+        compile_transform)
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    from tests.conftest import SF_SMALL
+
+    li = read_table(spark, SF_SMALL, "lineitem").select("l_extendedprice")
+    out = compile_transform(spark, {"li": li}, [
+        {"op": "winsorize", "input": "li", "col": "l_extendedprice",
+         "exact": True},
+    ]).collect()
+    vals = sorted(r["l_extendedprice"] for r in li.collect())
+    n = len(vals)
+    lo = vals[math.ceil(0.05 * n) - 1]
+    hi = vals[math.ceil(0.95 * n) - 1]
+    got = [r["l_extendedprice"] for r in out]
+    assert len(got) == n
+    assert min(got) == lo and max(got) == hi
+    clamped = sorted(min(max(v, lo), hi) for v in vals)
+    assert sorted(got) == clamped
+
+
+def test_compiler_target_encode_step_table_and_join(spark):
+    """Table mode must equal the driver query's encoding values
+    (micro-rounded); join mode must tag every row with its category's
+    enc."""
+    from oracle_cassandra_migrator_spark.plans.compiler import (
+        compile_transform)
+    from oracle_cassandra_migrator_spark.queries import QUERIES
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    from tests.conftest import SF_SMALL
+
+    o = read_table(spark, SF_SMALL, "orders").select(
+        "o_orderpriority", "o_totalprice")
+    table = compile_transform(spark, {"o": o}, [
+        {"op": "target_encode", "input": "o", "cat": "o_orderpriority",
+         "target": "o_totalprice"},
+    ]).collect()
+    ref = {r["o_orderpriority"]: r["enc_micro"]
+           for r in QUERIES["encode_target_mean_smoothed"](
+               spark, SF_SMALL).collect()}
+    assert len(table) == len(ref)
+    import math
+    for r in table:
+        assert math.floor(r["enc"] * 1e6 + 0.5) == ref[r["o_orderpriority"]]
+    joined = compile_transform(spark, {"o": o}, [
+        {"op": "target_encode", "input": "o", "cat": "o_orderpriority",
+         "target": "o_totalprice", "join": True},
+    ])
+    assert joined.count() == o.count()
+    assert "enc" in joined.columns

@@ -442,3 +442,49 @@ def tpch_q22_dormant_customers(spark, sf_dir):
     decimal-exact sum/count; acctbal sums go through decimal."""
     _views(spark, sf_dir, "customer", "orders")
     return spark.sql(_Q22_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q3: shipping priority — the last missing TPC-H shape (Q1 is
+# pricing_summary; Q4's correlated-EXISTS shape is
+# subquery_exists_late_ship). Adapted to this schema: no
+# o_shippriority column, so the order's priority rides in the group;
+# the cutoff date sits mid-range of the synthetic 1995-2001 span.
+# ---------------------------------------------------------------------------
+
+_Q3_SQL = """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(CAST(o.o_orderdate AS DATE) AS STRING) AS order_date,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+"""
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle=_Q3_SQL.replace("AS STRING", "AS VARCHAR"),
+)
+def tpch_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem
+    with opposite-side date predicates (ordered before the cutoff,
+    shipped after it — the unshipped-revenue backlog), per-order
+    revenue aggregation, top-10 by revenue.
+
+    Plan: both date/segment filters push into their scans; the
+    aggregation is map-side-partial on l_orderkey; the top-10 is
+    TakeOrderedAndProject (per-partition top-k, no global sort).
+    Revenue is a decimal-exact sum surfaced as DOUBLE, so the DESC
+    ordering is deterministic; l_orderkey is the total-order tiebreak.
+    One SQL text drives both engines (STRING/VARCHAR cast aside)."""
+    _views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_Q3_SQL)

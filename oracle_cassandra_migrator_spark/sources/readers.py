@@ -37,7 +37,7 @@ from typing import Any, Mapping
 from pyspark.sql import DataFrame, SparkSession
 
 READ_PATH_FORMATS = {"parquet", "csv", "json", "orc", "text", "avro",
-                     "jsonl_dir"}
+                     "xml", "jsonl_dir"}
 
 # Formats served by this package's Python Data Source classes
 # (sources/pydatasource.py) — registered on first use so a spec can

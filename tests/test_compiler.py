@@ -25,7 +25,7 @@ def test_every_op_is_exercised_here():
         "intersect", "except", "alias", "repartition", "sql",
         "quantile_bucket", "gapfill", "interval_join",
         "dedup_exact", "salted_join", "zorder", "expect",
-        "anti_join_bloom", "fuzzy_join",
+        "anti_join_bloom", "fuzzy_join", "winsorize", "target_encode",
     }
     assert exercised == set(OPS)
 

@@ -527,3 +527,35 @@ def test_reservoir_key_matches_python_md5_reference(spark):
         u = ((h % 1_000_000_000) + 0.5) / 1_000_000_000.0
         want = round(-math.log(u) / w, 9)
         assert got[i] == want, (i, got[i], want)
+
+
+def test_builtin_approx_top_k_matches_exact_on_separated_heavy_tail(spark):
+    """Spark 4.1's builtin approx_top_k vs exact vocabulary counts on
+    the documents word distribution: with maxItemsTracked well above
+    the distinct-item count the sketch is exact, so the top-10 items
+    AND counts must equal the exact groupBy — the same read-back
+    contract test_custom_cms_vs_spark_builtin_count_min_sketch pins
+    for frequencies."""
+    from oracle_cassandra_migrator_spark.operators.text import (
+        fast_words_expr)
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMALL
+
+    words = (read_table(spark, SF_SMALL, "documents")
+             .select(F.explode(F.expr(fast_words_expr("text")))
+                     .alias("w")))
+    approx = words.selectExpr(
+        "approx_top_k(w, 10, 100000) AS tk").collect()[0]["tk"]
+    exact = (words.groupBy("w").count()
+             .orderBy(F.col("count").desc(), "w").limit(10).collect())
+    # counts must agree exactly; item ties at the boundary may order
+    # differently, so compare the count multiset and the item set of
+    # strictly-above-boundary entries
+    assert sorted((r["count"] for r in approx), reverse=True) == \
+        [r["count"] for r in exact]
+    boundary = exact[-1]["count"]
+    assert {r["item"] for r in approx if r["count"] > boundary} == \
+        {r["w"] for r in exact if r["count"] > boundary}

@@ -308,3 +308,23 @@ def test_read_source_merges_evolved_schemas(spark, tmp_path):
     assert set(df.columns) >= {"doc_id", "text", "lang"}
     rows = {r.doc_id: (r.text, r.lang) for r in df.collect()}
     assert rows == {1: ("a", None), 2: ("b", "en")}
+
+
+def test_xml_format_roundtrip(spark, tmp_path, nation):
+    """S7 native XML (built into Spark 4): rowTag-scoped records
+    roundtrip through the declarative reader/writer with option
+    passthrough — the config-ingest format enterprise feeds still
+    ship. Values compare via the declared schema so typing is
+    explicit, not inference-lucky."""
+    path = str(tmp_path / "out_xml")
+    write_sink(nation, {"format": "xml", "path": path,
+                        "options": {"rowTag": "nation"},
+                        "repartition": 2})
+    back = read_source(spark, {
+        "format": "xml", "path": path,
+        "options": {"rowTag": "nation"},
+        "schema": "n_nationkey INT, n_name STRING, n_regionkey INT",
+    })
+    assert back.count() == nation.count()
+    assert {(r.n_nationkey, r.n_name) for r in back.collect()} == \
+        {(r.n_nationkey, r.n_name) for r in nation.collect()}

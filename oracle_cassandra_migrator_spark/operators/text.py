@@ -432,10 +432,10 @@ def bpe_merge_expr(a: str, b: str) -> str:
     )
 
 
-def bpe_merge_rules(spark, docs, text_col: str, k: int = 5):
-    """Train the first ``k`` BPE merge rules on the corpus and return
-    them as a DataFrame (merge_idx, left_tok, right_tok, merged,
-    pair_count).
+def bpe_train(spark, docs, text_col: str, k: int = 5):
+    """Train the first ``k`` BPE merge rules on the corpus; returns
+    (rules DataFrame (merge_idx, left_tok, right_tok, merged,
+    pair_count), post-merge vocab DataFrame (word, cnt, toks)).
 
     This is tokenizer training the way real BPE trainers run it: ONE
     corpus pass collapses the text to the word-frequency table (the
@@ -480,6 +480,39 @@ def bpe_merge_rules(spark, docs, text_col: str, k: int = 5):
         a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
         rules.append((i + 1, a, b, a + b, n))
         wc = wc.withColumn("toks", F.expr(bpe_merge_expr(a, b)))
-    return spark.createDataFrame(
+    rules_df = spark.createDataFrame(
         rules, "merge_idx long, left_tok string, right_tok string, "
                "merged string, pair_count long")
+    return rules_df, wc
+
+
+def bpe_merge_rules(spark, docs, text_col: str, k: int = 5):
+    rules_df, _ = bpe_train(spark, docs, text_col, k)
+    return rules_df
+
+
+def bpe_encode_stats(spark, docs, text_col: str, k: int = 5):
+    """Train ``k`` merges (bpe_train) and ENCODE the corpus with them,
+    reporting the corpus-level tokenization profile: distinct vocab
+    size, total word instances, character tokens before any merge,
+    tokens after the k merges, and the compression ratio in ppm —
+    the number a tokenizer-budget decision is made on.
+
+    Encoding costs nothing beyond training here because the merged
+    ``toks`` already live on the vocab table: corpus token counts are
+    Σ cnt·len(toks) over O(|vocab|) rows. At 100 TB, encoding *new*
+    text with frozen rules is the same per-row fold the train loop
+    applies (bpe_merge_expr chained per rule) — embarrassingly
+    parallel, zero shuffle, rules entering the plan as expression
+    constants (train-out-of-plan)."""
+    from pyspark.sql import functions as F
+
+    _, wc = bpe_train(spark, docs, text_col, k)
+    return wc.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_distinct_words"),
+        F.expr("CAST(SUM(cnt) AS BIGINT)").alias("n_words"),
+        F.expr("CAST(SUM(cnt * length(word)) AS BIGINT)").alias("n_chars"),
+        F.expr("CAST(SUM(cnt * size(toks)) AS BIGINT)").alias("n_tokens"),
+        F.expr("CAST(floor(SUM(cnt * size(toks)) * 1e6"
+               " / SUM(cnt * length(word)) + 0.5) AS BIGINT)")
+        .alias("compression_ppm"))

@@ -605,6 +605,16 @@ def _bpe_oracle(k: int = 5) -> str:
     rebuild each word's token list ordered by position. Equivalent to
     the Spark side's aggregate() fold (operators/text.py:
     bpe_merge_expr)."""
+    rules = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_idx, a AS left_tok, "
+        f"b AS right_tok, a || b AS merged, n AS pair_count FROM m{i}"
+        for i in range(1, k + 1))
+    return "WITH " + _bpe_ctes(k) + "\n    " + rules
+
+
+def _bpe_ctes(k: int = 5) -> str:
+    """The unrolled train-loop CTE body shared by the rules oracle and
+    the encode-stats oracle; ``v{k}`` is the post-merge vocab."""
     parts = [f"""
     w0 AS (SELECT unnest({_ext.FAST_WORDS_SQL}) AS word FROM documents),
     v0 AS (SELECT word, count(*) AS cnt,
@@ -641,11 +651,7 @@ def _bpe_oracle(k: int = 5) -> str:
                     list(CASE WHEN mg THEN (SELECT a || b FROM m{i})
                          ELSE tok END ORDER BY j) AS toks
              FROM r{i} WHERE NOT consumed GROUP BY word, cnt)""")
-    rules = "\n    UNION ALL ".join(
-        f"SELECT CAST({i} AS BIGINT) AS merge_idx, a AS left_tok, "
-        f"b AS right_tok, a || b AS merged, n AS pair_count FROM m{i}"
-        for i in range(1, k + 1))
-    return "WITH " + ",".join(parts) + "\n    " + rules
+    return ",".join(parts)
 
 
 @query("text_bpe_merge_rules", oracle=_bpe_oracle())

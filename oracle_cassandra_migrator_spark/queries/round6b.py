@@ -915,3 +915,43 @@ def events_funnel_latency(spark, sf_dir):
                " (ORDER BY delta_us) AS BIGINT)").alias("p50_us"),
         F.expr("CAST(percentile_disc(0.9) WITHIN GROUP"
                " (ORDER BY delta_us) AS BIGINT)").alias("p90_us"))
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_encode_stats — apply the trained merges: tokenizer compression
+# ---------------------------------------------------------------------------
+
+
+def _bpe_encode_oracle(k: int = 5) -> str:
+    from oracle_cassandra_migrator_spark.queries.round6 import _bpe_ctes
+
+    return f"""
+    WITH {_bpe_ctes(k)}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+           CAST(SUM(cnt) AS BIGINT) AS n_words,
+           CAST(SUM(cnt * length(word)) AS BIGINT) AS n_chars,
+           CAST(SUM(cnt * len(toks)) AS BIGINT) AS n_tokens,
+           CAST(floor(SUM(cnt * len(toks)) * 1e6
+                      / SUM(cnt * length(word)) + 0.5) AS BIGINT)
+             AS compression_ppm
+    FROM v{k}
+    """
+
+
+@query("text_bpe_encode_stats", oracle=_bpe_encode_oracle())
+def text_bpe_encode_stats(spark, sf_dir):
+    """BPE tokenizer APPLICATION — the other half of
+    text_bpe_merge_rules' training story: encode the corpus with the
+    5 trained merges and report the tokenization profile (vocab size,
+    word instances, char tokens before merging, tokens after, and
+    compression ppm) — the number a tokenizer-budget decision is made
+    on. Encoding is free beyond training because the merged token
+    lists already live on the vocab table (operators/text.py:
+    bpe_encode_stats); encoding NEW text with frozen rules is the
+    same chained per-row fold, zero shuffle. The oracle extends the
+    unrolled train-loop CTEs one step: aggregate the final vocab."""
+    from oracle_cassandra_migrator_spark.operators.text import (
+        bpe_encode_stats)
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bpe_encode_stats(spark, docs, "text", k=5)

@@ -279,3 +279,45 @@ def test_ewma_stream_recovers_state_from_checkpoint(spark, tmp_path):
     assert sum(r.n_obs for r in got.values()) == len(rows)
     for k, r in got.items():
         assert r.n_obs == ref[k][1] and r.ewma == ref[k][0], k
+
+
+def test_bpe_encode_stats_match_python_reference_encoding(spark):
+    """The encode-stats profile must equal the Python reference's
+    end-state: train with _bpe_reference, apply its merges, and
+    recompute all five columns from the final python vocab."""
+    import random
+
+    from oracle_cassandra_migrator_spark.operators.text import (
+        bpe_encode_stats)
+
+    rng = random.Random(21)
+    words = ["".join(rng.choice("aabc") for _ in range(rng.randint(1, 7)))
+             for _ in range(300)]
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string")
+    counts = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    # python reference: train k=4, then apply the merges
+    vocab = {w: list(w) for w in counts}
+    for _, a, b, _, _ in _bpe_reference(counts, 4):
+        for w, toks in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            vocab[w] = out
+    n_words = sum(counts.values())
+    n_chars = sum(c * len(w) for w, c in counts.items())
+    n_tokens = sum(c * len(vocab[w]) for w, c in counts.items())
+    row = bpe_encode_stats(spark, docs, "text", k=4).collect()[0]
+    assert row["n_distinct_words"] == len(counts)
+    assert row["n_words"] == n_words
+    assert row["n_chars"] == n_chars
+    assert row["n_tokens"] == n_tokens
+    assert row["compression_ppm"] == math.floor(
+        n_tokens * 1e6 / n_chars + 0.5)

@@ -289,3 +289,40 @@ def test_linkage_example_spec_runs_end_to_end(spark):
     r2 = Pipeline(spark, spec, state).run()
     assert r2.files_written == 0
     shutil.rmtree("/tmp/ocm-linkage", ignore_errors=True)
+
+
+def test_analytics_example_spec_runs_end_to_end(spark):
+    """The shipped feature-prep example (winsorize -> target_encode
+    join -> decile assign -> expect gate -> sink) must run through the
+    real Pipeline runner; the output keeps every order, carries a
+    non-NULL encoding, buckets in 1..10, and clamps within the raw
+    price envelope."""
+    import json
+    import pathlib
+    import shutil
+
+    shutil.rmtree("/tmp/ocm-analytics", ignore_errors=True)
+    spec_path = (pathlib.Path(__file__).resolve().parent.parent
+                 / "examples" / "analytics_pipeline.json")
+    cfg = json.load(open(spec_path))
+    spec = cfg["tables"][0]
+    spec["staging_dir"] = cfg["staging_dir"]
+    spec["retry"] = {"retries": 3, "delay": 0.0, "sleep": lambda s: None}
+    state = LocalFSStateStore()
+    r1 = Pipeline(spark, spec, state).run()
+    assert r1.files_written > 0
+    out = spark.read.parquet("/tmp/ocm-analytics/out")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    assert out.count() == orders.count()
+    assert out.where("enc IS NULL").count() == 0
+    assert out.where("bucket < 1 OR bucket > 10").count() == 0
+    lo, hi = orders.selectExpr(
+        "min(o_totalprice)", "max(o_totalprice)").collect()[0]
+    got_lo, got_hi = out.selectExpr(
+        "min(price_w)", "max(price_w)").collect()[0]
+    assert lo <= got_lo and got_hi <= hi
+    # clamp actually bit: the winsorized extremes are strictly inside
+    assert got_lo > lo and got_hi < hi
+    r2 = Pipeline(spark, spec, state).run()
+    assert r2.files_written == 0
+    shutil.rmtree("/tmp/ocm-analytics", ignore_errors=True)

@@ -749,3 +749,68 @@ def test_bloom_dedup_stream_matches_batch_twin_query(spark, tmp_path):
     got = {r.doc_id for r in spark.table("admission_twin").collect()}
     assert got == want
     assert len(want) > 0
+
+
+def test_interval_join_streams_left_outer_emits_nulls_after_watermark(
+        spark, tmp_path):
+    """Stream-stream LEFT OUTER interval join: a purchase with no
+    click in its lookback window must surface with NULL click columns
+    — but only once the right-side watermark has passed the point
+    where a matching click could still arrive. A later flush batch
+    advances the watermark; the unmatched row then emits. The matched
+    purchase joins normally and the flush click itself produces no
+    output row."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from oracle_cassandra_migrator_spark.streaming import (
+        interval_join_streams)
+
+    t = lambda h, m: datetime.datetime(2024, 1, 1, h, m)
+    main = [
+        (1, t(11, 30), 101, "click"),     # matches A's purchase
+        (1, t(12, 0), 102, "purchase"),   # A: matched
+        (2, t(12, 0), 201, "purchase"),   # B: no click -> NULL row
+    ]
+    # the global watermark is the MIN across both sides' nodes, so the
+    # flush batches must advance BOTH sides (a purchase and a matching
+    # click each); the second flush batch is where the evicted NULL
+    # row actually emits
+    flush = [
+        (3, t(20, 0), 301, "purchase"),
+        (3, t(19, 30), 302, "click"),
+    ]
+    flush2 = [
+        (4, t(21, 0), 401, "purchase"),
+        (4, t(20, 30), 402, "click"),
+    ]
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    src = str(tmp_path / "ij_outer_src")
+    spark.createDataFrame(main, schema).coalesce(1).write.mode(
+        "overwrite").parquet(src)
+    # later files land as SEPARATE micro-batches (maxFilesPerTrigger=1)
+    spark.createDataFrame(flush, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    spark.createDataFrame(flush2, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    p = stream.where("event_type = 'purchase'").selectExpr(
+        "user_id", "ts AS purchase_ts", "event_id AS purchase_id")
+    c = stream.where("event_type = 'click'").selectExpr(
+        "user_id AS user_id_r", "ts AS click_ts", "event_id AS click_id")
+    joined = interval_join_streams(
+        p, c, key="user_id", left_ts="purchase_ts", right_ts="click_ts",
+        lookback="INTERVAL 1 HOUR", watermark="10 minutes",
+        how="left_outer")
+    q = (joined.writeStream.format("memory").queryName("ij_outer")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {r["purchase_id"]: r for r in spark.table("ij_outer").collect()}
+    assert {102, 201, 301} <= set(rows)
+    assert rows[102]["click_id"] == 101         # matched within lookback
+    assert rows[301]["click_id"] == 302         # flush pair joins too
+    assert rows[201]["click_id"] is None        # null-extended after wm
+    assert rows[201]["click_ts"] is None

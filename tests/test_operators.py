@@ -769,3 +769,25 @@ def test_lang_guess_bound_rewrite_value_identical(spark):
             f"{naive('text')} AS old_guess")
             .where("new_guess IS DISTINCT FROM old_guess").count())
         assert n_diff == 0
+
+
+def test_winsorize_grouped_clamps_per_group(spark):
+    """The by= path must clamp each group at ITS OWN envelope: a value
+    legal in one group must still clamp in a tighter group."""
+    from oracle_cassandra_migrator_spark.operators.quantiles import (
+        winsorize)
+
+    rows = ([("a", float(v)) for v in range(1, 101)]
+            + [("b", float(v)) for v in range(1, 11)])
+    df = spark.createDataFrame(rows, ["g", "x"])
+    out = winsorize(df, "x", lo=0.1, hi=0.9, by="g", exact=True,
+                    out="xw").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append((r["x"], r["xw"]))
+    # group a: p10=10, p90=90 (ceil(0.1*100)=10th, ceil(0.9*100)=90th)
+    assert min(w for _, w in by_g["a"]) == 10.0
+    assert max(w for _, w in by_g["a"]) == 90.0
+    # group b: p10=1, p90=9 — 50.0 would be legal in a, impossible in b
+    assert max(w for _, w in by_g["b"]) == 9.0
+    assert len(by_g["a"]) == 100 and len(by_g["b"]) == 10

@@ -109,6 +109,27 @@ def ngram_jaccard_pairs(
     operator; the oracle-checked catalog query therefore runs
     uncapped, and the cap is the documented 100 TB switch (adversarial
     bound proven in test_ngram_token_df_cap_bounds_adversarial)."""
+    return (
+        _shingle_pair_counts(df, text_col, id_col, n, max_token_df)
+        .where(f"CAST(n_common AS DOUBLE) / (n_a + n_b - n_common)"
+               f" >= {threshold}")
+        .withColumn(
+            "jaccard",
+            F.expr("round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6)"))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _shingle_pair_counts(
+    df: DataFrame, text_col: str, id_col: str,
+    n: int = 3, max_token_df: int | None = None,
+) -> DataFrame:
+    """The inverted-index candidate stage shared by the Jaccard and
+    containment operators: undirected pairs (doc_a < doc_b) with
+    (n_common, n_a, n_b) — |A ∩ B| out of the self-join aggregation,
+    set sizes riding along. The ``max_token_df`` guard (and its
+    n_sh-before-filter semantics) lives HERE so a fix applies to every
+    consumer at once."""
     shingled = with_shingles(df.select(id_col, text_col), text_col, n)
     exploded = shingled.select(
         F.col(id_col), F.expr("size(shingles)").alias("n_sh"),
@@ -131,12 +152,6 @@ def ngram_jaccard_pairs(
         .agg(F.count("*").alias("n_common"),
              F.first("n_a").alias("n_a"),
              F.first("n_b").alias("n_b"))
-        .where(f"CAST(n_common AS DOUBLE) / (n_a + n_b - n_common)"
-               f" >= {threshold}")
-        .withColumn(
-            "jaccard",
-            F.expr("round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6)"))
-        .select("doc_a", "doc_b", "jaccard")
     )
 
 
@@ -660,29 +675,7 @@ def containment_pairs(
 
     Threshold semantics follow the catalog convention: the UNROUNDED
     ratio is compared; ``containment`` is rounded for display only."""
-    shingled = with_shingles(df.select(id_col, text_col), text_col, n)
-    exploded = shingled.select(
-        F.col(id_col), F.expr("size(shingles)").alias("n_sh"),
-        F.explode("shingles").alias("sh"))
-    if max_token_df is not None:
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("sh")
-        exploded = (exploded.withColumn("__df", F.count("*").over(w))
-                    .where(F.col("__df") <= max_token_df)
-                    .drop("__df"))
-    a = exploded.select(F.col(id_col).alias("doc_a"),
-                        F.col("n_sh").alias("n_a"), "sh")
-    b = exploded.select(F.col(id_col).alias("doc_b"),
-                        F.col("n_sh").alias("n_b"), "sh")
-    und = (
-        a.join(b, "sh")
-        .where("doc_a < doc_b")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"),
-             F.first("n_a").alias("n_a"),
-             F.first("n_b").alias("n_b"))
-    )
+    und = _shingle_pair_counts(df, text_col, id_col, n, max_token_df)
     directed = und.select(
         F.expr("explode(array("
                "struct(doc_a AS doc_inner, doc_b AS doc_outer,"

@@ -168,7 +168,14 @@ def winsorize(
         bounds = df.agg(lo_agg.alias("__wlo"), hi_agg.alias("__whi"))
         return (df.crossJoin(F.broadcast(bounds))
                 .withColumn(out, clamp).drop("__wlo", "__whi"))
+    # Null-SAFE equi-join on the group key: a plain equi-join would
+    # silently DROP every NULL-group row (NULL = NULL never matches),
+    # breaking the operator's row-preserving contract — the same
+    # pitfall grouped_bucket_profile documents. <=> still plans as a
+    # coalesced-key BroadcastHashJoin (see join_null_safe_eq).
     bounds = df.groupBy(by).agg(
-        lo_agg.alias("__wlo"), hi_agg.alias("__whi"))
-    return (df.join(F.broadcast(bounds), by)
-            .withColumn(out, clamp).drop("__wlo", "__whi"))
+        lo_agg.alias("__wlo"), hi_agg.alias("__whi")).withColumnRenamed(
+            by, "__wby")
+    return (df.join(F.broadcast(bounds),
+                    F.col(by).eqNullSafe(F.col("__wby")))
+            .withColumn(out, clamp).drop("__wby", "__wlo", "__whi"))

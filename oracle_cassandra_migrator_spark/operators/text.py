@@ -455,12 +455,15 @@ def bpe_train(spark, docs, text_col: str, k: int = 5):
 
     # Persist the vocab table or the lazy lineage re-runs the corpus
     # aggregation on EVERY iteration's argmax collect — the "corpus is
-    # seen once" claim depends on this line.
-    wc = (docs.select(F.explode(
-              F.expr(fast_words_expr(text_col))).alias("word"))
-          .groupBy("word").agg(F.count("*").alias("cnt"))
-          .withColumn("toks", F.expr("regexp_extract_all(word, '.', 0)"))
-          .persist(StorageLevel.MEMORY_AND_DISK))
+    # seen once" claim depends on this line. ``base`` (the persisted
+    # handle) is returned so callers can unpersist once their result
+    # is materialized.
+    base = (docs.select(F.explode(
+                F.expr(fast_words_expr(text_col))).alias("word"))
+            .groupBy("word").agg(F.count("*").alias("cnt"))
+            .withColumn("toks", F.expr("regexp_extract_all(word, '.', 0)"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    wc = base
     rules = []
     for i in range(k):
         pairs = wc.selectExpr(
@@ -483,11 +486,15 @@ def bpe_train(spark, docs, text_col: str, k: int = 5):
     rules_df = spark.createDataFrame(
         rules, "merge_idx long, left_tok string, right_tok string, "
                "merged string, pair_count long")
-    return rules_df, wc
+    return rules_df, wc, base
 
 
 def bpe_merge_rules(spark, docs, text_col: str, k: int = 5):
-    rules_df, _ = bpe_train(spark, docs, text_col, k)
+    rules_df, _, base = bpe_train(spark, docs, text_col, k)
+    # the rules are already local (driver-side argmax collects);
+    # release the train cache so repeated catalog runs don't pile up
+    # dead vocab blocks in executor storage
+    base.unpersist()
     return rules_df
 
 
@@ -507,12 +514,20 @@ def bpe_encode_stats(spark, docs, text_col: str, k: int = 5):
     constants (train-out-of-plan)."""
     from pyspark.sql import functions as F
 
-    _, wc = bpe_train(spark, docs, text_col, k)
-    return wc.agg(
+    _, wc, base = bpe_train(spark, docs, text_col, k)
+    # Materialize the 1-row profile BEFORE releasing the train cache
+    # (a lazy result would recompute the corpus pass after unpersist),
+    # then hand it back as a local DataFrame — the same eager
+    # train-out-of-plan contract as the rules themselves.
+    rows = wc.agg(
         F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_distinct_words"),
         F.expr("CAST(SUM(cnt) AS BIGINT)").alias("n_words"),
         F.expr("CAST(SUM(cnt * length(word)) AS BIGINT)").alias("n_chars"),
         F.expr("CAST(SUM(cnt * size(toks)) AS BIGINT)").alias("n_tokens"),
         F.expr("CAST(floor(SUM(cnt * size(toks)) * 1e6"
                " / SUM(cnt * length(word)) + 0.5) AS BIGINT)")
-        .alias("compression_ppm"))
+        .alias("compression_ppm")).collect()
+    base.unpersist()
+    return spark.createDataFrame(
+        rows, "n_distinct_words long, n_words long, n_chars long, "
+              "n_tokens long, compression_ppm long")

@@ -674,15 +674,27 @@ def _pois_w_sql(u: str) -> str:
     return f"CASE {ladder} ELSE {len(_POIS_CDF_MICRO)} END"
 
 
-def _bootstrap_oracle() -> str:
-    from oracle_cassandra_migrator_spark.operators.sketches import (
-        md5_mod_sql)
+def _pois_w_spark(u_expr: str) -> str:
+    """Bind the md5-derived uniform ONCE via the transform/element_at
+    let-binding idiom (operators/text.py) before walking the CASE
+    ladder: inlining ``u_expr`` into all 9 branches would re-evaluate
+    the hash up to 9x per exploded row — Spark does not extract common
+    subexpressions out of conditionally-evaluated branches."""
+    return (f"element_at(transform(array({u_expr}), "
+            f"u -> {_pois_w_sql('u')}), 1)")
 
+
+def _pois_w_duck(u_expr: str) -> str:
+    """DuckDB twin of the bound-once ladder."""
+    return f"(list_transform([{u_expr}], u -> {_pois_w_sql('u')}))[1]"
+
+
+def _bootstrap_oracle() -> str:
     u = md5_mod_sql("l_orderkey || ':' || l_linenumber || ':' || b",
                     1_000_000)
     return f"""
     WITH reps AS (
-      SELECT b, {_pois_w_sql(f'({u})')} AS w,
+      SELECT b, {_pois_w_duck(f'({u})')} AS w,
              CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS rev
       FROM lineitem,
            UNNEST(generate_series(0, {_BOOT_B - 1})) AS t(b)),
@@ -723,9 +735,6 @@ def stats_bootstrap_ci_revenue(spark, sf_dir):
     partial rows regardless of input size, and the final exchange
     moves 32 groups. The CI and point-estimate arms are 1-row
     aggregates glued by broadcast crossJoins."""
-    from oracle_cassandra_migrator_spark.operators.sketches import (
-        md5_mod_spark)
-
     u = md5_mod_spark(
         "concat(l_orderkey, ':', l_linenumber, ':', b)", 1_000_000)
     li = read_table(spark, sf_dir, "lineitem").select(
@@ -734,7 +743,7 @@ def stats_bootstrap_ci_revenue(spark, sf_dir):
         F.explode(F.expr(f"sequence(0, {_BOOT_B - 1})")).alias("b"),
         "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
     ).select(
-        "b", F.expr(f"{_pois_w_sql(f'({u})')}").alias("w"),
+        "b", F.expr(_pois_w_spark(f"({u})")).alias("w"),
         F.expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))")
         .alias("rev"))
     means = reps.groupBy("b").agg(

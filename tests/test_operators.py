@@ -791,3 +791,22 @@ def test_winsorize_grouped_clamps_per_group(spark):
     # group b: p10=1, p90=9 — 50.0 would be legal in a, impossible in b
     assert max(w for _, w in by_g["b"]) == 9.0
     assert len(by_g["a"]) == 100 and len(by_g["b"]) == 10
+
+
+def test_winsorize_grouped_keeps_null_group_rows(spark):
+    """Row-preserving contract under NULL group keys: the bounds join
+    is null-SAFE, so NULL-group rows clamp at their own envelope
+    instead of silently dropping (the grouped_bucket_profile pitfall,
+    handled here)."""
+    from oracle_cassandra_migrator_spark.operators.quantiles import (
+        winsorize)
+
+    rows = ([("a", float(v)) for v in range(1, 21)]
+            + [(None, float(v)) for v in range(1, 11)])
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = winsorize(df, "x", lo=0.1, hi=0.9, by="g", exact=True,
+                    out="xw").collect()
+    assert len(out) == 30
+    nulls = [r["xw"] for r in out if r["g"] is None]
+    assert len(nulls) == 10
+    assert min(nulls) == 1.0 and max(nulls) == 9.0

@@ -300,7 +300,7 @@ def test_bootstrap_weights_match_python_poisson_ladder(spark):
     import hashlib
 
     from oracle_cassandra_migrator_spark.queries.round6b import (
-        _POIS_CDF_MICRO, _pois_w_sql)
+        _POIS_CDF_MICRO, _pois_w_spark)
     from oracle_cassandra_migrator_spark.operators.sketches import (
         md5_mod_spark)
 
@@ -319,7 +319,7 @@ def test_bootstrap_weights_match_python_poisson_ladder(spark):
         "concat(l_orderkey, ':', l_linenumber, ':', b)", 1_000_000)
     got = df.selectExpr(
         "l_orderkey", "l_linenumber", "b",
-        f"{_pois_w_sql(f'({u})')} AS w").collect()
+        f"{_pois_w_spark(f'({u})')} AS w").collect()
     for r in got:
         assert r["w"] == py_w(
             f"{r['l_orderkey']}:{r['l_linenumber']}:{r['b']}")

@@ -15,9 +15,15 @@ from oracle_cassandra_migrator_spark.streaming.windows import (
     sliding_window_agg,
     tumbling_window_agg,
 )
+from oracle_cassandra_migrator_spark.streaming.upsert import (
+    foreach_batch_upsert,
+    latest_snapshot,
+)
 
 __all__ = [
     "interval_join_streams",
+    "foreach_batch_upsert",
+    "latest_snapshot",
     "sessionize_stateful",
     "quota_limit_stream",
     "read_stream_source",

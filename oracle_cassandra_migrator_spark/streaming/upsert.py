@@ -1,0 +1,122 @@
+"""Streaming keyed upsert — a continuously-maintained materialized
+snapshot (the CDC "table mirror" pattern): each micro-batch of change
+rows merges into the previous snapshot version by key, and readers
+always see the latest *committed* version.
+
+This is the streaming composition of two existing pieces:
+``operators/merge.merge_upsert`` (anti-join + union — plain Spark's
+MERGE INTO equivalent) inside ``foreachBatch``, with the same
+marker-per-batch exactly-once discipline as
+``streaming/sinks.foreach_batch_sink``. The reference pipeline's model
+is full-reload (verizon_table_migration_Rakesh_filters.py:187-223);
+this closes the ongoing-sync gap end-to-end: Kafka/CDC stream in,
+queryable keyed snapshot out.
+
+Version protocol (all through the StateStore, any Hadoop scheme):
+``snapshot-v<batchId>`` directories, committed by a
+``batch-<batchId>.marker``. A batch reads the LATEST COMMITTED version
+(never its own uncommitted output), writes its successor, then drops
+the marker. Crash-and-replay safety, case by case:
+
+- replay of a marker-committed batch: the marker short-circuits it.
+- crash between write and marker: the replayed batch recomputes from
+  the same predecessor and OVERWRITES its own ``snapshot-v<id>`` —
+  deterministic inputs (Spark replays the identical batch) make the
+  rewrite byte-equivalent; the half-written orphan is never readable
+  because readers go through ``latest_snapshot`` (committed markers
+  only).
+
+State is bounded by the snapshot itself (no Spark state store usage —
+the join runs as a batch job per trigger). At 100 TB the snapshot
+rewrite is the cost; the documented optimizations are partitioning the
+snapshot by a key hash and rewriting only partitions the batch
+touches, or switching the sink to a table format (Delta/Iceberg) whose
+MERGE does exactly that — the orchestration here is unchanged either
+way.
+"""
+
+from __future__ import annotations
+
+import posixpath
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from oracle_cassandra_migrator_spark.operators.merge import merge_upsert
+from oracle_cassandra_migrator_spark.reliability.state import (
+    LocalFSStateStore,
+    StateStore,
+)
+
+_MARKER_RE = re.compile(r"batch-(\d+)\.marker$")
+
+
+def _committed_ids(store: StateStore, marker_dir: str) -> list[int]:
+    out = []
+    for key in store.list(marker_dir, suffix=".marker"):
+        m = _MARKER_RE.search(key)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def latest_snapshot(spark, base_dir: str,
+                    state: StateStore | None = None) -> DataFrame | None:
+    """The current committed snapshot, or None before the first
+    commit. Readers must come through here: uncommitted version dirs
+    (crash between write and marker) are invisible by construction."""
+    store = state or LocalFSStateStore()
+    ids = _committed_ids(store, posixpath.join(base_dir, "markers"))
+    if not ids:
+        return None
+    return spark.read.parquet(
+        posixpath.join(base_dir, f"snapshot-v{ids[-1]}"))
+
+
+def foreach_batch_upsert(
+    stream: DataFrame,
+    base_dir: str,
+    keys: list[str],
+    order_by: list[str],
+    checkpoint_dir: str,
+    state: StateStore | None = None,
+    trigger: dict[str, Any] | None = None,
+) -> StreamingQuery:
+    """Maintain a keyed snapshot under ``base_dir`` from a stream of
+    change rows. Within a batch the LAST change per key wins, ordered
+    by ``order_by`` (must be a total order per key — e.g.
+    [event_time, event_id] — or replays could pick a different
+    winner); across batches later batches win by the merge itself."""
+    store = state or LocalFSStateStore()
+    marker_dir = posixpath.join(base_dir, "markers")
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        marker = posixpath.join(marker_dir, f"batch-{batch_id}.marker")
+        if store.exists(marker):
+            return
+        spark = batch_df.sparkSession
+        # last-writer-wins WITHIN the batch: max(struct(order_by, row))
+        # per key — aggregation, not a window, so it map-side-combines
+        ordered = F.struct(
+            *[F.col(c) for c in order_by], F.struct("*").alias("__row"))
+        winners = (batch_df.groupBy(*keys)
+                   .agg(F.max(ordered).alias("__w"))
+                   .select("__w.__row.*"))
+        prev_ids = [i for i in _committed_ids(store, marker_dir)
+                    if i < batch_id]
+        if prev_ids:
+            current = spark.read.parquet(posixpath.join(
+                base_dir, f"snapshot-v{prev_ids[-1]}"))
+            merged = merge_upsert(current, winners, keys)
+        else:
+            merged = winners
+        merged.write.mode("overwrite").parquet(
+            posixpath.join(base_dir, f"snapshot-v{batch_id}"))
+        store.put_marker(marker)
+
+    writer = (stream.writeStream.foreachBatch(apply)
+              .option("checkpointLocation", checkpoint_dir))
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()

@@ -814,3 +814,100 @@ def test_interval_join_streams_left_outer_emits_nulls_after_watermark(
     assert rows[301]["click_id"] == 302         # flush pair joins too
     assert rows[201]["click_id"] is None        # null-extended after wm
     assert rows[201]["click_ts"] is None
+
+
+def test_foreach_batch_upsert_maintains_keyed_snapshot(spark, tmp_path):
+    """Streaming CDC upsert: two micro-batches of change rows with
+    overlapping keys must leave the latest committed snapshot equal to
+    the batch-order fold (last writer per key wins, within-batch order
+    decided by order_by); rerunning the stream over the same source
+    with the same checkpoint+markers must be a no-op (exactly-once)."""
+    import datetime
+
+    from oracle_cassandra_migrator_spark.streaming import (
+        foreach_batch_upsert, latest_snapshot)
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 12, m)
+    schema = "k long, ts timestamp, seq long, val string"
+    b1 = [(1, t(0), 1, "a1"), (2, t(0), 2, "b1"),
+          (1, t(1), 3, "a2")]          # within-batch: k=1 -> a2
+    b2 = [(2, t(5), 4, "b2"), (3, t(5), 5, "c1")]  # cross-batch: k=2 -> b2
+    src = str(tmp_path / "upsert_src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "overwrite").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    base = str(tmp_path / "upsert_snap")
+    ckpt = str(tmp_path / "upsert_ckpt")
+
+    def run():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        q = foreach_batch_upsert(
+            stream, base, keys=["k"], order_by=["ts", "seq"],
+            checkpoint_dir=ckpt)
+        q.awaitTermination(120)
+
+    run()
+    snap = {r["k"]: (r["val"], r["seq"])
+            for r in latest_snapshot(spark, base).collect()}
+    assert snap == {1: ("a2", 3), 2: ("b2", 4), 3: ("c1", 5)}
+
+    # replay: same source, same checkpoint -> markers short-circuit,
+    # snapshot unchanged (no new version directories)
+    import glob
+    versions_before = sorted(glob.glob(f"{base}/snapshot-v*"))
+    run()
+    assert sorted(glob.glob(f"{base}/snapshot-v*")) == versions_before
+    snap2 = {r["k"]: (r["val"], r["seq"])
+             for r in latest_snapshot(spark, base).collect()}
+    assert snap2 == snap
+
+
+def test_foreach_batch_upsert_recovers_from_crash_before_marker(
+        spark, tmp_path):
+    """Crash-between-write-and-marker: delete a batch's marker (its
+    snapshot dir stays on disk, possibly half-written) and rerun —
+    the replayed batch recomputes from its predecessor, overwrites its
+    own version, and the final snapshot is identical."""
+    import datetime
+    import glob
+    import os
+
+    from oracle_cassandra_migrator_spark.streaming import (
+        foreach_batch_upsert, latest_snapshot)
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 12, m)
+    schema = "k long, ts timestamp, seq long, val string"
+    src = str(tmp_path / "crash_src")
+    spark.createDataFrame(
+        [(1, t(0), 1, "a1"), (2, t(0), 2, "b1")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [(1, t(5), 3, "a2")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    base = str(tmp_path / "crash_snap")
+    ckpt = str(tmp_path / "crash_ckpt")
+
+    def run(checkpoint):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        q = foreach_batch_upsert(
+            stream, base, keys=["k"], order_by=["ts", "seq"],
+            checkpoint_dir=checkpoint)
+        q.awaitTermination(120)
+
+    run(ckpt)
+    want = {r["k"]: r["val"]
+            for r in latest_snapshot(spark, base).collect()}
+    # simulate the crash: the LAST batch wrote its snapshot but died
+    # before committing its marker; Spark will replay it from a fresh
+    # checkpoint while earlier batches' markers still short-circuit
+    markers = sorted(glob.glob(f"{base}/markers/batch-*.marker"))
+    os.remove(markers[-1])
+    run(str(tmp_path / "crash_ckpt2"))
+    got = {r["k"]: r["val"]
+           for r in latest_snapshot(spark, base).collect()}
+    assert got == want == {1: "a2", 2: "b1"}

@@ -203,3 +203,42 @@ def test_two_pass_quantile_bucketing_invariants(vals, k):
     tie_bound = max(Counter(svals).values())
     for j in range(1, k + 1):
         assert pop.get(j, 0) <= math.ceil(n / k) + tie_bound
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta",
+                                  "epsilon", "zeta"]),
+                 min_size=3, max_size=12).map(" ".join),
+        min_size=2, max_size=8),
+    threshold=st.sampled_from([0.4, 0.6, 0.8]),
+)
+def test_containment_pairs_match_bruteforce_property(spark, texts,
+                                                     threshold):
+    """Property: containment_pairs equals the brute-force directional
+    shingle-containment computation on arbitrary small corpora —
+    including repeated-word texts where distinct-shingle semantics
+    matter, and the one-direction-only asymmetry."""
+    from oracle_cassandra_migrator_spark.operators.dedup import (
+        containment_pairs)
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    got = {(r["doc_inner"], r["doc_outer"]): r["containment"]
+           for r in containment_pairs(
+               df, "text", "doc_id", n=3, threshold=threshold).collect()}
+
+    def sh(t):
+        w = t.lower().split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    want = {}
+    for i, a in enumerate(texts):
+        for j, b in enumerate(texts):
+            if i == j or not sh(a):
+                continue
+            c = len(sh(a) & sh(b)) / len(sh(a))
+            if c >= threshold and len(sh(a) & sh(b)) > 0:
+                want[(i, j)] = round(c, 6)
+    assert got == want

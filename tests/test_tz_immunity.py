@@ -27,6 +27,15 @@ DATE_BEARING = [
     # the pattern; drift/sampling are date-free but ride along cheap
     "events_daily_ewma",
     "events_type_transition_matrix",
+    # round-6 continuation: session-day truncation, ISO-week
+    # truncation, order-date recency diffs, funnel-latency µs diffs,
+    # shipdate zone-map months, Q3's date-literal predicates
+    "events_session_stats",
+    "events_wow_delta",
+    "orders_rfm_segments",
+    "events_funnel_latency",
+    "layout_minmax_pruning_stats",
+    "tpch_q3_shipping_priority",
 ]
 
 

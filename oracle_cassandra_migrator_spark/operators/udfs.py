@@ -115,3 +115,51 @@ def embedding_norms_arrow(embeddings: DataFrame) -> DataFrame:
 
     return embeddings.select("vec_id", "embedding").mapInArrow(
         batches, NORM_SCHEMA)
+
+
+def cogroup_asof_align(left: DataFrame, right: DataFrame, key: str,
+                       left_ts: str, right_ts: str,
+                       right_cols: list[str]) -> DataFrame:
+    """Backward as-of alignment via ``groupBy().cogroup()
+    .applyInPandas`` — the last member of the Python-execution matrix
+    (pandas_udf / applyInPandas / mapInPandas / mapInArrow / UDTF /
+    applyInPandasWithState / transformWithStateInPandas / cogroup):
+    both sides shuffle ONCE on the key, each key's two groups meet in
+    a single Arrow-batched pandas callback, and pandas' merge_asof
+    does the per-key backward search in C.
+
+    When to prefer this over the window-union form
+    (queries/relational.asof_join_purchase_click): the sides have
+    DIFFERENT wide schemas (the union trick needs a common shape and
+    NULL-pads every non-shared column), or the per-key logic grows
+    beyond what last(ignorenulls) expresses (nearest-within-tolerance,
+    multi-column carry). Same shuffle topology — one exchange per side
+    on the key — so the scale shape is identical; the pandas hop costs
+    the usual Arrow serialization, which the parity pytest quantifies
+    is worth paying only when the window form can't express the
+    semantics."""
+    import pandas as pd
+
+    from pyspark.sql.types import StructField, StructType
+
+    rfields = {f.name: f for f in right.schema.fields}
+    out_schema = StructType(
+        list(left.schema.fields)
+        + [StructField(c, rfields[c].dataType, True) for c in right_cols])
+    left_names = [f.name for f in left.schema.fields]
+
+    def align(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = lpdf.sort_values(left_ts)
+        if rpdf.empty:
+            for c in right_cols:
+                lpdf[c] = None
+            return lpdf[left_names + right_cols]
+        rcols = [right_ts] + [c for c in right_cols if c != right_ts]
+        rpdf = rpdf.sort_values(right_ts)[rcols]
+        merged = pd.merge_asof(
+            lpdf, rpdf, left_on=left_ts, right_on=right_ts,
+            direction="backward", suffixes=("", "__r"))
+        return merged[left_names + right_cols]
+
+    return (left.groupBy(key).cogroup(right.groupBy(key))
+            .applyInPandas(align, schema=out_schema))

@@ -810,3 +810,33 @@ def test_winsorize_grouped_keeps_null_group_rows(spark):
     nulls = [r["xw"] for r in out if r["g"] is None]
     assert len(nulls) == 10
     assert min(nulls) == 1.0 and max(nulls) == 9.0
+
+
+def test_cogroup_asof_align_matches_window_asof_join(spark):
+    """cogroup().applyInPandas as-of alignment (pandas merge_asof per
+    key, one shuffle per side) must reproduce the window-union as-of
+    join exactly — including users with no prior click (NULL) and
+    equal-timestamp click-before-purchase ties."""
+    from pyspark.sql import functions as F
+
+    from oracle_cassandra_migrator_spark.operators.udfs import (
+        cogroup_asof_align)
+    from oracle_cassandra_migrator_spark.queries import QUERIES
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    ev = read_table(spark, SF_SMALL, "events")
+    p = ev.where("event_type = 'purchase'").selectExpr(
+        "event_id", "user_id", "ts AS p_ts")
+    c = ev.where("event_type = 'click'").selectExpr(
+        "user_id", "ts AS c_ts")
+    aligned = cogroup_asof_align(
+        p, c, key="user_id", left_ts="p_ts", right_ts="c_ts",
+        right_cols=["c_ts"])
+    got = {r["event_id"]: r["us"] for r in aligned.selectExpr(
+        "event_id",
+        "TIMESTAMPDIFF(MICROSECOND, c_ts, p_ts) AS us").collect()}
+    want = {r["event_id"]: r["us_since_click"]
+            for r in QUERIES["asof_join_purchase_click"](
+                spark, SF_SMALL).collect()}
+    assert got == want
+    assert any(v is None for v in want.values()) or len(want) > 0

@@ -964,3 +964,59 @@ def text_bpe_encode_stats(spark, sf_dir):
 
     docs = read_table(spark, sf_dir, "documents")
     return bpe_encode_stats(spark, docs, "text", k=5)
+
+
+# ---------------------------------------------------------------------------
+# graph_bfs_distances — recursive-CTE shortest paths (Spark 4 WITH RECURSIVE)
+# ---------------------------------------------------------------------------
+
+
+_BFS_EDGES_SQL = """SELECT cn.n_name AS src, sn.n_name AS dst
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    GROUP BY cn.n_name, sn.n_name"""
+
+_BFS_SQL = f"""
+    WITH RECURSIVE e AS (
+      SELECT src, dst FROM ({_BFS_EDGES_SQL}) WHERE src <> dst
+      UNION
+      SELECT dst, src FROM ({_BFS_EDGES_SQL}) WHERE src <> dst),
+    walks AS (
+      SELECT 'NATION_0' AS node, 0 AS dist
+      UNION ALL
+      SELECT e.dst, w.dist + 1
+      FROM walks w JOIN e ON e.src = w.node
+      WHERE w.dist < 3)
+    SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+    FROM walks GROUP BY node
+"""
+
+
+@query("graph_bfs_distances", oracle=_BFS_SQL)
+def graph_bfs_distances(spark, sf_dir):
+    """Single-source shortest paths (BFS) over the nation co-supply
+    graph via WITH RECURSIVE — Spark 4's recursive-CTE surface,
+    sharing ONE SQL text with DuckDB. Completes the graph-kernel
+    family (components / PageRank / triangles / shortest paths) and
+    proves the declarative alternative to the iterative-DataFrame
+    loop connected_components uses.
+
+    Exactness without visited-set state: the recursive member
+    enumerates WALKS bounded at depth 3 and MIN(dist) collapses them
+    to true BFS distances — correct because every node here sits
+    within the bound (asserted non-vacuously in pytest: the distance
+    distribution spans 0/1/2), and denser corpora at larger SF only
+    SHRINK distances, so the bound holds at every scale factor. The
+    bound also caps the blow-up: walk count <= Σ deg^k for k <= 3 over
+    a |nations|-node graph — thousands of rows, not corpus-scale. At a
+    genuinely large-diameter graph the iterative frontier loop with
+    per-round checkpointing (operators/graph.py) is the scale path;
+    this query is the SQL-surface coverage of the recursion feature
+    itself."""
+    for t in ("orders", "lineitem", "customer", "supplier", "nation"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_BFS_SQL)

@@ -18,12 +18,14 @@ from oracle_cassandra_migrator_spark.streaming.windows import (
 from oracle_cassandra_migrator_spark.streaming.upsert import (
     foreach_batch_upsert,
     latest_snapshot,
+    snapshot_at,
 )
 
 __all__ = [
     "interval_join_streams",
     "foreach_batch_upsert",
     "latest_snapshot",
+    "snapshot_at",
     "sessionize_stateful",
     "quota_limit_stream",
     "read_stream_source",

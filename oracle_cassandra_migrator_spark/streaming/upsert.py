@@ -75,6 +75,24 @@ def latest_snapshot(spark, base_dir: str,
         posixpath.join(base_dir, f"snapshot-v{ids[-1]}"))
 
 
+def snapshot_at(spark, base_dir: str, batch_id: int,
+                state: StateStore | None = None) -> DataFrame:
+    """Time travel: the snapshot as of a specific COMMITTED batch.
+    Every committed version stays on disk until explicitly vacuumed,
+    so point-in-time reads (debugging a bad upsert, reproducing a
+    training run's input) are a directory read away — the hand-rolled
+    analog of a table format's VERSION AS OF. Raises on an
+    uncommitted/unknown id rather than serving a half-written dir."""
+    store = state or LocalFSStateStore()
+    ids = _committed_ids(store, posixpath.join(base_dir, "markers"))
+    if batch_id not in ids:
+        raise ValueError(
+            f"batch {batch_id} is not a committed snapshot version "
+            f"(committed: {ids})")
+    return spark.read.parquet(
+        posixpath.join(base_dir, f"snapshot-v{batch_id}"))
+
+
 def foreach_batch_upsert(
     stream: DataFrame,
     base_dir: str,

@@ -911,3 +911,46 @@ def test_foreach_batch_upsert_recovers_from_crash_before_marker(
     got = {r["k"]: r["val"]
            for r in latest_snapshot(spark, base).collect()}
     assert got == want == {1: "a2", 2: "b1"}
+
+
+def test_snapshot_time_travel_reads_committed_versions(spark, tmp_path):
+    """VERSION AS OF semantics on the upsert snapshots: a committed
+    earlier version reads back its point-in-time state; an uncommitted
+    id raises instead of serving a half-written directory."""
+    import datetime
+    import glob
+
+    import pytest as _pytest
+
+    from oracle_cassandra_migrator_spark.streaming import (
+        foreach_batch_upsert, latest_snapshot, snapshot_at)
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 12, m)
+    schema = "k long, ts timestamp, seq long, val string"
+    src = str(tmp_path / "tt_src")
+    spark.createDataFrame(
+        [(1, t(0), 1, "a1"), (2, t(0), 2, "b1")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [(1, t(5), 3, "a2")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    base = str(tmp_path / "tt_snap")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = foreach_batch_upsert(
+        stream, base, keys=["k"], order_by=["ts", "seq"],
+        checkpoint_dir=str(tmp_path / "tt_ckpt"))
+    q.awaitTermination(120)
+
+    versions = sorted(int(d.rsplit("-v", 1)[1])
+                      for d in glob.glob(f"{base}/snapshot-v*"))
+    assert len(versions) == 2
+    v0 = {r["k"]: r["val"]
+          for r in snapshot_at(spark, base, versions[0]).collect()}
+    assert v0 == {1: "a1", 2: "b1"}          # pre-second-batch state
+    latest = {r["k"]: r["val"]
+              for r in latest_snapshot(spark, base).collect()}
+    assert latest == {1: "a2", 2: "b1"}
+    with _pytest.raises(ValueError, match="not a committed"):
+        snapshot_at(spark, base, 999)

@@ -19,6 +19,7 @@ from oracle_cassandra_migrator_spark.streaming.upsert import (
     foreach_batch_upsert,
     latest_snapshot,
     snapshot_at,
+    vacuum_snapshots,
 )
 
 __all__ = [
@@ -26,6 +27,7 @@ __all__ = [
     "foreach_batch_upsert",
     "latest_snapshot",
     "snapshot_at",
+    "vacuum_snapshots",
     "sessionize_stateful",
     "quota_limit_stream",
     "read_stream_source",

@@ -138,3 +138,33 @@ def foreach_batch_upsert(
               .option("checkpointLocation", checkpoint_dir))
     writer = writer.trigger(**(trigger or {"availableNow": True}))
     return writer.start()
+
+
+def vacuum_snapshots(spark, base_dir: str, keep_last: int = 2,
+                     state: StateStore | None = None) -> list[int]:
+    """Retention: drop all but the newest ``keep_last`` committed
+    versions, returning the vacuumed batch ids. Order of operations is
+    the crash-safe one — data directory FIRST, marker LAST — so a
+    crash mid-vacuum leaves either a fully readable version or an
+    uncommitted orphan dir that readers already ignore; it can never
+    leave a marker pointing at deleted data. ``keep_last`` must be
+    >= 1 (the latest version is never vacuumed). Directory removal
+    goes through the Hadoop FileSystem API so any scheme
+    (file:/hdfs:/s3a:) works."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    store = state or LocalFSStateStore()
+    marker_dir = posixpath.join(base_dir, "markers")
+    ids = _committed_ids(store, marker_dir)
+    doomed = ids[:-keep_last] if keep_last < len(ids) else []
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    for bid in doomed:
+        path = jvm.org.apache.hadoop.fs.Path(
+            posixpath.join(base_dir, f"snapshot-v{bid}"))
+        fs = path.getFileSystem(conf)
+        if fs.exists(path):
+            fs.delete(path, True)
+        store.delete(posixpath.join(marker_dir, f"batch-{bid}.marker"))
+    return doomed

@@ -954,3 +954,48 @@ def test_snapshot_time_travel_reads_committed_versions(spark, tmp_path):
     assert latest == {1: "a2", 2: "b1"}
     with _pytest.raises(ValueError, match="not a committed"):
         snapshot_at(spark, base, 999)
+
+
+def test_vacuum_snapshots_keeps_latest_and_stays_readable(spark, tmp_path):
+    """Retention: vacuum drops the oldest committed versions (data dir
+    first, marker last), the latest snapshot survives and reads
+    identically, and time-travel to a vacuumed id now raises."""
+    import datetime
+    import glob
+
+    import pytest as _pytest
+
+    from oracle_cassandra_migrator_spark.streaming import (
+        foreach_batch_upsert, latest_snapshot, snapshot_at,
+        vacuum_snapshots)
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 12, m)
+    schema = "k long, ts timestamp, seq long, val string"
+    src = str(tmp_path / "vac_src")
+    for i, rows in enumerate([[(1, t(0), 1, "a1")],
+                              [(1, t(5), 2, "a2")],
+                              [(2, t(9), 3, "b1")]]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite" if i == 0 else "append").parquet(src)
+
+    base = str(tmp_path / "vac_snap")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = foreach_batch_upsert(
+        stream, base, keys=["k"], order_by=["ts", "seq"],
+        checkpoint_dir=str(tmp_path / "vac_ckpt"))
+    q.awaitTermination(120)
+
+    before = {r["k"]: r["val"]
+              for r in latest_snapshot(spark, base).collect()}
+    doomed = vacuum_snapshots(spark, base, keep_last=1)
+    assert len(doomed) == 2
+    assert sorted(glob.glob(f"{base}/snapshot-v*")) == [
+        f"{base}/snapshot-v2"]
+    after = {r["k"]: r["val"]
+             for r in latest_snapshot(spark, base).collect()}
+    assert after == before == {1: "a2", 2: "b1"}
+    with _pytest.raises(ValueError, match="not a committed"):
+        snapshot_at(spark, base, doomed[0])
+    with _pytest.raises(ValueError):
+        vacuum_snapshots(spark, base, keep_last=0)

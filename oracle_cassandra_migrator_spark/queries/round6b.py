@@ -981,10 +981,11 @@ _BFS_EDGES_SQL = """SELECT cn.n_name AS src, sn.n_name AS dst
     GROUP BY cn.n_name, sn.n_name"""
 
 _BFS_SQL = f"""
-    WITH RECURSIVE e AS (
-      SELECT src, dst FROM ({_BFS_EDGES_SQL}) WHERE src <> dst
+    WITH RECURSIVE d AS ({_BFS_EDGES_SQL}),
+    e AS (
+      SELECT src, dst FROM d WHERE src <> dst
       UNION
-      SELECT dst, src FROM ({_BFS_EDGES_SQL}) WHERE src <> dst),
+      SELECT dst, src FROM d WHERE src <> dst),
     walks AS (
       SELECT 'NATION_0' AS node, 0 AS dist
       UNION ALL

@@ -663,8 +663,11 @@ def mmr_topk(
     selected_ids: list[int] = []
     for t in range(1, k + 1):
         if not selected_ids:
-            pick = pool_df.orderBy(
-                F.col("rel").desc(), id_col).limit(1).collect()[0]
+            first = pool_df.orderBy(
+                F.col("rel").desc(), id_col).limit(1).collect()
+            if not first:
+                break  # empty pool (absent query_id / tiny corpus)
+            pick = first[0]
             out.append((t, pick[id_col], pick["rel"], pick["rel"]))
         else:
             sel_vecs = (pool_df
@@ -680,8 +683,11 @@ def mmr_topk(
                 .withColumn("mmr", F.expr(
                     f"round({lam}e0 * rel - {round(1 - lam, 10)}e0 * red,"
                     f" 6)")))
-            pick = scored.orderBy(
-                F.col("mmr").desc(), id_col).limit(1).collect()[0]
+            picked = scored.orderBy(
+                F.col("mmr").desc(), id_col).limit(1).collect()
+            if not picked:
+                break  # pool exhausted before k picks (k > pool)
+            pick = picked[0]
             out.append((t, pick[id_col], pick["rel"], pick["mmr"]))
         selected_ids.append(out[-1][1])
     pool_df.unpersist()

@@ -186,16 +186,19 @@ def bloom_probe_ranged(df: DataFrame, blooms: DataFrame, key_expr: str,
     the ``wmap`` column instead of a literal. Co-partitioning both
     sides on range_id is exactly "partition both sides by fingerprint
     range" — no single-node filter materialization anywhere."""
+    # __-prefix the working columns (the package convention) so a
+    # probe-side table that already has a 'wmap' column can't collide
     probed = (
         df.withColumn("__rid",
                       F.expr(bloom_range_expr(key_expr, n_ranges)))
-        .join(blooms.withColumnRenamed("range_id", "__rid"),
+        .join(blooms.withColumnRenamed("range_id", "__rid")
+              .withColumnRenamed("wmap", "__wmap"),
               "__rid", "left"))
     return (probed.withColumn(
         hit_col,
-        F.coalesce(F.expr(bloom_probe_expr("wmap", key_expr)),
+        F.coalesce(F.expr(bloom_probe_expr("__wmap", key_expr)),
                    F.lit(False)))
-        .drop("__rid", "wmap"))
+        .drop("__rid", "__wmap"))
 
 
 def bloom_range_sql(key_col: str, n_ranges: int) -> str:

@@ -106,8 +106,21 @@ _R04_CONFIRMED = frozenset({
 # contract. (r3: agg_approx_count_distinct gained its bounded-error
 # full oracle after r01/r02 rows-only checks — re-confirmed r04.
 # r5: events_rolling_weekly_counts moved to a calendar RANGE frame —
-# re-confirmed r05. Currently empty.)
-_RECHECK = frozenset()
+# re-confirmed r05.)
+# r6: the PQ retrain (PQ_INIT_LIMIT 8->16, PQ_ITERS 1->2) changed the
+# OUTPUTS of the four r05-green PQ queries — they re-enter the window.
+# The unrounded-jaccard threshold fix (ADVICE r5) also postdates the
+# green rows of the jaccard-family queries, but their outputs are
+# provably unchanged at any driver SF: the fix only moves pairs whose
+# true J lies in [t - 5e-7, t), and a rational n_common/union with
+# union <= ~1000 shingles cannot land in that interval for t = k/10
+# (|t·union - n_common| would have to be <= 5e-4, i.e. exactly 0,
+# which the >= branch already included) — so their old rows remain
+# valid evidence and they stay out to preserve window slack.
+_RECHECK = frozenset({
+    "sim_ann_pq_topk", "sim_ann_pq_recall",
+    "sim_ann_ivfpq_topk", "sim_ann_ivfpq_recall",
+})
 
 # CORRECTNESS_r05.json: 50/50 green (rows+schema+hash) — the literal
 # key set, folded per the round-6 maintenance note below. This closed

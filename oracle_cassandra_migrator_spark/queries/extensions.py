@@ -3303,7 +3303,7 @@ def _pq_oracle(k: int = 10, query_id: int = 0) -> str:
 def sim_ann_pq_topk(spark, sf_dir):
     """Product-quantization ANN (Jegou et al. 2011, MIPS flavor): the
     64-dim vector splits into 4x 16-dim subspaces, each quantized by
-    its own sampled-Lloyd codebook (<= 8 centroids); a corpus vector
+    its own sampled-Lloyd codebook (<= 16 centroids); a corpus vector
     compresses to 4 small codes and the query affinity is estimated as
     the sum of per-subspace dot(query-sub, centroid-of-code) — the
     asymmetric-distance trick that scans compressed codes instead of
@@ -3313,7 +3313,7 @@ def sim_ann_pq_topk(spark, sf_dir):
     code-compressed PQ.
 
     Training is the bounded train-out-of-plan pattern (4 driver-side
-    codebooks, <= 8 rows each, re-entering as literals); the serving
+    codebooks, <= 16 rows each, re-entering as literals); the serving
     plan is scan -> per-row encode/estimate -> TakeOrderedAndProject —
     zero corpus shuffles (plan-gated). The oracle replays all four
     training loops and the ADC estimate end-to-end."""
@@ -3834,7 +3834,7 @@ def sim_ann_ivfpq_topk(spark, sf_dir):
 
     Every trained artifact is the bounded train-out-of-plan pattern:
     the coarse codebook (sampled Lloyd, <=16 rows) and the four PQ
-    codebooks (<=8 rows each) collect driver-side and re-enter as
+    codebooks (<=16 rows each) collect driver-side and re-enter as
     literals, so the serving plan is scan -> per-row coarse-assign +
     encode + estimate -> broadcast probe-list semi-join -> top-k: the
     ONLY corpus-touching exchange-free pipeline with one broadcast

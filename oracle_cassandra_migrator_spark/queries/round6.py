@@ -336,7 +336,8 @@ def graph_triangle_count(spark, sf_dir):
 # Second wave (registered AFTER the r5 verification window: the driver
 # caps each round's correctness pass at ~50 entries and the r5 window
 # is exactly full, so these four sort to the front of the NEXT round's
-# window — see queries/__init__.py::_R05_WINDOW)
+# window; since the r6 fold-in the ordering is the staleness sort
+# in queries/__init__.py::_verification_order)
 # ---------------------------------------------------------------------------
 
 

@@ -14,7 +14,9 @@ leaderboard, in admission order; the state always holds the exact
 current top-k, and a row evicted later is simply never re-emitted
 (append sinks cannot retract). Deterministic: merge order is
 (-score, id), ties break on id, so a replayed batch emits the
-identical set.
+identical set. A document re-delivered with a HIGHER score keeps one
+slot (best score wins) and re-emits at its new score; a lower re-score
+is ignored.
 
 Like quota.py, the state-v2 runner needs google.protobuf (absent in
 this env) — the integration path is pytest-gated; the processor
@@ -57,9 +59,17 @@ class TopKProcessor(StatefulProcessor):
             merged.extend(
                 (float(r.score), int(r.doc_id))
                 for r in pdf.itertuples(index=False))
-        # deterministic order: score DESC, id ASC; dedupe exact
-        # (score, id) pairs so replays are idempotent
-        merged = sorted(set(merged), key=lambda t: (-t[0], t[1]))[:self.k]
+        # ONE slot per document: a re-scored doc keeps only its best
+        # score (otherwise it would occupy multiple top-k slots and
+        # evict distinct docs); exact-duplicate rows collapse too, so
+        # replays stay idempotent
+        best_by_doc: dict[int, float] = {}
+        for s, d in merged:
+            if d not in best_by_doc or s > best_by_doc[d]:
+                best_by_doc[d] = s
+        # deterministic order: score DESC, id ASC
+        merged = sorted(((s, d) for d, s in best_by_doc.items()),
+                        key=lambda t: (-t[0], t[1]))[:self.k]
         self.best.clear()
         for t in merged:
             self.best.appendValue(t)

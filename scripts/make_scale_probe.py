@@ -31,6 +31,7 @@ SRC = "/root/testdata/sf0.1"
 # key-shift strides: comfortably above every sf0.1 max key
 STRIDES = {
     "c_custkey": 1_000_000,
+    "o_custkey": 1_000_000,
     "s_suppkey": 1_000_000,
     "p_partkey": 1_000_000,
     "o_orderkey": 10_000_000,

@@ -840,3 +840,26 @@ def test_cogroup_asof_align_matches_window_asof_join(spark):
                 spark, SF_SMALL).collect()}
     assert got == want
     assert any(v is None for v in want.values()) or len(want) > 0
+
+
+def test_fuzzy_join_tie_breaks_on_right_col_first(spark):
+    """Two candidates at equal distance: the winner must be the one
+    with the smaller right_col value, regardless of the right table's
+    column order (the docstring's contract; a column-order-dependent
+    pick would silently diverge from oracles written to it)."""
+    from oracle_cassandra_migrator_spark.operators.linkage import (
+        fuzzy_join)
+
+    left = spark.createDataFrame([(1, "abc")], ["lid", "lname"])
+    # column order puts 'category' BEFORE 'name'; both rows are at
+    # lev_dist 1 from 'abc' and share the block key
+    right = spark.createDataFrame(
+        [("z", "abd"), ("a", "abe")], ["category", "name"])
+    got = fuzzy_join(
+        left, right, "lname", "name",
+        left_block_keys=["substring(lname, 1, 2)"],
+        right_block_keys=["substring(name, 1, 2)"],
+        max_dist=1, pick_best=True, left_id="lid").collect()
+    assert len(got) == 1
+    assert got[0]["name"] == "abd"       # min name wins...
+    assert got[0]["category"] == "z"     # ...not min category

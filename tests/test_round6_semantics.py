@@ -395,3 +395,18 @@ def test_funnel_latency_only_counts_purchase_after_view(spark):
     row = QUERIES["events_funnel_latency"](spark, SF_SMALL).collect()[0]
     assert row["n_converted"] == expected
     assert row["p50_us"] <= row["p90_us"]
+
+
+def test_mmr_topk_returns_short_when_pool_exhausted(spark):
+    """k > pool (or a tiny corpus) must yield FEWER picks, never an
+    IndexError; an absent query_id yields zero picks."""
+    from oracle_cassandra_migrator_spark.operators.similarity import (
+        mmr_topk)
+
+    emb = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)],
+        "vec_id long, embedding array<double>")
+    got = mmr_topk(emb, k=10, pool=2, query_id=0).collect()
+    assert len(got) == 2
+    assert [r["pick_rank"] for r in got] == [1, 2]
+    assert mmr_topk(emb, k=3, query_id=999).count() == 0

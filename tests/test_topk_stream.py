@@ -115,3 +115,23 @@ def test_topk_stream_integration(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.doc_id for r in spark.table("topk_sink").collect()}
     assert {6, 13, 20} <= got
+
+
+def test_rescored_doc_holds_one_slot():
+    """A document re-delivered with a higher score must keep exactly
+    ONE leaderboard slot (best score), not evict distinct docs by
+    occupying several — and it re-emits at the improved score."""
+    import pandas as pd
+
+    proc = TopKProcessor(k=3)
+    proc.init(_FakeHandle())
+    list(proc.handleInputRows(("d",), [pd.DataFrame(
+        {"score": [0.5, 0.4, 0.3], "doc_id": [7, 8, 9]})], None))
+    out = list(proc.handleInputRows(("d",), [pd.DataFrame(
+        {"score": [0.9], "doc_id": [7]})], None))
+    state = sorted(proc.best.get(), key=lambda t: -t[0])
+    assert [d for _, d in state] == [7, 8, 9]        # 7 once, none evicted
+    assert state[0] == (0.9, 7)
+    assert len(out) == 1
+    emitted = set(zip(out[0]["score"], out[0]["doc_id"]))
+    assert (0.9, 7) in emitted

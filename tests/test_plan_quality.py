@@ -502,6 +502,11 @@ _NL_JOIN_ALLOWED = {
     # aggregate (the quantile_assign pattern); the bootstrap glues
     # the 1-row point-estimate and 1-row CI aggregates.
     "orders_rfm_segments", "stats_bootstrap_ci_revenue",
+    # r6c: chi2 glues the ONE-ROW (n_langs, n_sources) aggregate to the
+    # ONE-ROW chi2 aggregate; assoc rules crossJoins the ONE-ROW
+    # n_orders total into the ≤|brands|² pair aggregate (the
+    # recall-audit / bootstrap shape — nothing streamed multiplies).
+    "stats_chi2_lang_source", "assoc_rules_brand_pairs",
 }
 
 

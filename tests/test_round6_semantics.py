@@ -410,3 +410,100 @@ def test_mmr_topk_returns_short_when_pool_exhausted(spark):
     assert len(got) == 2
     assert [r["pick_rank"] for r in got] == [1, 2]
     assert mmr_topk(emb, k=3, query_id=999).count() == 0
+
+
+def test_auc_matches_bruteforce_pair_count(spark):
+    """AUC from the rank-sum identity must equal the O(n_pos * n_neg)
+    pairwise definition (wins + half-ties) computed in Python."""
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    docs = read_table(spark, SF_SMALL, "documents").collect()
+    pos = [r["n_chars"] for r in docs if r["lang"] == "en"]
+    neg = [r["n_chars"] for r in docs if r["lang"] != "en"]
+    wins = sum(1 for p in pos for q in neg if p > q)
+    ties = sum(1 for p in pos for q in neg if p == q)
+    expected_ppm = int(
+        (2 * wins + ties) * 1e6 / (2.0 * len(pos) * len(neg)) + 0.5)
+    row = QUERIES["eval_auc_doclen_lang"](spark, SF_SMALL).collect()[0]
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    assert row["auc_ppm"] == expected_ppm
+
+
+def test_ks_matches_python_cdf_scan(spark):
+    """The scaled-integer KS max must equal a Python CDF sweep over the
+    pooled distinct values (exact rational arithmetic)."""
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    docs = read_table(spark, SF_SMALL, "documents").collect()
+    a = sorted(r["n_chars"] for r in docs if r["doc_id"] % 2 == 0)
+    b = sorted(r["n_chars"] for r in docs if r["doc_id"] % 2 == 1)
+    d_scaled = 0
+    for x in sorted(set(a) | set(b)):
+        ca = sum(1 for v in a if v <= x)
+        cb = sum(1 for v in b if v <= x)
+        d_scaled = max(d_scaled, abs(ca * len(b) - cb * len(a)))
+    expected_ppm = int(
+        d_scaled * 1e6 / (float(len(a)) * len(b)) + 0.5)
+    row = QUERIES["stats_ks_doclen_drift"](spark, SF_SMALL).collect()[0]
+    assert row["n_even"] == len(a) and row["n_odd"] == len(b)
+    assert row["ks_ppm"] == expected_ppm
+
+
+def test_chi2_matches_direct_expected_counts_form(spark):
+    """The o^2*tot/(row*col) - tot identity must agree with the
+    textbook sum((o - e)^2 / e) within micro-quantization slack
+    (one micro unit per cell)."""
+    from collections import Counter
+
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    docs = read_table(spark, SF_SMALL, "documents").collect()
+    cells = Counter((r["lang"], r["source"]) for r in docs)
+    rows = Counter(r["lang"] for r in docs)
+    cols = Counter(r["source"] for r in docs)
+    tot = len(docs)
+    # full grid: EMPTY cells contribute (0 - e)^2 / e = e, which the
+    # o^2-identity folds into the "- tot" term
+    chi2 = sum(
+        (cells.get((lg, src), 0) - rows[lg] * cols[src] / tot) ** 2
+        / (rows[lg] * cols[src] / tot)
+        for lg in rows for src in cols)
+    row = QUERIES["stats_chi2_lang_source"](spark, SF_SMALL).collect()[0]
+    assert row["n_langs"] == len(rows) and row["n_sources"] == len(cols)
+    assert abs(row["chi2_micro"] - chi2 * 1e6) <= len(cells) + 1
+    # independence sanity: dof known from the marginals
+    assert (row["n_langs"] - 1) * (row["n_sources"] - 1) > 0
+
+
+def test_assoc_rules_match_bruteforce_baskets(spark):
+    """Top-20 brand pairs (support / confidence / lift) must equal the
+    brute-force Python basket scan under the same total-order
+    tiebreak."""
+    from collections import Counter, defaultdict
+
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    li = read_table(spark, SF_SMALL, "lineitem").collect()
+    pt = {r["p_partkey"]: r["p_brand"]
+          for r in read_table(spark, SF_SMALL, "part").collect()}
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r["l_orderkey"]].add(pt[r["l_partkey"]])
+    n_orders = len(baskets)
+    brand_cnt = Counter(b for bs in baskets.values() for b in bs)
+    pair_cnt = Counter()
+    for bs in baskets.values():
+        for x, y in itertools.combinations(sorted(bs), 2):
+            pair_cnt[(x, y)] += 1
+    expected = []
+    for (x, y), c in pair_cnt.items():
+        expected.append((
+            x, y, c,
+            int(c * 1e6 / n_orders + 0.5),
+            int(c * 1e6 / brand_cnt[x] + 0.5),
+            int(c * n_orders * 1e6 / (float(brand_cnt[x]) * brand_cnt[y])
+                + 0.5)))
+    expected.sort(key=lambda t: (-t[2], t[0], t[1]))
+    got = [tuple(r) for r in
+           QUERIES["assoc_rules_brand_pairs"](spark, SF_SMALL).collect()]
+    assert got == expected[:20]

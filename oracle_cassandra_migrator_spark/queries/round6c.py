@@ -317,3 +317,178 @@ def assoc_rules_brand_pairs(spark, sf_dir):
                       " AS BIGINT)").alias("lift_ppm")))
     return out.orderBy(F.col("pair_cnt").desc(), "brand_a", "brand_b") \
         .limit(20)
+
+
+# ---------------------------------------------------------------------------
+# stats_psi_doclen_drift — population stability index over decile bins
+# ---------------------------------------------------------------------------
+
+
+_PSI_TERM = (
+    "CAST(floor((CAST(GREATEST(ca, 1) AS DOUBLE) / ta"
+    " - CAST(GREATEST(cb, 1) AS DOUBLE) / tb)"
+    " * ln((CAST(GREATEST(ca, 1) AS DOUBLE) / ta)"
+    " / (CAST(GREATEST(cb, 1) AS DOUBLE) / tb)) * 1e6 + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "stats_psi_doclen_drift",
+    oracle=f"""
+    WITH d AS (SELECT n_chars AS s,
+                      CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS ref
+               FROM documents),
+    b AS (SELECT quantile_disc(s,
+            [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bounds
+          FROM d WHERE ref = 1),
+    a AS (SELECT CAST(1 + len(list_filter(b.bounds, x -> d.s > x))
+                   AS INT) AS bucket,
+                 d.ref
+          FROM d, b),
+    g AS (SELECT bucket, CAST(SUM(ref) AS BIGINT) AS ca,
+                 CAST(SUM(1 - ref) AS BIGINT) AS cb
+          FROM a GROUP BY 1),
+    t AS (SELECT ca, cb,
+                 CAST(SUM(ca) OVER () AS BIGINT) AS ta,
+                 CAST(SUM(cb) OVER () AS BIGINT) AS tb
+          FROM g)
+    SELECT MAX(ta) AS n_ref, MAX(tb) AS n_cmp,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM({_PSI_TERM}) AS BIGINT) AS psi_micro
+    FROM t
+    """,
+)
+def stats_psi_doclen_drift(spark, sf_dir):
+    """Population stability index of the doc-length distribution,
+    even-id half (reference) vs odd-id half (comparison) — the
+    standard ML-ops drift score: PSI = sum over bins of
+    (p_i - q_i) * ln(p_i / q_i), with bins = the reference half's
+    exact deciles via the two-pass quantile recipe
+    (operators/quantiles.py: percentile_disc boundaries -> 1-row
+    broadcast -> map-side assignment, no global sort). Zero-count
+    bins are clamped to one observation (the standard epsilon
+    convention) so the log stays finite; per-bin terms are quantized
+    at MICRO granularity before the integer sum — the NMI convention
+    that absorbs last-ulp libm ln() differences between engines.
+
+    Scale shape: pass 1 aggregates the reference half to one 9-value
+    boundary row; pass 2 is a map-side bucket tag; the corpus then
+    collapses to a <= 10-row bucket aggregate, and the share/log math
+    runs over that aggregate only. KS (stats_ks_doclen_drift) is the
+    binless exact companion; PSI is what monitoring dashboards
+    actually alert on."""
+    from oracle_cassandra_migrator_spark.operators.quantiles import (
+        assign_buckets, quantile_boundaries)
+
+    d = read_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("s"),
+        F.expr("CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END").alias("ref"))
+    bounds = quantile_boundaries(d.filter("ref = 1"), "s", 10)
+    a = assign_buckets(d, bounds, "s", out="bucket")
+    g = a.groupBy("bucket").agg(
+        F.expr("CAST(SUM(ref) AS BIGINT)").alias("ca"),
+        F.expr("CAST(SUM(1 - ref) AS BIGINT)").alias("cb"))
+    t = g.select(
+        "ca", "cb",
+        F.sum("ca").over(Window.partitionBy()).cast("bigint").alias("ta"),
+        F.sum("cb").over(Window.partitionBy()).cast("bigint").alias("tb"))
+    return t.agg(
+        F.max("ta").alias("n_ref"),
+        F.max("tb").alias("n_cmp"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_bins"),
+        F.expr(f"CAST(SUM({_PSI_TERM}) AS BIGINT)").alias("psi_micro"))
+
+
+# ---------------------------------------------------------------------------
+# embedding_centroid_drift — per-label centroid cosine across crawl halves
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH ex AS (SELECT label, vec_id % 2 = 0 AS ev,
+                       CAST(t.i AS INT) AS dim_idx,
+                       CAST(embedding[t.i] AS DOUBLE) AS x
+                FROM embeddings,
+                     UNNEST(generate_series(1, len(embedding))) AS t(i)),
+    s AS (SELECT label, dim_idx,
+                 CAST(floor(CAST(SUM(CASE WHEN ev THEN
+                        CAST(x AS DECIMAL(27,6)) END) AS DOUBLE) * 1e6
+                      + 0.5) AS BIGINT) AS ia,
+                 CAST(floor(CAST(SUM(CASE WHEN NOT ev THEN
+                        CAST(x AS DECIMAL(27,6)) END) AS DOUBLE) * 1e6
+                      + 0.5) AS BIGINT) AS ib
+          FROM ex GROUP BY 1, 2),
+    c AS (SELECT label,
+                 SUM(ia * ib) AS dot,
+                 SUM(ia * ia) AS na2,
+                 SUM(ib * ib) AS nb2
+          FROM s GROUP BY 1),
+    n AS (SELECT label,
+                 CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_even,
+                 CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_odd
+          FROM embeddings GROUP BY 1)
+    SELECT c.label, n.n_even, n.n_odd,
+           CAST(floor(CAST(dot AS DOUBLE)
+                / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))
+                * 1e6 + 0.5) AS BIGINT) AS cos_micro
+    FROM c JOIN n ON c.label = n.label
+    ORDER BY c.label
+    """,
+)
+def embedding_centroid_drift(spark, sf_dir):
+    """Per-label cosine similarity between the centroid of the even
+    vec_id half and the centroid of the odd half — embedding drift
+    across crawl snapshots ("did this class's representation move?"),
+    the vector companion of stats_psi_doclen_drift. Cosine is
+    scale-invariant, so centroids never materialize: the cosine of the
+    per-half component SUMS equals the cosine of the means.
+
+    Exactness: component sums accumulate as exact decimals, are
+    quantized to micro-unit BIGINTs, and the dot/norm reductions run
+    in exact DECIMAL(38,0) products (DuckDB's HUGEINT arithmetic is
+    exact too) — no double summation whose partition order could
+    perturb the hash; the only floating math is the final sqrt/divide
+    on two exact integers, which is IEEE-deterministic.
+
+    Scale shape: one posexplode to (label, dim, x) -> map-side partial
+    decimal sums -> a |labels| x |dims| aggregate; everything after is
+    per-label folds over 64-row groups. The count pass rides the same
+    scan (two narrow aggregates, no join of corpus-sized sides)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.expr("vec_id % 2 = 0").alias("ev"),
+        F.posexplode(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .alias("pos", "x"),
+    ).selectExpr("label", "ev", "CAST(pos + 1 AS INT) AS dim_idx", "x")
+    s = ex.groupBy("label", "dim_idx").agg(
+        F.expr("CAST(floor(CAST(SUM(CASE WHEN ev THEN"
+               " CAST(x AS DECIMAL(27,6)) END) AS DOUBLE) * 1e6 + 0.5)"
+               " AS BIGINT)").alias("ia"),
+        F.expr("CAST(floor(CAST(SUM(CASE WHEN NOT ev THEN"
+               " CAST(x AS DECIMAL(27,6)) END) AS DOUBLE) * 1e6 + 0.5)"
+               " AS BIGINT)").alias("ib"))
+    c = s.groupBy("label").agg(
+        F.expr("SUM(CAST(ia AS DECIMAL(38,0)) * CAST(ib AS DECIMAL(38,0)))")
+        .alias("dot"),
+        F.expr("SUM(CAST(ia AS DECIMAL(38,0)) * CAST(ia AS DECIMAL(38,0)))")
+        .alias("na2"),
+        F.expr("SUM(CAST(ib AS DECIMAL(38,0)) * CAST(ib AS DECIMAL(38,0)))")
+        .alias("nb2"))
+    n = emb.groupBy("label").agg(
+        F.expr("CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)"
+               " AS BIGINT)").alias("n_even"),
+        F.expr("CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)"
+               " AS BIGINT)").alias("n_odd"))
+    return (c.join(n, "label")
+            .select(
+                "label", "n_even", "n_odd",
+                F.expr("CAST(floor(CAST(dot AS DOUBLE)"
+                       " / (sqrt(CAST(na2 AS DOUBLE))"
+                       " * sqrt(CAST(nb2 AS DOUBLE))) * 1e6 + 0.5)"
+                       " AS BIGINT)").alias("cos_micro"))
+            .orderBy("label"))

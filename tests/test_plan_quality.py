@@ -507,6 +507,10 @@ _NL_JOIN_ALLOWED = {
     # n_orders total into the ≤|brands|² pair aggregate (the
     # recall-audit / bootstrap shape — nothing streamed multiplies).
     "stats_chi2_lang_source", "assoc_rules_brand_pairs",
+    # r6c: PSI assigns decile buckets via the standard ONE-ROW
+    # broadcast boundary crossJoin (quantiles.assign_buckets — the
+    # quantile_assign_prices pattern).
+    "stats_psi_doclen_drift",
 }
 
 

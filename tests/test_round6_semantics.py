@@ -507,3 +507,59 @@ def test_assoc_rules_match_bruteforce_baskets(spark):
     got = [tuple(r) for r in
            QUERIES["assoc_rules_brand_pairs"](spark, SF_SMALL).collect()]
     assert got == expected[:20]
+
+
+def test_psi_matches_python_reference(spark):
+    """PSI must equal a Python replay with the same decile binning and
+    the same clamp-to-one convention, term-quantized at micro."""
+    import math
+
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    docs = read_table(spark, SF_SMALL, "documents").collect()
+    ref = sorted(r["n_chars"] for r in docs if r["doc_id"] % 2 == 0)
+    cmp_ = [r["n_chars"] for r in docs if r["doc_id"] % 2 == 1]
+    # percentile_disc: smallest value with cume_dist >= p
+    bounds = [ref[math.ceil(p * len(ref) / 10) - 1] for p in range(1, 10)]
+
+    def bucket(x):
+        return 1 + sum(1 for b in bounds if x > b)
+
+    from collections import Counter
+    ca = Counter(bucket(x) for x in ref)
+    cb = Counter(bucket(x) for x in cmp_)
+    buckets = sorted(set(ca) | set(cb))
+    psi_micro = 0
+    for bk in buckets:
+        p = max(ca.get(bk, 0), 1) / len(ref)
+        q = max(cb.get(bk, 0), 1) / len(cmp_)
+        psi_micro += int((p - q) * math.log(p / q) * 1e6 + 0.5)
+    row = QUERIES["stats_psi_doclen_drift"](spark, SF_SMALL).collect()[0]
+    assert row["n_ref"] == len(ref) and row["n_cmp"] == len(cmp_)
+    assert row["n_bins"] == len(buckets)
+    assert row["psi_micro"] == psi_micro
+    assert row["psi_micro"] >= 0  # every (p-q)ln(p/q) term is >= 0
+
+
+def test_centroid_drift_matches_numpy_cosine(spark):
+    """Per-label cos_micro must match a numpy centroid cosine within
+    the micro-quantization slack of the component sums."""
+    import numpy as np
+
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    emb = read_table(spark, SF_SMALL, "embeddings").collect()
+    by_label = {}
+    for r in emb:
+        by_label.setdefault(r["label"], [[], []])[
+            r["vec_id"] % 2].append(np.array(r["embedding"], dtype=np.float64))
+    got = {r["label"]: r for r in
+           QUERIES["embedding_centroid_drift"](spark, SF_SMALL).collect()}
+    assert set(got) == set(by_label)
+    for lbl, (even, odd) in by_label.items():
+        a, b = np.sum(even, axis=0), np.sum(odd, axis=0)
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert got[lbl]["n_even"] == len(even)
+        assert got[lbl]["n_odd"] == len(odd)
+        # component sums quantized at 1e-6: allow a few micro units
+        assert abs(got[lbl]["cos_micro"] - cos * 1e6) <= 5

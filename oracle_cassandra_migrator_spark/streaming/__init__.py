@@ -11,6 +11,7 @@ from oracle_cassandra_migrator_spark.streaming.sources import (
     read_stream_source,
 )
 from oracle_cassandra_migrator_spark.streaming.windows import (
+    drift_psi_windows,
     session_window_counts,
     sliding_window_agg,
     tumbling_window_agg,
@@ -32,6 +33,7 @@ __all__ = [
     "quota_limit_stream",
     "read_stream_source",
     "tumbling_window_agg",
+    "drift_psi_windows",
     "sliding_window_agg",
     "session_window_counts",
 ]

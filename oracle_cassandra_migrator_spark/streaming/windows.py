@@ -91,3 +91,60 @@ def session_window_counts(
             "n_events",
         )
     )
+
+
+def drift_psi_windows(
+    events: DataFrame,
+    ref_bounds: list[float],
+    ref_counts: list[int],
+    window_duration: str = "1 hour",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-window population-stability-index drift monitor — the
+    streaming twin of the batch ``stats_psi_doclen_drift`` query: each
+    tumbling event-time window's ``val_col`` distribution is scored
+    against a static reference histogram, so a drifting producer
+    raises an alertable psi_micro within one window of landing.
+
+    ``ref_bounds`` (k-1 interior boundaries) and ``ref_counts``
+    (k bucket counts) come from a batch training pass — e.g.
+    ``operators.quantiles.quantile_boundaries`` + a bucket count — and
+    enter the plan as literals (a bounded k-element collect,
+    the codebook-literal convention). The whole monitor is ONE
+    windowed aggregation: per-bucket counts are conditional sums, so
+    no chained-aggregation limitation applies, and state per window is
+    k integers. Zero-count buckets clamp to one observation and the
+    per-bucket (p-q)*ln(p/q) terms are micro-quantized before summing,
+    matching the batch query bit-for-bit on identical input.
+    """
+    k = len(ref_counts)
+    if len(ref_bounds) != k - 1:
+        raise ValueError(
+            f"need {k - 1} interior bounds for {k} buckets, "
+            f"got {len(ref_bounds)}")
+    ref_total = sum(ref_counts)
+    df = _with_event_time(events, ts_col, watermark)
+    bounds_arr = ", ".join(f"CAST({b!r} AS DOUBLE)" for b in ref_bounds)
+    bucket = (f"CAST(1 + size(filter(array({bounds_arr}),"
+              f" b -> {val_col} > b)) AS INT)")
+    aggs = [
+        F.expr(f"CAST(SUM(CASE WHEN {bucket} = {i + 1} THEN 1 ELSE 0 END)"
+               f" AS BIGINT)").alias(f"c{i}")
+        for i in range(k)
+    ] + [F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_events")]
+    agg = df.groupBy(F.window(ts_col, window_duration)).agg(*aggs)
+    terms = []
+    for i in range(k):
+        p = max(ref_counts[i], 1) / ref_total
+        q = f"(CAST(GREATEST(c{i}, 1) AS DOUBLE) / n_events)"
+        terms.append(
+            f"CAST(floor((CAST({p!r} AS DOUBLE) - {q})"
+            f" * ln(CAST({p!r} AS DOUBLE) / {q}) * 1e6 + 0.5) AS BIGINT)")
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "n_events",
+        F.expr(" + ".join(terms)).alias("psi_micro"),
+    )

@@ -999,3 +999,64 @@ def test_vacuum_snapshots_keeps_latest_and_stays_readable(spark, tmp_path):
         snapshot_at(spark, base, doomed[0])
     with _pytest.raises(ValueError):
         vacuum_snapshots(spark, base, keep_last=0)
+
+
+def test_drift_psi_stream_matches_batch_and_flags_planted_drift(
+        spark, tmp_path):
+    """The streaming PSI monitor must (a) equal the identical batch
+    computation window-for-window, and (b) score a window drawn from a
+    shifted distribution far above a window drawn from the reference
+    distribution."""
+    import math
+
+    from pyspark.sql import Row
+    from oracle_cassandra_migrator_spark.streaming import drift_psi_windows
+
+    # reference: uniform 0..99 -> decile bounds 9.5-ish; use integer
+    # bounds and counts from an explicit training population
+    ref_pop = [float(i % 100) for i in range(1000)]
+    bounds = [9.5, 19.5, 29.5, 39.5, 49.5, 59.5, 69.5, 79.5, 89.5]
+    ref_counts = [sum(1 for v in ref_pop
+                      if (i == 0 or v > bounds[i - 1])
+                      and (i == 9 or v <= bounds[i]))
+                  for i in range(10)]
+    assert sum(ref_counts) == len(ref_pop)
+
+    import datetime
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # window 1: drawn from the reference shape (uniform)
+    for i in range(400):
+        rows.append(Row(ts=base + datetime.timedelta(minutes=1),
+                        value=float(i % 100)))
+    # window 2: all mass in the top decile (drifted)
+    for i in range(400):
+        rows.append(Row(ts=base + datetime.timedelta(hours=2),
+                        value=95.0))
+    batch = spark.createDataFrame(rows)
+    path = str(tmp_path / "drift_stream")
+    batch.repartition(2).write.mode("overwrite").parquet(path)
+    batch_on_disk = spark.read.parquet(path)
+    stream = spark.readStream.schema(batch_on_disk.schema).parquet(path)
+
+    got = run_to_completion(
+        spark,
+        drift_psi_windows(stream, bounds, ref_counts, "1 hour"),
+        "drift_psi")
+    expected = drift_psi_windows(batch_on_disk, bounds, ref_counts,
+                                 "1 hour")
+    assert as_set(got) == as_set(expected)
+    by_start = {r["window_start"]: r for r in got.collect()}
+    assert len(by_start) == 2
+    w1, w2 = sorted(by_start)
+    # uniform window: near-zero drift; shifted window: large
+    assert by_start[w1]["psi_micro"] < 100_000
+    assert by_start[w2]["psi_micro"] > 1_000_000
+    # python reference for the drifted window (all 400 in bucket 10)
+    ref_total = sum(ref_counts)
+    psi = 0
+    for i in range(10):
+        p = max(ref_counts[i], 1) / ref_total
+        q = max(400 if i == 9 else 0, 1) / 400
+        psi += int((p - q) * math.log(p / q) * 1e6 + 0.5)
+    assert by_start[w2]["psi_micro"] == psi

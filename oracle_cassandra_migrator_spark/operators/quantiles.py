@@ -179,3 +179,51 @@ def winsorize(
     return (df.join(F.broadcast(bounds),
                     F.col(by).eqNullSafe(F.col("__wby")))
             .withColumn(out, clamp).drop("__wby", "__wlo", "__whi"))
+
+
+def psi_between(
+    df: DataFrame, ref: DataFrame, col: str, bins: int = 10,
+    exact: bool = True, accuracy: int = 10000,
+) -> dict:
+    """Population stability index of ``df[col]`` against the reference
+    frame's distribution — the drift score behind the
+    ``stats_psi_doclen_drift`` catalog query and the ``psi_gate``
+    pipeline step, exposed as an operator so any two frames can be
+    compared.
+
+    Bins are the reference's ``bins``-quantile boundaries (pass 1:
+    ``percentile_disc`` exact, or the ``approx_percentile`` sketch at
+    scale); both frames then bucket map-side off the 1-row broadcast
+    and collapse to ``<= bins``-row count aggregates — the only
+    collects are those tiny histograms. Zero-count buckets clamp to
+    one observation; per-bin (p-q)*ln(p/q) terms are quantized at
+    micro granularity before summing, so the result equals the catalog
+    query bit-for-bit on the same split.
+
+    Returns ``{"psi_micro", "n_ref", "n_cmp", "n_bins"}``.
+    """
+    import math
+
+    bounds = quantile_boundaries(ref, col, bins, exact=exact,
+                                 accuracy=accuracy)
+    counts = []
+    for frame in (ref, df):
+        assigned = assign_buckets(frame.select(col), bounds, col)
+        counts.append({
+            r["bucket"]: r["n"]
+            for r in assigned.groupBy("bucket").agg(
+                F.expr("CAST(COUNT(*) AS BIGINT)").alias("n")).collect()
+        })
+    ca, cb = counts
+    n_ref = sum(ca.values())
+    n_cmp = sum(cb.values())
+    if not n_ref or not n_cmp:
+        raise ValueError("psi_between: empty reference or comparison frame")
+    buckets = sorted(set(ca) | set(cb))
+    psi_micro = 0
+    for b in buckets:
+        p = max(ca.get(b, 0), 1) / n_ref
+        q = max(cb.get(b, 0), 1) / n_cmp
+        psi_micro += math.floor((p - q) * math.log(p / q) * 1e6 + 0.5)
+    return {"psi_micro": psi_micro, "n_ref": n_ref, "n_cmp": n_cmp,
+            "n_bins": len(buckets)}

@@ -466,3 +466,37 @@ def _op_target_encode(ns, step):
 
 
 OPS["target_encode"] = _op_target_encode
+
+
+def _op_psi_gate(ns, step):
+    """{"op": "psi_gate", "input": frame, "reference": other_frame,
+    "col": column, "max_psi_micro": N[, "bins": 10, "exact": false]}
+    — drift gate: computes the population stability index of the
+    input column against the reference frame's distribution
+    (operators/quantiles.psi_between — reference-quantile bins, two
+    map-side passes, <= bins-row collects) and aborts the pipeline
+    when it exceeds the threshold; passes the input through unchanged
+    otherwise, so it slots between any two steps like ``expect``.
+    The 250000-micro (0.25) mark is the conventional "significant
+    shift" alert line. Defaults to the approx_percentile sketch for
+    boundaries (``"exact": true`` opts into percentile_disc)."""
+    from oracle_cassandra_migrator_spark.operators.quantiles import (
+        psi_between)
+
+    df = _input(ns, step)
+    ref = ns.get(step["reference"])
+    res = psi_between(
+        df, ref, step["col"], bins=step.get("bins", 10),
+        exact=step.get("exact", False),
+        accuracy=step.get("accuracy", 10000))
+    limit = step["max_psi_micro"]
+    if res["psi_micro"] > limit:
+        raise ValueError(
+            f"psi_gate failed: psi_micro={res['psi_micro']} > "
+            f"{limit} on column {step['col']!r} "
+            f"({res['n_cmp']} rows vs {res['n_ref']} reference rows, "
+            f"{res['n_bins']} bins)")
+    return df
+
+
+OPS["psi_gate"] = _op_psi_gate

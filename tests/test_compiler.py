@@ -516,3 +516,50 @@ def test_compiler_target_encode_step_table_and_join(spark):
     ])
     assert joined.count() == o.count()
     assert "enc" in joined.columns
+
+
+def test_compiler_psi_gate_passes_stable_and_fails_shifted(spark):
+    import pytest as _pytest
+
+    from oracle_cassandra_migrator_spark.plans.compiler import (
+        compile_transform)
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    from tests.conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents").select("n_chars")
+    # identical distribution: PSI == 0 -> gate passes input through
+    out = compile_transform(spark, {"d": docs, "ref": docs}, [
+        {"op": "psi_gate", "input": "d", "reference": "ref",
+         "col": "n_chars", "max_psi_micro": 0, "exact": True},
+    ])
+    assert out.count() == docs.count()
+    # shifted distribution: all mass lands in the top bucket -> abort
+    shifted = docs.selectExpr("n_chars + 1000000 AS n_chars")
+    with _pytest.raises(ValueError, match="psi_gate failed"):
+        compile_transform(spark, {"d": shifted, "ref": docs}, [
+            {"op": "psi_gate", "input": "d", "reference": "ref",
+             "col": "n_chars", "max_psi_micro": 250000, "exact": True},
+        ])
+
+
+def test_psi_between_operator_matches_catalog_query(spark):
+    """The operator and the stats_psi_doclen_drift catalog query share
+    the binning, clamp, and micro-quantization conventions — same
+    split must give the same psi_micro bit-for-bit."""
+    from oracle_cassandra_migrator_spark.operators.quantiles import (
+        psi_between)
+    from oracle_cassandra_migrator_spark.queries import QUERIES
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    from tests.conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    even = docs.where("doc_id % 2 = 0").select("n_chars")
+    odd = docs.where("doc_id % 2 = 1").select("n_chars")
+    got = psi_between(odd, even, "n_chars", bins=10, exact=True)
+    row = QUERIES["stats_psi_doclen_drift"](spark, SF_SMALL).collect()[0]
+    assert got["psi_micro"] == row["psi_micro"]
+    assert got["n_ref"] == row["n_ref"]
+    assert got["n_cmp"] == row["n_cmp"]
+    assert got["n_bins"] == row["n_bins"]

@@ -204,8 +204,18 @@ def psi_between(
     """
     import math
 
-    bounds = quantile_boundaries(ref, col, bins, exact=exact,
-                                 accuracy=accuracy)
+    from pyspark.sql import Row
+
+    # Materialize the 1-row boundary aggregate ONCE: assign_buckets
+    # embeds its `bounds` plan in every consumer, so a lazy handle
+    # would re-run the full reference quantile pass per histogram
+    # collect below — re-enter it as a LocalTableScan instead (the
+    # codebook-literal convention, bounded at bins-1 values).
+    bounds_vals = quantile_boundaries(
+        ref, col, bins, exact=exact, accuracy=accuracy
+    ).collect()[0]["bounds"]
+    bounds = ref.sparkSession.createDataFrame(
+        [Row(bounds=list(bounds_vals))])
     counts = []
     for frame in (ref, df):
         assigned = assign_buckets(frame.select(col), bounds, col)

@@ -485,11 +485,12 @@ def _op_psi_gate(ns, step):
 
     df = _input(ns, step)
     ref = ns.get(step["reference"])
+    # fail fast on a malformed spec BEFORE the multi-job PSI pass
+    limit = step["max_psi_micro"]
     res = psi_between(
         df, ref, step["col"], bins=step.get("bins", 10),
         exact=step.get("exact", False),
         accuracy=step.get("accuracy", 10000))
-    limit = step["max_psi_micro"]
     if res["psi_micro"] > limit:
         raise ValueError(
             f"psi_gate failed: psi_micro={res['psi_micro']} > "

@@ -421,9 +421,9 @@ def stats_psi_doclen_drift(spark, sf_dir):
                       + 0.5) AS BIGINT) AS ib
           FROM ex GROUP BY 1, 2),
     c AS (SELECT label,
-                 SUM(ia * ib) AS dot,
-                 SUM(ia * ia) AS na2,
-                 SUM(ib * ib) AS nb2
+                 SUM(CAST(ia AS HUGEINT) * ib) AS dot,
+                 SUM(CAST(ia AS HUGEINT) * ia) AS na2,
+                 SUM(CAST(ib AS HUGEINT) * ib) AS nb2
           FROM s GROUP BY 1),
     n AS (SELECT label,
                  CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)

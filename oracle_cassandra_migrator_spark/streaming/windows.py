@@ -125,12 +125,21 @@ def drift_psi_windows(
             f"need {k - 1} interior bounds for {k} buckets, "
             f"got {len(ref_bounds)}")
     ref_total = sum(ref_counts)
+    if ref_total <= 0:
+        raise ValueError(
+            "drift_psi_windows: reference histogram is empty "
+            f"(ref_counts sums to {ref_total})")
     df = _with_event_time(events, ts_col, watermark)
     bounds_arr = ", ".join(f"CAST({b!r} AS DOUBLE)" for b in ref_bounds)
-    bucket = (f"CAST(1 + size(filter(array({bounds_arr}),"
-              f" b -> {val_col} > b)) AS INT)")
+    # project the O(k) bucket assignment ONCE per row; the k
+    # conditional sums below then compare a precomputed INT (inlining
+    # the filter into every SUM would evaluate it k times per event)
+    df = df.withColumn(
+        "__bucket",
+        F.expr(f"CAST(1 + size(filter(array({bounds_arr}),"
+               f" b -> {val_col} > b)) AS INT)"))
     aggs = [
-        F.expr(f"CAST(SUM(CASE WHEN {bucket} = {i + 1} THEN 1 ELSE 0 END)"
+        F.expr(f"CAST(SUM(CASE WHEN __bucket = {i + 1} THEN 1 ELSE 0 END)"
                f" AS BIGINT)").alias(f"c{i}")
         for i in range(k)
     ] + [F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_events")]

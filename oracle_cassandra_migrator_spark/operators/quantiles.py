@@ -200,25 +200,30 @@ def psi_between(
     micro granularity before summing, so the result equals the catalog
     query bit-for-bit on the same split.
 
-    Returns ``{"psi_micro", "n_ref", "n_cmp", "n_bins"}``.
+    ``col`` may be any SQL expression, not just a column name (it is
+    aliased once per frame and every downstream reference uses the
+    alias). Returns ``{"psi_micro", "n_ref", "n_cmp", "n_bins"}``.
     """
     import math
 
     from pyspark.sql import Row
 
+    val = "__psi_val"
+    ref_v = ref.selectExpr(f"{col} AS {val}")
+    df_v = df.selectExpr(f"{col} AS {val}")
     # Materialize the 1-row boundary aggregate ONCE: assign_buckets
     # embeds its `bounds` plan in every consumer, so a lazy handle
     # would re-run the full reference quantile pass per histogram
     # collect below — re-enter it as a LocalTableScan instead (the
     # codebook-literal convention, bounded at bins-1 values).
     bounds_vals = quantile_boundaries(
-        ref, col, bins, exact=exact, accuracy=accuracy
+        ref_v, val, bins, exact=exact, accuracy=accuracy
     ).collect()[0]["bounds"]
     bounds = ref.sparkSession.createDataFrame(
         [Row(bounds=list(bounds_vals))])
     counts = []
-    for frame in (ref, df):
-        assigned = assign_buckets(frame.select(col), bounds, col)
+    for frame in (ref_v, df_v):
+        assigned = assign_buckets(frame, bounds, val)
         counts.append({
             r["bucket"]: r["n"]
             for r in assigned.groupBy("bucket").agg(

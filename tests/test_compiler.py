@@ -26,6 +26,7 @@ def test_every_op_is_exercised_here():
         "quantile_bucket", "gapfill", "interval_join",
         "dedup_exact", "salted_join", "zorder", "expect",
         "anti_join_bloom", "fuzzy_join", "winsorize", "target_encode",
+        "psi_gate",
     }
     assert exercised == set(OPS)
 

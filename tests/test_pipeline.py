@@ -326,3 +326,38 @@ def test_analytics_example_spec_runs_end_to_end(spark):
     r2 = Pipeline(spark, spec, state).run()
     assert r2.files_written == 0
     shutil.rmtree("/tmp/ocm-analytics", ignore_errors=True)
+
+
+def test_curation_example_spec_runs_end_to_end_with_drift_gate(spark):
+    """The shipped curation example (expect -> psi_gate -> bloom anti
+    join -> dedup -> filter -> quantile bucket -> zorder sink) must run
+    through the real Pipeline runner; the PSI drift gate passes (the
+    incoming corpus IS the base snapshot's distribution) and a
+    tightened gate on a shifted copy aborts before any write."""
+    import copy
+    import json
+    import pathlib
+    import shutil
+
+    shutil.rmtree("/tmp/ocm-curation", ignore_errors=True)
+    spec_path = (pathlib.Path(__file__).resolve().parent.parent
+                 / "examples" / "curation_pipeline.json")
+    cfg = json.load(open(spec_path))
+    spec = cfg["tables"][0]
+    spec["staging_dir"] = cfg["staging_dir"]
+    state = LocalFSStateStore()
+    r1 = Pipeline(spark, copy.deepcopy(spec), state).run()
+    assert r1.files_written > 0
+    out = spark.read.parquet(spec["sink"]["path"])
+    assert out.count() > 0
+    # abort path: PSI is >= 0 by construction (every (p-q)ln(p/q)
+    # term is non-negative and the micro floor preserves that), so a
+    # negative threshold deterministically trips the gate through the
+    # full Pipeline runner before any write
+    bad = copy.deepcopy(spec)
+    gate = [s for s in bad["transform"] if s["op"] == "psi_gate"][0]
+    gate["max_psi_micro"] = -1
+    shutil.rmtree("/tmp/ocm-curation", ignore_errors=True)
+    with pytest.raises(ValueError, match="psi_gate failed"):
+        Pipeline(spark, bad, LocalFSStateStore()).run()
+    shutil.rmtree("/tmp/ocm-curation", ignore_errors=True)

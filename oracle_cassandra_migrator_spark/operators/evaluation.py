@@ -1,0 +1,94 @@
+"""Classifier-evaluation operators: exact and quantile-binned ROC AUC.
+
+The catalog query ``eval_auc_doclen_lang`` documents quantile-binned
+scores as the 100 TB fallback for near-continuous score columns (the
+distinct-score aggregate that the exact rank-sum method windows over is
+unbounded there). This module ships that recipe: ``auc_exact`` is the
+same Mann-Whitney rank-sum computation as the query, exposed for any
+(score, label) pair; ``auc_binned`` coarsens scores to their
+``bins``-quantile bucket first — the windowed aggregate is then bounded
+at ``bins`` rows at any corpus size — and inherits the exact tie
+handling, so it equals the exact AUC computed on the coarsened scores
+(a lower-resolution, not an approximate, statistic). Note the
+coarsening is by QUANTILE, so even bins >> |distinct scores| need not
+be a bijection: a value whose probability mass falls below the 1/bins
+grid spacing can share a bucket with its neighbor — the binned AUC
+converges to (need not exactly reach) the exact one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from oracle_cassandra_migrator_spark.operators.quantiles import (
+    assign_buckets,
+    quantile_boundaries,
+)
+
+
+def _auc_of(scored: DataFrame, score_col: str) -> dict:
+    """Rank-sum AUC over ``scored(score_col, pos)`` with exact ties:
+    2U = sum over distinct scores of np * (2*cum_neg_below + nn)."""
+    g = scored.groupBy(score_col).agg(
+        F.expr("CAST(SUM(pos) AS BIGINT)").alias("np"),
+        F.expr("CAST(SUM(1 - pos) AS BIGINT)").alias("nn"))
+    w = Window.orderBy(score_col).rowsBetween(
+        Window.unboundedPreceding, -1)
+    r = g.select(
+        "np", "nn",
+        F.coalesce(F.sum("nn").over(w), F.lit(0).cast("bigint"))
+        .alias("cb"))
+    row = r.agg(
+        F.expr("CAST(SUM(np) AS BIGINT)").alias("n_pos"),
+        F.expr("CAST(SUM(nn) AS BIGINT)").alias("n_neg"),
+        # the divide must be guarded IN the expression: a degenerate
+        # label makes the denominator 0 and ANSI mode would throw
+        # before the Python-side check below ever sees the counts
+        F.expr("CASE WHEN SUM(np) = 0 OR SUM(nn) = 0 THEN NULL ELSE"
+               " CAST(floor(CAST(SUM(np * (2 * cb + nn)) AS DOUBLE) * 1e6"
+               " / (2e0 * SUM(np) * SUM(nn)) + 0.5) AS BIGINT) END")
+        .alias("auc_ppm")).collect()[0]
+    if not row["n_pos"] or not row["n_neg"]:
+        raise ValueError(
+            f"auc: degenerate label (n_pos={row['n_pos']}, "
+            f"n_neg={row['n_neg']}) — AUC is undefined")
+    return {"auc_ppm": row["auc_ppm"], "n_pos": row["n_pos"],
+            "n_neg": row["n_neg"]}
+
+
+def auc_exact(df: DataFrame, score: str, label: str) -> dict:
+    """Exact ROC AUC of SQL expression ``score`` against boolean SQL
+    expression ``label``. Collapses the corpus to a |distinct scores|
+    aggregate, then windows over that aggregate only — use
+    :func:`auc_binned` when the score is near-continuous at corpus
+    scale. Returns ``{"auc_ppm", "n_pos", "n_neg"}``."""
+    scored = df.selectExpr(
+        f"{score} AS __auc_score",
+        f"CASE WHEN {label} THEN 1 ELSE 0 END AS pos")
+    return _auc_of(scored, "__auc_score")
+
+
+def auc_binned(
+    df: DataFrame, score: str, label: str, bins: int = 256,
+    exact: bool = False, accuracy: int = 10000,
+) -> dict:
+    """Quantile-binned ROC AUC — the scale path: scores coarsen to
+    their ``bins``-quantile bucket (two-pass recipe: 1-row boundary
+    aggregate, map-side assignment; ``exact=False`` uses the
+    ``approx_percentile`` sketch for boundaries), so the rank-sum
+    aggregate is bounded at ``bins`` rows at ANY corpus size. Within-
+    bucket order is deliberately discarded: the result is the exact
+    AUC of the coarsened scores, and the binning error shrinks as
+    1/bins (every pair split across different buckets is ranked
+    identically to the exact method; only within-bucket pairs coarsen
+    to ties). Returns ``{"auc_ppm", "n_pos", "n_neg", "n_bins"}``."""
+    scored = df.selectExpr(
+        f"{score} AS __auc_score",
+        f"CASE WHEN {label} THEN 1 ELSE 0 END AS pos")
+    bounds = quantile_boundaries(
+        scored, "__auc_score", bins, exact=exact, accuracy=accuracy)
+    assigned = assign_buckets(scored, bounds, "__auc_score",
+                              out="__auc_bucket")
+    res = _auc_of(assigned.select("__auc_bucket", "pos"), "__auc_bucket")
+    return {**res, "n_bins": bins}

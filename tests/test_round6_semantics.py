@@ -563,3 +563,44 @@ def test_centroid_drift_matches_numpy_cosine(spark):
         assert got[lbl]["n_odd"] == len(odd)
         # component sums quantized at 1e-6: allow a few micro units
         assert abs(got[lbl]["cos_micro"] - cos * 1e6) <= 5
+
+
+def test_auc_operator_exact_matches_catalog_and_binned_converges(spark):
+    """auc_exact must equal the catalog AUC query on the same
+    (score, label); auc_binned must converge toward exact as bins grow
+    (quantile coarsening is not a bijection even at bins >> |scores| —
+    values with sub-grid mass can share a bucket, see the module doc)."""
+    from oracle_cassandra_migrator_spark.operators.evaluation import (
+        auc_binned, auc_exact)
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    got = auc_exact(docs, "n_chars", "lang = 'en'")
+    row = QUERIES["eval_auc_doclen_lang"](spark, SF_SMALL).collect()[0]
+    assert got["auc_ppm"] == row["auc_ppm"]
+    assert got["n_pos"] == row["n_pos"] and got["n_neg"] == row["n_neg"]
+
+    n_scores = docs.select("n_chars").distinct().count()
+    fine = auc_binned(docs, "n_chars", "lang = 'en'",
+                      bins=n_scores + 10, exact=True)
+    assert abs(fine["auc_ppm"] - got["auc_ppm"]) < 1_000
+
+    err = []
+    for bins in (4, 16, 64):
+        b = auc_binned(docs, "n_chars", "lang = 'en'", bins=bins,
+                       exact=True)
+        err.append(abs(b["auc_ppm"] - got["auc_ppm"]))
+    assert err[-1] <= err[0]          # finer bins no worse than coarse
+    assert err[-1] < 25_000           # 64 bins within 2.5 points of exact
+
+
+def test_auc_operator_rejects_degenerate_label(spark):
+    import pytest as _pytest
+
+    from oracle_cassandra_migrator_spark.operators.evaluation import (
+        auc_exact)
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    with _pytest.raises(ValueError, match="degenerate label"):
+        auc_exact(docs, "n_chars", "1 = 1")

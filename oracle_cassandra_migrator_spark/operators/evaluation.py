@@ -1,4 +1,4 @@
-"""Classifier-evaluation operators: exact and quantile-binned ROC AUC.
+"""Evaluation-statistics operators: exact/binned ROC AUC, binned Gini bounds.
 
 The catalog query ``eval_auc_doclen_lang`` documents quantile-binned
 scores as the 100 TB fallback for near-continuous score columns (the
@@ -92,3 +92,70 @@ def auc_binned(
                               out="__auc_bucket")
     res = _auc_of(assigned.select("__auc_bucket", "pos"), "__auc_bucket")
     return {**res, "n_bins": bins}
+
+
+def gini_binned(
+    df: DataFrame, col: str, bins: int = 256,
+    exact: bool = False, accuracy: int = 10000,
+) -> dict:
+    """Quantile-binned Gini concentration bounds — the scale path the
+    ``events_user_gini`` catalog query documents (the exact rank
+    identity needs a global sort of the aggregate; at billions of keys
+    bin first). Values coarsen to their ``bins``-quantile bucket; each
+    bucket keeps an exact (count, decimal sum) pair, and the classic
+    non-overlapping-groups decomposition G = G_between + sum_i p_i *
+    q_i * G_within_i (p = population share, q = value share; groups in
+    value order never overlap, so there is no residual term) yields
+    PROVABLE bounds: G_between <= G <= G_between + sum_i p_i * q_i
+    over non-constant buckets only (within-group Gini is in [0, 1],
+    and exactly 0 for a bucket whose min == max — quantile binning of
+    discrete data merges ties into such buckets, so they never widen
+    the bracket). The bracket width shrinks as 1/bins since
+    p_i ~ 1/bins.
+
+    One pass over the corpus after the boundary broadcast; the only
+    collect is the <= ``bins``-row histogram. Returns ppm bounds
+    ``{"gini_lower_ppm", "gini_upper_ppm", "n", "n_bins"}``.
+    Requires non-negative values (Gini is undefined otherwise).
+    """
+    import math
+
+    v = df.selectExpr(f"{col} AS __g_val")
+    bounds = quantile_boundaries(v, "__g_val", bins, exact=exact,
+                                 accuracy=accuracy)
+    assigned = assign_buckets(v, bounds, "__g_val", out="__g_bucket")
+    rows = (assigned.groupBy("__g_bucket").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(SUM(CAST(__g_val AS DECIMAL(27,6))) AS DOUBLE)")
+        .alias("s"),
+        F.expr("MIN(__g_val)").alias("lo"),
+        F.expr("MAX(__g_val)").alias("hi"))
+        .collect())
+    rows.sort(key=lambda r: r["__g_bucket"])
+    if any(r["lo"] < 0 for r in rows):
+        raise ValueError("gini_binned: negative values — Gini undefined")
+    n_total = sum(r["n"] for r in rows)
+    s_total = sum(r["s"] for r in rows)
+    if not n_total or s_total <= 0:
+        raise ValueError(
+            f"gini_binned: degenerate input (n={n_total}, "
+            f"sum={s_total}) — Gini undefined")
+    # G_between over value-ordered groups, each member at its group
+    # mean: numerator = 2*sum_i s_i*cumN_before_i + sum_i s_i*n_i - N*S
+    cum_before = 0
+    num = 0.0
+    overlap = 0.0      # sum over NON-constant buckets of p_i * q_i —
+    # a bucket whose min == max has within-group Gini exactly 0, so
+    # tie-merged buckets (the common case under quantile binning of
+    # discrete data) never widen the bracket
+    for r in rows:
+        num += 2.0 * r["s"] * cum_before + r["s"] * r["n"]
+        if r["lo"] != r["hi"]:
+            overlap += (r["n"] / n_total) * (r["s"] / s_total)
+        cum_before += r["n"]
+    g_between = (num - n_total * s_total) / (n_total * s_total)
+    return {
+        "gini_lower_ppm": math.floor(g_between * 1e6 + 0.5),
+        "gini_upper_ppm": math.floor((g_between + overlap) * 1e6 + 0.5),
+        "n": n_total, "n_bins": bins,
+    }

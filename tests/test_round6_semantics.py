@@ -604,3 +604,38 @@ def test_auc_operator_rejects_degenerate_label(spark):
     docs = read_table(spark, SF_SMALL, "documents")
     with _pytest.raises(ValueError, match="degenerate label"):
         auc_exact(docs, "n_chars", "1 = 1")
+
+
+def test_gini_binned_bounds_sandwich_exact_and_tighten(spark):
+    """The grouped-decomposition bounds must sandwich the exact Gini of
+    per-user event counts at every bin width, tighten as bins grow, and
+    collapse to [0, ~0] on a constant column."""
+    from collections import Counter
+
+    from oracle_cassandra_migrator_spark.operators.evaluation import (
+        gini_binned)
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    ev = read_table(spark, SF_SMALL, "events").select("user_id")
+    counts = Counter(r["user_id"] for r in ev.collect())
+    xs = sorted(counts.values())
+    n, s = len(xs), sum(xs)
+    exact = (2 * sum((i + 1) * x for i, x in enumerate(xs))
+             - (n + 1) * s) / (n * s)
+    exact_ppm = int(exact * 1e6 + 0.5)
+
+    per_user = ev.groupBy("user_id").count().select(
+        F.col("count").alias("n_events"))
+    widths = []
+    for bins in (4, 16, 64):
+        got = gini_binned(per_user, "n_events", bins=bins, exact=True)
+        assert got["n"] == n
+        assert got["gini_lower_ppm"] <= exact_ppm <= got["gini_upper_ppm"], (
+            bins, got, exact_ppm)
+        widths.append(got["gini_upper_ppm"] - got["gini_lower_ppm"])
+    assert widths[-1] < widths[0]          # bracket tightens with bins
+    assert widths[-1] < 50_000             # 64 bins: < 5-point bracket
+
+    const = per_user.selectExpr("7 AS n_events")
+    g0 = gini_binned(const, "n_events", bins=8, exact=True)
+    assert g0["gini_lower_ppm"] == 0

@@ -181,6 +181,42 @@ def winsorize(
             .withColumn(out, clamp).drop("__wby", "__wlo", "__whi"))
 
 
+def _binned_histograms(
+    df: DataFrame, ref: DataFrame, col: str, bins: int,
+    exact: bool, accuracy: int,
+) -> tuple:
+    """Shared pass-1/pass-2 machinery for the two-sample comparators
+    (:func:`psi_between`, :func:`ks_binned`): reference-quantile
+    boundaries -> per-frame bucket histograms. Returns the two
+    ``{bucket: count}`` dicts as ``(ref_hist, cmp_hist)``.
+
+    The 1-row boundary aggregate is materialized ONCE: assign_buckets
+    embeds its ``bounds`` plan in every consumer, so a lazy handle
+    would re-run the full reference quantile pass per histogram
+    collect — it re-enters as a LocalTableScan instead (the
+    codebook-literal convention, bounded at bins-1 values). ``col``
+    may be any SQL expression (aliased once per frame)."""
+    from pyspark.sql import Row
+
+    val = "__cmp_val"
+    ref_v = ref.selectExpr(f"{col} AS {val}")
+    df_v = df.selectExpr(f"{col} AS {val}")
+    bounds_vals = quantile_boundaries(
+        ref_v, val, bins, exact=exact, accuracy=accuracy
+    ).collect()[0]["bounds"]
+    bounds = ref.sparkSession.createDataFrame(
+        [Row(bounds=list(bounds_vals))])
+    counts = []
+    for frame in (ref_v, df_v):
+        assigned = assign_buckets(frame, bounds, val)
+        counts.append({
+            r["bucket"]: r["n"]
+            for r in assigned.groupBy("bucket").agg(
+                F.expr("CAST(COUNT(*) AS BIGINT)").alias("n")).collect()
+        })
+    return counts[0], counts[1]
+
+
 def psi_between(
     df: DataFrame, ref: DataFrame, col: str, bins: int = 10,
     exact: bool = True, accuracy: int = 10000,
@@ -206,30 +242,7 @@ def psi_between(
     """
     import math
 
-    from pyspark.sql import Row
-
-    val = "__psi_val"
-    ref_v = ref.selectExpr(f"{col} AS {val}")
-    df_v = df.selectExpr(f"{col} AS {val}")
-    # Materialize the 1-row boundary aggregate ONCE: assign_buckets
-    # embeds its `bounds` plan in every consumer, so a lazy handle
-    # would re-run the full reference quantile pass per histogram
-    # collect below — re-enter it as a LocalTableScan instead (the
-    # codebook-literal convention, bounded at bins-1 values).
-    bounds_vals = quantile_boundaries(
-        ref_v, val, bins, exact=exact, accuracy=accuracy
-    ).collect()[0]["bounds"]
-    bounds = ref.sparkSession.createDataFrame(
-        [Row(bounds=list(bounds_vals))])
-    counts = []
-    for frame in (ref_v, df_v):
-        assigned = assign_buckets(frame, bounds, val)
-        counts.append({
-            r["bucket"]: r["n"]
-            for r in assigned.groupBy("bucket").agg(
-                F.expr("CAST(COUNT(*) AS BIGINT)").alias("n")).collect()
-        })
-    ca, cb = counts
+    ca, cb = _binned_histograms(df, ref, col, bins, exact, accuracy)
     n_ref = sum(ca.values())
     n_cmp = sum(cb.values())
     if not n_ref or not n_cmp:
@@ -242,3 +255,53 @@ def psi_between(
         psi_micro += math.floor((p - q) * math.log(p / q) * 1e6 + 0.5)
     return {"psi_micro": psi_micro, "n_ref": n_ref, "n_cmp": n_cmp,
             "n_bins": len(buckets)}
+
+
+def ks_binned(
+    df: DataFrame, ref: DataFrame, col: str, bins: int = 256,
+    exact: bool = False, accuracy: int = 10000,
+) -> dict:
+    """Quantile-binned two-sample Kolmogorov-Smirnov bounds — the
+    scale path the ``stats_ks_doclen_drift`` catalog query documents
+    for near-continuous columns (its exact form windows over the
+    |distinct values| aggregate). Both frames histogram into the
+    reference's ``bins``-quantile buckets; CDF deviations evaluated at
+    the bucket edges give a certified bracket on the true statistic:
+
+    - lower: D >= max over edges of |F_a - F_b| (a sup over a subset);
+    - upper: inside a bucket the CDF gap can exceed its edge values by
+      at most min(mass_a, mass_b) — to rise delta above the edge max
+      and come back, BOTH samples must spend delta of their in-bucket
+      mass — so D <= max over buckets of (edge max + min(masses)).
+
+    All bound arithmetic is exact integers scaled by n_a * n_b (the
+    catalog query's trick); only the final ppm division floats. The
+    bracket width shrinks as 1/bins. Returns ``{"ks_lower_ppm",
+    "ks_upper_ppm", "n_ref", "n_cmp", "n_bins"}``."""
+    import math
+
+    ca, cb = _binned_histograms(df, ref, col, bins, exact, accuracy)
+    n_ref = sum(ca.values())
+    n_cmp = sum(cb.values())
+    if not n_ref or not n_cmp:
+        raise ValueError("ks_binned: empty reference or comparison frame")
+    buckets = sorted(set(ca) | set(cb))
+    cum_a = cum_b = 0
+    dev_prev = 0            # scaled |F_a - F_b| at the left edge
+    lower_s = 0
+    upper_s = 0
+    for b in buckets:
+        na_b, nb_b = ca.get(b, 0), cb.get(b, 0)
+        cum_a += na_b
+        cum_b += nb_b
+        dev = abs(cum_a * n_cmp - cum_b * n_ref)
+        lower_s = max(lower_s, dev)
+        mass = min(na_b * n_cmp, nb_b * n_ref)
+        upper_s = max(upper_s, max(dev_prev, dev) + mass)
+        dev_prev = dev
+    denom = float(n_ref) * n_cmp
+    return {
+        "ks_lower_ppm": math.floor(lower_s * 1e6 / denom + 0.5),
+        "ks_upper_ppm": math.floor(upper_s * 1e6 / denom + 0.5),
+        "n_ref": n_ref, "n_cmp": n_cmp, "n_bins": bins,
+    }

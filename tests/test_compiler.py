@@ -564,3 +564,32 @@ def test_psi_between_operator_matches_catalog_query(spark):
     assert got["n_ref"] == row["n_ref"]
     assert got["n_cmp"] == row["n_cmp"]
     assert got["n_bins"] == row["n_bins"]
+
+
+def test_ks_binned_bounds_sandwich_exact_and_tighten(spark):
+    """ks_binned's certified bracket must sandwich the exact KS of the
+    same split (the catalog query's value), tighten as bins grow, and
+    collapse to lower == 0 on identical frames."""
+    from oracle_cassandra_migrator_spark.operators.quantiles import (
+        ks_binned)
+    from oracle_cassandra_migrator_spark.queries import QUERIES
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    from tests.conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    even = docs.where("doc_id % 2 = 0").select("n_chars")
+    odd = docs.where("doc_id % 2 = 1").select("n_chars")
+    exact_ppm = QUERIES["stats_ks_doclen_drift"](
+        spark, SF_SMALL).collect()[0]["ks_ppm"]
+    widths = []
+    for bins in (4, 16, 64):
+        got = ks_binned(odd, even, "n_chars", bins=bins, exact=True)
+        # the floor-rounded ppm edges can each be half a unit off the
+        # true rational bound — allow one ppm of rounding slack
+        assert got["ks_lower_ppm"] <= exact_ppm + 1, (bins, got)
+        assert got["ks_upper_ppm"] >= exact_ppm - 1, (bins, got)
+        widths.append(got["ks_upper_ppm"] - got["ks_lower_ppm"])
+    assert widths[-1] < widths[0]
+    same = ks_binned(even, even, "n_chars", bins=16, exact=True)
+    assert same["ks_lower_ppm"] == 0

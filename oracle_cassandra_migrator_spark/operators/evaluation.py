@@ -1,4 +1,5 @@
-"""Evaluation-statistics operators: exact/binned ROC AUC, binned Gini bounds.
+"""Evaluation-statistics operators: exact/binned ROC AUC, binned Gini
+bounds, binned calibration (reliability bins + ECE/MCE + exact Brier).
 
 The catalog query ``eval_auc_doclen_lang`` documents quantile-binned
 scores as the 100 TB fallback for near-continuous score columns (the
@@ -158,4 +159,95 @@ def gini_binned(
         "gini_lower_ppm": math.floor(g_between * 1e6 + 0.5),
         "gini_upper_ppm": math.floor((g_between + overlap) * 1e6 + 0.5),
         "n": n_total, "n_bins": bins,
+    }
+
+
+def calibration_binned(
+    df: DataFrame, score: str, label: str, bins: int = 10,
+    exact: bool = True, accuracy: int = 10000,
+) -> dict:
+    """Quantile-binned calibration report for a probability score:
+    per-bin (count, mean predicted probability, observed positive
+    rate), expected/maximum calibration error over those bins, and the
+    binning-free exact Brier score — all from ONE corpus pass after
+    the 1-row boundary broadcast (two-pass quantile recipe; the only
+    collect is the ``<= bins``-row reliability histogram).
+
+    Quantile (adaptive) bins are deliberate: equal-width bins leave
+    most of the grid empty when scores concentrate, while the
+    reference-quantile scheme puts ~n/bins rows in every bin at any
+    corpus size (the same argument psi_between makes). ECE/MCE are by
+    definition functions OF a binning, so unlike the AUC/Gini/KS
+    siblings there is no exact statistic to bracket — the report IS
+    exact for the chosen bins. Per-row terms are nano-quantized
+    integers summed as DECIMAL(38,0) (deterministic under any
+    partitioning, no int64 overflow at any row count); only the final
+    ppm renderings divide in floating point.
+
+    ``score`` must be a probability in [0, 1] (checked from the same
+    aggregate pass — per-bin min/max, no extra job). Returns
+    ``{"ece_ppm", "mce_ppm", "brier_ppm", "n", "n_pos", "n_bins",
+    "bins": [{"bucket", "n", "mean_score_ppm", "pos_rate_ppm"}, ...]}``
+    with ``n_bins`` = number of NON-EMPTY bins (quantile binning of
+    discrete scores merges ties, so it can be < ``bins``)."""
+    import math
+
+    scored = df.selectExpr(
+        f"CAST({score} AS DOUBLE) AS __cal_score",
+        f"CASE WHEN {label} THEN 1 ELSE 0 END AS __cal_pos")
+    bounds = quantile_boundaries(
+        scored, "__cal_score", bins, exact=exact, accuracy=accuracy)
+    assigned = assign_buckets(scored, bounds, "__cal_score",
+                              out="__cal_bucket")
+    rows = (assigned.groupBy("__cal_bucket").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(SUM(__cal_pos) AS BIGINT)").alias("n_pos"),
+        F.expr("SUM(CAST(floor(__cal_score * 1e9 + 0.5) AS"
+               " DECIMAL(38,0)))").alias("s_nano"),
+        # the squared error is a PRODUCT, not pow(x, 2): Math.pow is
+        # only 1-ulp-accurate, and a last-ulp difference at a nano
+        # floor boundary would make the quantized terms
+        # engine-dependent; IEEE multiplication is exact(ly rounded)
+        # everywhere
+        F.expr("SUM(CAST(floor((__cal_score - __cal_pos) *"
+               " (__cal_score - __cal_pos) * 1e9 + 0.5) AS"
+               " DECIMAL(38,0)))").alias("sq_nano"),
+        F.expr("CAST(COUNT(__cal_score) AS BIGINT)").alias("n_nonnull"),
+        F.expr("MIN(__cal_score)").alias("lo"),
+        F.expr("MAX(__cal_score)").alias("hi"))
+        .collect())
+    rows.sort(key=lambda r: r["__cal_bucket"])
+    if any(r["n"] != r["n_nonnull"] for r in rows):
+        raise ValueError(
+            "calibration_binned: NULL scores present — filter or "
+            "impute before calibrating")
+    if any(r["lo"] < 0.0 or r["hi"] > 1.0 for r in rows):
+        raise ValueError(
+            "calibration_binned: score outside [0, 1] — not a "
+            "probability; rescale before calibrating")
+    n_total = sum(r["n"] for r in rows)
+    if not n_total:
+        raise ValueError("calibration_binned: empty input")
+    n_pos = sum(r["n_pos"] for r in rows)
+    ece = 0.0
+    mce = 0.0
+    per_bin = []
+    for r in rows:
+        mean_score = float(r["s_nano"]) / 1e9 / r["n"]
+        pos_rate = r["n_pos"] / r["n"]
+        gap = abs(pos_rate - mean_score)
+        ece += (r["n"] / n_total) * gap
+        mce = max(mce, gap)
+        per_bin.append({
+            "bucket": r["__cal_bucket"], "n": r["n"],
+            "mean_score_ppm": math.floor(mean_score * 1e6 + 0.5),
+            "pos_rate_ppm": math.floor(pos_rate * 1e6 + 0.5),
+        })
+    brier = float(sum(r["sq_nano"] for r in rows)) / 1e9 / n_total
+    return {
+        "ece_ppm": math.floor(ece * 1e6 + 0.5),
+        "mce_ppm": math.floor(mce * 1e6 + 0.5),
+        "brier_ppm": math.floor(brier * 1e6 + 0.5),
+        "n": n_total, "n_pos": n_pos, "n_bins": len(per_bin),
+        "bins": per_bin,
     }

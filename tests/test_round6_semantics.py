@@ -639,3 +639,83 @@ def test_gini_binned_bounds_sandwich_exact_and_tighten(spark):
     const = per_user.selectExpr("7 AS n_events")
     g0 = gini_binned(const, "n_events", bins=8, exact=True)
     assert g0["gini_lower_ppm"] == 0
+
+
+def test_calibration_binned_matches_python_reference(spark):
+    """calibration_binned must reproduce, bit-for-bit at ppm scale, a
+    serial Python reference that replays percentile_disc boundaries,
+    bucket assignment, and the nano-quantized per-row terms — and the
+    exact Brier score is binning-invariant by construction."""
+    import math
+
+    from oracle_cassandra_migrator_spark.operators.evaluation import (
+        calibration_binned)
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    scored = docs.selectExpr(
+        "CAST(n_chars % 97 AS DOUBLE) / 96.0 AS p", "lang = 'en' AS y")
+    got = calibration_binned(scored, "p", "y", bins=8, exact=True)
+
+    rows = [(r["p"], 1 if r["y"] else 0) for r in scored.collect()]
+    xs = sorted(p for p, _ in rows)
+    n = len(xs)
+    # percentile_disc(q): smallest value with cume_dist >= q
+    bounds = [xs[math.ceil(q * n / 8) - 1] for q in range(1, 8)]
+
+    def bucket(v):
+        return 1 + sum(1 for b in bounds if v > b)
+
+    agg = {}
+    for p, y in rows:
+        b = agg.setdefault(bucket(p), [0, 0, 0, 0])  # n, pos, s, sq
+        b[0] += 1
+        b[1] += y
+        b[2] += math.floor(p * 1e9 + 0.5)
+        b[3] += math.floor((p - y) * (p - y) * 1e9 + 0.5)
+    ece = sum((b[0] / n) * abs(b[1] / b[0] - b[2] / 1e9 / b[0])
+              for b in agg.values())
+    mce = max(abs(b[1] / b[0] - b[2] / 1e9 / b[0]) for b in agg.values())
+    brier = sum(b[3] for b in agg.values()) / 1e9 / n
+
+    assert got["n"] == n
+    assert got["n_pos"] == sum(y for _, y in rows)
+    assert got["n_bins"] == len(agg)
+    assert got["ece_ppm"] == math.floor(ece * 1e6 + 0.5)
+    assert got["mce_ppm"] == math.floor(mce * 1e6 + 0.5)
+    assert got["brier_ppm"] == math.floor(brier * 1e6 + 0.5)
+    for pb in got["bins"]:
+        ref = agg[pb["bucket"]]
+        assert pb["n"] == ref[0]
+        assert pb["mean_score_ppm"] == math.floor(
+            ref[2] / 1e9 / ref[0] * 1e6 + 0.5)
+        assert pb["pos_rate_ppm"] == math.floor(ref[1] / ref[0] * 1e6 + 0.5)
+
+    # a well-calibrated scorer by construction: per score group g/10 +
+    # 0.05 the positive rate is within 0.05 of the score, so every
+    # bin's gap — and hence ECE — is capped at 0.05
+    perfect = spark.range(0, 2000).selectExpr(
+        "CAST((id % 10) AS DOUBLE) / 10.0 + 0.05 AS p",
+        "(id % 100) < 10 * (id % 10) + 0.5 AS y")
+    cal = calibration_binned(perfect, "p", "y", bins=10, exact=True)
+    assert cal["n_bins"] == 10          # 10 distinct scores, one bin each
+    assert cal["ece_ppm"] <= 50_000
+    assert cal["mce_ppm"] <= 50_000
+
+
+def test_calibration_binned_rejects_bad_scores(spark):
+    import pytest as _pytest
+
+    from oracle_cassandra_migrator_spark.operators.evaluation import (
+        calibration_binned)
+
+    over = spark.range(0, 100).selectExpr(
+        "CAST(id AS DOUBLE) / 50.0 AS p", "id % 2 = 0 AS y")
+    with _pytest.raises(ValueError, match="outside"):
+        calibration_binned(over, "p", "y", bins=4)
+
+    nulls = spark.range(0, 100).selectExpr(
+        "CASE WHEN id % 7 = 0 THEN NULL ELSE CAST(id AS DOUBLE) / 99.0"
+        " END AS p", "id % 2 = 0 AS y")
+    with _pytest.raises(ValueError, match="NULL scores"):
+        calibration_binned(nulls, "p", "y", bins=4)

@@ -1,3 +1,7 @@
+from oracle_cassandra_migrator_spark.streaming.enrich import (
+    enrich_stream_static,
+    refreshing_enrich_sink,
+)
 from oracle_cassandra_migrator_spark.streaming.joins import (
     interval_join_streams,
 )
@@ -24,6 +28,8 @@ from oracle_cassandra_migrator_spark.streaming.upsert import (
 )
 
 __all__ = [
+    "enrich_stream_static",
+    "refreshing_enrich_sink",
     "interval_join_streams",
     "foreach_batch_upsert",
     "latest_snapshot",

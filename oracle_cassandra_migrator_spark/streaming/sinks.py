@@ -37,15 +37,17 @@ from oracle_cassandra_migrator_spark.sinks.writers import (
 )
 
 
-def foreach_batch_sink(
-    stream: DataFrame,
+def make_idempotent_writer(
     sink_spec: Mapping[str, Any],
     marker_dir: str,
-    checkpoint_dir: str,
     state: StateStore | None = None,
-) -> StreamingQuery:
-    """Start the stream, writing each micro-batch through write_sink
-    with marker-based idempotence."""
+):
+    """The per-batch write function behind ``foreach_batch_sink``,
+    exposed so other foreachBatch operators (streaming/enrich.py) can
+    compose their own per-batch work with the same marker-committed
+    exactly-once write, instead of re-implementing it. Marker check
+    comes FIRST, so a replayed batch skips the caller's (lazy) plan
+    entirely."""
     store = state or LocalFSStateStore()
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -62,8 +64,21 @@ def foreach_batch_sink(
             write_sink(batch_df, spec)
         store.put_marker(marker)
 
+    return write_batch
+
+
+def foreach_batch_sink(
+    stream: DataFrame,
+    sink_spec: Mapping[str, Any],
+    marker_dir: str,
+    checkpoint_dir: str,
+    state: StateStore | None = None,
+) -> StreamingQuery:
+    """Start the stream, writing each micro-batch through write_sink
+    with marker-based idempotence."""
     return (
-        stream.writeStream.foreachBatch(write_batch)
+        stream.writeStream.foreachBatch(
+            make_idempotent_writer(sink_spec, marker_dir, state))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -1060,3 +1060,101 @@ def test_drift_psi_stream_matches_batch_and_flags_planted_drift(
         q = max(400 if i == 9 else 0, 1) / 400
         psi += int((p - q) * math.log(p / q) * 1e6 + 0.5)
     assert by_start[w2]["psi_micro"] == psi
+
+
+def test_enrich_stream_static_matches_batch_and_broadcasts(spark, tmp_path):
+    """Stream-static enrichment must equal the identical batch join
+    (same function on both) and plan the dim as a broadcast."""
+    from oracle_cassandra_migrator_spark.streaming.enrich import (
+        enrich_stream_static)
+
+    events = read_table(spark, SF_SMALL, "events")
+    src = str(tmp_path / "src")
+    events.repartition(2).write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+
+    dim = (batch.groupBy("user_id")
+           .agg(F.count("*").alias("user_total")))
+    dim_path = str(tmp_path / "dim")
+    dim.write.mode("overwrite").parquet(dim_path)
+    dim = spark.read.parquet(dim_path)
+
+    enriched = enrich_stream_static(
+        stream.select("event_id", "user_id"), dim, "user_id", how="left")
+    q = (enriched.writeStream.format("memory").queryName("enriched")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("enriched")
+
+    expected = enrich_stream_static(
+        batch.select("event_id", "user_id"), dim, "user_id", how="left")
+    assert as_set(got) == as_set(expected)
+    assert got.count() == events.count()          # left join preserves rows
+    plan = expected._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    with pytest.raises(ValueError, match="not supported with a stream"):
+        enrich_stream_static(stream, dim, "user_id", how="right")
+    with pytest.raises(ValueError, match="must be a batch"):
+        enrich_stream_static(stream, stream, "user_id")
+
+
+def test_refreshing_enrich_sees_dim_updates_between_batches(spark, tmp_path):
+    """The foreachBatch variant must re-read the dim per micro-batch:
+    rows processed after a dim update carry the NEW attribute, while
+    the plain static join would have kept the stale snapshot. Restart
+    replay with committed markers must also skip the dim load."""
+    from oracle_cassandra_migrator_spark.streaming.enrich import (
+        refreshing_enrich_sink)
+
+    src = str(tmp_path / "src")
+    dim_path = str(tmp_path / "dim")
+    out = str(tmp_path / "out")
+    markers = str(tmp_path / "markers")
+
+    facts1 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "fact_id INT, key STRING")
+    facts1.coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [("a", "v1"), ("b", "v1")], "key STRING, dim_val STRING"
+    ).write.mode("overwrite").parquet(dim_path)
+
+    loads = []
+
+    def load_dim(s):
+        loads.append(1)
+        return s.read.parquet(dim_path)
+
+    schema = "fact_id INT, key STRING"
+
+    def run(ckpt):
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = refreshing_enrich_sink(
+            stream, load_dim, "key",
+            {"format": "parquet", "path": out}, markers,
+            str(tmp_path / ckpt))
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    assert {tuple(r) for r in spark.read.parquet(out).collect()} == {
+        ("a", 1, "v1"), ("b", 2, "v1")}
+
+    # dim update + new facts -> the NEXT batch must see v2
+    spark.createDataFrame(
+        [("a", "v2"), ("b", "v2")], "key STRING, dim_val STRING"
+    ).write.mode("overwrite").parquet(dim_path)
+    spark.createDataFrame(
+        [(3, "a")], "fact_id INT, key STRING"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    run("ckpt1")                     # same checkpoint: only the new file
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got == {("a", 1, "v1"), ("b", 2, "v1"), ("a", 3, "v2")}
+
+    # fresh checkpoint replays everything as new batch ids 0..N: the
+    # markers suppress the writes AND the dim loads
+    n_loads = len(loads)
+    run("ckpt2")
+    assert {tuple(r) for r in spark.read.parquet(out).collect()} == got
+    assert len(loads) == n_loads, "replayed batch paid a dim load"

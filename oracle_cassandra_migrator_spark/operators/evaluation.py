@@ -1,5 +1,6 @@
-"""Evaluation-statistics operators: exact/binned ROC AUC, binned Gini
-bounds, binned calibration (reliability bins + ECE/MCE + exact Brier).
+"""Evaluation-statistics operators: exact/binned/per-group ROC AUC,
+binned Gini bounds, binned calibration (reliability bins + ECE/MCE +
+exact Brier), Cohen's kappa annotation agreement.
 
 The catalog query ``eval_auc_doclen_lang`` documents quantile-binned
 scores as the 100 TB fallback for near-continuous score columns (the
@@ -159,6 +160,93 @@ def gini_binned(
         "gini_lower_ppm": math.floor(g_between * 1e6 + 0.5),
         "gini_upper_ppm": math.floor((g_between + overlap) * 1e6 + 0.5),
         "n": n_total, "n_bins": bins,
+    }
+
+
+def auc_by_group(
+    df: DataFrame, score: str, label: str, group: str,
+) -> DataFrame:
+    """Per-group exact ROC AUC — one rank-sum computation per value of
+    SQL expression ``group``, evaluated for ALL groups in a single
+    distributed plan (per-domain / per-language quality-classifier
+    evaluation). Same Mann-Whitney tie-exact identity as
+    :func:`auc_exact`; the corpus collapses to a (group, distinct
+    score) aggregate and the running-negatives window partitions BY
+    GROUP over that aggregate only, so no partition sees more than one
+    group's distinct scores. Unlike the scalar siblings this returns a
+    DataFrame — ``(group_col, auc_ppm, n_pos, n_neg)``, one row per
+    group — with no driver-side collect, so it composes with
+    downstream plans at any group count. Groups with a degenerate
+    label (no positives or no negatives) surface ``auc_ppm = NULL``
+    rather than raising: with thousands of groups, partial
+    degeneracy is data, not an error (filter or assert downstream)."""
+    scored = df.selectExpr(
+        f"{group} AS group_col",
+        f"{score} AS __auc_score",
+        f"CASE WHEN {label} THEN 1 ELSE 0 END AS pos")
+    g = scored.groupBy("group_col", "__auc_score").agg(
+        F.expr("CAST(SUM(pos) AS BIGINT)").alias("np"),
+        F.expr("CAST(SUM(1 - pos) AS BIGINT)").alias("nn"))
+    w = (Window.partitionBy("group_col").orderBy("__auc_score")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    r = g.select(
+        "group_col", "np", "nn",
+        F.coalesce(F.sum("nn").over(w), F.lit(0).cast("bigint"))
+        .alias("cb"))
+    return r.groupBy("group_col").agg(
+        F.expr("CASE WHEN SUM(np) = 0 OR SUM(nn) = 0 THEN NULL ELSE"
+               " CAST(floor(CAST(SUM(np * (2 * cb + nn)) AS DOUBLE) * 1e6"
+               " / (2e0 * SUM(np) * SUM(nn)) + 0.5) AS BIGINT) END")
+        .alias("auc_ppm"),
+        F.expr("CAST(SUM(np) AS BIGINT)").alias("n_pos"),
+        F.expr("CAST(SUM(nn) AS BIGINT)").alias("n_neg"))
+
+
+def cohens_kappa(df: DataFrame, rater_a: str, rater_b: str) -> dict:
+    """Cohen's kappa between two label columns (annotation-agreement
+    audit for labeling pipelines): kappa = (p_o - p_e) / (1 - p_e)
+    with observed agreement p_o and the chance agreement p_e implied
+    by the raters' marginals. The corpus collapses to the
+    |labels_a| x |labels_b| contingency aggregate (the chi-square
+    query's shape) and everything after is exact integer arithmetic
+    on that tiny collect: p_o and p_e stay as integer-ratio terms
+    (agree/n and sum(row_i * col_i)/n^2), so the only float op is the
+    final ppm rendering. NULL labels count as their own category
+    (disagreement with everything else, including NULL<->NULL
+    agreement) via a sentinel — dropping them silently would overstate
+    agreement. Returns ``{"kappa_ppm", "po_ppm", "pe_ppm", "n"}``;
+    raises on empty input or a constant pair (kappa undefined when
+    p_e = 1: both raters always emit one identical label)."""
+    import math
+
+    pairs = df.selectExpr(
+        f"coalesce(CAST({rater_a} AS STRING), ' null') AS __ka",
+        f"coalesce(CAST({rater_b} AS STRING), ' null') AS __kb")
+    cells = pairs.groupBy("__ka", "__kb").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n")).collect()
+    n = sum(r["n"] for r in cells)
+    if not n:
+        raise ValueError("cohens_kappa: empty input")
+    agree = sum(r["n"] for r in cells if r["__ka"] == r["__kb"])
+    row_m: dict = {}
+    col_m: dict = {}
+    for r in cells:
+        row_m[r["__ka"]] = row_m.get(r["__ka"], 0) + r["n"]
+        col_m[r["__kb"]] = col_m.get(r["__kb"], 0) + r["n"]
+    # integer numerators over common denominator n^2:
+    # kappa = (agree*n - sum_i row_i*col_i) / (n^2 - sum_i row_i*col_i)
+    chance = sum(cnt * col_m.get(lbl, 0) for lbl, cnt in row_m.items())
+    denom = n * n - chance
+    if denom == 0:
+        raise ValueError(
+            "cohens_kappa: both raters constant and identical — "
+            "chance agreement is 1, kappa undefined")
+    kappa = (agree * n - chance) / denom
+    return {
+        "kappa_ppm": math.floor(kappa * 1e6 + 0.5),
+        "po_ppm": math.floor(agree / n * 1e6 + 0.5),
+        "pe_ppm": math.floor(chance / (n * n) * 1e6 + 0.5),
+        "n": n,
     }
 
 

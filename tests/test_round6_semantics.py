@@ -719,3 +719,80 @@ def test_calibration_binned_rejects_bad_scores(spark):
         " END AS p", "id % 2 = 0 AS y")
     with _pytest.raises(ValueError, match="NULL scores"):
         calibration_binned(nulls, "p", "y", bins=4)
+
+
+def test_auc_by_group_matches_per_group_exact(spark):
+    """The single-plan per-group AUC must equal auc_exact run on each
+    group's filtered slice, and a degenerate group must surface NULL
+    instead of raising."""
+    from oracle_cassandra_migrator_spark.operators.evaluation import (
+        auc_by_group, auc_exact)
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    got = {r["group_col"]: r for r in auc_by_group(
+        docs, "n_chars", "n_words > 90", "lang").collect()}
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    assert set(got) == set(langs)
+    for lang in langs:
+        one = auc_exact(docs.where(F.col("lang") == lang),
+                        "n_chars", "n_words > 90")
+        assert got[lang]["auc_ppm"] == one["auc_ppm"], lang
+        assert got[lang]["n_pos"] == one["n_pos"]
+        assert got[lang]["n_neg"] == one["n_neg"]
+
+    # degenerate group: every en doc positive, others mixed -> NULL ppm
+    d = auc_by_group(docs, "n_chars", "lang = 'en' OR n_words > 90",
+                     "CASE WHEN lang = 'en' THEN 'all_pos' ELSE 'mix' END")
+    rows = {r["group_col"]: r for r in d.collect()}
+    assert rows["all_pos"]["auc_ppm"] is None
+    assert rows["all_pos"]["n_neg"] == 0
+    assert rows["mix"]["auc_ppm"] is not None
+
+
+def test_cohens_kappa_reference_and_guards(spark):
+    """kappa against hand-computed contingencies: perfect agreement =
+    1e6 ppm, independence ~ 0, NULLs count as a category, constant
+    identical raters raise."""
+    import pytest as _pytest
+
+    from oracle_cassandra_migrator_spark.operators.evaluation import (
+        cohens_kappa)
+
+    base = spark.range(0, 1200)
+    perfect = base.selectExpr("id % 3 AS a", "id % 3 AS b")
+    assert cohens_kappa(perfect, "a", "b")["kappa_ppm"] == 1_000_000
+
+    # independent uniform raters over 3 labels: po = pe = 1/3 exactly
+    # (id mod 3 and floor(id/3) mod 3 are independent over 9k rows)
+    indep = spark.range(0, 9 * 300).selectExpr(
+        "id % 3 AS a", "CAST(id / 3 AS BIGINT) % 3 AS b")
+    k = cohens_kappa(indep, "a", "b")
+    assert k["kappa_ppm"] == 0
+    assert k["po_ppm"] == 333_333 and k["pe_ppm"] == 333_333
+
+    # hand contingency: a=(x,x,y), b=(x,y,y) repeated 100x
+    # po = 2/3... actually agree = (x,x) + (y,y) = 1 + 1 of 3 rows
+    hand = spark.range(0, 300).selectExpr(
+        "CASE WHEN id % 3 = 2 THEN 'y' ELSE 'x' END AS a",
+        "CASE WHEN id % 3 = 0 THEN 'x' ELSE 'y' END AS b")
+    got = cohens_kappa(hand, "a", "b")
+    # agree = 200/300 = 2/3; row marg x=2/3 y=1/3, col marg x=1/3 y=2/3
+    # pe = 2/9 + 2/9 = 4/9; kappa = (2/3 - 4/9) / (1 - 4/9) = 0.4
+    assert got["kappa_ppm"] == 400_000
+    assert got["po_ppm"] == 666_667 and got["pe_ppm"] == 444_444
+
+    # NULL is a category: rater b NULL on every 'y' row -> same kappa
+    # as if b emitted a distinct label there
+    withnull = spark.range(0, 300).selectExpr(
+        "CASE WHEN id % 3 = 2 THEN 'y' ELSE 'x' END AS a",
+        "CASE WHEN id % 3 = 0 THEN 'x' ELSE NULL END AS b")
+    sentinel = spark.range(0, 300).selectExpr(
+        "CASE WHEN id % 3 = 2 THEN 'y' ELSE 'x' END AS a",
+        "CASE WHEN id % 3 = 0 THEN 'x' ELSE 'z' END AS b")
+    assert (cohens_kappa(withnull, "a", "b")["kappa_ppm"]
+            == cohens_kappa(sentinel, "a", "b")["kappa_ppm"])
+
+    const = spark.range(0, 10).selectExpr("'k' AS a", "'k' AS b")
+    with _pytest.raises(ValueError, match="kappa undefined"):
+        cohens_kappa(const, "a", "b")

@@ -109,19 +109,24 @@ _R04_CONFIRMED = frozenset({
 # r5: events_rolling_weekly_counts moved to a calendar RANGE frame —
 # re-confirmed r05.)
 # r6: the PQ retrain (PQ_INIT_LIMIT 8->16, PQ_ITERS 1->2) changed the
-# OUTPUTS of the four r05-green PQ queries — they re-enter the window.
-# The unrounded-jaccard threshold fix (ADVICE r5) also postdates the
-# green rows of the jaccard-family queries, but their outputs are
-# provably unchanged at any driver SF: the fix only moves pairs whose
-# true J lies in [t - 5e-7, t), and a rational n_common/union with
-# union <= ~1000 shingles cannot land in that interval for t = k/10
-# (|t·union - n_common| would have to be <= 5e-4, i.e. exactly 0,
-# which the >= branch already included) — so their old rows remain
-# valid evidence and they stay out to preserve window slack.
-_RECHECK = frozenset({
-    "sim_ann_pq_topk", "sim_ann_pq_recall",
-    "sim_ann_ivfpq_topk", "sim_ann_ivfpq_recall",
-})
+# OUTPUTS of the four r05-green PQ queries — re-confirmed green r06,
+# so they left _RECHECK. The unrounded-jaccard threshold fix (ADVICE
+# r5) also postdates the green rows of the jaccard-family queries, but
+# their outputs are provably unchanged at any driver SF: the fix only
+# moves pairs whose true J lies in [t - 5e-7, t), and a rational
+# n_common/union with union <= ~1000 shingles cannot land in that
+# interval for t = k/10 (|t·union - n_common| would have to be
+# <= 5e-4, i.e. exactly 0, which the >= branch already included) — so
+# their old rows remain valid evidence and they stay out to preserve
+# window slack.
+# r7: the absolute training-sample caps (VERDICT r6 item 3) compose
+# the existing `% mod` samples with a bottom-k-by-salted-hash cap that
+# only BINDS above the cap size (driver SFs select fewer rows than the
+# cap, so the trained artifacts — NMI k-means replay, PQ/IVF
+# codebooks, bigram LM — are bit-identical at every driver SF and the
+# existing green rows remain valid; `tests/test_round7_semantics.py`
+# pins cap-not-binding == uncapped). Hence no r7 rechecks.
+_RECHECK = frozenset()
 
 # CORRECTNESS_r05.json: 50/50 green (rows+schema+hash) — the literal
 # key set, folded per the round-6 maintenance note below. This closed
@@ -155,12 +160,48 @@ _R05_CONFIRMED = frozenset({
 })
 
 
+# CORRECTNESS_r06.json: 50/50 green (rows+schema+hash) — the literal
+# key set, folded per the maintenance note below. With this fold every
+# query name ever exposed has a green driver row, so the r7 window's
+# slots go to (a) anything added in r7 and (b) the stalest r02-era
+# greens, whose oracle canonicalization predates the dtype/decimal
+# audits (VERDICT r6 item 2).
+_R06_CONFIRMED = frozenset({
+    "agg_winsorized_mean_price", "assoc_rules_brand_pairs",
+    "contamination_source_matrix", "corpus_drift_report",
+    "dedup_allpairs_prefix", "dedup_bloom_prefilter",
+    "dedup_bloom_ranged_audit", "dedup_containment_pairs",
+    "dedup_minshingle_neighbors", "dedup_strategy_recall_report",
+    "distinct_segment_nation", "embedding_centroid_drift",
+    "encode_target_mean_smoothed", "eval_auc_doclen_lang",
+    "events_daily_ewma", "events_funnel_latency",
+    "events_props_variant_stats", "events_session_stats",
+    "events_user_gini", "events_wow_delta",
+    "flagship_payment_pipeline", "graph_bfs_distances",
+    "join_fuzzy_customer_names", "layout_minmax_pruning_stats",
+    "orders_rfm_segments", "parts_pareto_coverage",
+    "sample_weighted_reservoir", "scalar_date_functions",
+    "scalar_string_functions", "set_except_inactive_customers",
+    "set_intersect_repeat_buyers", "set_union_priority_buyers",
+    "sim_ann_ivfpq_recall", "sim_ann_ivfpq_topk",
+    "sim_ann_pq_recall", "sim_ann_pq_topk",
+    "sim_cluster_quality_nmi", "sim_mmr_diversified_topk",
+    "sketch_cms_heavy_hitters", "sketch_cms_join_size",
+    "sketch_kll_price_quantiles", "sketch_theta_set_algebra",
+    "stats_bootstrap_ci_revenue", "stats_chi2_lang_source",
+    "stats_ks_doclen_drift", "stats_psi_doclen_drift",
+    "stream_dedup_admission_batch", "text_bpe_encode_stats",
+    "text_bpe_merge_rules", "tpch_q3_shipping_priority",
+})
+
+
 _CONFIRMED_ROUNDS = (
-    _R02_CONFIRMED, _R03_CONFIRMED, _R04_CONFIRMED, _R05_CONFIRMED)
+    _R02_CONFIRMED, _R03_CONFIRMED, _R04_CONFIRMED, _R05_CONFIRMED,
+    _R06_CONFIRMED)
 
 
 def _last_green_round(name):
-    """0 = never driver-green; k = last round (2..5) with a green row."""
+    """0 = never driver-green; k = last round (2..6) with a green row."""
     last = 0
     for i, s in enumerate(_CONFIRMED_ROUNDS, start=2):
         if name in s:

@@ -731,18 +731,18 @@ def test_auc_by_group_matches_per_group_exact(spark):
 
     docs = read_table(spark, SF_SMALL, "documents")
     got = {r["group_col"]: r for r in auc_by_group(
-        docs, "n_chars", "n_words > 90", "lang").collect()}
+        docs, "n_chars", "size(split(text, ' ')) > 90", "lang").collect()}
     langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
     assert set(got) == set(langs)
     for lang in langs:
         one = auc_exact(docs.where(F.col("lang") == lang),
-                        "n_chars", "n_words > 90")
+                        "n_chars", "size(split(text, ' ')) > 90")
         assert got[lang]["auc_ppm"] == one["auc_ppm"], lang
         assert got[lang]["n_pos"] == one["n_pos"]
         assert got[lang]["n_neg"] == one["n_neg"]
 
     # degenerate group: every en doc positive, others mixed -> NULL ppm
-    d = auc_by_group(docs, "n_chars", "lang = 'en' OR n_words > 90",
+    d = auc_by_group(docs, "n_chars", "lang = 'en' OR size(split(text, ' ')) > 90",
                      "CASE WHEN lang = 'en' THEN 'all_pos' ELSE 'mix' END")
     rows = {r["group_col"]: r for r in d.collect()}
     assert rows["all_pos"]["auc_ppm"] is None

@@ -193,10 +193,29 @@ def _assign_cells(embeddings: DataFrame, centroids: DataFrame,
     )
 
 
+IVF_CENTROID_CAP = 4096
+
+
+def _default_centroids(embeddings: DataFrame, modulus: int,
+                       vec_col: str, id_col: str) -> DataFrame:
+    """Untrained IVF centroid sample: the ``% modulus`` id-sample,
+    capped at the ``IVF_CENTROID_CAP`` smallest qualifying ids. The
+    modulus alone is a corpus FRACTION — at 100 TB the codebook would
+    stop being broadcastable/collectable — so the absolute cap makes
+    it O(1); below the cap (every driver SF) the set is identical to
+    the bare ``% modulus`` sample, so existing oracle rows stay valid.
+    TakeOrderedAndProject on the filtered sample — no corpus shuffle."""
+    return (embeddings.where(f"{id_col} % {modulus} = 0")
+            .orderBy(id_col).limit(IVF_CENTROID_CAP)
+            .select(F.col(id_col).alias("cid"),
+                    F.col(vec_col).alias("cvec")))
+
+
 def kmeans_codebook(
     embeddings: DataFrame, modulus: int = 43, iters: int = 2,
     vec_col: str = "embedding", id_col: str = "vec_id",
     init_limit: int | None = None,
+    train_cap: int | None = 16384,
 ) -> DataFrame:
     """Lloyd's k-means in pure DataFrame ops: deterministic id-sample
     init, then ``iters`` rounds of (assign to nearest centroid by dot
@@ -217,15 +236,31 @@ def kmeans_codebook(
     ``init_limit`` qualifying ids, a deterministic TakeOrdered):
     without it the ``% modulus`` init grows linearly with the corpus,
     which is fine for a per-query codebook but wrong when the codebook
-    must stay broadcastable/collectable at 100 TB."""
-    init = embeddings.where(f"{id_col} % {modulus} = 0")
+    must stay broadcastable/collectable at 100 TB.
+
+    ``train_cap`` bounds the LLOYD ITERATIONS the same way: the
+    assignment + mean-update passes run over the ``train_cap`` rows
+    with the smallest salted id-hash (``cap_by_salted_hash``), not the
+    corpus, so per-iteration training cost is O(cap) at any corpus
+    size — the 10x scale probe measured the uncapped replay at 7.3x
+    for 10x rows (VERDICT r6 item 3). Below the cap the filter is the
+    identity, so every driver-SF output is bit-identical to the
+    uncapped training (pinned by test_round7_semantics). The caller's
+    final full-corpus assignment is still one pass over everything."""
+    from oracle_cassandra_migrator_spark.operators.sampling import (
+        cap_by_salted_hash)
+
+    train = embeddings
+    if train_cap is not None:
+        train = cap_by_salted_hash(train, id_col, train_cap, "km-train")
+    init = train.where(f"{id_col} % {modulus} = 0")
     if init_limit is not None:
         init = init.orderBy(id_col).limit(init_limit)
     cents = init.select(
         F.col(id_col).alias("cid"),
         F.expr(DOUBLE_VEC.format(col=vec_col)).alias("cvec"))
     for _ in range(iters):
-        assigned = _assign_cells(embeddings, cents, vec_col, id_col)
+        assigned = _assign_cells(train, cents, vec_col, id_col)
         exploded = assigned.select(
             "cell_id",
             F.posexplode(F.expr(DOUBLE_VEC.format(col=vec_col)))
@@ -266,8 +301,7 @@ def ivf_topk(
     is the |codebook|-row aggregation."""
     e = DOUBLE_VEC.format(col=vec_col)
     if centroids is None:
-        centroids = embeddings.where(f"{id_col} % {modulus} = 0").select(
-            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        centroids = _default_centroids(embeddings, modulus, vec_col, id_col)
     cells = _assign_cells(embeddings, centroids, vec_col, id_col)
     q = cells.where(f"{id_col} = {query_id}").select(
         F.col("cell_id").alias("qcell"), F.col(vec_col).alias("q"))
@@ -364,8 +398,7 @@ def ivf_multiprobe_topk(
     cell-key join."""
     e = DOUBLE_VEC.format(col=vec_col)
     if centroids is None:
-        centroids = embeddings.where(f"{id_col} % {modulus} = 0").select(
-            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        centroids = _default_centroids(embeddings, modulus, vec_col, id_col)
     cells = _assign_cells(embeddings, centroids, vec_col, id_col)
     codebook = centroids.select(
         "cid", F.expr(DOUBLE_VEC.format(col="cvec")).alias("cvec")

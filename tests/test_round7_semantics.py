@@ -1,0 +1,122 @@
+"""Round-7 semantics: absolute training-sample caps (VERDICT r6 item
+3). The `% mod` fraction samples compose with a bottom-k-by-salted-
+hash cap; below the cap the filter is the identity (so every existing
+green driver row stays valid), above it training cost is O(cap)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_SMALL = os.environ.get("OCM_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_cap_by_salted_hash_identity_below_cap(spark):
+    """cap >= |input| must select every row (the identity), cap <
+    |input| must select exactly cap rows, deterministically."""
+    from oracle_cassandra_migrator_spark.operators.sampling import (
+        cap_by_salted_hash)
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    full = cap_by_salted_hash(df, "doc_id", 1000, "t")
+    assert full.count() == 500
+    assert (sorted(r["doc_id"] for r in full.collect())
+            == list(range(500)))
+
+    capped = cap_by_salted_hash(df, "doc_id", 50, "t")
+    rows1 = sorted(r["doc_id"] for r in capped.collect())
+    rows2 = sorted(r["doc_id"] for r in
+                   cap_by_salted_hash(df, "doc_id", 50, "t").collect())
+    assert len(rows1) == 50 and rows1 == rows2
+    # a different salt draws a different (still deterministic) sample
+    rows3 = sorted(r["doc_id"] for r in
+                   cap_by_salted_hash(df, "doc_id", 50, "u").collect())
+    assert rows3 != rows1
+
+
+def test_kmeans_train_cap_identity_below_cap(spark):
+    """The capped Lloyd loop must produce bit-identical centroids when
+    the cap doesn't bind — this is what keeps the r05/r06 green rows
+    of every codebook-consuming query valid after the r7 cap."""
+    from oracle_cassandra_migrator_spark.operators import similarity
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    capped = {r["cid"]: r["cvec"] for r in similarity.kmeans_codebook(
+        emb, modulus=43, iters=2).collect()}
+    uncapped = {r["cid"]: r["cvec"] for r in similarity.kmeans_codebook(
+        emb, modulus=43, iters=2, train_cap=None).collect()}
+    assert capped == uncapped
+
+
+def test_kmeans_train_cap_binds(spark):
+    """With cap < corpus the iteration input is the capped sample:
+    centroids differ from the uncapped run but stay deterministic."""
+    from oracle_cassandra_migrator_spark.operators import similarity
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    a = {r["cid"]: r["cvec"] for r in similarity.kmeans_codebook(
+        emb, modulus=43, iters=2, train_cap=100).collect()}
+    b = {r["cid"]: r["cvec"] for r in similarity.kmeans_codebook(
+        emb, modulus=43, iters=2, train_cap=100).collect()}
+    assert a == b
+    uncapped = {r["cid"]: r["cvec"] for r in similarity.kmeans_codebook(
+        emb, modulus=43, iters=2, train_cap=None).collect()}
+    assert a != uncapped
+
+
+def test_bigram_model_cap_identity_below_cap(spark):
+    from oracle_cassandra_migrator_spark.operators.text import bigram_model
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    rows_c, total_c = bigram_model(docs, "text", "doc_id")
+    # 10k >= the 500-doc corpus, so the cap must not bind (NB: the cap
+    # sizes Spark's per-task bottom-k heap — keep it realistic, a 1e9
+    # "cap" would allocate a 1e9-slot heap per task)
+    rows_u, total_u = bigram_model(docs, "text", "doc_id",
+                                   sample_cap=10_000)
+    assert total_c == total_u
+    assert ({(r["bg"], r["cnt"]) for r in rows_c}
+            == {(r["bg"], r["cnt"]) for r in rows_u})
+    # binding cap: fewer docs -> no more bigram mass than uncapped
+    rows_b, total_b = bigram_model(docs, "text", "doc_id", sample_cap=5)
+    assert 0 < total_b < total_c
+
+
+def test_ivf_default_centroids_capped_and_identical(spark):
+    """The untrained-IVF centroid sample is % modulus AND bottom-cap:
+    not binding at driver SF (same result set as the bare % modulus
+    filter), binding when the cap is forced small."""
+    from oracle_cassandra_migrator_spark.operators import similarity
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    got = similarity._default_centroids(emb, 43, "embedding", "vec_id")
+    want = emb.where("vec_id % 43 = 0")
+    assert (sorted(r["cid"] for r in got.collect())
+            == sorted(r["vec_id"] for r in want.collect()))
+
+    old = similarity.IVF_CENTROID_CAP
+    similarity.IVF_CENTROID_CAP = 3
+    try:
+        few = similarity._default_centroids(
+            emb, 43, "embedding", "vec_id").collect()
+    finally:
+        similarity.IVF_CENTROID_CAP = old
+    assert [r["cid"] for r in few] == sorted(
+        r["vec_id"] for r in want.collect())[:3]
+
+
+def test_capped_sample_plan_is_take_ordered(spark):
+    """The cap must plan as TakeOrderedAndProject (per-task bottom-k,
+    driver merge) — never a global sort of the corpus."""
+    from oracle_cassandra_migrator_spark.operators.sampling import (
+        cap_by_salted_hash)
+
+    df = spark.range(0, 10_000).withColumnRenamed("id", "doc_id")
+    plan = cap_by_salted_hash(df, "doc_id", 100, "p")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan

@@ -16,6 +16,12 @@ coarsening is by QUANTILE, so even bins >> |distinct scores| need not
 be a bijection: a value whose probability mass falls below the 1/bins
 grid spacing can share a bucket with its neighbor — the binned AUC
 converges to (need not exactly reach) the exact one.
+
+Family-wide reporting convention (shared with operators/quantiles):
+every *_binned report's ``n_bins`` is the number of NON-EMPTY buckets
+actually observed — the resolution the statistic was really computed
+at — never the requested ``bins`` (quantile boundaries merge under
+ties, so the two differ exactly when it matters).
 """
 
 from __future__ import annotations
@@ -47,6 +53,7 @@ def _auc_of(scored: DataFrame, score_col: str) -> dict:
         # the divide must be guarded IN the expression: a degenerate
         # label makes the denominator 0 and ANSI mode would throw
         # before the Python-side check below ever sees the counts
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_scores"),
         F.expr("CASE WHEN SUM(np) = 0 OR SUM(nn) = 0 THEN NULL ELSE"
                " CAST(floor(CAST(SUM(np * (2 * cb + nn)) AS DOUBLE) * 1e6"
                " / (2e0 * SUM(np) * SUM(nn)) + 0.5) AS BIGINT) END")
@@ -56,7 +63,7 @@ def _auc_of(scored: DataFrame, score_col: str) -> dict:
             f"auc: degenerate label (n_pos={row['n_pos']}, "
             f"n_neg={row['n_neg']}) — AUC is undefined")
     return {"auc_ppm": row["auc_ppm"], "n_pos": row["n_pos"],
-            "n_neg": row["n_neg"]}
+            "n_neg": row["n_neg"], "n_scores": row["n_scores"]}
 
 
 def auc_exact(df: DataFrame, score: str, label: str) -> dict:
@@ -68,7 +75,9 @@ def auc_exact(df: DataFrame, score: str, label: str) -> dict:
     scored = df.selectExpr(
         f"{score} AS __auc_score",
         f"CASE WHEN {label} THEN 1 ELSE 0 END AS pos")
-    return _auc_of(scored, "__auc_score")
+    res = _auc_of(scored, "__auc_score")
+    res.pop("n_scores")
+    return res
 
 
 def auc_binned(
@@ -93,7 +102,8 @@ def auc_binned(
     assigned = assign_buckets(scored, bounds, "__auc_score",
                               out="__auc_bucket")
     res = _auc_of(assigned.select("__auc_bucket", "pos"), "__auc_bucket")
-    return {**res, "n_bins": bins}
+    return {"auc_ppm": res["auc_ppm"], "n_pos": res["n_pos"],
+            "n_neg": res["n_neg"], "n_bins": res["n_scores"]}
 
 
 def gini_binned(
@@ -159,7 +169,7 @@ def gini_binned(
     return {
         "gini_lower_ppm": math.floor(g_between * 1e6 + 0.5),
         "gini_upper_ppm": math.floor((g_between + overlap) * 1e6 + 0.5),
-        "n": n_total, "n_bins": bins,
+        "n": n_total, "n_bins": len(rows),
     }
 
 

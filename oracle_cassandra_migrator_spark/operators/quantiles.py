@@ -277,7 +277,11 @@ def ks_binned(
     All bound arithmetic is exact integers scaled by n_a * n_b (the
     catalog query's trick); only the final ppm division floats. The
     bracket width shrinks as 1/bins. Returns ``{"ks_lower_ppm",
-    "ks_upper_ppm", "n_ref", "n_cmp", "n_bins"}``."""
+    "ks_upper_ppm", "n_ref", "n_cmp", "n_bins"}``, with ``n_bins`` =
+    NON-EMPTY buckets observed — the family-wide convention shared
+    with ``psi_between``/``auc_binned``/``gini_binned``/
+    ``calibration_binned`` (requested ``bins`` and observed buckets
+    differ exactly when quantile boundaries merge under ties)."""
     import math
 
     ca, cb = _binned_histograms(df, ref, col, bins, exact, accuracy)
@@ -303,5 +307,5 @@ def ks_binned(
     return {
         "ks_lower_ppm": math.floor(lower_s * 1e6 / denom + 0.5),
         "ks_upper_ppm": math.floor(upper_s * 1e6 / denom + 0.5),
-        "n_ref": n_ref, "n_cmp": n_cmp, "n_bins": bins,
+        "n_ref": n_ref, "n_cmp": n_cmp, "n_bins": len(buckets),
     }

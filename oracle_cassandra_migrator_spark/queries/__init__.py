@@ -125,8 +125,13 @@ _R04_CONFIRMED = frozenset({
 # cap, so the trained artifacts — NMI k-means replay, PQ/IVF
 # codebooks, bigram LM — are bit-identical at every driver SF and the
 # existing green rows remain valid; `tests/test_round7_semantics.py`
-# pins cap-not-binding == uncapped). Hence no r7 rechecks.
-_RECHECK = frozenset()
+# pins cap-not-binding == uncapped). The two multimodal queries DID
+# change output (VERDICT r6 item 5: the length-derived fake decode
+# became real BMP/PPM/WAV header parsing over synthesized container
+# bytes) — they re-enter the window.
+_RECHECK = frozenset({
+    "multimodal_decode_stats", "multimodal_resize_stats",
+})
 
 # CORRECTNESS_r05.json: 50/50 green (rows+schema+hash) — the literal
 # key set, folded per the round-6 maintenance note below. This closed

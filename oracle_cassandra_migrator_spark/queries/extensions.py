@@ -611,22 +611,58 @@ def text_fingerprint_bottomk(spark, sf_dir):
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
 
-@query(
-    "multimodal_decode_stats",
-    oracle="""
-    SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CASE octet_length(encode(text)) % 3
-                WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS mm_format,
-           CAST(octet_length(encode(text)) % 640 AS INT) AS width,
-           CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height
+# doc_id arithmetic mirrored by operators/multimodal.payload_for_doc:
+# codec by doc_id % 3, geometry from doc_id — the oracle replays the
+# ARITHMETIC while Spark round-trips real container bytes through the
+# builders and the header parsers; a header-layout bug (wrong offset,
+# wrong endianness, bad row padding) breaks n_bytes or a dimension and
+# flips the driver hash.
+_MM_SQL = """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           doc_id % 3 AS codec,
+           1 + doc_id % 19 AS bw, 1 + (doc_id * 7) % 13 AS bh,
+           1 + doc_id % 23 AS pw, 1 + (doc_id * 5) % 11 AS ph,
+           1 + doc_id % 2 AS wc,
+           CASE (doc_id // 3) % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                ELSE 44100 END AS wrate,
+           1 + doc_id % 500 AS wframes
     FROM documents
-    """,
-)
+"""
+
+_MM_DECODED_SQL = f"""
+    WITH g AS ({_MM_SQL})
+    SELECT doc_id,
+           CAST(CASE codec
+                WHEN 0 THEN 54 + ((3 * bw + 3) // 4) * 4 * bh
+                WHEN 1 THEN 9 + length(CAST(pw AS VARCHAR))
+                         + length(CAST(ph AS VARCHAR)) + 3 * pw * ph
+                ELSE 44 + wframes * wc * 2 END AS BIGINT) AS n_bytes,
+           CASE codec WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+                ELSE 'wav' END AS mm_format,
+           CAST(CASE codec WHEN 0 THEN bw WHEN 1 THEN pw END AS INT)
+             AS width,
+           CAST(CASE codec WHEN 0 THEN bh WHEN 1 THEN ph END AS INT)
+             AS height,
+           CAST(CASE codec WHEN 2 THEN wc END AS INT) AS channels,
+           CAST(CASE codec WHEN 2 THEN wrate END AS INT) AS sample_rate,
+           CAST(CASE codec WHEN 2 THEN wframes * 1000 // wrate
+                END AS BIGINT) AS duration_ms
+    FROM g
+"""
+
+
+@query("multimodal_decode_stats", oracle=_MM_DECODED_SQL)
 def multimodal_decode_stats(spark, sf_dir):
+    """Real container decode over Arrow-batched binary payloads: one
+    BMP / P6-PPM / RIFF-WAV file per document (codec chosen by
+    doc_id % 3, built by ``payload_for_doc``), headers parsed
+    byte-for-byte by ``decode_header`` — width/height for images,
+    channels/sample-rate/duration for audio, all from the actual
+    bytes. The oracle replays the generator arithmetic, so the match
+    certifies the full encode -> parse round trip."""
     docs = read_table(spark, sf_dir, "documents")
     return multimodal.decode_binary_metadata(
-        multimodal.documents_as_binary(docs))
+        multimodal.synthesized_payloads(docs))
 
 
 # ---------------------------------------------------------------------------
@@ -1329,12 +1365,9 @@ def events_funnel_counts(spark, sf_dir):
 
 @query(
     "multimodal_resize_stats",
-    oracle="""
+    oracle=f"""
     WITH decoded AS (
-      SELECT doc_id,
-             CAST(octet_length(encode(text)) % 640 AS INT) AS width,
-             CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height
-      FROM documents)
+      SELECT doc_id, width, height FROM ({_MM_DECODED_SQL}))
     SELECT doc_id, width, height,
            CAST(width * 224 // greatest(greatest(width, height), 1) AS INT)
              AS resized_w,
@@ -1344,9 +1377,11 @@ def events_funnel_counts(spark, sf_dir):
     """,
 )
 def multimodal_resize_stats(spark, sf_dir):
+    """Fit-into-224 geometry over the REAL decoded dimensions; audio
+    rows (NULL dims) pass through as NULL — quarantine-don't-fail."""
     docs = read_table(spark, sf_dir, "documents")
     decoded = multimodal.decode_binary_metadata(
-        multimodal.documents_as_binary(docs))
+        multimodal.synthesized_payloads(docs))
     return multimodal.resize_metadata(decoded, box=224)
 
 

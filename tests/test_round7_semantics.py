@@ -120,3 +120,75 @@ def test_capped_sample_plan_is_take_ordered(spark):
         .queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Real multimodal decode (VERDICT r6 item 5)
+# ---------------------------------------------------------------------------
+
+def test_decode_header_parses_real_containers():
+    """Round-trip: build real BMP/PPM/WAV bytes, parse the headers
+    back — plus a stdlib cross-check of the WAV bytes via wave."""
+    from oracle_cassandra_migrator_spark.operators import multimodal as mm
+
+    assert mm.decode_header(mm.build_bmp(17, 9)) == (
+        "bmp", 17, 9, None, None, None)
+    assert mm.decode_header(mm.build_ppm(3, 200)) == (
+        "ppm", 3, 200, None, None, None)
+    wav = mm.build_wav(2, 16000, 8001)
+    assert mm.decode_header(wav) == ("wav", None, None, 2, 16000,
+                                     8001 * 1000 // 16000)
+
+    import io
+    import wave as stdwave
+
+    with stdwave.open(io.BytesIO(wav)) as f:
+        assert (f.getnchannels(), f.getframerate(), f.getnframes()) \
+            == (2, 16000, 8001)
+
+
+def test_decode_header_edge_cases():
+    from oracle_cassandra_migrator_spark.operators import multimodal as mm
+
+    # corrupt/unknown payloads degrade to 'unknown', never raise
+    for bad in (b"", b"BM", b"BMxxxxxxxxxxxxxxxxxxxxxxxx"[:20],
+                b"P6\n-3 4\n255\n", b"P6 garbage", b"RIFFxxxxJUNK",
+                b"\x89PNG\r\n\x1a\n not supported here"):
+        assert mm.decode_header(bad)[0] == "unknown", bad
+
+    # top-down BMP (negative height) reports |height|
+    import struct
+
+    bmp = bytearray(mm.build_bmp(5, 4))
+    struct.pack_into("<i", bmp, 22, -4)
+    assert mm.decode_header(bytes(bmp)) == ("bmp", 5, 4, None, None, None)
+
+    # PPM comments between header tokens are legal
+    ppm = b"P6\n# a comment\n6 # inline\n7\n255\n" + b"\0" * (3 * 6 * 7)
+    assert mm.decode_header(ppm) == ("ppm", 6, 7, None, None, None)
+
+    # WAV with an extra (odd-sized, word-aligned) chunk before data
+    wav = mm.build_wav(1, 8000, 100)
+    extra = struct.pack("<4sI", b"LIST", 3) + b"abc\x00"
+    patched = wav[:36] + extra + wav[36:]
+    patched = (struct.pack("<4sI4s", b"RIFF", len(patched) - 8, b"WAVE")
+               + patched[12:])
+    assert mm.decode_header(patched) == ("wav", None, None, 1, 8000,
+                                         100 * 1000 // 8000)
+
+
+def test_decode_binary_metadata_quarantines_bad_rows(spark):
+    """A corrupt payload inside a batch must yield an 'unknown' row
+    while its neighbors decode — no task failure at 100 TB."""
+    from oracle_cassandra_migrator_spark.operators import multimodal as mm
+
+    rows = [(1, bytearray(mm.build_bmp(4, 4))),
+            (2, bytearray(b"corrupt bytes")),
+            (3, bytearray(mm.build_wav(1, 8000, 400)))]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, payload BINARY")
+    got = {r["doc_id"]: r for r in
+           mm.decode_binary_metadata(df).collect()}
+    assert got[1]["mm_format"] == "bmp" and got[1]["width"] == 4
+    assert got[2]["mm_format"] == "unknown"
+    assert got[2]["width"] is None and got[2]["duration_ms"] is None
+    assert got[3]["mm_format"] == "wav" and got[3]["duration_ms"] == 50

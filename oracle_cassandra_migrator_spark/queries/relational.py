@@ -527,7 +527,14 @@ def topk_order_revenue(spark, sf_dir):
     """TPC-H Q3-shaped top-k: Spark plans TakeOrderedAndProject, which
     takes per-partition top-k then merges on the driver — no global sort
     shuffle even at 100 TB."""
-    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    return run_topk_order_revenue(
+        load_tables(spark, sf_dir, "customer", "orders", "lineitem"))
+
+
+def run_topk_order_revenue(t):
+    """Top-k body over caller-supplied frames — the seam for the
+    bucketed layout (orders/lineitem bucketed by order key skip the
+    o_orderkey = l_orderkey Exchange, the probe's 3.3x term)."""
     return (
         t["customer"].where("c_mktsegment = 'BUILDING'")
         .join(t["orders"], F.expr("c_custkey = o_custkey"))

@@ -396,13 +396,25 @@ _Q21_SQL = """
 """
 
 
+def run_q21(spark, tables):
+    """Q21 over caller-supplied frames (``{name: DataFrame}``): the
+    seam that lets the SAME plan run against plain parquet or the
+    bucketed layout (``sources/bucketed.py``) — bucketing lineitem and
+    orders by order key drops the three l_orderkey Exchanges that made
+    q21 the worst scale-probe ratio (3.5x at the 10x probe)."""
+    for n, df in tables.items():
+        df.createOrReplaceTempView(n)
+    return spark.sql(_Q21_SQL)
+
+
 @query("tpch_q21_waiting_suppliers", oracle=_Q21_SQL)
 def tpch_q21_waiting_suppliers(spark, sf_dir):
     """TPC-H Q21 shape: EXISTS + NOT EXISTS both correlated to the same
     outer row (the NOT EXISTS also references the joined orders row) ->
     a left-semi and a left-anti join stacked on l_orderkey."""
-    _views(spark, sf_dir, "supplier", "lineitem", "orders", "nation")
-    return spark.sql(_Q21_SQL)
+    return run_q21(spark, {
+        n: read_table(spark, sf_dir, n)
+        for n in ("supplier", "lineitem", "orders", "nation")})
 
 
 # ---------------------------------------------------------------------------

@@ -192,3 +192,55 @@ def test_decode_binary_metadata_quarantines_bad_rows(spark):
     assert got[2]["mm_format"] == "unknown"
     assert got[2]["width"] is None and got[2]["duration_ms"] is None
     assert got[3]["mm_format"] == "wav" and got[3]["duration_ms"] == 50
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling
+# ---------------------------------------------------------------------------
+
+def test_dsir_scoring_is_shuffle_free_and_topk_takeordered(spark):
+    """Scoring must be a pure per-row fold against the model literal
+    (zero Exchanges — the training DAG must NOT ride along), and the
+    resample must plan TakeOrderedAndProject, never a global sort."""
+    from oracle_cassandra_migrator_spark.operators import importance
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    ratios = importance.train_dsir_ratios(
+        docs, "text", "doc_id", "lang = 'en'")
+    scored = importance.dsir_logweight(docs, ratios, "text", "doc_id")
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Scan" in plan
+
+    topk = importance.dsir_resample_topk(scored, 100, "doc_id")
+    plan_k = topk._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan_k
+    assert "Exchange rangepartitioning" not in plan_k
+
+
+def test_dsir_weights_separate_target_from_rest(spark):
+    """Sanity on semantics: per-word-normalized weights must rank the
+    target slice (en) above the rest on average — the model was
+    trained to prefer exactly that slice."""
+    from oracle_cassandra_migrator_spark.operators import importance
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    ratios = importance.train_dsir_ratios(
+        docs, "text", "doc_id", "lang = 'en'")
+    assert len(ratios) == importance.DSIR_BUCKETS
+    scored = importance.dsir_logweight(docs, ratios, "text", "doc_id") \
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    rows = scored.selectExpr(
+        "lang = 'en' AS is_en",
+        "CAST(logw_micro AS DOUBLE) / n_words AS per_word").groupBy(
+        "is_en").avg("per_word").collect()
+    avg = {r["is_en"]: r["avg(per_word)"] for r in rows}
+    assert avg[True] > avg[False]
+
+    # resample must enrich the target slice relative to the corpus
+    base = docs.where("lang = 'en'").count() / docs.count()
+    picked = importance.dsir_resample_topk(scored, 100, "doc_id")
+    frac = picked.where("lang = 'en'").count() / 100.0
+    assert frac > base

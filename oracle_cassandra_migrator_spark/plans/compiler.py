@@ -501,3 +501,31 @@ def _op_psi_gate(ns, step):
 
 
 OPS["psi_gate"] = _op_psi_gate
+
+
+def _op_dsir_select(ns, step):
+    """{"op": "dsir_select", "input": docs, "text": col, "id": col,
+    "target": SQL predicate[, "k": N, "score_only": true]} —
+    DSIR importance selection as a declarative curation step
+    (operators/importance.py): train the hashed-unigram likelihood-
+    ratio model on a capped sample of the input, score every row with
+    the zero-Exchange literal fold, and either return the scored
+    frame (``score_only``) or the Gumbel-top-k weighted sample joined
+    back to the full input rows (all original columns + logw_micro).
+    Slots between dedup and mixture steps in a curation pipeline."""
+    from oracle_cassandra_migrator_spark.operators import importance
+
+    df = _input(ns, step)
+    text_col, id_col = step["text"], step["id"]
+    ratios = importance.train_dsir_ratios(
+        df, text_col, id_col, step["target"])
+    scored = importance.dsir_logweight(df, ratios, text_col, id_col)
+    if step.get("score_only"):
+        return scored
+    picked = importance.dsir_resample_topk(
+        scored, step.get("k", 100), id_col)
+    return df.join(
+        F.broadcast(picked.select(id_col, "logw_micro")), id_col)
+
+
+OPS["dsir_select"] = _op_dsir_select

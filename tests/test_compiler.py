@@ -593,3 +593,37 @@ def test_ks_binned_bounds_sandwich_exact_and_tighten(spark):
     assert widths[-1] < widths[0]
     same = ks_binned(even, even, "n_chars", bins=16, exact=True)
     assert same["ks_lower_ppm"] == 0
+
+
+def test_compiler_dsir_select_step(spark):
+    """dsir_select must pin to the operator composition: score_only
+    equals dsir_logweight on the same input, and selection returns
+    exactly k full input rows tagged with logw_micro."""
+    from oracle_cassandra_migrator_spark.operators import importance
+    from oracle_cassandra_migrator_spark.plans.compiler import (
+        compile_transform)
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    from tests.conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    scored = compile_transform(spark, {"docs": docs}, [
+        {"op": "dsir_select", "input": "docs", "text": "text",
+         "id": "doc_id", "target": "lang = 'en'", "score_only": True},
+    ])
+    ratios = importance.train_dsir_ratios(
+        docs, "text", "doc_id", "lang = 'en'")
+    want = importance.dsir_logweight(docs, ratios, "text", "doc_id")
+    assert ({tuple(r) for r in scored.collect()}
+            == {tuple(r) for r in want.collect()})
+
+    picked = compile_transform(spark, {"docs": docs}, [
+        {"op": "dsir_select", "input": "docs", "text": "text",
+         "id": "doc_id", "target": "lang = 'en'", "k": 25},
+    ])
+    rows = picked.collect()
+    assert len(rows) == 25
+    assert set(picked.columns) == set(docs.columns) | {"logw_micro"}
+    want_ids = {r["doc_id"] for r in importance.dsir_resample_topk(
+        want, 25, "doc_id").collect()}
+    assert {r["doc_id"] for r in rows} == want_ids

@@ -1134,7 +1134,12 @@ def sim_ivf_trained_topk(spark, sf_dir):
     runs (similarity.codebook_literal_expr), which keeps repeated
     probes free of the training stages."""
     emb = read_table(spark, sf_dir, "embeddings")
-    cents = similarity.kmeans_codebook(emb, modulus=43, iters=2)
+    # init_limit=64: absolute codebook bound (non-binding at driver
+    # SFs — %43 of <= 2000 vectors < 64 — so the oracle's uncapped
+    # replay matches; binding at probe/100TB scale where the corpus
+    # assignment is O(corpus x |codebook|)). See sim_cluster_quality_nmi.
+    cents = similarity.kmeans_codebook(emb, modulus=43, iters=2,
+                                       init_limit=64)
     return similarity.ivf_topk(emb, k=10, query_id=0, centroids=cents)
 
 

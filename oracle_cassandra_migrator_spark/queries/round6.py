@@ -765,7 +765,14 @@ def sim_cluster_quality_nmi(spark, sf_dir):
     from oracle_cassandra_migrator_spark.operators import similarity
 
     emb = read_table(spark, sf_dir, "embeddings")
-    cents = similarity.kmeans_codebook(emb, modulus=43, iters=2)
+    # init_limit=64 bounds the CODEBOOK absolutely (train_cap bounds
+    # the Lloyd iterations, but the % 43 init is still a fraction of
+    # the train set — measured 29x wall at the 30x probe because the
+    # full-corpus assignment is O(corpus x |codebook|)). 64 does not
+    # bind at any driver SF (%43 of <= 2000 vectors < 64), so the
+    # oracle's uncapped replay stays bit-identical where it is run.
+    cents = similarity.kmeans_codebook(emb, modulus=43, iters=2,
+                                       init_limit=64)
     cells = similarity._assign_cells(emb, cents, "embedding", "vec_id")
     ct = (cells.join(emb.select("vec_id", "label"), "vec_id")
           .groupBy("cell_id", "label")

@@ -24,7 +24,19 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
-    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    # Broadcast thresholds are SPLIT (r7, from the 30x-probe q21
+    # finding): the STATIC threshold trusts CBO *estimates* — a
+    # mis-estimated fact side statically planned as BHJ builds a
+    # multi-hundred-MB driver hash relation that AQE cannot demote
+    # (measured: 20.2 s vs 2.8 s SMJ for q21 at the 30x probe, where
+    # the filtered-orders estimate came in under the old 64MB static
+    # bar). The ADAPTIVE threshold acts on ACCURATE runtime shuffle
+    # sizes and converts SMJ->BHJ with cheap local readers, so it can
+    # stay generous. Net: tiny dims still broadcast statically,
+    # mid-size sides broadcast only when runtime bytes prove it, and
+    # a bad estimate can no longer pick an un-demotable plan.
+    "spark.sql.autoBroadcastJoinThreshold": "8MB",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "64MB",
     "spark.sql.shuffle.partitions": "32",
     "spark.ui.enabled": "false",
     "spark.sql.session.timeZone": "UTC",

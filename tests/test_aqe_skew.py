@@ -8,6 +8,10 @@ from pyspark.sql import functions as F
 def test_aqe_splits_skewed_join_partition(spark):
     confs = {
         "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # r7 split the session thresholds: the adaptive one must be
+        # disabled here too, else AQE promotes this SMJ to broadcast
+        # from runtime sizes and the skew handler never engages
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",

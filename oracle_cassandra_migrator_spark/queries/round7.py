@@ -109,3 +109,197 @@ def sample_importance_dsir_topk(spark, sf_dir):
         docs, "text", "doc_id", "lang = 'en'")
     scored = importance.dsir_logweight(docs, ratios, "text", "doc_id")
     return importance.dsir_resample_topk(scored, 100, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# eval_cohens_kappa_lang_guess — annotation agreement as a catalog query
+# ---------------------------------------------------------------------------
+
+def _guess_sql() -> str:
+    """The text_lang_guess oracle's CASE, reused verbatim so the two
+    raters are the labeled lang and the same heuristic both engines
+    already agree on."""
+    from oracle_cassandra_migrator_spark.queries.extensions import (
+        _lang_count_sql)
+
+    profiles = {
+        "en": ["the", "and", "of", "to", "is"],
+        "de": ["der", "die", "und", "ist", "das"],
+        "es": ["el", "la", "que", "de", "es"],
+        "fr": ["le", "la", "et", "est", "les"],
+    }
+    counts = {k: _lang_count_sql(v) for k, v in profiles.items()}
+    g = "greatest(" + ", ".join(counts.values()) + ")"
+    whens = " ".join(
+        f"WHEN {c} = {g} THEN '{lang}'" for lang, c in counts.items())
+    return f"CASE WHEN {g} = 0 THEN 'und' {whens} ELSE 'und' END"
+
+
+@query(
+    "eval_cohens_kappa_lang_guess",
+    oracle=f"""
+    WITH pairs AS (SELECT lang AS ra, {_guess_sql()} AS rb FROM documents),
+    cells AS (SELECT ra, rb, CAST(count(*) AS BIGINT) AS n
+              FROM pairs GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+                   CAST(SUM(CASE WHEN ra = rb THEN n ELSE 0 END)
+                        AS BIGINT) AS agree
+            FROM cells),
+    r AS (SELECT ra AS cat, SUM(n) AS rn FROM cells GROUP BY 1),
+    c AS (SELECT rb AS cat, SUM(n) AS cn FROM cells GROUP BY 1),
+    pen AS (SELECT CAST(SUM(COALESCE(r.rn, 0) * COALESCE(c.cn, 0))
+                        AS BIGINT) AS pe_num
+            FROM r FULL JOIN c USING (cat))
+    SELECT t.n_total, t.agree,
+           CAST(floor(CAST(t.agree AS DOUBLE) * 1e6 / t.n_total + 0.5)
+                AS BIGINT) AS po_ppm,
+           CAST(floor(CAST(p.pe_num AS DOUBLE) * 1e6
+                / (CAST(t.n_total AS DOUBLE) * t.n_total) + 0.5)
+                AS BIGINT) AS pe_ppm,
+           CASE WHEN CAST(t.n_total AS DECIMAL(38,0)) * t.n_total
+                     = p.pe_num THEN NULL
+                ELSE CAST(floor(
+                    CAST(t.agree * CAST(t.n_total AS DECIMAL(38,0))
+                         - p.pe_num AS DOUBLE) * 1e6
+                    / CAST(CAST(t.n_total AS DECIMAL(38,0)) * t.n_total
+                           - p.pe_num AS DOUBLE) + 0.5) AS BIGINT) END
+             AS kappa_ppm
+    FROM tot t CROSS JOIN pen p
+    """,
+)
+def eval_cohens_kappa_lang_guess(spark, sf_dir):
+    """Cohen's kappa between the labeled language and the stopword
+    heuristic — chance-corrected agreement, the annotation-audit twin
+    of text_lang_confusion (raw accuracy flatters any rater that just
+    predicts the majority class; kappa subtracts the marginal-implied
+    chance agreement). Corpus collapses to the |langs|x|langs|
+    contingency aggregate; marginals and the pe term are joins over
+    that tiny frame; every numerator stays integer (DECIMAL(38,0) for
+    the n^2-scaled terms, overflow-safe at any corpus size) with the
+    one final ppm division floating. Degenerate pe = 1 surfaces NULL
+    rather than raising (catalog queries treat it as data)."""
+    from pyspark.sql import functions as F
+
+    from oracle_cassandra_migrator_spark.operators.text import (
+        lang_guess_expr)
+
+    docs = read_table(spark, sf_dir, "documents")
+    cells = (docs.selectExpr(
+        "lang AS ra", f"{lang_guess_expr('text')} AS rb")
+        .groupBy("ra", "rb")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n")))
+    tot = cells.agg(
+        F.expr("CAST(SUM(n) AS BIGINT)").alias("n_total"),
+        F.expr("CAST(SUM(CASE WHEN ra = rb THEN n ELSE 0 END) AS BIGINT)")
+        .alias("agree"))
+    r = cells.groupBy(F.col("ra").alias("cat")).agg(
+        F.expr("SUM(n)").alias("rn"))
+    c = cells.groupBy(F.col("rb").alias("cat")).agg(
+        F.expr("SUM(n)").alias("cn"))
+    pen = (r.join(c, "cat", "full")
+           .agg(F.expr("CAST(SUM(COALESCE(rn, 0) * COALESCE(cn, 0))"
+                       " AS BIGINT)").alias("pe_num")))
+    return tot.crossJoin(pen).selectExpr(
+        "n_total", "agree",
+        "CAST(floor(CAST(agree AS DOUBLE) * 1e6 / n_total + 0.5)"
+        " AS BIGINT) AS po_ppm",
+        "CAST(floor(CAST(pe_num AS DOUBLE) * 1e6"
+        " / (CAST(n_total AS DOUBLE) * n_total) + 0.5)"
+        " AS BIGINT) AS pe_ppm",
+        "CASE WHEN CAST(n_total AS DECIMAL(38,0)) * n_total = pe_num"
+        " THEN NULL ELSE CAST(floor("
+        "CAST(agree * CAST(n_total AS DECIMAL(38,0)) - pe_num AS DOUBLE)"
+        " * 1e6 / CAST(CAST(n_total AS DECIMAL(38,0)) * n_total - pe_num"
+        " AS DOUBLE) + 0.5) AS BIGINT) END AS kappa_ppm",
+    )
+
+
+# ---------------------------------------------------------------------------
+# privacy_k_anonymity_audit — quasi-identifier group-size compliance
+# ---------------------------------------------------------------------------
+
+K_ANON = 50
+
+
+@query(
+    "privacy_k_anonymity_audit",
+    oracle=f"""
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS group_size
+    FROM documents
+    GROUP BY lang, source
+    HAVING count(*) < {K_ANON}
+    """,
+)
+def privacy_k_anonymity_audit(spark, sf_dir):
+    """k-anonymity audit over the (lang, source) quasi-identifier
+    pair: every equivalence class smaller than k=50 — the groups whose
+    members a release would expose to re-identification. Training-data
+    compliance gate (strip or generalize the flagged groups before
+    release). One map-side-combined aggregation + a post-agg filter;
+    the output is bounded by |quasi-identifier combinations|, never
+    corpus-sized, at any scale."""
+    from pyspark.sql import functions as F
+
+    return (read_table(spark, sf_dir, "documents")
+            .groupBy("lang", "source")
+            .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("group_size"))
+            .where(f"group_size < {K_ANON}"))
+
+
+# ---------------------------------------------------------------------------
+# audit_referential_integrity — FK orphan counts across the star schema
+# ---------------------------------------------------------------------------
+
+_FKS = [
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _ri_arm_sql(rel, child, fk, parent, pk):
+    return f"""
+    SELECT '{rel}' AS relation,
+           CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_orphan_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_orphan_keys
+    FROM (SELECT {fk} AS k, count(*) AS n FROM {child} GROUP BY 1) c
+    WHERE NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.k)"""
+
+
+@query(
+    "audit_referential_integrity",
+    oracle="\n    UNION ALL\n".join(
+        _ri_arm_sql(*fk) for fk in _FKS),
+)
+def audit_referential_integrity(spark, sf_dir):
+    """Referential-integrity audit of every FK edge in the star
+    schema: orphaned child rows (and distinct orphan keys) per
+    relation — the ingest gate that catches a partial load or a key
+    remap before any join silently drops rows. Scale shape per edge:
+    the child collapses to its |distinct FK| aggregate FIRST
+    (map-side partials carry the corpus), the anti join then runs
+    keyed-aggregate-vs-parent (dims broadcast; the orders edge
+    shuffles |orders| keys, not lineitem rows), and each arm ends in
+    a 1-row sum. The 7-arm union is 7 independent small plans."""
+    from pyspark.sql import functions as F
+
+    out = None
+    for rel, child, fk, parent, pk in _FKS:
+        agg = (read_table(spark, sf_dir, child)
+               .groupBy(F.col(fk).alias("k"))
+               .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n")))
+        par = read_table(spark, sf_dir, parent).select(
+            F.col(pk).alias("k"))
+        arm = (agg.join(par, "k", "left_anti")
+               .agg(F.expr("CAST(COALESCE(SUM(n), 0) AS BIGINT)")
+                    .alias("n_orphan_rows"),
+                    F.expr("CAST(COUNT(*) AS BIGINT)")
+                    .alias("n_orphan_keys"))
+               .select(F.lit(rel).alias("relation"),
+                       "n_orphan_rows", "n_orphan_keys"))
+        out = arm if out is None else out.unionAll(arm)
+    return out

@@ -244,3 +244,109 @@ def test_dsir_weights_separate_target_from_rest(spark):
     picked = importance.dsir_resample_topk(scored, 100, "doc_id")
     frac = picked.where("lang = 'en'").count() / 100.0
     assert frac > base
+
+
+# ---------------------------------------------------------------------------
+# Data-quality audits
+# ---------------------------------------------------------------------------
+
+def test_referential_integrity_audit_catches_planted_orphans(spark, tmp_path):
+    """All-zero on the consistent testdata is necessary but not
+    sufficient — plant orphans and assert the audit counts exactly
+    them."""
+    import shutil
+
+    from oracle_cassandra_migrator_spark.queries.round7 import (
+        audit_referential_integrity)
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    clean = {r["relation"]: r for r in
+             audit_referential_integrity(spark, SF_SMALL).collect()}
+    assert set(clean) == {
+        "lineitem->orders", "lineitem->part", "lineitem->supplier",
+        "orders->customer", "customer->nation", "supplier->nation",
+        "nation->region"}
+    assert all(r["n_orphan_rows"] == 0 and r["n_orphan_keys"] == 0
+               for r in clean.values())
+
+    # corrupt copy: 3 lineitem rows pointed at a nonexistent order,
+    # 2 of them sharing one bogus key
+    broken = str(tmp_path / "broken")
+    shutil.copytree(SF_SMALL, broken)
+    li = read_table(spark, SF_SMALL, "lineitem")
+    from pyspark.sql import functions as F
+
+    patched = li.withColumn(
+        "l_orderkey",
+        F.expr("CASE WHEN l_linenumber = 1 AND l_orderkey % 97 = 1 "
+               "THEN 999999990 + l_orderkey % 2 "
+               "ELSE l_orderkey END"))
+    n_planted = patched.where("l_orderkey >= 999999990").count()
+    n_keys = patched.where("l_orderkey >= 999999990") \
+        .select("l_orderkey").distinct().count()
+    assert n_planted > 0
+    import glob
+    import os
+
+    for f in glob.glob(f"{broken}/lineitem.parquet/*") + glob.glob(
+            f"{broken}/lineitem.parquet"):
+        if os.path.isfile(f):
+            os.remove(f)
+        else:
+            shutil.rmtree(f)
+    patched.write.mode("overwrite").parquet(f"{broken}/lineitem.parquet")
+
+    got = {r["relation"]: r for r in
+           audit_referential_integrity(spark, broken).collect()}
+    assert got["lineitem->orders"]["n_orphan_rows"] == n_planted
+    assert got["lineitem->orders"]["n_orphan_keys"] == n_keys
+    assert got["orders->customer"]["n_orphan_rows"] == 0
+
+
+def test_kappa_query_perfect_and_constant_raters(spark, tmp_path):
+    """kappa = 1e6 ppm when the heuristic agrees everywhere; the
+    catalog query is validated against the operator on real data."""
+    from oracle_cassandra_migrator_spark.operators.evaluation import (
+        cohens_kappa)
+    from oracle_cassandra_migrator_spark.operators.text import (
+        lang_guess_expr)
+    from oracle_cassandra_migrator_spark.queries.round7 import (
+        eval_cohens_kappa_lang_guess)
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    row = eval_cohens_kappa_lang_guess(spark, SF_SMALL).collect()[0]
+    docs = read_table(spark, SF_SMALL, "documents").selectExpr(
+        "lang AS ra", f"{lang_guess_expr('text')} AS rb")
+    op = cohens_kappa(docs, "ra", "rb")
+    assert row["kappa_ppm"] == op["kappa_ppm"]
+    assert row["po_ppm"] == op["po_ppm"]
+    assert row["pe_ppm"] == op["pe_ppm"]
+    assert row["n_total"] == op["n"]
+
+    # perfect agreement on a synthetic frame -> exactly 1e6 ppm via
+    # the same SQL shape the query uses (two distinct categories)
+    import shutil
+
+    perfect_dir = str(tmp_path / "perfect")
+    shutil.copytree(SF_SMALL, perfect_dir)
+    docs_raw = read_table(spark, SF_SMALL, "documents")
+    forced = docs_raw.withColumn(
+        "text",
+        # texts the heuristic maps deterministically onto the label
+        __import__("pyspark.sql.functions", fromlist=["expr"]).expr(
+            "CASE WHEN lang = 'en' THEN 'the and of to is' "
+            "WHEN lang = 'de' THEN 'der die und ist das' "
+            "WHEN lang = 'es' THEN 'el la que de es' "
+            "WHEN lang = 'fr' THEN 'le et est les fil' "
+            "ELSE 'zz qq xx' END"))
+    only_known = forced.where("lang IN ('en','de','es','fr')")
+    import glob
+    import os
+
+    for f in glob.glob(f"{perfect_dir}/documents.parquet*"):
+        shutil.rmtree(f) if os.path.isdir(f) else os.remove(f)
+    only_known.write.mode("overwrite").parquet(
+        f"{perfect_dir}/documents.parquet")
+    got = eval_cohens_kappa_lang_guess(spark, perfect_dir).collect()[0]
+    assert got["agree"] == got["n_total"]
+    assert got["kappa_ppm"] == 1_000_000

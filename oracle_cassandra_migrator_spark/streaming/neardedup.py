@@ -1,0 +1,233 @@
+"""Streaming NEAR-duplicate admission: MinHash-LSH dedup as a
+continuously-fed gate.
+
+``streaming/stateful.py`` ships the EXACT-duplicate admission stream
+(sharded bloom fingerprints). This module closes the near-dup half:
+every micro-batch is checked — by MinHash signature estimate — against
+everything admitted so far, and only sufficiently-novel documents pass.
+The ingestion-time shape of corpus curation: dedup the firehose before
+it lands, instead of re-running corpus-wide LSH nightly.
+
+Semantics (documented, deliberately admission-style):
+- WITHIN a batch: a doc is dropped if its signature-estimated Jaccard
+  against a SMALLER-id doc in the same batch reaches the threshold
+  (min-id-wins, non-transitive — the arrival-order analog; corpus-wide
+  transitive clustering remains the batch ``dedup_cluster_components``
+  job's business).
+- ACROSS batches: a doc is dropped if any already-ADMITTED doc
+  estimates as a near-dup. Dropped docs never enter the state, so the
+  state grows with the ADMITTED (novel) corpus only.
+- Verification is the k-component SIGNATURE ESTIMATE (share of equal
+  minhash components), not exact Jaccard: the admitted docs' shingle
+  sets are gone — only their k-integer signatures persist. That is the
+  standard streaming trade (state is k integers + bands rows per
+  admitted doc, never text), and the estimator's error contract is
+  exactly the one ``dedup_minhash_estimate_audit`` pins in batch.
+
+State layout under ``base_dir`` (both append-only parquet, committed
+with the same marker-per-batch exactly-once discipline as
+``streaming/upsert.py`` — replays of a committed batch are no-ops):
+- ``sigs``:  (doc_id, m0..m{k-1}, n_sh) — one row per admitted doc.
+- ``bands``: (doc_id, band_idx, band_key) — the LSH index the probe
+  side equi-joins; at scale this is partitioned by band_key prefix so
+  a batch probes only matching buckets.
+
+Scale shape per batch: the batch computes signatures in one pass
+(map-side aggregation over exploded shingles), the state probe is a
+(band_idx, band_key) equi-join against the bands table — candidates,
+never all-pairs — and the admit append writes |admitted| rows. No
+corpus rescan, no state rewrite (append-only + markers).
+"""
+
+from __future__ import annotations
+
+import posixpath
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from oracle_cassandra_migrator_spark.operators.dedup import (
+    LSH_BANDS,
+    LSH_MAX_BAND_SIZE,
+    LSH_ROWS,
+    BASE_HASH_SPARK,
+    minhash_term_spark,
+    with_shingles,
+)
+from oracle_cassandra_migrator_spark.reliability.state import (
+    LocalFSStateStore,
+    StateStore,
+)
+
+K = LSH_BANDS * LSH_ROWS
+
+
+def batch_signatures(df: DataFrame, text_col: str, id_col: str,
+                     n: int = 3) -> DataFrame:
+    """(id, m0..m{K-1}, n_sh) signature table for one batch — the same
+    hash family as the batch operators, so stream and batch estimates
+    agree bit-for-bit."""
+    shingled = with_shingles(df.select(id_col, text_col), text_col, n)
+    exploded = (shingled
+                .select(F.col(id_col),
+                        F.expr("size(shingles)").alias("n_sh"),
+                        F.explode("shingles").alias("sh"))
+                .withColumn("h", F.expr(BASE_HASH_SPARK)))
+    return exploded.groupBy(id_col).agg(
+        *[F.expr(minhash_term_spark(i)).alias(f"m{i}") for i in range(K)],
+        F.first("n_sh").alias("n_sh"))
+
+
+def band_rows(sig: DataFrame, id_col: str) -> DataFrame:
+    """(id, band_idx, band_key) long-form LSH index rows."""
+    band_keys = [
+        F.md5(F.concat_ws(
+            ":", *[F.col(f"m{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]))
+        .alias(f"b{b}")
+        for b in range(LSH_BANDS)
+    ]
+    return (sig.select(F.col(id_col), *band_keys)
+            .select(F.col(id_col),
+                    F.posexplode(F.array(
+                        *[F.col(f"b{i}") for i in range(LSH_BANDS)]))
+                    .alias("band_idx", "band_key")))
+
+
+def _estimate_ge(threshold: float, a: str = "am", b: str = "bm") -> str:
+    """SQL predicate: signature-estimated Jaccard >= threshold. The
+    estimate is (# equal components) / K; ceil once driver-side so the
+    comparison is pure integers."""
+    import math
+
+    need = math.ceil(threshold * K - 1e-9)
+    eq_terms = " + ".join(
+        f"CASE WHEN {a}{i} = {b}{i} THEN 1 ELSE 0 END" for i in range(K))
+    return f"({eq_terms}) >= {need}"
+
+
+def admit_batch(batch_df: DataFrame, state_sigs: DataFrame | None,
+                state_bands: DataFrame | None, text_col: str,
+                id_col: str, n: int = 3, threshold: float = 0.5,
+                max_band_size: int | None = LSH_MAX_BAND_SIZE):
+    """Pure (no-IO) admission step: returns (admitted_sigs,
+    admitted_bands) for one batch against the given state. Exposed
+    separately so the pytest can replay identical batches in plain
+    batch mode — the stream==batch parity contract."""
+    sig = batch_signatures(batch_df, text_col, id_col, n)
+    bands = band_rows(sig, id_col)
+    est_ab = _estimate_ge(threshold)
+
+    # within-batch: drop docs whose estimate reaches threshold vs a
+    # smaller id (min-id-wins admission)
+    cand_a = bands.select(F.col(id_col).alias("ida"), "band_idx",
+                          "band_key")
+    cand_b = bands.select(F.col(id_col).alias("idb"), "band_idx",
+                          "band_key")
+    cand = (cand_a.join(cand_b, ["band_idx", "band_key"])
+            .where("ida < idb").select("ida", "idb").distinct())
+    siga = sig.select(F.col(id_col).alias("ida"),
+                      *[F.col(f"m{i}").alias(f"am{i}") for i in range(K)])
+    sigb = sig.select(F.col(id_col).alias("idb"),
+                      *[F.col(f"m{i}").alias(f"bm{i}") for i in range(K)])
+    intra_dropped = (cand.join(siga, "ida").join(sigb, "idb")
+                     .where(est_ab)
+                     .select(F.col("idb").alias(id_col)).distinct())
+    survivors = sig.join(intra_dropped, id_col, "left_anti")
+
+    # across batches: probe the admitted-state LSH index
+    if state_bands is not None and state_sigs is not None:
+        probe_bands = band_rows(survivors, id_col)
+        state_b = state_bands.select(
+            F.col("doc_id").alias("admitted_id"), "band_idx", "band_key")
+        if max_band_size is not None:
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy("band_idx", "band_key")
+            state_b = (state_b.withColumn("__n", F.count("*").over(w))
+                       .where(F.col("__n") <= max_band_size).drop("__n"))
+        hits = (probe_bands.join(state_b, ["band_idx", "band_key"])
+                .select(id_col, "admitted_id").distinct())
+        new_sig = survivors.select(
+            F.col(id_col),
+            *[F.col(f"m{i}").alias(f"am{i}") for i in range(K)])
+        old_sig = state_sigs.select(
+            F.col("doc_id").alias("admitted_id"),
+            *[F.col(f"m{i}").alias(f"bm{i}") for i in range(K)])
+        dup_vs_state = (hits.join(new_sig, id_col)
+                        .join(old_sig, "admitted_id")
+                        .where(est_ab)
+                        .select(id_col).distinct())
+        survivors = survivors.join(dup_vs_state, id_col, "left_anti")
+
+    admitted_sigs = survivors.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(f"m{i}") for i in range(K)], "n_sh")
+    admitted_bands = band_rows(survivors, id_col).select(
+        F.col(id_col).alias("doc_id"), "band_idx", "band_key")
+    return admitted_sigs, admitted_bands
+
+
+def _committed(store: StateStore, marker_dir: str) -> list[int]:
+    import re
+
+    ids = []
+    for key in store.list(marker_dir, suffix=".marker"):
+        m = re.search(r"batch-(\d+)\.marker$", key)
+        if m:
+            ids.append(int(m.group(1)))
+    return sorted(ids)
+
+
+def read_state(spark, base_dir: str, state: StateStore | None = None):
+    """(sigs, bands) DataFrames of the committed admitted state, or
+    (None, None) before the first committed batch. Committed = the
+    batch's marker exists; a crash between append and marker leaves
+    orphan part-files in versioned subdirs that are never listed."""
+    store = state or LocalFSStateStore()
+    ids = _committed(store, posixpath.join(base_dir, "markers"))
+    if not ids:
+        return None, None
+    sig_dirs = [posixpath.join(base_dir, f"sigs-v{i}") for i in ids]
+    band_dirs = [posixpath.join(base_dir, f"bands-v{i}") for i in ids]
+    return (spark.read.parquet(*sig_dirs),
+            spark.read.parquet(*band_dirs))
+
+
+def foreach_batch_near_dedup(
+    stream: DataFrame,
+    base_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    state: StateStore | None = None,
+    trigger: dict[str, Any] | None = None,
+) -> StreamingQuery:
+    """The streaming near-dup admission gate. Each micro-batch runs
+    ``admit_batch`` against the committed state and appends the
+    admitted docs' signatures + band rows as version-stamped parquet,
+    marker-committed — replays of a committed batchId are no-ops, and
+    an uncommitted crash leaves only invisible orphan versions."""
+    store = state or LocalFSStateStore()
+    marker_dir = posixpath.join(base_dir, "markers")
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        marker = posixpath.join(marker_dir, f"batch-{batch_id}.marker")
+        if store.exists(marker):
+            return
+        spark = batch_df.sparkSession
+        sigs, bands = read_state(spark, base_dir, store)
+        adm_sigs, adm_bands = admit_batch(
+            batch_df, sigs, bands, text_col, id_col, n, threshold)
+        adm_sigs.write.mode("overwrite").parquet(
+            posixpath.join(base_dir, f"sigs-v{batch_id}"))
+        adm_bands.write.mode("overwrite").parquet(
+            posixpath.join(base_dir, f"bands-v{batch_id}"))
+        store.put_marker(marker)
+
+    writer = (stream.writeStream.foreachBatch(apply)
+              .option("checkpointLocation", checkpoint_dir))
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()

@@ -1,0 +1,132 @@
+"""Streaming near-dup admission (streaming/neardedup.py): planted
+near-dups across micro-batches must be rejected by the signature
+estimate against the admitted state, novel docs admitted, replays
+no-ops, and the stream must equal a batch-mode replay of the same
+batch sequence (stream==batch parity)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+BASE = ("the quick brown fox jumps over the lazy dog while the "
+        "cat naps in the warm afternoon sun near the garden wall")
+NOVEL = ("completely different content about distributed query "
+         "engines shuffling partitioned columnar data across many "
+         "executor nodes with adaptive optimization")
+
+
+def test_admit_batch_semantics(spark):
+    from oracle_cassandra_migrator_spark.streaming import neardedup
+
+    # batch 1: base doc + its near-dup (one word changed) + novel
+    b1 = _mk_docs(spark, [
+        (1, BASE),
+        (2, BASE.replace("afternoon", "evening")),
+        (3, NOVEL),
+    ])
+    sigs1, bands1 = neardedup.admit_batch(
+        b1, None, None, "text", "doc_id")
+    admitted1 = {r["doc_id"] for r in sigs1.collect()}
+    # min-id-wins: 1 admitted, 2 dropped as its near-dup, 3 novel
+    assert admitted1 == {1, 3}
+
+    # materialize state (what foreachBatch persists), then batch 2:
+    # a near-dup of ADMITTED doc 1, an exact resend of doc 3's text,
+    # and a new novel doc
+    sigs1 = sigs1.cache()
+    bands1 = bands1.cache()
+    b2 = _mk_docs(spark, [
+        (10, BASE.replace("garden", "stone")),
+        (11, NOVEL),
+        (12, "unrelated text about birds migrating south before "
+             "winter storms arrive across the northern mountain"),
+    ])
+    sigs2, _ = neardedup.admit_batch(
+        b2, sigs1, bands1, "text", "doc_id")
+    admitted2 = {r["doc_id"] for r in sigs2.collect()}
+    assert admitted2 == {12}
+
+
+def test_stream_near_dedup_end_to_end(spark, tmp_path):
+    from oracle_cassandra_migrator_spark.streaming import neardedup
+
+    # two source files -> two micro-batches (maxFilesPerTrigger=1)
+    src = str(tmp_path / "src")
+    b1 = _mk_docs(spark, [
+        (1, BASE), (2, BASE.replace("afternoon", "evening")), (3, NOVEL)])
+    b2 = _mk_docs(spark, [
+        (10, BASE.replace("garden", "stone")), (11, NOVEL),
+        (12, "unrelated text about birds migrating south before "
+             "winter storms arrive across the northern mountain")])
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    base_dir = str(tmp_path / "state")
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = neardedup.foreach_batch_near_dedup(
+        stream, base_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    sigs, bands = neardedup.read_state(spark, base_dir)
+    admitted = sorted(r["doc_id"] for r in sigs.collect())
+    # order of file pickup is filename order = write order here; the
+    # two batches must admit {1, 3} then {12} (see admit_batch test)
+    assert admitted == [1, 3, 12]
+    # band index rows exist for every admitted doc, none for dropped
+    assert (sorted({r["doc_id"] for r in bands.collect()})
+            == [1, 3, 12])
+
+    # replay: a second run over the same source with a FRESH
+    # checkpoint re-delivers the batches; markers must no-op them
+    import glob
+
+    n_sig_files = len(glob.glob(f"{base_dir}/sigs-v*/part-*"))
+    stream2 = (spark.readStream.schema(b1.schema)
+               .option("maxFilesPerTrigger", "1").parquet(src))
+    q2 = neardedup.foreach_batch_near_dedup(
+        stream2, base_dir, str(tmp_path / "ckpt2"))
+    q2.awaitTermination(180)
+    sigs_after, _ = neardedup.read_state(spark, base_dir)
+    assert sorted(r["doc_id"] for r in sigs_after.collect()) == [1, 3, 12]
+    assert len(glob.glob(f"{base_dir}/sigs-v*/part-*")) == n_sig_files
+
+
+def test_stream_matches_batch_replay(spark, tmp_path):
+    """Feeding real documents through the stream equals replaying the
+    same partitioning of the corpus through admit_batch sequentially —
+    the stream==batch parity pin on real data."""
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+    from oracle_cassandra_migrator_spark.streaming import neardedup
+
+    docs = read_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    lo = docs.where("doc_id % 2 = 0")
+    hi = docs.where("doc_id % 2 = 1")
+
+    src = str(tmp_path / "src")
+    lo.coalesce(1).write.mode("overwrite").parquet(src)
+    hi.coalesce(1).write.mode("append").parquet(src)
+
+    base_dir = str(tmp_path / "state")
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = neardedup.foreach_batch_near_dedup(
+        stream, base_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+    got, _ = neardedup.read_state(spark, base_dir)
+    got_ids = sorted(r["doc_id"] for r in got.collect())
+
+    # batch replay of the same two-batch split
+    s1, b1 = neardedup.admit_batch(lo, None, None, "text", "doc_id")
+    s1, b1 = s1.cache(), b1.cache()
+    s2, _ = neardedup.admit_batch(hi, s1, b1, "text", "doc_id")
+    want_ids = sorted(r["doc_id"] for r in s1.collect()) \
+        + sorted(r["doc_id"] for r in s2.collect())
+    assert got_ids == sorted(want_ids)
+    assert 0 < len(got_ids) <= docs.count()

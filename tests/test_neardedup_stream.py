@@ -130,3 +130,30 @@ def test_stream_matches_batch_replay(spark, tmp_path):
         + sorted(r["doc_id"] for r in s2.collect())
     assert got_ids == sorted(want_ids)
     assert 0 < len(got_ids) <= docs.count()
+
+
+def test_uncommitted_state_versions_are_invisible(spark, tmp_path):
+    """Crash between append and marker: the orphan sigs-v*/bands-v*
+    dirs must not be read (marker-committed reads only), and the
+    replayed batch recomputes and overwrites them."""
+    from oracle_cassandra_migrator_spark.streaming import neardedup
+
+    base_dir = str(tmp_path / "state")
+    b1 = _mk_docs(spark, [(1, BASE), (3, NOVEL)])
+    sigs1, bands1 = neardedup.admit_batch(b1, None, None, "text", "doc_id")
+    # simulate the crash: data written, marker never placed
+    sigs1.write.mode("overwrite").parquet(f"{base_dir}/sigs-v0")
+    bands1.write.mode("overwrite").parquet(f"{base_dir}/bands-v0")
+    got_sigs, got_bands = neardedup.read_state(spark, base_dir)
+    assert got_sigs is None and got_bands is None
+
+    # the stream replays batch 0, recomputes, overwrites, commits
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = neardedup.foreach_batch_near_dedup(
+        stream, base_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    sigs, _ = neardedup.read_state(spark, base_dir)
+    assert sorted(r["doc_id"] for r in sigs.collect()) == [1, 3]

@@ -303,3 +303,97 @@ def audit_referential_integrity(spark, sf_dir):
                        "n_orphan_rows", "n_orphan_keys"))
         out = arm if out is None else out.unionAll(arm)
     return out
+
+
+# ---------------------------------------------------------------------------
+# stream_neardedup_admission_batch — the streaming near-dup gate's twin
+# ---------------------------------------------------------------------------
+
+def _neardedup_admission_oracle() -> str:
+    """Two-batch admission replayed entirely in SQL: full-corpus
+    signatures + band keys (the dedup_minhash_lsh CTEs), the
+    est >= ceil(t*K) signature-estimate pair set restricted per batch,
+    and the three drop rules (intra-batch-0, intra-batch-1, batch-1 vs
+    ADMITTED-state) as NOT-IN subqueries. ``max_band_size`` is omitted
+    from the replay: the state cap (1000 per band) cannot bind at any
+    driver SF (< 1000 admitted docs total)."""
+    import math
+
+    from oracle_cassandra_migrator_spark.operators import dedup
+    from oracle_cassandra_migrator_spark.queries.extensions import (
+        _minhash_cand_cte)
+    from oracle_cassandra_migrator_spark.streaming.neardedup import K
+
+    need = math.ceil(0.5 * K - 1e-9)
+    matches = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(K))
+    # reuse the shared CTE chain up to `bands`; its trailing capped
+    # `keep`/`cand` CTEs are unused here (the pair set below is built
+    # uncapped, matching admit_batch's within-batch join)
+    return f"""
+    WITH {_minhash_cand_cte(dedup.LSH_BANDS, dedup.LSH_ROWS, 10 ** 9)},
+    szs AS (SELECT doc_id, CAST(len(shingles) AS INT) AS n_sh
+            FROM sh WHERE len(shingles) > 0),
+    pair_est AS (
+        SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb
+        FROM bands x
+        JOIN bands y ON x.band_idx = y.band_idx
+                    AND x.band_key = y.band_key
+                    AND x.doc_id < y.doc_id
+        JOIN mh a ON a.doc_id = x.doc_id
+        JOIN mh b ON b.doc_id = y.doc_id
+        WHERE ({matches}) >= {need}),
+    drop0 AS (SELECT DISTINCT idb FROM pair_est
+              WHERE ida % 2 = 0 AND idb % 2 = 0),
+    admit0 AS (SELECT doc_id FROM mh WHERE doc_id % 2 = 0
+               AND doc_id NOT IN (SELECT idb FROM drop0)),
+    drop1 AS (SELECT DISTINCT idb FROM pair_est
+              WHERE ida % 2 = 1 AND idb % 2 = 1),
+    dropvs AS (SELECT DISTINCT
+                   CASE WHEN ida % 2 = 1 THEN ida ELSE idb END AS d
+               FROM pair_est
+               WHERE (ida % 2 = 0 AND idb % 2 = 1
+                      AND ida IN (SELECT doc_id FROM admit0))
+                  OR (idb % 2 = 0 AND ida % 2 = 1
+                      AND idb IN (SELECT doc_id FROM admit0))),
+    admit1 AS (SELECT doc_id FROM mh WHERE doc_id % 2 = 1
+               AND doc_id NOT IN (SELECT idb FROM drop1)
+               AND doc_id NOT IN (SELECT d FROM dropvs))
+    SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+           CAST(0 AS INT) AS batch, s.n_sh
+    FROM admit0 a JOIN szs s ON s.doc_id = a.doc_id
+    UNION ALL
+    SELECT CAST(a.doc_id AS BIGINT), CAST(1 AS INT), s.n_sh
+    FROM admit1 a JOIN szs s ON s.doc_id = a.doc_id
+    """
+
+
+@query("stream_neardedup_admission_batch",
+       oracle=_neardedup_admission_oracle())
+def stream_neardedup_admission_batch(spark, sf_dir):
+    """The streaming NEAR-dup gate's batch twin (exact-dedup twin:
+    ``stream_dedup_admission_batch``): the corpus splits into two
+    arrival batches (doc_id parity), batch 0 admits min-id-wins under
+    the MinHash signature estimate, batch 1 is additionally screened
+    against batch 0's ADMITTED state — precisely
+    ``streaming.neardedup.admit_batch`` composed twice, which is also
+    what ``foreach_batch_near_dedup`` executes per micro-batch
+    (stream==this pinned in tests/test_neardedup_stream.py). The
+    driver row therefore hash-certifies the admission semantics the
+    stream runs, while the stream itself stays pytest-only."""
+    from oracle_cassandra_migrator_spark.streaming import neardedup
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lo = docs.where("doc_id % 2 = 0")
+    hi = docs.where("doc_id % 2 = 1")
+    s1, b1 = neardedup.admit_batch(lo, None, None, "text", "doc_id")
+    s2, _ = neardedup.admit_batch(hi, s1, b1, "text", "doc_id")
+    return (
+        s1.selectExpr("CAST(doc_id AS BIGINT) AS doc_id",
+                      "CAST(0 AS INT) AS batch",
+                      "CAST(n_sh AS INT) AS n_sh")
+        .unionAll(
+            s2.selectExpr("CAST(doc_id AS BIGINT) AS doc_id",
+                          "CAST(1 AS INT) AS batch",
+                          "CAST(n_sh AS INT) AS n_sh"))
+    )

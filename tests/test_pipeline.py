@@ -361,3 +361,32 @@ def test_curation_example_spec_runs_end_to_end_with_drift_gate(spark):
     with pytest.raises(ValueError, match="psi_gate failed"):
         Pipeline(spark, bad, LocalFSStateStore()).run()
     shutil.rmtree("/tmp/ocm-curation", ignore_errors=True)
+
+
+def test_selection_example_spec_runs_end_to_end(spark):
+    """The shipped DSIR selection example (expect -> exact dedup ->
+    dsir_select -> expect gate -> sink) through the real Pipeline
+    runner: exactly k rows out, every row weighted, all rows from the
+    source corpus, and the pipeline resumes as a no-op."""
+    import json
+    import pathlib
+    import shutil
+
+    shutil.rmtree("/tmp/ocm-selection", ignore_errors=True)
+    spec_path = (pathlib.Path(__file__).resolve().parent.parent
+                 / "examples" / "selection_pipeline.json")
+    cfg = json.load(open(spec_path))
+    spec = cfg["tables"][0]
+    spec["staging_dir"] = cfg["staging_dir"]
+    spec["retry"] = {"retries": 3, "delay": 0.0, "sleep": lambda s: None}
+    state = LocalFSStateStore()
+    r1 = Pipeline(spark, spec, state).run()
+    assert r1.files_written > 0
+    out = spark.read.parquet("/tmp/ocm-selection/out")
+    assert out.count() == 200
+    assert out.where("logw_micro IS NULL").count() == 0
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert out.join(docs.select("doc_id"), "doc_id").count() == 200
+    r2 = Pipeline(spark, spec, state).run()
+    assert r2.files_written == 0
+    shutil.rmtree("/tmp/ocm-selection", ignore_errors=True)

@@ -242,3 +242,97 @@ def test_containment_pairs_match_bruteforce_property(spark, texts,
             if c >= threshold and len(sh(a) & sh(b)) > 0:
                 want[(i, j)] = round(c, 6)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-7 pure-Python pieces
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=100, deadline=None)
+@given(
+    counts=st.lists(st.integers(min_value=0, max_value=10 ** 9),
+                    min_size=1, max_size=20),
+    total_pad=st.integers(min_value=0, max_value=10 ** 6),
+)
+def test_dsir_ln_micro_is_monotone_and_negative(counts, total_pad):
+    """_ln_micro is a smoothed log-probability in micro units: strictly
+    increasing in count at fixed total, and <= 0 whenever
+    count + 0.5 <= total + B/2 (probabilities never exceed 1)."""
+    from oracle_cassandra_migrator_spark.operators.importance import (
+        DSIR_BUCKETS, _ln_micro)
+
+    total = sum(counts) + total_pad
+    vals = [_ln_micro(c, total) for c in sorted(set(counts))]
+    assert vals == sorted(vals)
+    for c in counts:
+        if c + 0.5 <= total + DSIR_BUCKETS / 2.0:
+            assert _ln_micro(c, total) <= 0
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    n_pairs=st.integers(min_value=1, max_value=60),
+    threshold=st.floats(min_value=0.05, max_value=0.95,
+                        allow_nan=False),
+)
+def test_neardedup_estimate_predicate_counts_equal_components(
+        n_pairs, threshold):
+    """The SQL estimate predicate must be exactly
+    (#equal components) / K >= threshold, ceil'd to integers — checked
+    against a Python reference on random signatures."""
+    import math
+    import random
+
+    from oracle_cassandra_migrator_spark.streaming.neardedup import (
+        K, _estimate_ge)
+
+    rng = random.Random(n_pairs * 1000 + int(threshold * 100))
+    pred = _estimate_ge(threshold)
+    need = math.ceil(threshold * K - 1e-9)
+    # evaluate the generated SQL with plain python substitution
+    for _ in range(n_pairs):
+        a = [rng.randrange(5) for _ in range(K)]
+        b = [rng.randrange(5) for _ in range(K)]
+        expr = pred
+        for i in range(K - 1, -1, -1):
+            expr = expr.replace(f"am{i}", str(a[i])).replace(
+                f"bm{i}", str(b[i]))
+        expr = expr.replace("CASE WHEN", "(1 if").replace(
+            "THEN 1 ELSE 0 END", "else 0)").replace("=", "==").replace(
+            ">==", ">=")
+        got = eval(expr)
+        eq = sum(1 for x, y in zip(a, b) if x == y)
+        assert got == (eq >= need), (a, b, threshold)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    width=st.integers(min_value=1, max_value=300),
+    height=st.integers(min_value=1, max_value=300),
+    channels=st.integers(min_value=1, max_value=2),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    frames=st.integers(min_value=1, max_value=5000),
+)
+def test_multimodal_builders_roundtrip_any_geometry(
+        width, height, channels, rate, frames):
+    from oracle_cassandra_migrator_spark.operators import multimodal as mm
+
+    assert mm.decode_header(mm.build_bmp(width, height)) == (
+        "bmp", width, height, None, None, None)
+    assert mm.decode_header(mm.build_ppm(width, height)) == (
+        "ppm", width, height, None, None, None)
+    assert mm.decode_header(mm.build_wav(channels, rate, frames)) == (
+        "wav", None, None, channels, rate, frames * 1000 // rate)
+
+
+@settings(max_examples=100, deadline=None)
+@given(data=st.binary(max_size=200))
+def test_decode_header_never_raises_on_fuzz(data):
+    """Arbitrary bytes (including ones starting with the magic
+    prefixes) must decode or quarantine, never raise — a corrupt
+    payload at 100 TB must not kill a task."""
+    from oracle_cassandra_migrator_spark.operators import multimodal as mm
+
+    for prefix in (b"", b"BM", b"P6", b"RIFF", b"RIFF1234WAVE"):
+        got = mm.decode_header(prefix + data)
+        assert isinstance(got, tuple) and len(got) == 6

@@ -698,10 +698,19 @@ def events_sessionize(spark, sf_dir):
     """Gaps-and-islands sessionization (30 min inactivity gap): one
     window pass per user partition, then one aggregation — the batch
     analog of streaming session windows."""
+    return run_sessionize(read_table(spark, sf_dir, "events"))
+
+
+def run_sessionize(events):
+    """Sessionize body over a caller-supplied events frame — the seam
+    for the user_id-bucketed layout (sources/bucketed.py): a bucketed
+    scan satisfies the window's ClusteredDistribution(user_id), so the
+    plan keeps the per-user sort but drops the corpus Exchange
+    (plan-pinned in tests/test_bucketed_headliners.py)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
-        read_table(spark, sf_dir, "events")
+        events
         .withColumn("gap_us",
                     F.expr("TIMESTAMPDIFF(MICROSECOND, lag(ts) OVER "
                            "(PARTITION BY user_id ORDER BY ts, event_id), ts)"))

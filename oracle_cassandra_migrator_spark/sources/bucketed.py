@@ -30,8 +30,28 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-# fact table -> bucket/sort key (the order key both headliners join on)
+# fact table -> bucket/sort key (the order key both headliners join
+# on; events bucket by user_id — the partition key of every window/
+# sessionize shape, where the bucketed scan satisfies the window's
+# ClusteredDistribution and the per-user Exchange disappears)
 FACT_KEYS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+EVENT_KEYS = {"events": "user_id"}
+
+
+def bucketed_event_table(spark: SparkSession, sf_dir: str,
+                         n_buckets: int = 32,
+                         refresh: bool = False) -> DataFrame:
+    """The user_id-bucketed events table, written from ``sf_dir`` on
+    first use. Same amortization trade as the order-key facts: one
+    Exchange at ingest buys exchange-free windows/sessionization and
+    user-keyed joins after."""
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    table = bucketed_table_name("events", n_buckets)
+    if refresh or not spark.catalog.tableExists(table):
+        write_bucketed(spark, read_table(spark, sf_dir, "events"),
+                       "events", "user_id", n_buckets)
+    return spark.table(table)
 
 
 def bucketed_table_name(name: str, n_buckets: int) -> str:

@@ -94,3 +94,30 @@ def test_bucketed_topk_same_result_no_orderkey_exchange(spark, bkt):
     assert ("Exchange hashpartitioning(l_orderkey" not in plan_bkt)
     assert (plan_bkt.count("Exchange hashpartitioning")
             < plan_plain.count("Exchange hashpartitioning"))
+
+
+def test_bucketed_events_window_has_no_exchange(spark):
+    """Sessionize over the user_id-bucketed events: identical result,
+    and the window runs directly on the bucketed scan — per-user sort,
+    NO Exchange anywhere in the plan."""
+    from oracle_cassandra_migrator_spark.queries.extensions import (
+        run_sessionize)
+    from oracle_cassandra_migrator_spark.sources import bucketed
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    ev_b = bucketed.bucketed_event_table(spark, SF_SMALL, n_buckets=8,
+                                         refresh=True)
+    try:
+        plain = run_sessionize(read_table(spark, SF_SMALL, "events"))
+        want = sorted(map(tuple, plain.collect()))
+        got_df = run_sessionize(ev_b)
+        got = sorted(map(tuple, got_df.collect()))
+        assert got == want and len(want) > 0
+
+        plan_b = _plan(got_df)
+        plan_p = _plan(plain)
+        assert "Exchange" in plan_p          # plain pays the shuffle
+        assert "Exchange" not in plan_b, plan_b
+        assert "Sort" in plan_b              # per-user sort remains
+    finally:
+        spark.sql("DROP TABLE IF EXISTS events_b8")

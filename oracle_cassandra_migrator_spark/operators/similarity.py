@@ -726,3 +726,39 @@ def mmr_topk(
     pool_df.unpersist()
     return spark.createDataFrame(
         out, f"pick_rank long, {id_col} long, rel double, mmr double")
+
+
+def power_iteration_top_eig(cells, dim: int, iters: int = 500):
+    """Top eigenpair of a covariance matrix collected from
+    ``embedding_covariance_matrix`` rows (upper-triangular
+    (i, j, cov) cells) — the driver-side half of PCA reduction/
+    whitening: the matrix is dim^2-bounded (codebook-sized) however
+    large the corpus, so the eigensolve is O(dim^2 * iters) on the
+    driver and the resulting component re-enters downstream plans as
+    an array literal (the codebook convention; see
+    embedding_random_projection for the projection plumbing).
+
+    Deterministic: all-ones start vector, plain power iteration with
+    L2 normalization each step. Converges to the dominant eigenpair
+    whenever the start vector is not orthogonal to it (all-ones is
+    safe for covariance matrices of real data; a zero matrix raises).
+    Returns (eigenvalue, eigenvector as list[float])."""
+    import math
+
+    a = [[0.0] * dim for _ in range(dim)]
+    for c in cells:
+        i, j, v = c["i"] - 1, c["j"] - 1, float(c["cov"])
+        a[i][j] = v
+        a[j][i] = v
+    v = [1.0] * dim
+    lam = 0.0
+    for _ in range(iters):
+        w = [sum(a[r][c] * v[c] for c in range(dim)) for r in range(dim)]
+        norm = math.sqrt(sum(x * x for x in w))
+        if norm == 0.0:
+            raise ValueError(
+                "power_iteration_top_eig: zero matrix-vector product "
+                "(all-zero covariance?)")
+        v = [x / norm for x in w]
+        lam = norm
+    return lam, v

@@ -397,3 +397,105 @@ def stream_neardedup_admission_batch(spark, sf_dir):
                           "CAST(1 AS INT) AS batch",
                           "CAST(n_sh AS INT) AS n_sh"))
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_covariance_matrix — exact second-moment matrix at scale
+# ---------------------------------------------------------------------------
+
+EMB_DIM = 64
+_QX_SPARK = ("transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE)"
+             " AS DECIMAL(27,6)) * 1000000 AS BIGINT))")
+_QX_SQL = ("list_transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE)"
+           " AS DECIMAL(27,6)) * 1000000 AS BIGINT))")
+
+
+@query(
+    "embedding_covariance_matrix",
+    oracle=f"""
+    WITH q AS (SELECT {_QX_SQL} AS qx
+               FROM embeddings),
+    cells AS (SELECT i.i, j.j,
+                     CAST(count(*) AS BIGINT) AS n,
+                     SUM(CAST(qx[i.i] AS HUGEINT) * qx[j.j]) AS sxy,
+                     SUM(CAST(qx[i.i] AS HUGEINT)) AS sx,
+                     SUM(CAST(qx[j.j] AS HUGEINT)) AS sy,
+                     SUM(CAST(qx[i.i] AS HUGEINT) * qx[i.i]) AS sxx,
+                     SUM(CAST(qx[j.j] AS HUGEINT) * qx[j.j]) AS syy
+              FROM q
+              CROSS JOIN (SELECT unnest(generate_series(1, {EMB_DIM}))
+                          AS i) i
+              CROSS JOIN (SELECT unnest(generate_series(1, {EMB_DIM}))
+                          AS j) j
+              WHERE j.j >= i.i
+              GROUP BY 1, 2),
+    d AS (SELECT i, j, n,
+                 n * sxy - sx * sy AS cov_num,
+                 n * sxx - sx * sx AS var_i_num,
+                 n * syy - sy * sy AS var_j_num
+          FROM cells)
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, n,
+           CAST(floor(CAST(cov_num AS DOUBLE)
+                / (CAST(n AS DOUBLE) * n) + 0.5) AS BIGINT)
+             AS cov_micro2,
+           CASE WHEN var_i_num <= 0 OR var_j_num <= 0 THEN NULL
+                ELSE CAST(floor(CAST(cov_num AS DOUBLE)
+                     / sqrt(CAST(var_i_num AS DOUBLE)
+                            * CAST(var_j_num AS DOUBLE)) * 1e6 + 0.5)
+                     AS BIGINT) END AS corr_ppm
+    FROM d
+    """,
+)
+def embedding_covariance_matrix(spark, sf_dir):
+    """Exact upper-triangular covariance + correlation matrix of the
+    embedding columns — the second-moment primitive behind whitening,
+    PCA reduction, and redundant-dimension audits of an embedding
+    store. Components quantize to micro ints via the repo's
+    DECIMAL(27,6) convention; per-cell (n, Σxy, Σx, Σy, Σx², Σy²)
+    accumulate as exact DECIMAL(38,0)/HUGEINT integers, so
+    cov_num = n·Σxy − Σx·Σy is exact at any corpus size and only the
+    two final divisions float (cov in micro², correlation in ppm;
+    zero-variance dims surface NULL correlation).
+
+    Scale shape: each row expands JVM-side to its dim·(dim+1)/2
+    (i, j, products) structs and the aggregation map-side-combines, so
+    the shuffle carries |cells| = {EMB_DIM}·{EMB_DIM + 1}/2 rows per
+    partition — never the corpus. The collected matrix is
+    codebook-sized: the natural input to a driver-side eigensolver
+    whose components re-enter downstream plans as literals (the
+    codebook convention)."""
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = (
+        f"flatten(transform(sequence(1, {EMB_DIM}), i -> "
+        f"transform(sequence(i, {EMB_DIM}), j -> "
+        f"struct(i AS i, j AS j, "
+        f"element_at(qx, i) AS xi, element_at(qx, j) AS xj))))"
+    )
+    dec = "CAST({0} AS DECIMAL(38,0))"
+    return (
+        emb.selectExpr(f"{_QX_SPARK} AS qx")
+        .selectExpr(f"explode({pairs}) AS p")
+        .selectExpr("p.i AS i", "p.j AS j", "p.xi AS xi", "p.xj AS xj")
+        .groupBy("i", "j")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+             F.expr(f"SUM({dec.format('xi')} * xj)").alias("sxy"),
+             F.expr(f"SUM({dec.format('xi')})").alias("sx"),
+             F.expr(f"SUM({dec.format('xj')})").alias("sy"),
+             F.expr(f"SUM({dec.format('xi')} * xi)").alias("sxx"),
+             F.expr(f"SUM({dec.format('xj')} * xj)").alias("syy"))
+        .selectExpr(
+            "CAST(i AS INT) AS i", "CAST(j AS INT) AS j", "n",
+            "n * sxy - sx * sy AS cov_num",
+            "n * sxx - sx * sx AS var_i_num",
+            "n * syy - sy * sy AS var_j_num")
+        .selectExpr(
+            "i", "j", "n",
+            "CAST(floor(CAST(cov_num AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * n) + 0.5) AS BIGINT) AS cov_micro2",
+            "CASE WHEN var_i_num <= 0 OR var_j_num <= 0 THEN NULL"
+            " ELSE CAST(floor(CAST(cov_num AS DOUBLE)"
+            " / sqrt(CAST(var_i_num AS DOUBLE) * CAST(var_j_num AS DOUBLE))"
+            " * 1e6 + 0.5) AS BIGINT) END AS corr_ppm")
+    )

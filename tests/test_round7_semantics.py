@@ -350,3 +350,29 @@ def test_kappa_query_perfect_and_constant_raters(spark, tmp_path):
     got = eval_cohens_kappa_lang_guess(spark, perfect_dir).collect()[0]
     assert got["agree"] == got["n_total"]
     assert got["kappa_ppm"] == 1_000_000
+
+
+def test_power_iteration_matches_numpy_on_real_covariance(spark):
+    """The driver-side eigensolver must agree with numpy.linalg.eigh
+    on the covariance matrix the catalog query computes."""
+    import numpy as np
+
+    from oracle_cassandra_migrator_spark.operators.similarity import (
+        power_iteration_top_eig)
+    from oracle_cassandra_migrator_spark.queries.round7 import (
+        EMB_DIM, embedding_covariance_matrix)
+
+    rows = embedding_covariance_matrix(spark, SF_SMALL).collect()
+    cells = [{"i": r["i"], "j": r["j"], "cov": r["cov_micro2"] / 1e12}
+             for r in rows]
+    lam, vec = power_iteration_top_eig(cells, EMB_DIM)
+
+    a = np.zeros((EMB_DIM, EMB_DIM))
+    for c in cells:
+        a[c["i"] - 1, c["j"] - 1] = c["cov"]
+        a[c["j"] - 1, c["i"] - 1] = c["cov"]
+    w, v = np.linalg.eigh(a)
+    assert lam == pytest.approx(w[-1], rel=1e-6)
+    top = v[:, -1]
+    cos = abs(float(np.dot(top, np.array(vec))))
+    assert cos == pytest.approx(1.0, abs=1e-6)

@@ -516,6 +516,9 @@ _NL_JOIN_ALLOWED = {
     # broadcast boundary crossJoin (quantiles.assign_buckets — the
     # quantile_assign_prices pattern).
     "stats_psi_doclen_drift",
+    # r7: kappa joins its two ONE-ROW aggregates (totals x pe_num) via
+    # crossJoin — a 1x1 broadcast, the scalar-combine pattern.
+    "eval_cohens_kappa_lang_guess",
 }
 
 

@@ -762,3 +762,22 @@ def power_iteration_top_eig(cells, dim: int, iters: int = 500):
         v = [x / norm for x in w]
         lam = norm
     return lam, v
+
+
+def project_components(embeddings: DataFrame, components: list[list[float]],
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """Project every vector onto ``components`` (rows = principal
+    directions from ``power_iteration_top_eig`` / any trained basis):
+    (id, pc1..pcK) with each coordinate a JVM-side dot-product fold
+    against the component LITERAL — the PCA-reduction / whitening
+    apply step. Zero shuffles, zero Python; the basis never drags its
+    training DAG into the plan (codebook convention). Coordinates are
+    round(6) for cross-run determinism."""
+    e = DOUBLE_VEC.format(col=vec_col)
+    cols = [F.col(id_col)]
+    for k, comp in enumerate(components, start=1):
+        lit = "array(" + ", ".join(f"{x!r}D" for x in comp) + ")"
+        cols.append(
+            F.expr(f"round({dot_expr(e, lit)}, 6)").alias(f"pc{k}"))
+    return embeddings.select(*cols)

@@ -376,3 +376,31 @@ def test_power_iteration_matches_numpy_on_real_covariance(spark):
     top = v[:, -1]
     cos = abs(float(np.dot(top, np.array(vec))))
     assert cos == pytest.approx(1.0, abs=1e-6)
+
+
+def test_project_components_matches_numpy_and_plans_shuffle_free(spark):
+    import numpy as np
+
+    from oracle_cassandra_migrator_spark.operators.similarity import (
+        power_iteration_top_eig, project_components)
+    from oracle_cassandra_migrator_spark.queries.round7 import (
+        EMB_DIM, embedding_covariance_matrix)
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    rows = embedding_covariance_matrix(spark, SF_SMALL).collect()
+    cells = [{"i": r["i"], "j": r["j"], "cov": r["cov_micro2"] / 1e12}
+             for r in rows]
+    _, top = power_iteration_top_eig(cells, EMB_DIM)
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    got = project_components(emb, [top])
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    sample = {r["vec_id"]: r["pc1"] for r in got.limit(0).sparkSession
+              .createDataFrame(got.take(20)).collect()}
+    raw = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in emb.collect()}
+    t = np.array(top)
+    for vid, pc1 in sample.items():
+        assert pc1 == pytest.approx(float(raw[vid] @ t), abs=1e-5)

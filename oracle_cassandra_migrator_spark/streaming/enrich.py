@@ -43,6 +43,7 @@ from oracle_cassandra_migrator_spark.reliability.state import (
     StateStore,
 )
 from oracle_cassandra_migrator_spark.streaming.sinks import (
+    consume_without_writing,
     make_idempotent_writer,
 )
 
@@ -112,6 +113,10 @@ def refreshing_enrich_sink(
         # must not pay the dim load
         marker = os.path.join(marker_dir, f"batch-{batch_id}.marker")
         if store.exists(marker):
+            # replayed committed batch: execute without writing so the
+            # upstream state (and Spark 4.1's state-commit validation)
+            # still sees every partition — see sinks.consume_without_writing
+            consume_without_writing(batch_df)
             return
         dim = _checked(load_dim(batch_df.sparkSession), how, broadcast)
         write(batch_df.join(dim, on, how), batch_id)

@@ -59,6 +59,9 @@ from oracle_cassandra_migrator_spark.reliability.state import (
     LocalFSStateStore,
     StateStore,
 )
+from oracle_cassandra_migrator_spark.streaming.sinks import (
+    consume_without_writing,
+)
 
 K = LSH_BANDS * LSH_ROWS
 
@@ -216,6 +219,10 @@ def foreach_batch_near_dedup(
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         marker = posixpath.join(marker_dir, f"batch-{batch_id}.marker")
         if store.exists(marker):
+            # replayed committed batch: execute without writing so the
+            # upstream state (and Spark 4.1's state-commit validation)
+            # still sees every partition — see sinks.consume_without_writing
+            consume_without_writing(batch_df)
             return
         spark = batch_df.sparkSession
         sigs, bands = read_state(spark, base_dir, store)

@@ -1,0 +1,147 @@
+"""Declarative STREAMING pipelines — the readStream twin of
+``pipeline.py``/``plans/compiler.py``: one spec document describes
+source -> stateless transform steps -> optional event-time windowed
+aggregation -> exactly-once sink, so a reference-style config user
+drives streams the same way they drive batch tables.
+
+    {
+      "source":    {read_stream_source spec, incl. watermark},
+      "transform": [{"op": "filter", "expr": ...},
+                    {"op": "select", "exprs": [...]}, ...],
+      "window":    {"duration": "1 hour", "slide": optional,
+                    "session_gap": optional (mutually exclusive),
+                    "ts": "ts", "watermark": "2 hours",
+                    "group_by": ["event_type"],
+                    "aggs": {"n_events": "count(*)"}},
+      "sink":      {"format": "parquet", "path": ..., "mode": "append",
+                    "marker_dir": ..., "checkpoint_dir": ...}
+    }
+
+Transform steps reuse the BATCH compiler's op implementations (same
+config language, one semantics), restricted to the stream-safe
+stateless subset — a spec that says ``sort``/``limit``/``join`` on a
+stream is rejected up front with the reason, instead of failing deep
+inside Spark's unsupported-operation checker.
+
+``run_batch_equivalent`` executes the SAME spec on a batch DataFrame
+(source read through the batch reader, identical transforms, identical
+window aggregation semantics — ``F.window`` works on batch frames), so
+every spec carries its own stream==batch parity check; the pytest pins
+it on real events.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+# stateless row-wise ops only: anything needing a global order, an
+# unbounded state, or a second relation is not a stream transform step
+# (joins have their own dedicated stream operators; see
+# streaming/joins.py and streaming/enrich.py)
+STREAM_SAFE_OPS = frozenset({
+    "filter", "select", "with_columns", "drop", "alias",
+})
+
+
+def _apply_transform(spark: SparkSession, df: DataFrame,
+                     steps: list[Mapping[str, Any]]) -> DataFrame:
+    from oracle_cassandra_migrator_spark.plans.compiler import (
+        OPS, Namespace)
+
+    for step in steps or []:
+        op = step.get("op")
+        if op not in STREAM_SAFE_OPS:
+            raise ValueError(
+                f"stream pipeline step {op!r} is not stream-safe "
+                f"(allowed: {sorted(STREAM_SAFE_OPS)}); stateful shapes "
+                f"(windows, joins, dedup) have dedicated spec slots / "
+                f"streaming operators")
+        ns = Namespace(spark)
+        ns.put("__stream__", df)
+        df = OPS[op](ns, {**step, "input": "__stream__"})
+    return df
+
+
+def _apply_window(df: DataFrame, win: Mapping[str, Any]) -> DataFrame:
+    ts = win.get("ts", "ts")
+    if win.get("watermark"):
+        df = df.withWatermark(ts, win["watermark"])
+    if win.get("session_gap"):
+        if win.get("duration") or win.get("slide"):
+            raise ValueError(
+                "window spec: session_gap is mutually exclusive with "
+                "duration/slide")
+        w = F.session_window(F.col(ts), win["session_gap"])
+        wcol = "session_window"
+    elif win.get("slide"):
+        w = F.window(F.col(ts), win["duration"], win["slide"])
+        wcol = "window"
+    else:
+        w = F.window(F.col(ts), win["duration"])
+        wcol = "window"
+    aggs = win.get("aggs") or {"n_rows": "count(*)"}
+    agg_exprs = [F.expr(e).alias(name) for name, e in aggs.items()]
+    grouped = df.groupBy(w, *[F.col(c) for c in win.get("group_by", [])])
+    return (grouped.agg(*agg_exprs)
+            .select(F.col(f"{wcol}.start").alias("window_start"),
+                    F.col(f"{wcol}.end").alias("window_end"),
+                    *win.get("group_by", []),
+                    *aggs.keys()))
+
+
+def build_stream(spark: SparkSession,
+                 spec: Mapping[str, Any]) -> DataFrame:
+    """Source + transforms + optional window as a lazy streaming
+    DataFrame (no sink started) — what ``run_stream_pipeline`` starts,
+    exposed for plan inspection and memory-sink tests."""
+    from oracle_cassandra_migrator_spark.streaming.sources import (
+        read_stream_source)
+
+    df = read_stream_source(spark, spec["source"])
+    df = _apply_transform(spark, df, spec.get("transform"))
+    if spec.get("window"):
+        df = _apply_window(df, spec["window"])
+    return df
+
+
+def run_stream_pipeline(spark: SparkSession,
+                        spec: Mapping[str, Any]) -> StreamingQuery:
+    """Start the spec end-to-end with the marker-committed exactly-once
+    file sink (replays are no-ops; crash between write and marker
+    rewrites deterministically — streaming/sinks.py)."""
+    from oracle_cassandra_migrator_spark.streaming.sinks import (
+        foreach_batch_sink)
+
+    sink = dict(spec["sink"])
+    marker_dir = sink.pop("marker_dir")
+    checkpoint_dir = sink.pop("checkpoint_dir")
+    df = build_stream(spark, spec)
+    return foreach_batch_sink(df, sink, marker_dir, checkpoint_dir)
+
+
+def run_batch_equivalent(spark: SparkSession, spec: Mapping[str, Any],
+                         batch_df: DataFrame | None = None) -> DataFrame:
+    """The same spec on a batch frame: batch source read (or a caller-
+    supplied DataFrame), identical transform steps, identical window
+    aggregation (``F.window``/``session_window`` work on batch input).
+    Late-data caveat: a batch replay sees ALL data, so it equals the
+    stream only when no row was dropped by the watermark — which is
+    exactly the invariant worth testing."""
+    if batch_df is None:
+        from oracle_cassandra_migrator_spark.sources.readers import (
+            read_source)
+
+        src = {k: v for k, v in spec["source"].items()
+               if k not in ("watermark",)}
+        src.setdefault("options", {})
+        batch_df = read_source(spark, src)
+    df = _apply_transform(spark, batch_df, spec.get("transform"))
+    if spec.get("window"):
+        win = {k: v for k, v in spec["window"].items()
+               if k != "watermark"}
+        df = _apply_window(df, win)
+    return df

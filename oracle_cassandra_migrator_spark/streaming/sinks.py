@@ -37,6 +37,22 @@ from oracle_cassandra_migrator_spark.sinks.writers import (
 )
 
 
+def consume_without_writing(batch_df: DataFrame) -> None:
+    """Execute a replayed (already-marker-committed) micro-batch
+    WITHOUT writing: a noop-format write that runs every partition.
+
+    Returning early instead looks cheaper but is wrong twice over for
+    stateful streams: (1) the stateful operators upstream of
+    foreachBatch only update their state when the batch plan executes,
+    so a skipped replay leaves the rebuilt state missing those
+    batches' contributions and any LATER uncommitted batch computes
+    windows/dedup state from a hole; (2) Spark 4.1's state-store
+    commit validation detects exactly that (zero commits for a batch
+    whose plan has state partitions) and fails the query. For
+    stateless inputs the noop pass is one cheap scan."""
+    batch_df.write.format("noop").mode("overwrite").save()
+
+
 def make_idempotent_writer(
     sink_spec: Mapping[str, Any],
     marker_dir: str,
@@ -53,7 +69,9 @@ def make_idempotent_writer(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(marker_dir, f"batch-{batch_id}.marker")
         if store.exists(marker):
-            return  # replayed batch: already committed
+            # replayed batch: execute (feeds upstream state), skip write
+            consume_without_writing(batch_df)
+            return
         spec = dict(sink_spec)
         spec.setdefault("mode", "append")
         if spec.get("format", "parquet").lower() in WRITE_PATH_FORMATS:

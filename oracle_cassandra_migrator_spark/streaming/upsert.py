@@ -49,6 +49,9 @@ from oracle_cassandra_migrator_spark.reliability.state import (
     LocalFSStateStore,
     StateStore,
 )
+from oracle_cassandra_migrator_spark.streaming.sinks import (
+    consume_without_writing,
+)
 
 _MARKER_RE = re.compile(r"batch-(\d+)\.marker$")
 
@@ -113,6 +116,10 @@ def foreach_batch_upsert(
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         marker = posixpath.join(marker_dir, f"batch-{batch_id}.marker")
         if store.exists(marker):
+            # replayed committed batch: execute without writing so the
+            # upstream state (and Spark 4.1's state-commit validation)
+            # still sees every partition — see sinks.consume_without_writing
+            consume_without_writing(batch_df)
             return
         spark = batch_df.sparkSession
         # last-writer-wins WITHIN the batch: max(struct(order_by, row))

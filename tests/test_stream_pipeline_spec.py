@@ -1,0 +1,140 @@
+"""Declarative streaming pipeline spec (streaming/pipeline.py):
+source -> stream-safe transforms -> windowed agg -> exactly-once sink,
+with the spec's own batch equivalent pinning stream==batch parity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def _events_src(spark, tmp_path):
+    """Two TIME-ORDERED source files (arrival follows event time, as a
+    real ingest does) plus a far-future sentinel row in the last file:
+    with availableNow the final watermark only reaches
+    max(ts) - delay, so without the sentinel the trailing windows
+    never finalize and append mode never emits them — the sentinel
+    pushes the watermark past every real window. Tests exclude the
+    sentinel's own window from comparisons."""
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    ev = read_table(spark, SF_SMALL, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    mid, hi = ev.selectExpr(
+        "timestamp_micros(CAST(percentile_disc(0.5) WITHIN GROUP"
+        " (ORDER BY unix_micros(ts)) AS BIGINT))", "max(ts)").collect()[0]
+    sentinel = ev.limit(1).selectExpr(
+        "CAST(-1 AS BIGINT) AS event_id", "CAST(-1 AS BIGINT) AS user_id",
+        "'sentinel' AS event_type",
+        f"CAST('{hi}' AS TIMESTAMP) + INTERVAL 30 DAYS AS ts",
+        "CAST(1.0 AS DOUBLE) AS value", "props")
+    sentinel = sentinel.select(*ev.columns)  # column order parity
+    src = str(tmp_path / "src")
+    ev.where(F.col("ts") <= mid).coalesce(1).write.mode(
+        "overwrite").parquet(src)
+    (ev.where(F.col("ts") > mid).unionByName(sentinel)
+     .coalesce(1).write.mode("append").parquet(src))
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in ev.schema.fields)
+    return ev, src, schema, hi
+
+
+def _spec(src, schema, tmp_path):
+    return {
+        "source": {"format": "parquet", "path": src, "schema": schema,
+                   "options": {"maxFilesPerTrigger": "1"}},
+        "transform": [
+            {"op": "filter", "expr": "event_type <> 'view' OR value > 0"},
+            {"op": "with_columns",
+             "columns": {"vtype": "upper(event_type)"}},
+            {"op": "select",
+             "exprs": ["event_id", "user_id", "ts", "vtype", "value"]},
+        ],
+        "window": {"duration": "1 day", "ts": "ts",
+                   "watermark": "2 days", "group_by": ["vtype"],
+                   "aggs": {"n_events": "CAST(count(*) AS BIGINT)",
+                            "total_value":
+                                "CAST(SUM(CAST(value AS DECIMAL(18,4)))"
+                                " AS DOUBLE)"}},
+        "sink": {"format": "parquet",
+                 "path": str(tmp_path / "out"),
+                 "marker_dir": str(tmp_path / "markers"),
+                 "checkpoint_dir": str(tmp_path / "ckpt")},
+    }
+
+
+def test_spec_stream_equals_batch_equivalent(spark, tmp_path):
+    from oracle_cassandra_migrator_spark.streaming.pipeline import (
+        run_batch_equivalent, run_stream_pipeline)
+
+    ev, src, schema, hi = _events_src(spark, tmp_path)
+    spec = _spec(src, schema, tmp_path)
+    q = run_stream_pipeline(spark, spec)
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(spec["sink"]["path"]) \
+        .where(F.expr(f"window_start <= CAST('{hi}' AS TIMESTAMP)"))
+    want = run_batch_equivalent(spark, spec) \
+        .where(F.expr(f"window_start <= CAST('{hi}' AS TIMESTAMP)"))
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, want.collect()))
+    assert got.count() > 0
+    assert set(got.columns) == {"window_start", "window_end", "vtype",
+                                "n_events", "total_value"}
+
+    # replay with a fresh checkpoint: markers make it a no-op
+    import glob
+
+    n_files = len(glob.glob(f"{spec['sink']['path']}/**/*.parquet",
+                            recursive=True))
+    spec2 = dict(spec,
+                 sink={**spec["sink"],
+                       "checkpoint_dir": str(tmp_path / "ckpt2")})
+    q2 = run_stream_pipeline(spark, spec2)
+    q2.awaitTermination(180)
+    assert len(glob.glob(f"{spec['sink']['path']}/**/*.parquet",
+                         recursive=True)) == n_files
+
+
+def test_spec_rejects_stream_unsafe_ops(spark, tmp_path):
+    from oracle_cassandra_migrator_spark.streaming.pipeline import (
+        build_stream)
+
+    ev, src, schema, hi = _events_src(spark, tmp_path)
+    for bad in ({"op": "sort", "cols": ["ts"]},
+                {"op": "limit", "n": 5},
+                {"op": "join", "right": "x", "on": "y"}):
+        spec = {"source": {"format": "parquet", "path": src,
+                           "schema": schema},
+                "transform": [bad]}
+        with pytest.raises(ValueError, match="not stream-safe"):
+            build_stream(spark, spec)
+
+
+def test_spec_session_window_variant(spark, tmp_path):
+    from oracle_cassandra_migrator_spark.streaming.pipeline import (
+        run_batch_equivalent, build_stream)
+
+    ev, src, schema, hi = _events_src(spark, tmp_path)
+    spec = {
+        "source": {"format": "parquet", "path": src, "schema": schema},
+        "window": {"session_gap": "30 minutes", "ts": "ts",
+                   "watermark": "2 days", "group_by": ["user_id"],
+                   "aggs": {"n_events": "CAST(count(*) AS BIGINT)"}},
+    }
+    out = build_stream(spark, spec)
+    assert out.isStreaming
+    # session windows per user in batch mode equal the sessionize
+    # query's (user, session) row count on the same 30-min gap
+    batch = run_batch_equivalent(spark, spec, batch_df=ev)
+    from oracle_cassandra_migrator_spark.queries.extensions import (
+        run_sessionize)
+
+    assert batch.count() == run_sessionize(ev).count()
+
+    # mutually exclusive window kinds rejected
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        build_stream(spark, {
+            "source": spec["source"],
+            "window": {"session_gap": "30 minutes", "duration": "1 hour",
+                       "ts": "ts"}})

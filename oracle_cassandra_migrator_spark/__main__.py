@@ -11,8 +11,13 @@ Config shape::
       "master": "local[*]",              # omit under spark-submit
       "spark_conf": {"spark.sql.shuffle.partitions": "200", ...},
       "staging_dir": "/staging",
-      "tables": [ <pipeline spec>, ... ]   # see pipeline.Pipeline
+      "tables": [ <pipeline spec>, ... ],  # see pipeline.Pipeline
+      "streams": [ <stream spec>, ... ]    # see streaming.pipeline
     }
+
+``tables`` run first (sequential, resumable), then every ``streams``
+entry starts with availableNow semantics and is awaited — the
+config-driven path for "bulk load, then drain the stream once".
 """
 
 from __future__ import annotations
@@ -46,8 +51,20 @@ def main(argv: list[str] | None = None) -> int:
         master=config.get("master"),
         conf=config.get("spark_conf"),
     )
+    stream_results = []
     try:
-        results = run_pipelines(spark, config)
+        results = run_pipelines(spark, config) if config.get("tables") \
+            else []
+        for stream_spec in config.get("streams", []):
+            from oracle_cassandra_migrator_spark.streaming.pipeline import (
+                run_stream_pipeline)
+
+            q = run_stream_pipeline(spark, stream_spec)
+            q.awaitTermination()
+            stream_results.append({
+                "stream": stream_spec.get("name", q.name or q.id),
+                "sink_path": stream_spec["sink"].get("path"),
+            })
     finally:
         spark.stop()
 
@@ -62,6 +79,8 @@ def main(argv: list[str] | None = None) -> int:
             # ({} when the phase was skipped on resume)
             "transform_metrics": res.transform_metrics,
         }))
+    for sres in stream_results:
+        print(json.dumps(sres))
     return 0
 
 

@@ -138,3 +138,44 @@ def test_spec_session_window_variant(spark, tmp_path):
             "source": spec["source"],
             "window": {"session_gap": "30 minutes", "duration": "1 hour",
                        "ts": "ts"}})
+
+
+def test_cli_runs_streaming_config(spark, tmp_path, monkeypatch):
+    """`python -m oracle_cassandra_migrator_spark <config>` with a
+    `streams` section must drain the stream through the spec runner
+    (the example config, repointed at tmp dirs)."""
+    import json
+    import pathlib
+    import shutil
+
+    shutil.rmtree("/tmp/ocm-streaming-rollup", ignore_errors=True)
+    ev, src, schema, hi = _events_src(spark, tmp_path)
+    cfg_path = (pathlib.Path(__file__).resolve().parent.parent
+                / "examples" / "streaming_rollup_config.json")
+    cfg = json.load(open(cfg_path))
+    stream = cfg["streams"][0]
+    stream["source"]["path"] = src
+    stream["source"]["schema"] = schema
+    for k in ("path",):
+        stream["sink"][k] = str(tmp_path / "out")
+    stream["sink"]["marker_dir"] = str(tmp_path / "markers")
+    stream["sink"]["checkpoint_dir"] = str(tmp_path / "ckpt")
+    patched = tmp_path / "cfg.json"
+    patched.write_text(json.dumps(cfg))
+
+    # run in a SUBPROCESS: main() builds-or-gets and then STOPS its
+    # session — in-process that would tear down the shared test session
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "oracle_cassandra_migrator_spark",
+         str(patched)],
+        cwd=str(pathlib.Path(__file__).resolve().parent.parent),
+        capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert '"stream": "daily_event_rollup"' in proc.stdout
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() > 0
+    assert set(out.columns) == {"window_start", "window_end",
+                                "event_type", "n_events", "total_value"}

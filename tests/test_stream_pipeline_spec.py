@@ -179,3 +179,65 @@ def test_cli_runs_streaming_config(spark, tmp_path, monkeypatch):
     assert out.count() > 0
     assert set(out.columns) == {"window_start", "window_end",
                                 "event_type", "n_events", "total_value"}
+
+
+def test_replayed_batches_still_feed_state(spark, tmp_path):
+    """THE scenario behind sinks.consume_without_writing: a fresh-
+    checkpoint replay over marker-committed files followed by NEW data
+    in the SAME event-time window. The replayed batch must EXECUTE
+    (feeding the window state) even though its write is skipped —
+    otherwise the new batch's window counts silently miss every
+    replayed row. (Found via Spark 4.1's state-commit validation.)"""
+    import glob
+    import json
+
+    from oracle_cassandra_migrator_spark.streaming.pipeline import (
+        run_stream_pipeline)
+
+    base = "2024-06-01 10:{:02d}:00"
+    rows1 = [(i, base.format(i)) for i in range(5)]           # hour 10
+    rows2 = [(10 + i, base.format(30 + i)) for i in range(3)]  # hour 10
+    sentinel = [(99, "2024-06-02 00:00:00")]                   # flush
+    schema = "id BIGINT, ts TIMESTAMP"
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows1, "id BIGINT, ts STRING").selectExpr(
+        "id", "CAST(ts AS TIMESTAMP) AS ts").coalesce(1).write.mode(
+        "overwrite").parquet(src)
+
+    def spec(ckpt):
+        return {
+            "source": {"format": "parquet", "path": src,
+                       "schema": schema,
+                       "options": {"maxFilesPerTrigger": "1"}},
+            "window": {"duration": "1 hour", "ts": "ts",
+                       "watermark": "1 minute",
+                       "aggs": {"n": "CAST(count(*) AS BIGINT)"}},
+            "sink": {"format": "parquet",
+                     "path": str(tmp_path / "out"),
+                     "marker_dir": str(tmp_path / "markers"),
+                     "checkpoint_dir": str(tmp_path / ckpt)},
+        }
+
+    # run 1: only file 1 — its batches get markers; the hour-10 window
+    # stays unflushed (watermark never passes its end)
+    q = run_stream_pipeline(spark, spec("ckpt1"))
+    q.awaitTermination(120)
+    assert len(glob.glob(f"{tmp_path}/markers/*.marker")) >= 1
+
+    # new data lands in the SAME window, plus the flush sentinel
+    spark.createDataFrame(rows2 + sentinel, "id BIGINT, ts STRING") \
+        .selectExpr("id", "CAST(ts AS TIMESTAMP) AS ts") \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    # run 2, FRESH checkpoint: batch 0 replays file 1 (marker exists ->
+    # write skipped, but the batch must still execute), batch 1 is new
+    q2 = run_stream_pipeline(spark, spec("ckpt2"))
+    q2.awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    hour10 = out.where("hour(window_start) = 10").collect()
+    assert len(hour10) == 1
+    # all 8 rows — 5 replayed + 3 new — must be in the window count;
+    # the pre-fix skip-without-executing code would report 3 here
+    assert hour10[0]["n"] == 8

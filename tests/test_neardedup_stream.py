@@ -157,3 +157,32 @@ def test_uncommitted_state_versions_are_invisible(spark, tmp_path):
     q.awaitTermination(120)
     sigs, _ = neardedup.read_state(spark, base_dir)
     assert sorted(r["doc_id"] for r in sigs.collect()) == [1, 3]
+
+
+def test_admission_is_partitioning_invariant(spark):
+    """The admitted set must depend on ids and content only — never on
+    physical partitioning (cluster-size / task-layout independence)."""
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+    from oracle_cassandra_migrator_spark.streaming import neardedup
+
+    docs = read_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    a, _ = neardedup.admit_batch(docs, None, None, "text", "doc_id")
+    b, _ = neardedup.admit_batch(docs.repartition(13), None, None,
+                                 "text", "doc_id")
+    assert ({r["doc_id"] for r in a.collect()}
+            == {r["doc_id"] for r in b.collect()})
+
+
+def test_exact_resend_always_rejected_vs_state(spark):
+    """Identical text => identical signature => estimate 1.0 >= any
+    threshold: an exact re-send can never re-enter past the state."""
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+    from oracle_cassandra_migrator_spark.streaming import neardedup
+
+    docs = read_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "text").limit(50)
+    s1, b1 = neardedup.admit_batch(docs, None, None, "text", "doc_id")
+    s1, b1 = s1.cache(), b1.cache()
+    resend = docs.selectExpr("doc_id + 1000000 AS doc_id", "text")
+    s2, _ = neardedup.admit_batch(resend, s1, b1, "text", "doc_id")
+    assert s2.count() == 0

@@ -457,3 +457,61 @@ def test_l_diversity_flags_match_definition(spark):
     for r in rows:
         assert r.is_weak == (r.l_distinct < 3)
         assert r.l_distinct <= r.n_rows
+
+
+# ---------------------------------------------------------------------------
+# incremental maintenance: hypothesis property vs recompute
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    base=st.lists(
+        st.tuples(st.sampled_from("abcde"), st.integers(-1000, 1000)),
+        min_size=1, max_size=12),
+    ops=st.lists(
+        st.tuples(st.sampled_from("IUD"), st.integers(0, 10 ** 6),
+                  st.sampled_from("abcde"), st.integers(-1000, 1000)),
+        min_size=0, max_size=12),
+    n_batches=st.integers(1, 3),
+)
+def test_maintain_matches_recompute_randomized(spark, base, ops, n_batches):
+    """Random consistent CDC streams, applied in 1-3 batches, always
+    reproduce the from-scratch aggregate of the final table state —
+    including group deaths, births, and re-births."""
+    state = list(base)  # the "true table": list of (key, value) rows
+    cdc_rows = []
+    for kind, pick, key, val in ops:
+        if kind == "I" or not state:
+            state.append((key, val))
+            cdc_rows.append(("I", key, val, None))
+        else:
+            idx = pick % len(state)
+            old_k, old_v = state[idx]
+            if kind == "D":
+                state.pop(idx)
+                cdc_rows.append(("D", old_k, None, old_v))
+            else:  # U: key immutable by contract, value changes
+                state[idx] = (old_k, val)
+                cdc_rows.append(("U", old_k, val, old_v))
+
+    agg = _agg(spark.createDataFrame(base, "k STRING, v INT"), ["k"])
+    # split the stream into sequential batches
+    size = max(1, (len(cdc_rows) + n_batches - 1) // n_batches)
+    for i in range(0, len(cdc_rows), size):
+        batch = spark.createDataFrame(
+            cdc_rows[i:i + size],
+            "op STRING, k STRING, new_v INT, old_v INT")
+        deltas = incremental.cdc_to_group_deltas(
+            batch, ["k"], "new_v", "old_v")
+        agg = incremental.maintain_sum_count(agg, deltas, ["k"])
+
+    got = {r.k: (r.n, int(r.s)) for r in agg.collect()}
+    want = {}
+    for k, v in state:
+        n, s = want.get(k, (0, 0))
+        want[k] = (n + 1, s + v)
+    assert got == want

@@ -529,3 +529,32 @@ def _op_dsir_select(ns, step):
 
 
 OPS["dsir_select"] = _op_dsir_select
+
+
+def _op_maintain_agg(ns, step):
+    """{"op": "maintain_agg", "input": cdc_frame, "base": agg_frame,
+    "keys": [...], "new": SQL expr, "old": SQL expr[, "op_col": "op",
+    "n_col": "n", "sum_col": "s"]} — incremental aggregate
+    maintenance (operators/incremental.py): collapse the CDC input
+    (I/U/D rows with old/new measure images) to per-group deltas and
+    merge them into the materialized ``base`` (count, sum) aggregate.
+    The base table behind the aggregate is never re-scanned — per
+    batch the cost is O(|cdc| + |groups|), the 100 TB alternative to
+    the reference's recompute-and-overwrite sync."""
+    from oracle_cassandra_migrator_spark.operators.incremental import (
+        cdc_to_group_deltas,
+        maintain_sum_count,
+    )
+
+    cdc = _input(ns, step)
+    base = ns.get(step["base"])
+    keys = step["keys"]
+    deltas = cdc_to_group_deltas(
+        cdc, keys, step["new"], step["old"],
+        op_col=step.get("op_col", "op"))
+    return maintain_sum_count(
+        base, deltas, keys,
+        n_col=step.get("n_col", "n"), sum_col=step.get("sum_col", "s"))
+
+
+OPS["maintain_agg"] = _op_maintain_agg

@@ -26,7 +26,7 @@ def test_every_op_is_exercised_here():
         "quantile_bucket", "gapfill", "interval_join",
         "dedup_exact", "salted_join", "zorder", "expect",
         "anti_join_bloom", "fuzzy_join", "winsorize", "target_encode",
-        "psi_gate", "dsir_select",
+        "psi_gate", "dsir_select", "maintain_agg",
     }
     assert exercised == set(OPS)
 
@@ -627,3 +627,27 @@ def test_compiler_dsir_select_step(spark):
     want_ids = {r["doc_id"] for r in importance.dsir_resample_topk(
         want, 25, "doc_id").collect()}
     assert {r["doc_id"] for r in rows} == want_ids
+
+
+def test_compiler_maintain_agg_step(spark):
+    """maintain_agg must equal a from-scratch recompute of the
+    post-CDC state, driven purely from the declarative spec."""
+    from pyspark.sql import functions as F
+
+    from oracle_cassandra_migrator_spark.plans.compiler import (
+        compile_transform)
+
+    base_rows = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5)], "k STRING, v INT")
+    base = base_rows.groupBy("k").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+        F.expr("SUM(CAST(v AS DECIMAL(38,0)))").alias("s"))
+    cdc = spark.createDataFrame(
+        [("U", "a", 25, 20), ("D", "b", None, 5), ("I", "c", 7, None)],
+        "op STRING, k STRING, new_v INT, old_v INT")
+    out = compile_transform(spark, {"base": base, "cdc": cdc}, [
+        {"op": "maintain_agg", "input": "cdc", "base": "base",
+         "keys": ["k"], "new": "new_v", "old": "old_v"},
+    ])
+    got = {r.k: (r.n, int(r.s)) for r in out.collect()}
+    assert got == {"a": (2, 35), "c": (1, 7)}

@@ -830,3 +830,296 @@ def incremental_agg_maintenance(spark, sf_dir):
         base_agg, deltas, keys, n_col="n_orders", sum_col="sum_cents")
     return maintained.selectExpr(
         *keys, "n_orders", "CAST(sum_cents AS BIGINT) AS sum_cents")
+
+
+# ---------------------------------------------------------------------------
+# corr_kendall_tau_qty_discount — tau-b from the joint histogram
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corr_kendall_tau_qty_discount",
+    oracle="""
+    WITH li AS (
+      SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc
+      FROM lineitem),
+    joint AS (SELECT q, disc, CAST(COUNT(*) AS BIGINT) AS n
+              FROM li GROUP BY 1, 2),
+    pairs AS (
+      SELECT CAST(SUM(CASE WHEN (a.disc < b.disc) THEN
+                   CAST(a.n AS DECIMAL(38,0)) * b.n ELSE 0 END)
+                  AS DECIMAL(38,0)) AS c,
+             CAST(SUM(CASE WHEN (a.disc > b.disc) THEN
+                   CAST(a.n AS DECIMAL(38,0)) * b.n ELSE 0 END)
+                  AS DECIMAL(38,0)) AS d
+      FROM joint a JOIN joint b ON a.q < b.q),
+    marg AS (
+      SELECT CAST(SUM(CAST(n AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS nn,
+             SUM(CAST(n AS DECIMAL(38,0)) * (n - 1) / 2) AS t_joint
+      FROM joint),
+    tq AS (SELECT SUM(CAST(nq AS DECIMAL(38,0)) * (nq - 1) / 2) AS t_q
+           FROM (SELECT SUM(n) AS nq FROM joint GROUP BY q)),
+    td AS (SELECT SUM(CAST(nd AS DECIMAL(38,0)) * (nd - 1) / 2) AS t_d
+           FROM (SELECT SUM(n) AS nd FROM joint GROUP BY disc))
+    SELECT CAST(nn AS BIGINT) AS n_rows,
+           CAST(c AS BIGINT) AS n_concordant,
+           CAST(d AS BIGINT) AS n_discordant,
+           CAST(floor((CAST(c AS DOUBLE) - CAST(d AS DOUBLE))
+               / sqrt((CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1) / 2
+                       - CAST(t_q AS DOUBLE))
+                    * (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1) / 2
+                       - CAST(t_d AS DOUBLE)))
+               * 1000000.0 + 0.5) AS BIGINT) AS tau_b_ppm
+    FROM pairs, marg, tq, td
+    """,
+)
+def corr_kendall_tau_qty_discount(spark, sf_dir):
+    """Kendall tau-b between quantity and discount — the
+    concordant/discordant-pair rank statistic, with the tie
+    correction both marginals need on discrete data. The naive
+    definition is O(n²) pairs; here the corpus first collapses to the
+    <=|q-domain|x|disc-domain| JOINT histogram (one aggregate), and
+    concordance is counted over CELL pairs weighted by count
+    products — bounded work (<=550² cell pairs) at any corpus size,
+    exact DECIMAL(38,0) arithmetic until the final tau. The q < q'
+    cell join is a broadcast nested loop over the tiny aggregate
+    (allowlisted — nothing corpus-sized flows through it)."""
+    li = read_table(spark, sf_dir, "lineitem").selectExpr(
+        "CAST(floor(l_quantity + 0.5) AS BIGINT) AS q",
+        "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc")
+    # persist: four consumers (pairs, total, both tie marginals) read
+    # the <=550-row joint histogram — one corpus scan, not four (the
+    # minhash shingle-table convention; ReuseExchange does not fire
+    # across the differing projections)
+    joint = li.groupBy("q", "disc").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n")).persist()
+    a = joint.selectExpr("q AS qa", "disc AS da", "n AS na")
+    b = joint.selectExpr("q AS qb", "disc AS db", "n AS nb")
+    pairs = (a.join(F.broadcast(b), F.expr("qa < qb"))
+             .agg(
+        F.expr("CAST(SUM(CASE WHEN da < db THEN"
+               " CAST(na AS DECIMAL(38,0)) * nb ELSE 0 END)"
+               " AS DECIMAL(38,0))").alias("c"),
+        F.expr("CAST(SUM(CASE WHEN da > db THEN"
+               " CAST(na AS DECIMAL(38,0)) * nb ELSE 0 END)"
+               " AS DECIMAL(38,0))").alias("d")))
+    marg = joint.agg(
+        F.expr("CAST(SUM(CAST(n AS DECIMAL(38,0))) AS DECIMAL(38,0))")
+        .alias("nn"))
+    tq = (joint.groupBy("q").agg(F.expr("SUM(n)").alias("nq"))
+          .agg(F.expr("SUM(CAST(nq AS DECIMAL(38,0)) * (nq - 1) / 2)")
+               .alias("t_q")))
+    td = (joint.groupBy("disc").agg(F.expr("SUM(n)").alias("nd"))
+          .agg(F.expr("SUM(CAST(nd AS DECIMAL(38,0)) * (nd - 1) / 2)")
+               .alias("t_d")))
+    out = (pairs.crossJoin(F.broadcast(marg))
+           .crossJoin(F.broadcast(tq)).crossJoin(F.broadcast(td)))
+    return out.selectExpr(
+        "CAST(nn AS BIGINT) AS n_rows",
+        "CAST(c AS BIGINT) AS n_concordant",
+        "CAST(d AS BIGINT) AS n_discordant",
+        "CAST(floor((CAST(c AS DOUBLE) - CAST(d AS DOUBLE))"
+        " / sqrt((CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1) / 2"
+        " - CAST(t_q AS DOUBLE))"
+        " * (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1) / 2"
+        " - CAST(t_d AS DOUBLE)))"
+        " * 1000000.0 + 0.5) AS BIGINT) AS tau_b_ppm")
+
+
+# ---------------------------------------------------------------------------
+# agg_hodges_lehmann_quantity — pseudo-median from the value histogram
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_hodges_lehmann_quantity",
+    oracle="""
+    WITH li AS (
+      SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS v
+      FROM lineitem),
+    h AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n FROM li GROUP BY 1),
+    walsh AS (
+      SELECT a.v + b.v AS w2,
+             CASE WHEN a.v < b.v
+                  THEN CAST(a.n AS DECIMAL(38,0)) * b.n
+                  ELSE CAST(a.n AS DECIMAL(38,0)) * (a.n + 1) / 2
+             END AS wt
+      FROM h a JOIN h b ON a.v <= b.v),
+    g AS (SELECT w2, CAST(SUM(wt) AS DECIMAL(38,0)) AS wt
+          FROM walsh GROUP BY 1),
+    c AS (SELECT w2, wt,
+                 SUM(wt) OVER (ORDER BY w2 ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS cum,
+                 SUM(wt) OVER () AS tot
+          FROM g)
+    SELECT CAST(MIN(CASE WHEN 2 * cum >= tot + 1 THEN w2 END)
+                AS BIGINT) AS hl2,
+           CAST(MAX(tot) AS BIGINT) AS n_walsh_pairs
+    FROM c
+    """,
+)
+def agg_hodges_lehmann_quantity(spark, sf_dir):
+    """Hodges-Lehmann pseudo-median of quantity: the median of all
+    Walsh averages (x_i + x_j)/2 for i <= j — the location estimator
+    behind the Wilcoxon signed-rank test, robust like the median but
+    ~50% more statistically efficient. Naively O(n²) pairs; on a
+    bounded domain the corpus collapses to its <=|domain| value
+    histogram and Walsh weights are COUNT PRODUCTS over <=|domain|²/2
+    cell pairs (same-value cells contribute n(n+1)/2 within-pairs).
+    Reported DOUBLED (w2 = v_i + v_j) so everything stays integer;
+    the weighted lower median is the standard smallest-value-with-
+    2·cum >= W+1 convention. The v <= v' cell join is a broadcast
+    nested loop over the tiny histogram (allowlisted)."""
+    li = read_table(spark, sf_dir, "lineitem").selectExpr(
+        "CAST(floor(l_quantity + 0.5) AS BIGINT) AS v")
+    h = li.groupBy("v").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"))
+    a = h.selectExpr("v AS va", "n AS na")
+    b = h.selectExpr("v AS vb", "n AS nb")
+    walsh = (a.join(F.broadcast(b), F.expr("va <= vb"))
+             .selectExpr(
+        "va + vb AS w2",
+        "CASE WHEN va < vb THEN CAST(na AS DECIMAL(38,0)) * nb"
+        " ELSE CAST(na AS DECIMAL(38,0)) * (na + 1) / 2 END AS wt"))
+    g = walsh.groupBy("w2").agg(
+        F.expr("CAST(SUM(wt) AS DECIMAL(38,0))").alias("wt"))
+    c = g.selectExpr(
+        "w2", "wt",
+        "SUM(wt) OVER (ORDER BY w2 ROWS BETWEEN UNBOUNDED PRECEDING"
+        " AND CURRENT ROW) AS cum",
+        "SUM(wt) OVER () AS tot")
+    return c.selectExpr(
+        "CAST(MIN(CASE WHEN 2 * cum >= tot + 1 THEN w2 END) AS BIGINT)"
+        " AS hl2",
+        "CAST(MAX(tot) AS BIGINT) AS n_walsh_pairs")
+
+
+# ---------------------------------------------------------------------------
+# forecast_mase_seasonal_naive — forecast-quality baseline
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "forecast_mase_seasonal_naive",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    lagged AS (
+      SELECT day, n,
+             lag(n, 7) OVER (ORDER BY day) AS n_7,
+             lag(n, 1) OVER (ORDER BY day) AS n_1
+      FROM daily),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(CASE WHEN n_7 IS NOT NULL
+                  THEN abs(n - n_7) END) AS BIGINT) AS ae7,
+             CAST(SUM(CASE WHEN n_7 IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS t7,
+             CAST(SUM(CASE WHEN n_1 IS NOT NULL
+                  THEN abs(n - n_1) END) AS BIGINT) AS ae1,
+             CAST(SUM(CASE WHEN n_1 IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS t1
+      FROM lagged)
+    SELECT n_days, ae7, t7, ae1, t1,
+           CASE WHEN ae1 > 0 THEN
+             CAST(floor((CAST(ae7 AS DOUBLE) * t1) * 1000000.0
+                  / (CAST(t7 AS DOUBLE) * ae1) + 0.5) AS BIGINT)
+           END AS mase_ppm
+    FROM s
+    """,
+)
+def forecast_mase_seasonal_naive(spark, sf_dir):
+    """MASE (mean absolute scaled error) of the seasonal-naive
+    forecast n̂_t = n_{t-7} on daily event volume, scaled by the
+    one-step naive's in-sample MAE — the standard scale-free
+    forecast-quality baseline (Hyndman-Koehler): any model worth
+    deploying must beat this number. Absolute errors are exact BIGINT
+    sums over the <=|days| daily aggregate; only the final ratio is a
+    deterministic double. NULL when the denominator series is flat."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("CAST(CAST(ts AS DATE) AS STRING)").alias("day")).agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"))
+    lagged = daily.selectExpr(
+        "day", "n",
+        "lag(n, 7) OVER (ORDER BY day) AS n_7",
+        "lag(n, 1) OVER (ORDER BY day) AS n_1")
+    s = lagged.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_days"),
+        F.expr("CAST(SUM(CASE WHEN n_7 IS NOT NULL THEN abs(n - n_7)"
+               " END) AS BIGINT)").alias("ae7"),
+        F.expr("CAST(SUM(CASE WHEN n_7 IS NOT NULL THEN 1 ELSE 0 END)"
+               " AS BIGINT)").alias("t7"),
+        F.expr("CAST(SUM(CASE WHEN n_1 IS NOT NULL THEN abs(n - n_1)"
+               " END) AS BIGINT)").alias("ae1"),
+        F.expr("CAST(SUM(CASE WHEN n_1 IS NOT NULL THEN 1 ELSE 0 END)"
+               " AS BIGINT)").alias("t1"))
+    return s.selectExpr(
+        "n_days", "ae7", "t7", "ae1", "t1",
+        "CASE WHEN ae1 > 0 THEN"
+        " CAST(floor((CAST(ae7 AS DOUBLE) * t1) * 1000000.0"
+        " / (CAST(t7 AS DOUBLE) * ae1) + 0.5) AS BIGINT) END AS mase_ppm")
+
+
+# ---------------------------------------------------------------------------
+# events_anomaly_deseasonalized — day vs its weekday mean
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_anomaly_deseasonalized",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    dd AS (
+      SELECT day, n,
+             ((date_diff('day', DATE '2024-01-01', day) % 7) + 7) % 7
+               AS dow
+      FROM daily),
+    w AS (
+      SELECT CAST(day AS VARCHAR) AS day, n, CAST(dow AS BIGINT) AS dow,
+             SUM(n) OVER (PARTITION BY dow) AS n_dow,
+             COUNT(*) OVER (PARTITION BY dow) AS days_dow
+      FROM dd),
+    r AS (
+      SELECT day, n, dow,
+             CAST(floor((CAST(n AS DOUBLE) * days_dow) * 1000000.0
+                  / CAST(n_dow AS DOUBLE) + 0.5) AS BIGINT) AS ratio_ppm
+      FROM w)
+    SELECT day, n AS n_events, dow, ratio_ppm,
+           abs(ratio_ppm - 1000000)
+             = MAX(abs(ratio_ppm - 1000000)) OVER () AS is_anomaly
+    FROM r
+    """,
+)
+def events_anomaly_deseasonalized(spark, sf_dir):
+    """Weekday-deseasonalized volume anomaly: each day's count
+    relative to ITS OWN weekday's mean (ratio in ppm, 1e6 = normal),
+    flagging the largest deviation — the screen that does not cry
+    wolf every weekend the way a raw z-score over daily counts does
+    (composes events_seasonality_dow with events_anomaly_zscore's
+    flagging shape). All windows run over the <=|days| daily
+    aggregate; the ratio is one deterministic double expression over
+    exact integer counts."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.expr("CAST(ts AS DATE)").alias("day")).agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"))
+    dd = daily.selectExpr(
+        "day", "n",
+        "((datediff(day, DATE '2024-01-01') % 7) + 7) % 7 AS dow")
+    w = dd.selectExpr(
+        "CAST(day AS STRING) AS day", "n", "CAST(dow AS BIGINT) AS dow",
+        "SUM(n) OVER (PARTITION BY dow) AS n_dow",
+        "COUNT(*) OVER (PARTITION BY dow) AS days_dow")
+    r = w.selectExpr(
+        "day", "n", "dow",
+        "CAST(floor((CAST(n AS DOUBLE) * days_dow) * 1000000.0"
+        " / CAST(n_dow AS DOUBLE) + 0.5) AS BIGINT) AS ratio_ppm")
+    return r.selectExpr(
+        "day", "n AS n_events", "dow", "ratio_ppm",
+        "abs(ratio_ppm - 1000000)"
+        " = MAX(abs(ratio_ppm - 1000000)) OVER () AS is_anomaly")

@@ -390,3 +390,54 @@ def test_selection_example_spec_runs_end_to_end(spark):
     r2 = Pipeline(spark, spec, state).run()
     assert r2.files_written == 0
     shutil.rmtree("/tmp/ocm-selection", ignore_errors=True)
+
+
+def test_incremental_rollup_example_spec(spark):
+    """The shipped incremental-maintenance example (base rollup +
+    config-synthesized CDC -> maintain_agg -> sink) must run through
+    the real Pipeline runner and equal a from-scratch recompute of the
+    post-CDC state; rerunning resumes as a no-op."""
+    import json
+    import pathlib
+    import shutil
+
+    shutil.rmtree("/tmp/ocm-incremental", ignore_errors=True)
+    spec_path = (pathlib.Path(__file__).resolve().parent.parent
+                 / "examples" / "incremental_rollup_pipeline.json")
+    cfg = json.load(open(spec_path))
+    spec = cfg["tables"][0]
+    spec["staging_dir"] = cfg["staging_dir"]
+    spec["retry"] = {"retries": 3, "delay": 0.0, "sleep": lambda s: None}
+    state = LocalFSStateStore()
+    r1 = Pipeline(spark, spec, state).run()
+    assert r1.files_written > 0
+
+    out = spark.read.parquet("/tmp/ocm-incremental/out")
+    got = {(r.o_orderstatus, r.o_orderpriority): (r.n, int(r.s))
+           for r in out.collect()}
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    orders.createOrReplaceTempView("t_incr_orders")
+    want = {(r.st, r.pr): (r.n, int(r.s)) for r in spark.sql("""
+        WITH o AS (
+          SELECT o_orderkey AS k, o_orderstatus AS st,
+                 o_orderpriority AS pr,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                 CAST(o_orderdate AS DATE) AS d
+          FROM t_incr_orders),
+        final AS (
+          SELECT st, pr,
+                 CASE WHEN d < DATE '1999-01-01' AND k % 97 = 0
+                      THEN (cents * 11) DIV 10 ELSE cents END AS cents
+          FROM o
+          WHERE NOT (d < DATE '1999-01-01' AND k % 89 = 0
+                     AND k % 97 <> 0))
+        SELECT st, pr, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS DECIMAL(38,0)) AS s
+        FROM final GROUP BY 1, 2
+    """).collect()}
+    assert got == want
+
+    r2 = Pipeline(spark, spec, state).run()
+    assert r2.files_written == 0
+    shutil.rmtree("/tmp/ocm-incremental", ignore_errors=True)

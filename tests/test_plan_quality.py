@@ -520,6 +520,11 @@ _NL_JOIN_ALLOWED = {
     # r7: kappa joins its two ONE-ROW aggregates (totals x pe_num) via
     # crossJoin — a 1x1 broadcast, the scalar-combine pattern.
     "eval_cohens_kappa_lang_guess",
+    # r7b: Kendall tau-b and Hodges-Lehmann count pairs over the TINY
+    # value/joint histograms (<=550 and <=|domain| rows) via non-equi
+    # broadcast joins — bounded-square work over aggregates, nothing
+    # corpus-sized flows through the NL side (the chi2/assoc shape).
+    "corr_kendall_tau_qty_discount", "agg_hodges_lehmann_quantity",
 }
 
 

@@ -515,3 +515,113 @@ def test_maintain_matches_recompute_randomized(spark, base, ops, n_batches):
         n, s = want.get(k, (0, 0))
         want[k] = (n + 1, s + v)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round-7b second batch: kendall / hodges-lehmann / mase / deseasonalized
+# ---------------------------------------------------------------------------
+
+
+def test_kendall_tau_matches_bruteforce(spark):
+    import duckdb
+
+    r = QUERIES["corr_kendall_tau_qty_discount"](spark, SF_SMALL).collect()[0]
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT CAST(floor(l_quantity + 0.5) AS BIGINT),"
+        " CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+        f" FROM read_parquet('{SF_SMALL}/lineitem.parquet')").fetchall()
+    n = len(rows)
+    c = d = tq = td = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            (q1, d1), (q2, d2) = rows[i], rows[j]
+            if q1 == q2:
+                tq += 1
+                continue
+            if d1 == d2:
+                td += 1
+                continue
+            if (q1 < q2) == (d1 < d2):
+                c += 1
+            else:
+                d += 1
+    assert (r.n_rows, r.n_concordant, r.n_discordant) == (n, c, d)
+    # brute-force tau-b: note tq here excludes joint ties the same way
+    # ONLY if accumulated per standard definition — recompute exactly:
+    from collections import Counter
+    n0 = n * (n - 1) // 2
+    t_q = sum(v * (v - 1) // 2 for v in Counter(q for q, _ in rows).values())
+    t_d = sum(v * (v - 1) // 2 for v in Counter(d2 for _, d2 in rows).values())
+    tau = (c - d) / math.sqrt((n0 - t_q) * (n0 - t_d))
+    assert r.tau_b_ppm == math.floor(tau * 1e6 + 0.5)
+
+
+def test_hodges_lehmann_matches_bruteforce(spark):
+    import duckdb
+
+    r = QUERIES["agg_hodges_lehmann_quantity"](spark, SF_SMALL).collect()[0]
+    con = duckdb.connect()
+    vals = [v for (v,) in con.sql(
+        "SELECT CAST(floor(l_quantity + 0.5) AS BIGINT)"
+        f" FROM read_parquet('{SF_SMALL}/lineitem.parquet')").fetchall()]
+    walsh2 = sorted(vals[i] + vals[j]
+                    for i in range(len(vals))
+                    for j in range(i, len(vals)))
+    w = len(walsh2)
+    assert r.n_walsh_pairs == w
+    # weighted lower median = smallest w2 with 2*cum >= W+1, which on
+    # the expanded list is element ceil(W/2)-1 = (W+1)//2 - 1
+    assert r.hl2 == walsh2[(w + 1) // 2 - 1]
+
+
+def test_mase_hand_case(spark):
+    # 14 days: first week flat 100, second week flat 100 except one
+    # day at 130 -> seasonal-naive errors all 0 except 30; naive-1
+    # errors are the two edges of the spike (30 + 30)
+    counts = [100] * 7 + [100, 100, 130, 100, 100, 100, 100]
+    rows = []
+    eid = 0
+    for day, n in enumerate(counts, start=1):
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, f"2024-01-{day:02d}"))
+    df = spark.createDataFrame(rows, "event_id LONG, day STRING")
+    daily = df.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("n"))
+    lagged = daily.selectExpr(
+        "day", "n",
+        "lag(n, 7) OVER (ORDER BY day) AS n_7",
+        "lag(n, 1) OVER (ORDER BY day) AS n_1")
+    s = lagged.selectExpr(
+        "CAST(SUM(CASE WHEN n_7 IS NOT NULL THEN abs(n - n_7) END)"
+        " AS BIGINT) AS ae7",
+        "CAST(SUM(CASE WHEN n_7 IS NOT NULL THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS t7",
+        "CAST(SUM(CASE WHEN n_1 IS NOT NULL THEN abs(n - n_1) END)"
+        " AS BIGINT) AS ae1",
+        "CAST(SUM(CASE WHEN n_1 IS NOT NULL THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS t1").collect()[0]
+    assert (s.ae7, s.t7, s.ae1, s.t1) == (30, 7, 60, 13)
+    # mase = (30/7) / (60/13) = 13/14
+    assert math.floor((30 * 13) * 1e6 / (7 * 60) + 0.5) == 928571
+
+
+def test_deseasonalized_anomaly_catalog_sanity(spark):
+    rows = QUERIES["events_anomaly_deseasonalized"](spark, SF_SMALL).collect()
+    assert rows and sum(1 for r in rows if r.is_anomaly) >= 1
+    # flagged day(s) carry the maximal |ratio - 1e6|
+    mx = max(abs(r.ratio_ppm - 1_000_000) for r in rows)
+    for r in rows:
+        assert r.is_anomaly == (abs(r.ratio_ppm - 1_000_000) == mx)
+    # each weekday's ratios average to ~1e6 by construction (weighted
+    # by day counts): per-dow mean of n equals the dow mean
+    from collections import defaultdict
+    by_dow = defaultdict(list)
+    for r in rows:
+        by_dow[r.dow].append((r.n_events, r.ratio_ppm))
+    for dow, pairs in by_dow.items():
+        tot_n = sum(n for n, _ in pairs)
+        days = len(pairs)
+        for n, ratio in pairs:
+            assert ratio == math.floor(n * days * 1e6 / tot_n + 0.5)

@@ -330,17 +330,23 @@ def parts_skyline_frontier(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _rank_map(df, col):
-    """Distinct-value tied-rank map: rank_half = 2*cnt_less + cnt + 1
-    (twice the average rank — an INTEGER, so the whole rank transform
-    is exact; Pearson on ranks is scale-invariant)."""
-    counts = df.groupBy(col).agg(
-        F.expr("CAST(COUNT(*) AS BIGINT)").alias("cnt"))
+def _rank_map_from_counts(counts, col):
+    """Distinct-value tied-rank map from a (col, cnt) frame:
+    rank_half = 2*cnt_less + cnt + 1 (twice the average rank — an
+    INTEGER, so the whole rank transform is exact; Pearson on ranks
+    is scale-invariant)."""
     w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
     return counts.select(
         col,
         (F.lit(2) * F.coalesce(F.sum("cnt").over(w), F.lit(0))
          + F.col("cnt") + F.lit(1)).alias(f"{col}_rank2"))
+
+
+def _rank_map(df, col):
+    """Tied-rank map from raw rows (aggregates first)."""
+    return _rank_map_from_counts(
+        df.groupBy(col).agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("cnt")), col)
 
 
 @query(
@@ -388,30 +394,48 @@ def corr_spearman_qty_discount(spark, sf_dir):
     """Spearman rank correlation between quantity and discount —
     the monotone-association screen Pearson misses. Tied ranks come
     from the distinct-value cumulative-count maps (50- and 11-row
-    domains -> windows over dozens of rows, broadcast back to the
-    fact), DOUBLED so they stay integers; all five moment sums
-    accumulate as DECIMAL(38,0) — exact under any partitioning at any
-    row count — and only the final rho divides in floating point.
-    The same shape serves any bounded/bucketed pair; unbounded
-    domains first bucket through the two-pass quantile recipe."""
+    domains -> windows over dozens of rows), DOUBLED so they stay
+    integers; all five moment sums accumulate as DECIMAL(38,0) —
+    exact under any partitioning at any row count — and only the
+    final rho divides in floating point. The same shape serves any
+    bounded/bucketed pair; unbounded domains first bucket through the
+    two-pass quantile recipe.
+
+    The moment sums run over the persisted <=550-cell JOINT histogram
+    weighted by cell counts — one corpus aggregate, then cell-level
+    arithmetic only (the kendall design). The first draft joined the
+    rank maps back onto every fact row and paid a per-row 128-bit
+    DECIMAL multiply: 16x wall at the 100x probe, vs scan-bound for
+    this shape. The oracle deliberately keeps the row-level
+    formulation, so the two engines agree through genuinely different
+    computations."""
     li = read_table(spark, sf_dir, "lineitem").selectExpr(
         "CAST(floor(l_quantity + 0.5) AS BIGINT) AS q",
         "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc")
-    qr = _rank_map(li, "q").withColumnRenamed("q_rank2", "x")
-    dr = _rank_map(li, "disc").withColumnRenamed("disc_rank2", "y")
-    rk = (li.join(F.broadcast(qr), "q")
-            .join(F.broadcast(dr), "disc")
-            .select("x", "y"))
+    # persist: three consumers (both rank marginals + the moment pass)
+    joint = li.groupBy("q", "disc").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("cnt")).persist()
+    qr = _rank_map_from_counts(
+        joint.groupBy("q").agg(
+            F.expr("CAST(SUM(cnt) AS BIGINT)").alias("cnt")),
+        "q").withColumnRenamed("q_rank2", "x")
+    dr = _rank_map_from_counts(
+        joint.groupBy("disc").agg(
+            F.expr("CAST(SUM(cnt) AS BIGINT)").alias("cnt")),
+        "disc").withColumnRenamed("disc_rank2", "y")
+    rk = (joint.join(F.broadcast(qr), "q")
+          .join(F.broadcast(dr), "disc")
+          .select("cnt", "x", "y"))
     s = rk.agg(
-        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("n"),
-        F.expr("SUM(CAST(x AS DECIMAL(38,0)))").alias("sx"),
-        F.expr("SUM(CAST(y AS DECIMAL(38,0)))").alias("sy"),
-        F.expr("SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))")
-        .alias("sxy"),
-        F.expr("SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))")
-        .alias("sxx"),
-        F.expr("SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))")
-        .alias("syy"))
+        F.expr("CAST(SUM(cnt) AS DECIMAL(38,0))").alias("n"),
+        F.expr("SUM(cnt * CAST(x AS DECIMAL(38,0)))").alias("sx"),
+        F.expr("SUM(cnt * CAST(y AS DECIMAL(38,0)))").alias("sy"),
+        F.expr("SUM(cnt * CAST(x AS DECIMAL(38,0))"
+               " * CAST(y AS DECIMAL(38,0)))").alias("sxy"),
+        F.expr("SUM(cnt * CAST(x AS DECIMAL(38,0))"
+               " * CAST(x AS DECIMAL(38,0)))").alias("sxx"),
+        F.expr("SUM(cnt * CAST(y AS DECIMAL(38,0))"
+               " * CAST(y AS DECIMAL(38,0)))").alias("syy"))
     return s.selectExpr(
         "CAST(n AS BIGINT) AS n_rows",
         "CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"

@@ -101,3 +101,27 @@ def test_stream_rollup_matches_batch_recompute_on_events(spark, tmp_path):
         F.count("*").cast("bigint").alias("n"),
         F.expr("SUM(CAST(new_v AS DECIMAL(38,0)))").alias("s")).collect()}
     assert got == want
+
+
+def test_rollup_vacuum_shares_upsert_retention(spark, tmp_path):
+    """vacuum_snapshots operates on the rollup's version layout
+    unchanged (shared protocol): old versions drop, the latest
+    survives, time travel to vacuumed ids refuses."""
+    import pytest
+
+    from oracle_cassandra_migrator_spark.streaming import rollup
+    from oracle_cassandra_migrator_spark.streaming.upsert import (
+        snapshot_at, vacuum_snapshots)
+
+    src = str(tmp_path / "src")
+    schema = _write_batches(spark, src)
+    base_dir = str(tmp_path / "state")
+    _run(spark, src, schema, base_dir, str(tmp_path / "ckpt"))
+
+    vacuumed = vacuum_snapshots(spark, base_dir, keep_last=1)
+    assert vacuumed == [0]
+    got = {r.k: (r.n, int(r.s))
+           for r in rollup.latest_rollup(spark, base_dir).collect()}
+    assert got == {"a": (2, 35), "c": (1, 7)}
+    with pytest.raises(ValueError, match="not a committed"):
+        snapshot_at(spark, base_dir, 0)

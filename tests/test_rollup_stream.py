@@ -125,3 +125,44 @@ def test_rollup_vacuum_shares_upsert_retention(spark, tmp_path):
     assert got == {"a": (2, 35), "c": (1, 7)}
     with pytest.raises(ValueError, match="not a committed"):
         snapshot_at(spark, base_dir, 0)
+
+
+def test_rollup_uncommitted_version_is_invisible_and_overwritten(
+        spark, tmp_path):
+    """Crash between snapshot write and marker commit: the orphan
+    version dir must be invisible to readers (markers gate reads) and
+    the replayed batch must overwrite it with the correct rollup."""
+    from oracle_cassandra_migrator_spark.streaming import rollup
+
+    src = str(tmp_path / "src")
+    # only batch 1 on disk for the first run
+    b1 = spark.createDataFrame(
+        [("I", "a", 10, None, 1), ("I", "a", 20, None, 2),
+         ("I", "b", 5, None, 3)], CDC_SCHEMA)
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    base_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    _run(spark, src, b1.schema, base_dir, ckpt)
+
+    # simulate the crash: batch 1's snapshot-v1 written, marker LOST
+    garbage = spark.createDataFrame(
+        [("zzz", 999, 999)], "k STRING, n LONG, s LONG").selectExpr(
+        "k", "n", "CAST(s AS DECIMAL(38,0)) AS s")
+    garbage.write.mode("overwrite").parquet(f"{base_dir}/snapshot-v1")
+
+    # readers never see the orphan
+    got = {r.k: (r.n, int(r.s))
+           for r in rollup.latest_rollup(spark, base_dir).collect()}
+    assert got == {"a": (2, 30), "b": (1, 5)}
+
+    # batch 2 arrives; its id is 1 -> the replay overwrites the orphan
+    b2 = spark.createDataFrame(
+        [("U", "a", 25, 20, 4), ("D", "b", None, 5, 5),
+         ("I", "c", 7, None, 6)], CDC_SCHEMA)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    _run(spark, src, b1.schema, base_dir, ckpt)
+
+    got = {r.k: (r.n, int(r.s))
+           for r in rollup.latest_rollup(spark, base_dir).collect()}
+    assert got == {"a": (2, 35), "c": (1, 7)}
+    assert "zzz" not in got

@@ -1,0 +1,271 @@
+"""Partitioned snapshot maintenance: the 100 TB upgrade of
+streaming/upsert.py. The plain upsert REWRITES THE WHOLE SNAPSHOT
+every micro-batch — correct, but O(snapshot) per trigger, which is
+exactly what breaks first at scale. Here the snapshot is hash-bucketed
+by key, each version directory contains ONLY the buckets its batch
+touched, and a tiny JSON MANIFEST maps every bucket to the version
+that last rewrote it — so a batch costs O(touched buckets), and a
+point lookup needs one bucket. This is the minimal honest core of
+what a table format (Delta/Iceberg) does for MERGE: manifest +
+partial rewrite + snapshot isolation; swapping the sink to a real
+table format keeps the orchestration unchanged.
+
+Layout under ``base_dir`` (any Hadoop scheme):
+
+- ``v<batchId>/bucket=<b>/*.parquet`` — only the buckets batch
+  <batchId> rewrote (``partitionBy`` dirs; data files carry data
+  columns only).
+- ``manifest-v<batchId>.json`` — ``{"n_buckets": N, "owners":
+  {"<b>": <version>}}``: for every bucket with data, the version dir
+  that currently owns it.
+- ``markers/batch-<batchId>.marker`` — the commit point (the
+  upsert/rollup protocol; a manifest without its marker is an
+  invisible orphan).
+
+Crash/replay analysis is upsert's, extended to the manifest: both the
+version dir and the manifest are written BEFORE the marker, replays
+deterministically overwrite both, and readers resolve only committed
+manifests. Read amplification (latest snapshot stitches buckets from
+several versions) is bounded by ``compact`` — a maintenance batch
+that rewrites every bucket into one version — plus ``vacuum``, which
+deletes version dirs no kept manifest references.
+
+Reference parity: generalizes the reference's overwrite-everything
+staging (verizon_table_migration_Rakesh_filters.py:187-223) into
+partial rewrite, the same way pipeline.py generalized its
+checkpointing.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from oracle_cassandra_migrator_spark.operators.merge import merge_upsert
+from oracle_cassandra_migrator_spark.reliability.state import (
+    LocalFSStateStore,
+    StateStore,
+)
+from oracle_cassandra_migrator_spark.streaming.sinks import (
+    consume_without_writing,
+)
+from oracle_cassandra_migrator_spark.streaming.upsert import _committed_ids
+
+__all__ = [
+    "foreach_batch_upsert_partitioned",
+    "latest_partitioned_snapshot",
+    "compact_partitioned",
+    "vacuum_partitioned",
+]
+
+
+def _bucket_expr(keys: list[str], n_buckets: int) -> str:
+    cols = ", ".join(keys)
+    return f"CAST(pmod(xxhash64({cols}), {n_buckets}) AS INT)"
+
+
+# Manifests are tiny JSON objects; go through the Hadoop FileSystem
+# API so any scheme (file:/hdfs:/s3a:) works — vacuum_snapshots's
+# convention.
+def _hadoop_fs(spark, path: str):
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(conf), jpath
+
+
+def _write_text(spark, path: str, text: str) -> None:
+    fs, jpath = _hadoop_fs(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_text(spark, path: str) -> str:
+    fs, jpath = _hadoop_fs(spark, path)
+    stream = fs.open(jpath)
+    try:
+        jvm = spark.sparkContext._jvm
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _manifest_path(base_dir: str, batch_id: int) -> str:
+    return posixpath.join(base_dir, f"manifest-v{batch_id}.json")
+
+
+def _read_manifest(spark, base_dir: str, batch_id: int) -> dict:
+    m = json.loads(_read_text(spark, _manifest_path(base_dir, batch_id)))
+    m["owners"] = {int(k): int(v) for k, v in m["owners"].items()}
+    return m
+
+
+def _bucket_paths(base_dir: str, owners: dict[int, int],
+                  buckets: list[int]) -> list[str]:
+    return [posixpath.join(base_dir, f"v{owners[b]}", f"bucket={b}")
+            for b in buckets if b in owners]
+
+
+def latest_partitioned_snapshot(
+        spark, base_dir: str,
+        state: StateStore | None = None) -> DataFrame | None:
+    """The committed snapshot, stitched bucket-by-bucket from the
+    latest manifest. None before the first commit (or if the snapshot
+    is empty). Readers never see uncommitted version dirs or
+    manifests — commits are marker-gated, the upsert invariant."""
+    store = state or LocalFSStateStore()
+    ids = _committed_ids(store, posixpath.join(base_dir, "markers"))
+    if not ids:
+        return None
+    owners = _read_manifest(spark, base_dir, ids[-1])["owners"]
+    if not owners:
+        return None
+    paths = _bucket_paths(base_dir, owners, sorted(owners))
+    return spark.read.parquet(*paths)
+
+
+def foreach_batch_upsert_partitioned(
+    stream: DataFrame,
+    base_dir: str,
+    keys: list[str],
+    order_by: list[str],
+    checkpoint_dir: str,
+    n_buckets: int = 16,
+    state: StateStore | None = None,
+    trigger: dict[str, Any] | None = None,
+) -> StreamingQuery:
+    """Maintain a hash-bucketed keyed snapshot from a stream of change
+    rows: per batch, last-change-per-key wins (ordered by
+    ``order_by``), ONLY the buckets the batch's keys hash into are
+    read, merged, and rewritten — every other bucket is carried
+    forward by manifest reference, untouched on disk. ``n_buckets``
+    is fixed at table creation (asserted against the manifest on
+    every batch; re-bucketing is a ``compact`` with a new table)."""
+    store = state or LocalFSStateStore()
+    marker_dir = posixpath.join(base_dir, "markers")
+    bexpr = _bucket_expr(keys, n_buckets)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        marker = posixpath.join(marker_dir, f"batch-{batch_id}.marker")
+        if store.exists(marker):
+            consume_without_writing(batch_df)
+            return
+        spark = batch_df.sparkSession
+        ordered = F.struct(
+            *[F.col(c) for c in order_by], F.struct("*").alias("__row"))
+        winners = (batch_df.groupBy(*keys)
+                   .agg(F.max(ordered).alias("__w"))
+                   .select("__w.__row.*"))
+        prev_ids = [i for i in _committed_ids(store, marker_dir)
+                    if i < batch_id]
+        if prev_ids:
+            manifest = _read_manifest(spark, base_dir, prev_ids[-1])
+            if manifest["n_buckets"] != n_buckets:
+                raise ValueError(
+                    f"n_buckets mismatch: table has "
+                    f"{manifest['n_buckets']}, caller passed {n_buckets}")
+            owners = manifest["owners"]
+        else:
+            owners = {}
+        # the touched-bucket set is bounded by n_buckets — a tiny,
+        # legal collect
+        touched = sorted(
+            r[0] for r in winners.selectExpr(f"{bexpr} AS b")
+            .distinct().collect())
+        cur_paths = _bucket_paths(base_dir, owners, touched)
+        if cur_paths:
+            current = spark.read.parquet(*cur_paths)
+            merged = merge_upsert(current, winners, keys)
+        else:
+            merged = winners
+        (merged.withColumn("bucket", F.expr(bexpr))
+         .repartition("bucket")
+         .write.partitionBy("bucket").mode("overwrite")
+         .parquet(posixpath.join(base_dir, f"v{batch_id}")))
+        new_owners = dict(owners)
+        for b in touched:
+            new_owners[b] = batch_id
+        _write_text(spark, _manifest_path(base_dir, batch_id),
+                    json.dumps({"n_buckets": n_buckets,
+                                "owners": {str(k): v for k, v
+                                           in new_owners.items()}}))
+        store.put_marker(marker)
+
+    writer = (stream.writeStream.foreachBatch(apply)
+              .option("checkpointLocation", checkpoint_dir))
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()
+
+
+def compact_partitioned(spark, base_dir: str, keys: list[str],
+                        state: StateStore | None = None) -> int:
+    """Maintenance compaction: rewrite EVERY live bucket into one new
+    version (id = last committed + 1) so reads stop stitching old
+    versions and vacuum can reclaim them. Returns the new version id.
+    Same write-then-marker commit discipline as a batch."""
+    store = state or LocalFSStateStore()
+    marker_dir = posixpath.join(base_dir, "markers")
+    ids = _committed_ids(store, marker_dir)
+    if not ids:
+        raise ValueError("nothing to compact: no committed versions")
+    manifest = _read_manifest(spark, base_dir, ids[-1])
+    owners = manifest["owners"]
+    new_id = ids[-1] + 1
+    if owners:
+        current = spark.read.parquet(
+            *_bucket_paths(base_dir, owners, sorted(owners)))
+        bexpr = _bucket_expr(keys, manifest["n_buckets"])
+        (current.withColumn("bucket", F.expr(bexpr))
+         .repartition("bucket")
+         .write.partitionBy("bucket").mode("overwrite")
+         .parquet(posixpath.join(base_dir, f"v{new_id}")))
+        new_owners = {str(b): new_id for b in owners}
+    else:
+        new_owners = {}
+    _write_text(spark, _manifest_path(base_dir, new_id),
+                json.dumps({"n_buckets": manifest["n_buckets"],
+                            "owners": new_owners}))
+    store.put_marker(
+        posixpath.join(marker_dir, f"batch-{new_id}.marker"))
+    return new_id
+
+
+def vacuum_partitioned(spark, base_dir: str, keep_last: int = 2,
+                       state: StateStore | None = None) -> list[int]:
+    """Retention with reference counting: keep the last ``keep_last``
+    committed manifests, then delete every version DIRECTORY that no
+    kept manifest references (a dir may be older than the kept window
+    yet still own live buckets — it survives until compaction).
+    Markers/manifests outside the window are dropped with their dirs;
+    order is data-first, marker-last (the crash-safe direction)."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    store = state or LocalFSStateStore()
+    marker_dir = posixpath.join(base_dir, "markers")
+    ids = _committed_ids(store, marker_dir)
+    kept_ids = ids[-keep_last:]
+    referenced: set[int] = set()
+    for i in kept_ids:
+        referenced.update(
+            _read_manifest(spark, base_dir, i)["owners"].values())
+    doomed = [i for i in ids[:-keep_last] if i not in referenced]
+    for bid in doomed:
+        fs, jpath = _hadoop_fs(
+            spark, posixpath.join(base_dir, f"v{bid}"))
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
+        mpath = _manifest_path(base_dir, bid)
+        fs2, jm = _hadoop_fs(spark, mpath)
+        if fs2.exists(jm):
+            fs2.delete(jm, False)
+        store.delete(
+            posixpath.join(marker_dir, f"batch-{bid}.marker"))
+    return doomed

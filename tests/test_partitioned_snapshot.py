@@ -1,0 +1,162 @@
+"""Partitioned snapshot maintenance (streaming/partitioned.py):
+partial rewrite must equal the full-rewrite upsert on the same change
+stream, untouched buckets must not be rewritten, orphaned
+(uncommitted) versions stay invisible, and vacuum's reference
+counting must never delete a version that still owns live buckets."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SCHEMA = "k BIGINT, v STRING, seq INT"
+N_BUCKETS = 8
+
+
+def _feed(spark, src, batches):
+    first = True
+    for rows in batches:
+        df = spark.createDataFrame(rows, SCHEMA)
+        mode = "overwrite" if first else "append"
+        df.coalesce(1).write.mode(mode).parquet(src)
+        first = False
+    return spark.createDataFrame(batches[0], SCHEMA).schema
+
+
+def _run(spark, src, schema, base_dir, ckpt, n_buckets=N_BUCKETS):
+    from oracle_cassandra_migrator_spark.streaming import partitioned
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = partitioned.foreach_batch_upsert_partitioned(
+        stream, base_dir, ["k"], ["seq"], ckpt, n_buckets=n_buckets)
+    q.awaitTermination(180)
+
+
+BATCH1 = [(i, f"v{i}", i) for i in range(1, 21)]
+BATCH2 = [(3, "updated-3", 100), (300, "new-300", 101)]
+
+
+def test_partitioned_matches_full_rewrite_upsert(spark, tmp_path):
+    from oracle_cassandra_migrator_spark.streaming import (
+        partitioned, upsert)
+
+    src_a, src_b = str(tmp_path / "a"), str(tmp_path / "b")
+    schema = _feed(spark, src_a, [BATCH1, BATCH2])
+    _feed(spark, src_b, [BATCH1, BATCH2])
+
+    part_dir = str(tmp_path / "part")
+    _run(spark, src_a, schema, part_dir, str(tmp_path / "ck1"))
+
+    full_dir = str(tmp_path / "full")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src_b))
+    q = upsert.foreach_batch_upsert(
+        stream, full_dir, ["k"], ["seq"], str(tmp_path / "ck2"))
+    q.awaitTermination(180)
+
+    got = {r.k: (r.v, r.seq) for r in
+           partitioned.latest_partitioned_snapshot(
+               spark, part_dir).collect()}
+    want = {r.k: (r.v, r.seq) for r in
+            upsert.latest_snapshot(spark, full_dir).collect()}
+    assert got == want
+    assert got[3] == ("updated-3", 100)
+    assert got[300] == ("new-300", 101)
+    assert len(got) == 21
+
+
+def test_partial_rewrite_touches_only_batch_buckets(spark, tmp_path):
+    src = str(tmp_path / "src")
+    schema = _feed(spark, src, [BATCH1, BATCH2])
+    base = str(tmp_path / "part")
+    _run(spark, src, schema, base, str(tmp_path / "ck"))
+
+    # batch 2 changed 2 keys -> at most 2 buckets rewritten in v1,
+    # while v0 holds the full initial spread
+    v0 = {os.path.basename(p) for p in glob.glob(f"{base}/v0/bucket=*")}
+    v1 = {os.path.basename(p) for p in glob.glob(f"{base}/v1/bucket=*")}
+    assert len(v1) <= 2
+    assert len(v0) > len(v1)
+
+    # the manifest owners agree: exactly v1's buckets point at 1
+    import json
+    m = json.loads(open(f"{base}/manifest-v1.json").read())
+    owned_by_1 = {f"bucket={b}" for b, v in m["owners"].items()
+                  if v == 1}
+    assert owned_by_1 == v1
+    # untouched buckets still owned by v0 and served from there
+    assert all(v in (0, 1) for v in m["owners"].values())
+
+
+def test_uncommitted_partitioned_version_is_invisible(spark, tmp_path):
+    from oracle_cassandra_migrator_spark.streaming import partitioned
+
+    src = str(tmp_path / "src")
+    schema = _feed(spark, src, [BATCH1])
+    base = str(tmp_path / "part")
+    _run(spark, src, schema, base, str(tmp_path / "ck"))
+
+    # orphan: version dir + manifest written, marker lost
+    spark.createDataFrame([(999, "garbage", 0)], SCHEMA) \
+        .withColumn("bucket", F.lit(0)) \
+        .write.partitionBy("bucket").parquet(f"{base}/v9")
+    open(f"{base}/manifest-v9.json", "w").write(
+        '{"n_buckets": 8, "owners": {"0": 9}}')
+
+    got = {r.k for r in partitioned.latest_partitioned_snapshot(
+        spark, base).collect()}
+    assert 999 not in got and len(got) == 20
+
+
+def test_compact_then_vacuum_refcounts(spark, tmp_path):
+    from oracle_cassandra_migrator_spark.streaming import partitioned
+
+    src = str(tmp_path / "src")
+    schema = _feed(spark, src, [BATCH1, BATCH2])
+    base = str(tmp_path / "part")
+    _run(spark, src, schema, base, str(tmp_path / "ck"))
+
+    # vacuum keep_last=1 BEFORE compaction: v0 still owns live
+    # buckets through manifest-v1 -> must survive
+    doomed = partitioned.vacuum_partitioned(spark, base, keep_last=1)
+    assert doomed == []
+    assert glob.glob(f"{base}/v0/bucket=*")
+
+    new_id = partitioned.compact_partitioned(spark, base, ["k"])
+    assert new_id == 2
+    got = {r.k: r.v for r in partitioned.latest_partitioned_snapshot(
+        spark, base).collect()}
+    assert len(got) == 21 and got[3] == "updated-3"
+
+    # now nothing references v0/v1 from the kept manifest -> reclaimed
+    doomed = partitioned.vacuum_partitioned(spark, base, keep_last=1)
+    assert doomed == [0, 1]
+    assert not glob.glob(f"{base}/v0")
+    assert not glob.glob(f"{base}/manifest-v0.json")
+    got = {r.k: r.v for r in partitioned.latest_partitioned_snapshot(
+        spark, base).collect()}
+    assert len(got) == 21
+
+
+def test_n_buckets_mismatch_raises(spark, tmp_path):
+    src = str(tmp_path / "src")
+    schema = _feed(spark, src, [BATCH1])
+    base = str(tmp_path / "part")
+    _run(spark, src, schema, base, str(tmp_path / "ck"))
+
+    # feeding more data with a different n_buckets must fail loudly
+    spark.createDataFrame(BATCH2, SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    from oracle_cassandra_migrator_spark.streaming import partitioned
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = partitioned.foreach_batch_upsert_partitioned(
+        stream, base, ["k"], ["seq"], str(tmp_path / "ck"),
+        n_buckets=4)
+    with pytest.raises(Exception, match="n_buckets mismatch"):
+        try:
+            q.awaitTermination(180)
+        except Exception as e:
+            raise RuntimeError(str(e)) from e

@@ -58,6 +58,7 @@ from oracle_cassandra_migrator_spark.streaming.upsert import _committed_ids
 __all__ = [
     "foreach_batch_upsert_partitioned",
     "latest_partitioned_snapshot",
+    "lookup_keys",
     "compact_partitioned",
     "vacuum_partitioned",
 ]
@@ -130,6 +131,48 @@ def latest_partitioned_snapshot(
         return None
     paths = _bucket_paths(base_dir, owners, sorted(owners))
     return spark.read.parquet(*paths)
+
+
+def lookup_keys(spark, base_dir: str, keys: list[str],
+                values: list[tuple],
+                state: StateStore | None = None) -> DataFrame | None:
+    """Bucket-pruned point lookup: read ONLY the buckets the requested
+    key tuples hash into (computed engine-side with the same
+    xxhash64 expression the writer used — never reimplemented
+    driver-side, so writer and reader can't drift) and filter to the
+    exact keys. At any snapshot size the scan is |distinct buckets of
+    the probe| bucket dirs — the serving-path payoff of the layout.
+    Returns None before the first commit."""
+    store = state or LocalFSStateStore()
+    ids = _committed_ids(store, posixpath.join(base_dir, "markers"))
+    if not ids:
+        return None
+    manifest = _read_manifest(spark, base_dir, ids[-1])
+    owners = manifest["owners"]
+    if not owners or not values:
+        return None
+    probe = spark.createDataFrame(values, ", ".join(
+        f"{k} {t}" for k, t in zip(
+            keys, _probe_types(spark, base_dir, owners, keys))))
+    bexpr = _bucket_expr(keys, manifest["n_buckets"])
+    buckets = sorted(r[0] for r in probe.selectExpr(f"{bexpr} AS b")
+                     .distinct().collect())
+    paths = _bucket_paths(base_dir, owners, buckets)
+    if not paths:
+        return None
+    snap = spark.read.parquet(*paths)
+    return snap.join(F.broadcast(probe), keys, "left_semi")
+
+
+def _probe_types(spark, base_dir: str, owners: dict[int, int],
+                 keys: list[str]) -> list[str]:
+    """Key column DDL types read from one existing bucket's footer so
+    the probe frame hashes identically to the stored keys (an INT
+    probe against a BIGINT key column would xxhash64 differently)."""
+    first = _bucket_paths(base_dir, owners, sorted(owners))[0]
+    schema = spark.read.parquet(first).schema
+    by_name = {f.name: f.dataType.simpleString() for f in schema.fields}
+    return [by_name[k] for k in keys]
 
 
 def foreach_batch_upsert_partitioned(

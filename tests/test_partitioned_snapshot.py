@@ -160,3 +160,28 @@ def test_n_buckets_mismatch_raises(spark, tmp_path):
             q.awaitTermination(180)
         except Exception as e:
             raise RuntimeError(str(e)) from e
+
+
+def test_lookup_reads_only_probe_buckets(spark, tmp_path):
+    from oracle_cassandra_migrator_spark.streaming import partitioned
+
+    src = str(tmp_path / "src")
+    schema = _feed(spark, src, [BATCH1, BATCH2])
+    base = str(tmp_path / "part")
+    _run(spark, src, schema, base, str(tmp_path / "ck"))
+
+    out = partitioned.lookup_keys(spark, base, ["k"], [(3,), (300,), (7,)])
+    got = {r.k: (r.v, r.seq) for r in out.collect()}
+    assert got == {3: ("updated-3", 100), 300: ("new-300", 101),
+                   7: ("v7", 7)}
+    # the physical scan is bucket-pruned: the files read come from at
+    # most |distinct probe buckets| bucket dirs, not the whole snapshot
+    import re
+    read_dirs = {m.group() for f in out.inputFiles()
+                 for m in [re.search(r"bucket=\d+", f)] if m}
+    all_dirs = {os.path.basename(p)
+                for p in glob.glob(f"{base}/v*/bucket=*")}
+    assert 1 <= len(read_dirs) <= 3 < len(all_dirs)
+    # a miss probes cleanly (empty result, not an error)
+    miss = partitioned.lookup_keys(spark, base, ["k"], [(424242,)])
+    assert miss.count() == 0

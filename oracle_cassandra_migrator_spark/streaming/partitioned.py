@@ -57,6 +57,7 @@ from oracle_cassandra_migrator_spark.streaming.upsert import _committed_ids
 
 __all__ = [
     "foreach_batch_upsert_partitioned",
+    "foreach_batch_rollup_partitioned",
     "latest_partitioned_snapshot",
     "lookup_keys",
     "compact_partitioned",
@@ -236,6 +237,100 @@ def foreach_batch_upsert_partitioned(
         new_owners = dict(owners)
         for b in touched:
             new_owners[b] = batch_id
+        _write_text(spark, _manifest_path(base_dir, batch_id),
+                    json.dumps({"n_buckets": n_buckets,
+                                "owners": {str(k): v for k, v
+                                           in new_owners.items()}}))
+        store.put_marker(marker)
+
+    writer = (stream.writeStream.foreachBatch(apply)
+              .option("checkpointLocation", checkpoint_dir))
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()
+
+
+def foreach_batch_rollup_partitioned(
+    stream: DataFrame,
+    base_dir: str,
+    keys: list[str],
+    new_expr: str,
+    old_expr: str,
+    checkpoint_dir: str,
+    n_buckets: int = 16,
+    n_col: str = "n",
+    sum_col: str = "s",
+    op_col: str = "op",
+    state: StateStore | None = None,
+    trigger: dict[str, Any] | None = None,
+) -> StreamingQuery:
+    """Partitioned twin of streaming/rollup.py: maintain a (count,
+    sum) GROUP BY from a CDC stream, rewriting ONLY the group-buckets
+    the batch's deltas touch. Per batch the work is O(|batch| +
+    touched-bucket group rows) — the full rollup merge is already
+    O(groups); this removes even that when group cardinality is huge
+    (per-user / per-document rollups) and the batch is narrow. Same
+    manifest/marker protocol, so latest_partitioned_snapshot,
+    compact_partitioned (keys=group keys) and vacuum_partitioned work
+    on rollup tables unchanged; groups whose count returns to 0 drop
+    out of their bucket's rewrite."""
+    from oracle_cassandra_migrator_spark.operators.incremental import (
+        cdc_to_group_deltas,
+        maintain_sum_count,
+    )
+
+    store = state or LocalFSStateStore()
+    marker_dir = posixpath.join(base_dir, "markers")
+    bexpr = _bucket_expr(keys, n_buckets)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        marker = posixpath.join(marker_dir, f"batch-{batch_id}.marker")
+        if store.exists(marker):
+            consume_without_writing(batch_df)
+            return
+        spark = batch_df.sparkSession
+        deltas = cdc_to_group_deltas(
+            batch_df, keys, new_expr, old_expr, op_col=op_col)
+        prev_ids = [i for i in _committed_ids(store, marker_dir)
+                    if i < batch_id]
+        if prev_ids:
+            manifest = _read_manifest(spark, base_dir, prev_ids[-1])
+            if manifest["n_buckets"] != n_buckets:
+                raise ValueError(
+                    f"n_buckets mismatch: table has "
+                    f"{manifest['n_buckets']}, caller passed {n_buckets}")
+            owners = manifest["owners"]
+        else:
+            owners = {}
+        touched = sorted(
+            r[0] for r in deltas.selectExpr(f"{bexpr} AS b")
+            .distinct().collect())
+        cur_paths = _bucket_paths(base_dir, owners, touched)
+        if cur_paths:
+            base = spark.read.parquet(*cur_paths)
+        else:
+            base = (deltas.selectExpr(
+                *keys, f"CAST(d_n AS BIGINT) AS {n_col}",
+                f"CAST(d_sum AS DECIMAL(38,0)) AS {sum_col}")
+                .limit(0))
+        merged = maintain_sum_count(
+            base, deltas, keys, n_col=n_col, sum_col=sum_col).persist()
+        # unlike the upsert (which never removes keys), a rollup
+        # bucket can EMPTY when its last group's count hits 0 — such a
+        # bucket writes no subdir and must leave the manifest, or
+        # readers would chase a nonexistent path
+        present = {r[0] for r in merged.selectExpr(f"{bexpr} AS b")
+                   .distinct().collect()}
+        (merged.withColumn("bucket", F.expr(bexpr))
+         .repartition("bucket")
+         .write.partitionBy("bucket").mode("overwrite")
+         .parquet(posixpath.join(base_dir, f"v{batch_id}")))
+        merged.unpersist()
+        new_owners = dict(owners)
+        for b in touched:
+            if b in present:
+                new_owners[b] = batch_id
+            else:
+                new_owners.pop(b, None)
         _write_text(spark, _manifest_path(base_dir, batch_id),
                     json.dumps({"n_buckets": n_buckets,
                                 "owners": {str(k): v for k, v

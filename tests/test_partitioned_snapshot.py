@@ -185,3 +185,87 @@ def test_lookup_reads_only_probe_buckets(spark, tmp_path):
     # a miss probes cleanly (empty result, not an error)
     miss = partitioned.lookup_keys(spark, base, ["k"], [(424242,)])
     assert miss.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# partitioned rollup maintenance
+# ---------------------------------------------------------------------------
+
+CDC_SCHEMA = "op STRING, g STRING, new_v INT, old_v INT, seq INT"
+
+
+def _run_rollup(spark, src, schema, base_dir, ckpt, n_buckets=N_BUCKETS):
+    from oracle_cassandra_migrator_spark.streaming import partitioned
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = partitioned.foreach_batch_rollup_partitioned(
+        stream, base_dir, ["g"], "new_v", "old_v", ckpt,
+        n_buckets=n_buckets)
+    q.awaitTermination(180)
+
+
+def test_partitioned_rollup_matches_full_rollup(spark, tmp_path):
+    from oracle_cassandra_migrator_spark.streaming import (
+        partitioned, rollup)
+
+    # 40 groups born in batch 1; batch 2 touches 2 groups + kills one
+    b1 = [("I", f"g{i % 40}", i, None, i) for i in range(200)]
+    b2 = [("U", "g1", 999, 1, 500), ("I", "g777", 5, None, 501),
+          # g39 has 5 rows (39, 79, 119, 159, 199): delete them all
+          ("D", "g39", None, 39, 502), ("D", "g39", None, 79, 503),
+          ("D", "g39", None, 119, 504), ("D", "g39", None, 159, 505),
+          ("D", "g39", None, 199, 506)]
+    src_a, src_b = str(tmp_path / "a"), str(tmp_path / "b")
+    schema = None
+    for src in (src_a, src_b):
+        df1 = spark.createDataFrame(b1, CDC_SCHEMA)
+        df2 = spark.createDataFrame(b2, CDC_SCHEMA)
+        df1.coalesce(1).write.mode("overwrite").parquet(src)
+        df2.coalesce(1).write.mode("append").parquet(src)
+        schema = df1.schema
+
+    part_dir = str(tmp_path / "part")
+    _run_rollup(spark, src_a, schema, part_dir, str(tmp_path / "ck1"))
+
+    full_dir = str(tmp_path / "full")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src_b))
+    q = rollup.foreach_batch_rollup(
+        stream, full_dir, ["g"], "new_v", "old_v",
+        str(tmp_path / "ck2"))
+    q.awaitTermination(180)
+
+    got = {r.g: (r.n, int(r.s)) for r in
+           partitioned.latest_partitioned_snapshot(
+               spark, part_dir).collect()}
+    want = {r.g: (r.n, int(r.s)) for r in
+            rollup.latest_rollup(spark, full_dir).collect()}
+    assert got == want
+    assert "g39" not in got          # group death propagated
+    assert got["g777"] == (1, 5)     # birth
+    # partial rewrite: batch 2 touched <= 4 buckets
+    v1 = glob.glob(f"{part_dir}/v1/bucket=*")
+    assert 1 <= len(v1) <= 4
+
+
+def test_partitioned_rollup_emptied_bucket_leaves_manifest(
+        spark, tmp_path):
+    from oracle_cassandra_migrator_spark.streaming import partitioned
+
+    # one lone group in its own bucket; batch 2 deletes it entirely
+    b1 = [("I", "only", 7, None, 1)]
+    b2 = [("D", "only", None, 7, 2)]
+    src = str(tmp_path / "src")
+    df1 = spark.createDataFrame(b1, CDC_SCHEMA)
+    spark.createDataFrame(b1, CDC_SCHEMA).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    spark.createDataFrame(b2, CDC_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    base = str(tmp_path / "part")
+    _run_rollup(spark, src, df1.schema, base, str(tmp_path / "ck"))
+
+    import json
+    m = json.loads(open(f"{base}/manifest-v1.json").read())
+    assert m["owners"] == {}  # the emptied bucket left the manifest
+    assert partitioned.latest_partitioned_snapshot(spark, base) is None

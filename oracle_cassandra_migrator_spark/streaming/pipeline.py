@@ -110,17 +110,58 @@ def build_stream(spark: SparkSession,
 
 def run_stream_pipeline(spark: SparkSession,
                         spec: Mapping[str, Any]) -> StreamingQuery:
-    """Start the spec end-to-end with the marker-committed exactly-once
-    file sink (replays are no-ops; crash between write and marker
-    rewrites deterministically — streaming/sinks.py)."""
+    """Start the spec end-to-end. The sink's ``type`` selects the
+    exactly-once terminal operator (all marker-committed, all replay
+    no-ops):
+
+    - absent / ``"files"``: append file sink (streaming/sinks.py)
+    - ``"upsert"`` / ``"partitioned_upsert"``: continuously-maintained
+      keyed snapshot (streaming/upsert.py / partitioned.py); needs
+      ``keys`` + ``order_by`` (+ ``n_buckets`` for partitioned)
+    - ``"rollup"`` / ``"partitioned_rollup"``: continuously-maintained
+      (count, sum) GROUP BY from CDC rows; needs ``keys`` + ``new`` +
+      ``old`` measure-image expressions
+
+    Maintenance sinks consume CHANGE rows, so they pair with the
+    stateless transform subset rather than a windowed aggregation
+    (windowed-agg output in append mode is insert-only — route it to
+    the file sink)."""
     from oracle_cassandra_migrator_spark.streaming.sinks import (
         foreach_batch_sink)
 
     sink = dict(spec["sink"])
-    marker_dir = sink.pop("marker_dir")
     checkpoint_dir = sink.pop("checkpoint_dir")
+    kind = sink.pop("type", "files")
     df = build_stream(spark, spec)
-    return foreach_batch_sink(df, sink, marker_dir, checkpoint_dir)
+    if kind == "files":
+        marker_dir = sink.pop("marker_dir")
+        return foreach_batch_sink(df, sink, marker_dir, checkpoint_dir)
+    if kind in ("upsert", "partitioned_upsert"):
+        from oracle_cassandra_migrator_spark.streaming import (
+            partitioned, upsert)
+        if kind == "upsert":
+            return upsert.foreach_batch_upsert(
+                df, sink["base_dir"], sink["keys"], sink["order_by"],
+                checkpoint_dir)
+        return partitioned.foreach_batch_upsert_partitioned(
+            df, sink["base_dir"], sink["keys"], sink["order_by"],
+            checkpoint_dir, n_buckets=sink.get("n_buckets", 16))
+    if kind in ("rollup", "partitioned_rollup"):
+        from oracle_cassandra_migrator_spark.streaming import (
+            partitioned, rollup)
+        if kind == "rollup":
+            return rollup.foreach_batch_rollup(
+                df, sink["base_dir"], sink["keys"], sink["new"],
+                sink["old"], checkpoint_dir,
+                op_col=sink.get("op_col", "op"))
+        return partitioned.foreach_batch_rollup_partitioned(
+            df, sink["base_dir"], sink["keys"], sink["new"],
+            sink["old"], checkpoint_dir,
+            n_buckets=sink.get("n_buckets", 16),
+            op_col=sink.get("op_col", "op"))
+    raise ValueError(
+        f"unknown sink type {kind!r}: expected files / upsert / "
+        f"rollup / partitioned_upsert / partitioned_rollup")
 
 
 def run_batch_equivalent(spark: SparkSession, spec: Mapping[str, Any],

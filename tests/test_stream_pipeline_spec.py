@@ -241,3 +241,47 @@ def test_replayed_batches_still_feed_state(spark, tmp_path):
     # all 8 rows — 5 replayed + 3 new — must be in the window count;
     # the pre-fix skip-without-executing code would report 3 here
     assert hour10[0]["n"] == 8
+
+
+def test_spec_driven_maintenance_sinks(spark, tmp_path):
+    """The declarative spec drives the maintenance sinks end-to-end:
+    a CDC file stream -> filter step -> partitioned_rollup sink, and
+    the maintained rollup equals the recompute of the surviving rows;
+    an unknown sink type fails loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from oracle_cassandra_migrator_spark.streaming import partitioned
+    from oracle_cassandra_migrator_spark.streaming.pipeline import (
+        run_stream_pipeline)
+
+    schema = "op STRING, g STRING, new_v INT, old_v INT, seq INT"
+    rows = ([("I", f"g{i % 5}", i, None, i) for i in range(50)]
+            + [("I", "noise", 1, None, 999)])
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+
+    base = str(tmp_path / "state")
+    spec = {
+        "source": {"format": "parquet", "path": src, "schema": schema},
+        "transform": [{"op": "filter", "expr": "g <> 'noise'"}],
+        "sink": {"type": "partitioned_rollup", "base_dir": base,
+                 "keys": ["g"], "new": "new_v", "old": "old_v",
+                 "n_buckets": 4,
+                 "checkpoint_dir": str(tmp_path / "ck")},
+    }
+    q = run_stream_pipeline(spark, spec)
+    q.awaitTermination(180)
+
+    got = {r.g: (r.n, int(r.s)) for r in
+           partitioned.latest_partitioned_snapshot(
+               spark, base).collect()}
+    want = {f"g{j}": (10, sum(i for i in range(50) if i % 5 == j))
+            for j in range(5)}
+    assert got == want  # the filter step ran before the sink
+
+    bad = dict(spec)
+    bad["sink"] = {"type": "nonesuch", "checkpoint_dir": "/tmp/x"}
+    with pytest.raises(ValueError, match="unknown sink type"):
+        run_stream_pipeline(spark, bad)

@@ -51,9 +51,15 @@ def cdc_to_group_deltas(
     One hash shuffle over the CDC batch — the base table and the base
     aggregate are not touched here.
     """
+    # ops outside I/U/D fail LOUDLY, engine-side: a silently-absorbed
+    # 'T' (truncate) or lowercase 'i' would drift the maintained
+    # aggregate from the true state with no error
     contrib_n = (
         f"CASE WHEN {op_col} = 'I' THEN 1 "
-        f"WHEN {op_col} = 'D' THEN -1 ELSE 0 END"
+        f"WHEN {op_col} = 'D' THEN -1 "
+        f"WHEN {op_col} = 'U' THEN 0 "
+        f"ELSE CAST(raise_error(concat('cdc op must be one of "
+        f"I/U/D, got: ', COALESCE({op_col}, 'NULL'))) AS INT) END"
     )
     contrib_sum = (
         f"CASE WHEN {op_col} = 'I' THEN CAST(({new_expr}) AS DECIMAL(38,0)) "

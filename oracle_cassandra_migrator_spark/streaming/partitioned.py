@@ -12,23 +12,37 @@ table format keeps the orchestration unchanged.
 
 Layout under ``base_dir`` (any Hadoop scheme):
 
-- ``v<batchId>/bucket=<b>/*.parquet`` — only the buckets batch
-  <batchId> rewrote (``partitionBy`` dirs; data files carry data
+- ``v<token>/bucket=<b>/*.parquet`` — only the buckets version
+  <token> rewrote (``partitionBy`` dirs; data files carry data
   columns only).
-- ``manifest-v<batchId>.json`` — ``{"n_buckets": N, "owners":
-  {"<b>": <version>}}``: for every bucket with data, the version dir
+- ``manifest-v<token>.json`` — ``{"n_buckets": N, "keys": [...],
+  "owners": {"<b>": "<token>"}}``: the bucketing arity AND the exact
+  key list/order (both validated on every write/compact/lookup — a
+  different key order hashes differently, which would silently
+  corrupt placement), plus, for every bucket with data, the version
   that currently owns it.
-- ``markers/batch-<batchId>.marker`` — the commit point (the
+- ``markers/batch-<token>.marker`` — the commit point (the
   upsert/rollup protocol; a manifest without its marker is an
   invisible orphan).
 
-Crash/replay analysis is upsert's, extended to the manifest: both the
-version dir and the manifest are written BEFORE the marker, replays
+VERSION TOKENS: stream batches commit as their Spark batch id
+(``"7"``), so a replayed batch deterministically overwrites its own
+version — the property the rollup's non-idempotent delta merge needs.
+Compactions commit as ``"<base>c<k>"`` (e.g. ``"7c1"``), which sorts
+AFTER stream batch 7 and BEFORE batch 8: compaction never consumes a
+future stream batch id, so a post-compaction micro-batch can never be
+mistaken for a replay (that collision would silently discard data).
+
+Crash/replay analysis is upsert's, extended to the manifest: version
+dir and manifest are written BEFORE the marker, replays
 deterministically overwrite both, and readers resolve only committed
 manifests. Read amplification (latest snapshot stitches buckets from
-several versions) is bounded by ``compact`` — a maintenance batch
-that rewrites every bucket into one version — plus ``vacuum``, which
-deletes version dirs no kept manifest references.
+several versions) is bounded by ``compact_partitioned``; vacuum
+deletes marker FIRST, then manifest, then data — a crash mid-vacuum
+leaves invisible orphans, never a committed id whose manifest is
+gone. Reusing a base_dir with a FRESH checkpoint is not supported
+(Spark restarts batch ids at 0, which would read as replays — same
+contract as upsert.py; start a new base_dir or keep the checkpoint).
 
 Reference parity: generalizes the reference's overwrite-everything
 staging (verizon_table_migration_Rakesh_filters.py:187-223) into
@@ -40,7 +54,8 @@ from __future__ import annotations
 
 import json
 import posixpath
-from typing import Any
+import re
+from typing import Any, Callable
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -53,7 +68,6 @@ from oracle_cassandra_migrator_spark.reliability.state import (
 from oracle_cassandra_migrator_spark.streaming.sinks import (
     consume_without_writing,
 )
-from oracle_cassandra_migrator_spark.streaming.upsert import _committed_ids
 
 __all__ = [
     "foreach_batch_upsert_partitioned",
@@ -64,10 +78,23 @@ __all__ = [
     "vacuum_partitioned",
 ]
 
+_TOKEN_MARKER_RE = re.compile(r"batch-(\d+(?:c\d+)?)\.marker$")
 
-def _bucket_expr(keys: list[str], n_buckets: int) -> str:
-    cols = ", ".join(keys)
-    return f"CAST(pmod(xxhash64({cols}), {n_buckets}) AS INT)"
+
+def _token_key(tok: str) -> tuple[int, int]:
+    """Sort key: stream batch "7" = (7, 0); compaction "7c2" = (7, 2)
+    — after its base batch, before the next one."""
+    base, _, suf = tok.partition("c")
+    return (int(base), int(suf) if suf else 0)
+
+
+def _committed_tokens(store: StateStore, marker_dir: str) -> list[str]:
+    out = []
+    for key in store.list(marker_dir, suffix=".marker"):
+        m = _TOKEN_MARKER_RE.search(key)
+        if m:
+            out.append(m.group(1))
+    return sorted(out, key=_token_key)
 
 
 # Manifests are tiny JSON objects; go through the Hadoop FileSystem
@@ -100,17 +127,46 @@ def _read_text(spark, path: str) -> str:
         stream.close()
 
 
-def _manifest_path(base_dir: str, batch_id: int) -> str:
-    return posixpath.join(base_dir, f"manifest-v{batch_id}.json")
+def _manifest_path(base_dir: str, token: str) -> str:
+    return posixpath.join(base_dir, f"manifest-v{token}.json")
 
 
-def _read_manifest(spark, base_dir: str, batch_id: int) -> dict:
-    m = json.loads(_read_text(spark, _manifest_path(base_dir, batch_id)))
-    m["owners"] = {int(k): int(v) for k, v in m["owners"].items()}
+def _read_manifest(spark, base_dir: str, token: str) -> dict:
+    m = json.loads(_read_text(spark, _manifest_path(base_dir, token)))
+    m["owners"] = {int(k): str(v) for k, v in m["owners"].items()}
     return m
 
 
-def _bucket_paths(base_dir: str, owners: dict[int, int],
+def _write_manifest(spark, base_dir: str, token: str,
+                    n_buckets: int, keys: list[str],
+                    owners: dict[int, str]) -> None:
+    _write_text(spark, _manifest_path(base_dir, token),
+                json.dumps({"n_buckets": n_buckets, "keys": list(keys),
+                            "owners": {str(k): v for k, v
+                                       in owners.items()}}))
+
+
+def _check_manifest(manifest: dict, n_buckets: int | None,
+                    keys: list[str]) -> None:
+    """keys (exact order — a permutation hashes differently) and
+    n_buckets are table constants; drift here silently corrupts
+    placement, so both fail loudly."""
+    if n_buckets is not None and manifest["n_buckets"] != n_buckets:
+        raise ValueError(
+            f"n_buckets mismatch: table has {manifest['n_buckets']}, "
+            f"caller passed {n_buckets}")
+    if list(manifest.get("keys", keys)) != list(keys):
+        raise ValueError(
+            f"bucketing keys mismatch: table was written with "
+            f"{manifest['keys']}, caller passed {list(keys)}")
+
+
+def _bucket_expr(keys: list[str], n_buckets: int) -> str:
+    cols = ", ".join(keys)
+    return f"CAST(pmod(xxhash64({cols}), {n_buckets}) AS INT)"
+
+
+def _bucket_paths(base_dir: str, owners: dict[int, str],
                   buckets: list[int]) -> list[str]:
     return [posixpath.join(base_dir, f"v{owners[b]}", f"bucket={b}")
             for b in buckets if b in owners]
@@ -124,10 +180,11 @@ def latest_partitioned_snapshot(
     is empty). Readers never see uncommitted version dirs or
     manifests — commits are marker-gated, the upsert invariant."""
     store = state or LocalFSStateStore()
-    ids = _committed_ids(store, posixpath.join(base_dir, "markers"))
-    if not ids:
+    tokens = _committed_tokens(
+        store, posixpath.join(base_dir, "markers"))
+    if not tokens:
         return None
-    owners = _read_manifest(spark, base_dir, ids[-1])["owners"]
+    owners = _read_manifest(spark, base_dir, tokens[-1])["owners"]
     if not owners:
         return None
     paths = _bucket_paths(base_dir, owners, sorted(owners))
@@ -143,12 +200,16 @@ def lookup_keys(spark, base_dir: str, keys: list[str],
     driver-side, so writer and reader can't drift) and filter to the
     exact keys. At any snapshot size the scan is |distinct buckets of
     the probe| bucket dirs — the serving-path payoff of the layout.
-    Returns None before the first commit."""
+    None before the first commit / on an empty table; a probe whose
+    buckets hold no data returns an EMPTY frame (same schema), not
+    None."""
     store = state or LocalFSStateStore()
-    ids = _committed_ids(store, posixpath.join(base_dir, "markers"))
-    if not ids:
+    tokens = _committed_tokens(
+        store, posixpath.join(base_dir, "markers"))
+    if not tokens:
         return None
-    manifest = _read_manifest(spark, base_dir, ids[-1])
+    manifest = _read_manifest(spark, base_dir, tokens[-1])
+    _check_manifest(manifest, None, keys)
     owners = manifest["owners"]
     if not owners or not values:
         return None
@@ -160,12 +221,16 @@ def lookup_keys(spark, base_dir: str, keys: list[str],
                      .distinct().collect())
     paths = _bucket_paths(base_dir, owners, buckets)
     if not paths:
-        return None
+        # committed table, but every probe bucket is empty: an empty
+        # frame with the stored schema (None is reserved for
+        # no-table), read from any owned bucket's footer
+        any_path = _bucket_paths(base_dir, owners, sorted(owners))[0]
+        return spark.read.parquet(any_path).limit(0)
     snap = spark.read.parquet(*paths)
     return snap.join(F.broadcast(probe), keys, "left_semi")
 
 
-def _probe_types(spark, base_dir: str, owners: dict[int, int],
+def _probe_types(spark, base_dir: str, owners: dict[int, str],
                  keys: list[str]) -> list[str]:
     """Key column DDL types read from one existing bucket's footer so
     the probe frame hashes identically to the stored keys (an INT
@@ -174,6 +239,83 @@ def _probe_types(spark, base_dir: str, owners: dict[int, int],
     schema = spark.read.parquet(first).schema
     by_name = {f.name: f.dataType.simpleString() for f in schema.fields}
     return [by_name[k] for k in keys]
+
+
+def _partitioned_applier(
+    base_dir: str,
+    keys: list[str],
+    n_buckets: int,
+    store: StateStore,
+    merge_fn: Callable[[DataFrame, DataFrame | None], DataFrame],
+    batch_prep: Callable[[DataFrame], DataFrame],
+    bucket_source: str,
+):
+    """The shared version/manifest/marker protocol for both
+    partitioned maintainers — one body, so a protocol fix cannot land
+    in one twin and miss the other. ``batch_prep`` turns the raw batch
+    into the frame that both picks the touched buckets and feeds
+    ``merge_fn(prepped, current_or_None)``; ``bucket_source`` is
+    "prepped" when touched buckets come from the prepped frame's keys
+    (both maintainers)."""
+    marker_dir = posixpath.join(base_dir, "markers")
+    bexpr = _bucket_expr(keys, n_buckets)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        token = str(batch_id)
+        marker = posixpath.join(marker_dir, f"batch-{token}.marker")
+        if store.exists(marker):
+            # replayed committed batch: execute without writing so
+            # upstream state sees every partition (sinks module note)
+            consume_without_writing(batch_df)
+            return
+        spark = batch_df.sparkSession
+        # persisted: the touched-bucket collect AND the merge/write
+        # both consume it — without this the batch aggregation and
+        # source scan run twice per trigger
+        prepped = batch_prep(batch_df).persist()
+        try:
+            prev = [t for t in _committed_tokens(store, marker_dir)
+                    if _token_key(t) < (batch_id, 0)]
+            if prev:
+                manifest = _read_manifest(spark, base_dir, prev[-1])
+                _check_manifest(manifest, n_buckets, keys)
+                owners = manifest["owners"]
+            else:
+                owners = {}
+            # bounded by n_buckets — a tiny, legal collect
+            touched = sorted(
+                r[0] for r in prepped.selectExpr(f"{bexpr} AS b")
+                .distinct().collect())
+            cur_paths = _bucket_paths(base_dir, owners, touched)
+            current = (spark.read.parquet(*cur_paths)
+                       if cur_paths else None)
+            merged = merge_fn(prepped, current).persist()
+            try:
+                present = {
+                    r[0] for r in merged.selectExpr(f"{bexpr} AS b")
+                    .distinct().collect()}
+                (merged.withColumn("bucket", F.expr(bexpr))
+                 .repartition("bucket")
+                 .write.partitionBy("bucket").mode("overwrite")
+                 .parquet(posixpath.join(base_dir, f"v{token}")))
+            finally:
+                merged.unpersist()
+            new_owners = dict(owners)
+            for b in touched:
+                if b in present:
+                    new_owners[b] = token
+                else:
+                    # a bucket can EMPTY (rollup group death): it
+                    # writes no subdir and must leave the manifest, or
+                    # readers would chase a nonexistent path
+                    new_owners.pop(b, None)
+            _write_manifest(spark, base_dir, token, n_buckets, keys,
+                            new_owners)
+            store.put_marker(marker)
+        finally:
+            prepped.unpersist()
+
+    return apply
 
 
 def foreach_batch_upsert_partitioned(
@@ -191,58 +333,25 @@ def foreach_batch_upsert_partitioned(
     ``order_by``), ONLY the buckets the batch's keys hash into are
     read, merged, and rewritten — every other bucket is carried
     forward by manifest reference, untouched on disk. ``n_buckets``
-    is fixed at table creation (asserted against the manifest on
-    every batch; re-bucketing is a ``compact`` with a new table)."""
+    and the key list are fixed at table creation (asserted against
+    the manifest on every batch; re-bucketing is a new table)."""
     store = state or LocalFSStateStore()
-    marker_dir = posixpath.join(base_dir, "markers")
-    bexpr = _bucket_expr(keys, n_buckets)
 
-    def apply(batch_df: DataFrame, batch_id: int) -> None:
-        marker = posixpath.join(marker_dir, f"batch-{batch_id}.marker")
-        if store.exists(marker):
-            consume_without_writing(batch_df)
-            return
-        spark = batch_df.sparkSession
+    def prep(batch_df: DataFrame) -> DataFrame:
         ordered = F.struct(
             *[F.col(c) for c in order_by], F.struct("*").alias("__row"))
-        winners = (batch_df.groupBy(*keys)
-                   .agg(F.max(ordered).alias("__w"))
-                   .select("__w.__row.*"))
-        prev_ids = [i for i in _committed_ids(store, marker_dir)
-                    if i < batch_id]
-        if prev_ids:
-            manifest = _read_manifest(spark, base_dir, prev_ids[-1])
-            if manifest["n_buckets"] != n_buckets:
-                raise ValueError(
-                    f"n_buckets mismatch: table has "
-                    f"{manifest['n_buckets']}, caller passed {n_buckets}")
-            owners = manifest["owners"]
-        else:
-            owners = {}
-        # the touched-bucket set is bounded by n_buckets — a tiny,
-        # legal collect
-        touched = sorted(
-            r[0] for r in winners.selectExpr(f"{bexpr} AS b")
-            .distinct().collect())
-        cur_paths = _bucket_paths(base_dir, owners, touched)
-        if cur_paths:
-            current = spark.read.parquet(*cur_paths)
-            merged = merge_upsert(current, winners, keys)
-        else:
-            merged = winners
-        (merged.withColumn("bucket", F.expr(bexpr))
-         .repartition("bucket")
-         .write.partitionBy("bucket").mode("overwrite")
-         .parquet(posixpath.join(base_dir, f"v{batch_id}")))
-        new_owners = dict(owners)
-        for b in touched:
-            new_owners[b] = batch_id
-        _write_text(spark, _manifest_path(base_dir, batch_id),
-                    json.dumps({"n_buckets": n_buckets,
-                                "owners": {str(k): v for k, v
-                                           in new_owners.items()}}))
-        store.put_marker(marker)
+        return (batch_df.groupBy(*keys)
+                .agg(F.max(ordered).alias("__w"))
+                .select("__w.__row.*"))
 
+    def merge(winners: DataFrame,
+              current: DataFrame | None) -> DataFrame:
+        if current is None:
+            return winners
+        return merge_upsert(current, winners, keys)
+
+    apply = _partitioned_applier(
+        base_dir, keys, n_buckets, store, merge, prep, "prepped")
     writer = (stream.writeStream.foreachBatch(apply)
               .option("checkpointLocation", checkpoint_dir))
     writer = writer.trigger(**(trigger or {"availableNow": True}))
@@ -270,93 +379,62 @@ def foreach_batch_rollup_partitioned(
     O(groups); this removes even that when group cardinality is huge
     (per-user / per-document rollups) and the batch is narrow. Same
     manifest/marker protocol, so latest_partitioned_snapshot,
-    compact_partitioned (keys=group keys) and vacuum_partitioned work
-    on rollup tables unchanged; groups whose count returns to 0 drop
-    out of their bucket's rewrite."""
+    compact_partitioned and vacuum_partitioned work on rollup tables
+    unchanged; groups whose count returns to 0 drop out of their
+    bucket's rewrite (and an emptied bucket leaves the manifest)."""
     from oracle_cassandra_migrator_spark.operators.incremental import (
         cdc_to_group_deltas,
         maintain_sum_count,
     )
 
     store = state or LocalFSStateStore()
-    marker_dir = posixpath.join(base_dir, "markers")
-    bexpr = _bucket_expr(keys, n_buckets)
 
-    def apply(batch_df: DataFrame, batch_id: int) -> None:
-        marker = posixpath.join(marker_dir, f"batch-{batch_id}.marker")
-        if store.exists(marker):
-            consume_without_writing(batch_df)
-            return
-        spark = batch_df.sparkSession
-        deltas = cdc_to_group_deltas(
+    def prep(batch_df: DataFrame) -> DataFrame:
+        return cdc_to_group_deltas(
             batch_df, keys, new_expr, old_expr, op_col=op_col)
-        prev_ids = [i for i in _committed_ids(store, marker_dir)
-                    if i < batch_id]
-        if prev_ids:
-            manifest = _read_manifest(spark, base_dir, prev_ids[-1])
-            if manifest["n_buckets"] != n_buckets:
-                raise ValueError(
-                    f"n_buckets mismatch: table has "
-                    f"{manifest['n_buckets']}, caller passed {n_buckets}")
-            owners = manifest["owners"]
-        else:
-            owners = {}
-        touched = sorted(
-            r[0] for r in deltas.selectExpr(f"{bexpr} AS b")
-            .distinct().collect())
-        cur_paths = _bucket_paths(base_dir, owners, touched)
-        if cur_paths:
-            base = spark.read.parquet(*cur_paths)
-        else:
+
+    def merge(deltas: DataFrame,
+              current: DataFrame | None) -> DataFrame:
+        if current is None:
             base = (deltas.selectExpr(
                 *keys, f"CAST(d_n AS BIGINT) AS {n_col}",
                 f"CAST(d_sum AS DECIMAL(38,0)) AS {sum_col}")
                 .limit(0))
-        merged = maintain_sum_count(
-            base, deltas, keys, n_col=n_col, sum_col=sum_col).persist()
-        # unlike the upsert (which never removes keys), a rollup
-        # bucket can EMPTY when its last group's count hits 0 — such a
-        # bucket writes no subdir and must leave the manifest, or
-        # readers would chase a nonexistent path
-        present = {r[0] for r in merged.selectExpr(f"{bexpr} AS b")
-                   .distinct().collect()}
-        (merged.withColumn("bucket", F.expr(bexpr))
-         .repartition("bucket")
-         .write.partitionBy("bucket").mode("overwrite")
-         .parquet(posixpath.join(base_dir, f"v{batch_id}")))
-        merged.unpersist()
-        new_owners = dict(owners)
-        for b in touched:
-            if b in present:
-                new_owners[b] = batch_id
-            else:
-                new_owners.pop(b, None)
-        _write_text(spark, _manifest_path(base_dir, batch_id),
-                    json.dumps({"n_buckets": n_buckets,
-                                "owners": {str(k): v for k, v
-                                           in new_owners.items()}}))
-        store.put_marker(marker)
+        else:
+            base = current
+        return maintain_sum_count(
+            base, deltas, keys, n_col=n_col, sum_col=sum_col)
 
+    apply = _partitioned_applier(
+        base_dir, keys, n_buckets, store, merge, prep, "prepped")
     writer = (stream.writeStream.foreachBatch(apply)
               .option("checkpointLocation", checkpoint_dir))
     writer = writer.trigger(**(trigger or {"availableNow": True}))
     return writer.start()
 
 
-def compact_partitioned(spark, base_dir: str, keys: list[str],
-                        state: StateStore | None = None) -> int:
+def compact_partitioned(spark, base_dir: str,
+                        state: StateStore | None = None) -> str:
     """Maintenance compaction: rewrite EVERY live bucket into one new
-    version (id = last committed + 1) so reads stop stitching old
-    versions and vacuum can reclaim them. Returns the new version id.
-    Same write-then-marker commit discipline as a batch."""
+    version so reads stop stitching old versions and vacuum can
+    reclaim them. The version token is ``"<base>c<k>"`` — OUTSIDE the
+    stream's batch-id namespace, so compaction can never squat on a
+    future micro-batch's id (which would make that batch read as a
+    replay and silently discard its data). Bucketing keys come from
+    the manifest (never passed in — a wrong key order would re-bucket
+    every row). Same write-then-marker commit discipline; a crashed
+    compaction is an invisible orphan and a rerun deterministically
+    overwrites it. Returns the new token."""
     store = state or LocalFSStateStore()
     marker_dir = posixpath.join(base_dir, "markers")
-    ids = _committed_ids(store, marker_dir)
-    if not ids:
+    tokens = _committed_tokens(store, marker_dir)
+    if not tokens:
         raise ValueError("nothing to compact: no committed versions")
-    manifest = _read_manifest(spark, base_dir, ids[-1])
+    manifest = _read_manifest(spark, base_dir, tokens[-1])
     owners = manifest["owners"]
-    new_id = ids[-1] + 1
+    keys = manifest["keys"]
+    base, suf = _token_key(tokens[-1])
+    new_token = f"{base}c{suf + 1}"
     if owners:
         current = spark.read.parquet(
             *_bucket_paths(base_dir, owners, sorted(owners)))
@@ -364,46 +442,46 @@ def compact_partitioned(spark, base_dir: str, keys: list[str],
         (current.withColumn("bucket", F.expr(bexpr))
          .repartition("bucket")
          .write.partitionBy("bucket").mode("overwrite")
-         .parquet(posixpath.join(base_dir, f"v{new_id}")))
-        new_owners = {str(b): new_id for b in owners}
+         .parquet(posixpath.join(base_dir, f"v{new_token}")))
+        new_owners = {b: new_token for b in owners}
     else:
         new_owners = {}
-    _write_text(spark, _manifest_path(base_dir, new_id),
-                json.dumps({"n_buckets": manifest["n_buckets"],
-                            "owners": new_owners}))
+    _write_manifest(spark, base_dir, new_token, manifest["n_buckets"],
+                    keys, new_owners)
     store.put_marker(
-        posixpath.join(marker_dir, f"batch-{new_id}.marker"))
-    return new_id
+        posixpath.join(marker_dir, f"batch-{new_token}.marker"))
+    return new_token
 
 
 def vacuum_partitioned(spark, base_dir: str, keep_last: int = 2,
-                       state: StateStore | None = None) -> list[int]:
+                       state: StateStore | None = None) -> list[str]:
     """Retention with reference counting: keep the last ``keep_last``
-    committed manifests, then delete every version DIRECTORY that no
-    kept manifest references (a dir may be older than the kept window
+    committed manifests, then delete every version that no kept
+    manifest references (a version may be older than the kept window
     yet still own live buckets — it survives until compaction).
-    Markers/manifests outside the window are dropped with their dirs;
-    order is data-first, marker-last (the crash-safe direction)."""
+    Deletion order per doomed version is marker FIRST, then manifest,
+    then data: a crash mid-vacuum leaves invisible orphan files, never
+    a committed id whose manifest has been deleted (which would wedge
+    every later vacuum/read)."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     store = state or LocalFSStateStore()
     marker_dir = posixpath.join(base_dir, "markers")
-    ids = _committed_ids(store, marker_dir)
-    kept_ids = ids[-keep_last:]
-    referenced: set[int] = set()
-    for i in kept_ids:
+    tokens = _committed_tokens(store, marker_dir)
+    kept = tokens[-keep_last:]
+    referenced: set[str] = set()
+    for t in kept:
         referenced.update(
-            _read_manifest(spark, base_dir, i)["owners"].values())
-    doomed = [i for i in ids[:-keep_last] if i not in referenced]
-    for bid in doomed:
-        fs, jpath = _hadoop_fs(
-            spark, posixpath.join(base_dir, f"v{bid}"))
-        if fs.exists(jpath):
-            fs.delete(jpath, True)
-        mpath = _manifest_path(base_dir, bid)
-        fs2, jm = _hadoop_fs(spark, mpath)
-        if fs2.exists(jm):
-            fs2.delete(jm, False)
+            _read_manifest(spark, base_dir, t)["owners"].values())
+    doomed = [t for t in tokens[:-keep_last] if t not in referenced]
+    for tok in doomed:
         store.delete(
-            posixpath.join(marker_dir, f"batch-{bid}.marker"))
+            posixpath.join(marker_dir, f"batch-{tok}.marker"))
+        fs, jm = _hadoop_fs(spark, _manifest_path(base_dir, tok))
+        if fs.exists(jm):
+            fs.delete(jm, False)
+        _, jd = _hadoop_fs(
+            spark, posixpath.join(base_dir, f"v{tok}"))
+        if fs.exists(jd):
+            fs.delete(jd, True)
     return doomed

@@ -80,14 +80,16 @@ def test_partial_rewrite_touches_only_batch_buckets(spark, tmp_path):
     assert len(v1) <= 2
     assert len(v0) > len(v1)
 
-    # the manifest owners agree: exactly v1's buckets point at 1
+    # the manifest owners agree: exactly v1's buckets point at "1"
     import json
     m = json.loads(open(f"{base}/manifest-v1.json").read())
     owned_by_1 = {f"bucket={b}" for b, v in m["owners"].items()
-                  if v == 1}
+                  if str(v) == "1"}
     assert owned_by_1 == v1
     # untouched buckets still owned by v0 and served from there
-    assert all(v in (0, 1) for v in m["owners"].values())
+    assert all(str(v) in ("0", "1") for v in m["owners"].values())
+    # the key list is pinned in the manifest (drift validation)
+    assert m["keys"] == ["k"]
 
 
 def test_uncommitted_partitioned_version_is_invisible(spark, tmp_path):
@@ -124,15 +126,17 @@ def test_compact_then_vacuum_refcounts(spark, tmp_path):
     assert doomed == []
     assert glob.glob(f"{base}/v0/bucket=*")
 
-    new_id = partitioned.compact_partitioned(spark, base, ["k"])
-    assert new_id == 2
+    # compaction commits OUTSIDE the batch-id namespace ("1c1", not
+    # "2") so it can never squat on the next micro-batch's id
+    new_token = partitioned.compact_partitioned(spark, base)
+    assert new_token == "1c1"
     got = {r.k: r.v for r in partitioned.latest_partitioned_snapshot(
         spark, base).collect()}
     assert len(got) == 21 and got[3] == "updated-3"
 
     # now nothing references v0/v1 from the kept manifest -> reclaimed
     doomed = partitioned.vacuum_partitioned(spark, base, keep_last=1)
-    assert doomed == [0, 1]
+    assert doomed == ["0", "1"]
     assert not glob.glob(f"{base}/v0")
     assert not glob.glob(f"{base}/manifest-v0.json")
     got = {r.k: r.v for r in partitioned.latest_partitioned_snapshot(
@@ -269,3 +273,78 @@ def test_partitioned_rollup_emptied_bucket_leaves_manifest(
     m = json.loads(open(f"{base}/manifest-v1.json").read())
     assert m["owners"] == {}  # the emptied bucket left the manifest
     assert partitioned.latest_partitioned_snapshot(spark, base) is None
+
+
+# ---------------------------------------------------------------------------
+# review-pass regressions: compaction id collision, keys drift, sparse
+# lookup, malformed CDC ops
+# ---------------------------------------------------------------------------
+
+
+def test_stream_resumes_correctly_after_compaction(spark, tmp_path):
+    """THE collision regression: compact, then feed a new micro-batch
+    on the SAME checkpoint. The next Spark batch id must not read as a
+    replay of the compaction commit — its changes must land."""
+    from oracle_cassandra_migrator_spark.streaming import partitioned
+
+    src = str(tmp_path / "src")
+    schema = _feed(spark, src, [BATCH1, BATCH2])
+    base = str(tmp_path / "part")
+    ckpt = str(tmp_path / "ck")
+    _run(spark, src, schema, base, ckpt)
+
+    assert partitioned.compact_partitioned(spark, base) == "1c1"
+
+    # new data arrives -> Spark batch id 2
+    spark.createDataFrame([(7, "updated-7", 200)], SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    _run(spark, src, schema, base, ckpt)
+
+    got = {r.k: (r.v, r.seq) for r in
+           partitioned.latest_partitioned_snapshot(
+               spark, base).collect()}
+    assert got[7] == ("updated-7", 200)  # NOT silently discarded
+    assert len(got) == 21
+
+
+def test_bucketing_keys_mismatch_raises(spark, tmp_path):
+    from oracle_cassandra_migrator_spark.streaming import partitioned
+
+    src = str(tmp_path / "src")
+    schema = _feed(spark, src, [BATCH1])
+    base = str(tmp_path / "part")
+    _run(spark, src, schema, base, str(tmp_path / "ck"))
+
+    with pytest.raises(ValueError, match="keys mismatch"):
+        partitioned.lookup_keys(spark, base, ["seq"], [(1,)])
+
+
+def test_lookup_on_sparse_table_returns_empty_frame(spark, tmp_path):
+    """A committed table whose probe buckets are unowned must return
+    an EMPTY frame (schema intact), never None (review finding: the
+    old code crashed callers with AttributeError on sparse tables)."""
+    from oracle_cassandra_migrator_spark.streaming import partitioned
+
+    src = str(tmp_path / "src")
+    # ONE key -> exactly one owned bucket of 64
+    schema = _feed(spark, src, [[(5, "only", 1)]])
+    base = str(tmp_path / "part")
+    _run(spark, src, schema, base, str(tmp_path / "ck"), n_buckets=64)
+
+    # probe many keys; at least one must hash to an unowned bucket
+    out = partitioned.lookup_keys(
+        spark, base, ["k"], [(i,) for i in range(100, 110)])
+    assert out is not None
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "v", "seq"}
+
+
+def test_cdc_rejects_malformed_ops(spark):
+    from oracle_cassandra_migrator_spark.operators import incremental
+
+    cdc = spark.createDataFrame(
+        [("T", "a", 1, None)],
+        "op STRING, k STRING, new_v INT, old_v INT")
+    deltas = incremental.cdc_to_group_deltas(cdc, ["k"], "new_v", "old_v")
+    with pytest.raises(Exception, match="cdc op must be one of"):
+        deltas.collect()

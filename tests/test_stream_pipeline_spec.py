@@ -285,3 +285,55 @@ def test_spec_driven_maintenance_sinks(spark, tmp_path):
     bad["sink"] = {"type": "nonesuch", "checkpoint_dir": "/tmp/x"}
     with pytest.raises(ValueError, match="unknown sink type"):
         run_stream_pipeline(spark, bad)
+
+
+def test_cli_runs_cdc_mirror_config(spark, tmp_path):
+    """The shipped CDC-mirror example (partitioned_upsert sink) must
+    run through the real CLI; the maintained snapshot holds the
+    last-writer-wins state of the non-deleted change rows."""
+    import json
+    import pathlib
+    import shutil
+    import subprocess
+    import sys
+
+    shutil.rmtree("/tmp/ocm-cdc-mirror", ignore_errors=True)
+    rows = [
+        (1, "ada", 10.0, "2024-01-01 00:00:00", 1, False),
+        (2, "bo", 20.0, "2024-01-01 00:00:01", 2, False),
+        (1, "ada2", 11.0, "2024-01-01 00:00:02", 3, False),
+        (3, "cy", 30.0, "2024-01-01 00:00:03", 4, True),  # tombstone
+    ]
+    schema = ("cust_id BIGINT, name STRING, balance DOUBLE, "
+              "change_ts_s STRING, change_seq BIGINT, deleted BOOLEAN")
+    src = str(tmp_path / "in")
+    (spark.createDataFrame(rows, schema)
+     .selectExpr("cust_id", "name", "balance",
+                 "CAST(change_ts_s AS TIMESTAMP) AS change_ts",
+                 "change_seq", "deleted")
+     .coalesce(1).write.mode("overwrite").parquet(src))
+
+    cfg_path = (pathlib.Path(__file__).resolve().parent.parent
+                / "examples" / "streaming_cdc_mirror.json")
+    cfg = json.load(open(cfg_path))
+    stream = cfg["streams"][0]
+    stream["source"]["path"] = src
+    base = str(tmp_path / "state")
+    stream["sink"]["base_dir"] = base
+    stream["sink"]["checkpoint_dir"] = str(tmp_path / "ckpt")
+    patched = tmp_path / "cfg.json"
+    patched.write_text(json.dumps(cfg))
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "oracle_cassandra_migrator_spark",
+         str(patched)],
+        cwd=str(pathlib.Path(__file__).resolve().parent.parent),
+        capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert '"stream": "customer_mirror"' in proc.stdout
+
+    from oracle_cassandra_migrator_spark.streaming import partitioned
+    snap = partitioned.latest_partitioned_snapshot(spark, base)
+    got = {r.cust_id: (r.name, r.balance) for r in snap.collect()}
+    assert got == {1: ("ada2", 11.0), 2: ("bo", 20.0)}
+    shutil.rmtree("/tmp/ocm-cdc-mirror", ignore_errors=True)

@@ -72,6 +72,8 @@ from oracle_cassandra_migrator_spark.streaming.sinks import (
 __all__ = [
     "foreach_batch_upsert_partitioned",
     "foreach_batch_rollup_partitioned",
+    "make_upsert_applier",
+    "make_rollup_applier",
     "latest_partitioned_snapshot",
     "lookup_keys",
     "compact_partitioned",
@@ -318,6 +320,36 @@ def _partitioned_applier(
     return apply
 
 
+def make_upsert_applier(
+    base_dir: str,
+    keys: list[str],
+    order_by: list[str],
+    n_buckets: int = 16,
+    state: StateStore | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """The upsert maintainer as a bare ``(batch_df, batch_id)``
+    callable — what foreach_batch_upsert_partitioned hands to
+    foreachBatch, exposed so tests (and batch backfills) can drive the
+    protocol synchronously without streaming machinery."""
+    store = state or LocalFSStateStore()
+
+    def prep(batch_df: DataFrame) -> DataFrame:
+        ordered = F.struct(
+            *[F.col(c) for c in order_by], F.struct("*").alias("__row"))
+        return (batch_df.groupBy(*keys)
+                .agg(F.max(ordered).alias("__w"))
+                .select("__w.__row.*"))
+
+    def merge(winners: DataFrame,
+              current: DataFrame | None) -> DataFrame:
+        if current is None:
+            return winners
+        return merge_upsert(current, winners, keys)
+
+    return _partitioned_applier(
+        base_dir, keys, n_buckets, store, merge, prep, "prepped")
+
+
 def foreach_batch_upsert_partitioned(
     stream: DataFrame,
     base_dir: str,
@@ -335,27 +367,52 @@ def foreach_batch_upsert_partitioned(
     forward by manifest reference, untouched on disk. ``n_buckets``
     and the key list are fixed at table creation (asserted against
     the manifest on every batch; re-bucketing is a new table)."""
-    store = state or LocalFSStateStore()
-
-    def prep(batch_df: DataFrame) -> DataFrame:
-        ordered = F.struct(
-            *[F.col(c) for c in order_by], F.struct("*").alias("__row"))
-        return (batch_df.groupBy(*keys)
-                .agg(F.max(ordered).alias("__w"))
-                .select("__w.__row.*"))
-
-    def merge(winners: DataFrame,
-              current: DataFrame | None) -> DataFrame:
-        if current is None:
-            return winners
-        return merge_upsert(current, winners, keys)
-
-    apply = _partitioned_applier(
-        base_dir, keys, n_buckets, store, merge, prep, "prepped")
+    apply = make_upsert_applier(
+        base_dir, keys, order_by, n_buckets=n_buckets, state=state)
     writer = (stream.writeStream.foreachBatch(apply)
               .option("checkpointLocation", checkpoint_dir))
     writer = writer.trigger(**(trigger or {"availableNow": True}))
     return writer.start()
+
+
+def make_rollup_applier(
+    base_dir: str,
+    keys: list[str],
+    new_expr: str,
+    old_expr: str,
+    n_buckets: int = 16,
+    n_col: str = "n",
+    sum_col: str = "s",
+    op_col: str = "op",
+    state: StateStore | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """The rollup maintainer as a bare ``(batch_df, batch_id)``
+    callable (see make_upsert_applier)."""
+    from oracle_cassandra_migrator_spark.operators.incremental import (
+        cdc_to_group_deltas,
+        maintain_sum_count,
+    )
+
+    store = state or LocalFSStateStore()
+
+    def prep(batch_df: DataFrame) -> DataFrame:
+        return cdc_to_group_deltas(
+            batch_df, keys, new_expr, old_expr, op_col=op_col)
+
+    def merge(deltas: DataFrame,
+              current: DataFrame | None) -> DataFrame:
+        if current is None:
+            base = (deltas.selectExpr(
+                *keys, f"CAST(d_n AS BIGINT) AS {n_col}",
+                f"CAST(d_sum AS DECIMAL(38,0)) AS {sum_col}")
+                .limit(0))
+        else:
+            base = current
+        return maintain_sum_count(
+            base, deltas, keys, n_col=n_col, sum_col=sum_col)
+
+    return _partitioned_applier(
+        base_dir, keys, n_buckets, store, merge, prep, "prepped")
 
 
 def foreach_batch_rollup_partitioned(
@@ -382,31 +439,9 @@ def foreach_batch_rollup_partitioned(
     compact_partitioned and vacuum_partitioned work on rollup tables
     unchanged; groups whose count returns to 0 drop out of their
     bucket's rewrite (and an emptied bucket leaves the manifest)."""
-    from oracle_cassandra_migrator_spark.operators.incremental import (
-        cdc_to_group_deltas,
-        maintain_sum_count,
-    )
-
-    store = state or LocalFSStateStore()
-
-    def prep(batch_df: DataFrame) -> DataFrame:
-        return cdc_to_group_deltas(
-            batch_df, keys, new_expr, old_expr, op_col=op_col)
-
-    def merge(deltas: DataFrame,
-              current: DataFrame | None) -> DataFrame:
-        if current is None:
-            base = (deltas.selectExpr(
-                *keys, f"CAST(d_n AS BIGINT) AS {n_col}",
-                f"CAST(d_sum AS DECIMAL(38,0)) AS {sum_col}")
-                .limit(0))
-        else:
-            base = current
-        return maintain_sum_count(
-            base, deltas, keys, n_col=n_col, sum_col=sum_col)
-
-    apply = _partitioned_applier(
-        base_dir, keys, n_buckets, store, merge, prep, "prepped")
+    apply = make_rollup_applier(
+        base_dir, keys, new_expr, old_expr, n_buckets=n_buckets,
+        n_col=n_col, sum_col=sum_col, op_col=op_col, state=state)
     writer = (stream.writeStream.foreachBatch(apply)
               .option("checkpointLocation", checkpoint_dir))
     writer = writer.trigger(**(trigger or {"availableNow": True}))

@@ -348,3 +348,115 @@ def test_cdc_rejects_malformed_ops(spark):
     deltas = incremental.cdc_to_group_deltas(cdc, ["k"], "new_v", "old_v")
     with pytest.raises(Exception, match="cdc op must be one of"):
         deltas.collect()
+
+
+# ---------------------------------------------------------------------------
+# protocol fuzz: random change streams, partitioned == full-rewrite
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    changes=st.lists(
+        st.tuples(st.integers(0, 30),            # key
+                  st.integers(0, 99)),           # value id
+        min_size=1, max_size=30),
+    cuts=st.lists(st.integers(1, 28), max_size=3),
+    n_buckets=st.sampled_from([1, 4, 16]),
+    replay=st.booleans(),
+)
+def test_partitioned_upsert_fuzz_matches_last_writer_wins(
+        spark, tmp_path_factory, changes, cuts, n_buckets, replay):
+    """Random change sequences split into random batches, random
+    bucket arities, optional replay of every batch: the maintained
+    partitioned snapshot must equal plain last-writer-wins over the
+    whole sequence (the appliers are driven synchronously — no
+    streaming machinery — via make_upsert_applier)."""
+    from oracle_cassandra_migrator_spark.streaming import partitioned
+
+    tmp = tmp_path_factory.mktemp("fuzz")
+    base = str(tmp / "state")
+    rows = [(k, f"val-{vid}", seq)
+            for seq, (k, vid) in enumerate(changes)]
+    bounds = sorted({c for c in cuts if c < len(rows)})
+    batches, lo = [], 0
+    for b in bounds + [len(rows)]:
+        if b > lo:
+            batches.append(rows[lo:b])
+            lo = b
+
+    apply = partitioned.make_upsert_applier(
+        base, ["k"], ["seq"], n_buckets=n_buckets)
+    for bid, batch in enumerate(batches):
+        df = spark.createDataFrame(batch, SCHEMA)
+        apply(df, bid)
+        if replay:
+            apply(df, bid)  # committed replay must be a no-op
+
+    got = {r.k: (r.v, r.seq) for r in
+           partitioned.latest_partitioned_snapshot(
+               spark, base).collect()}
+    want = {}
+    for k, v, seq in rows:
+        want[k] = (v, seq)  # last writer (highest seq) wins
+    assert got == want
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    ops=st.lists(
+        st.tuples(st.sampled_from("IUD"), st.integers(0, 10 ** 6),
+                  st.integers(0, 8), st.integers(-50, 50)),
+        min_size=1, max_size=24),
+    cuts=st.lists(st.integers(1, 22), max_size=2),
+    n_buckets=st.sampled_from([1, 4, 16]),
+)
+def test_partitioned_rollup_fuzz_matches_recompute(
+        spark, tmp_path_factory, ops, cuts, n_buckets):
+    """Random consistent CDC streams over random batch splits and
+    bucket arities: the partitioned rollup equals the from-scratch
+    (count, sum) aggregate of the final state."""
+    from oracle_cassandra_migrator_spark.streaming import partitioned
+
+    tmp = tmp_path_factory.mktemp("fuzzr")
+    base = str(tmp / "state")
+    state, cdc_rows = [], []
+    for kind, pick, g, val in ops:
+        if kind == "I" or not state:
+            state.append((f"g{g}", val))
+            cdc_rows.append(("I", f"g{g}", val, None))
+        else:
+            idx = pick % len(state)
+            old_g, old_v = state[idx]
+            if kind == "D":
+                state.pop(idx)
+                cdc_rows.append(("D", old_g, None, old_v))
+            else:
+                state[idx] = (old_g, val)
+                cdc_rows.append(("U", old_g, val, old_v))
+
+    bounds = sorted({c for c in cuts if c < len(cdc_rows)})
+    batches, lo = [], 0
+    for b in bounds + [len(cdc_rows)]:
+        if b > lo:
+            batches.append(cdc_rows[lo:b])
+            lo = b
+
+    apply = partitioned.make_rollup_applier(
+        base, ["g"], "new_v", "old_v", n_buckets=n_buckets)
+    for bid, batch in enumerate(batches):
+        df = spark.createDataFrame(
+            batch, "op STRING, g STRING, new_v INT, old_v INT")
+        apply(df, bid)
+
+    snap = partitioned.latest_partitioned_snapshot(spark, base)
+    got = ({r.g: (r.n, int(r.s)) for r in snap.collect()}
+           if snap is not None else {})
+    want = {}
+    for g, v in state:
+        n, s = want.get(g, (0, 0))
+        want[g] = (n + 1, s + v)
+    assert got == want

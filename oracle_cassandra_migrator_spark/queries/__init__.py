@@ -131,9 +131,9 @@ _R04_CONFIRMED = frozenset({
 # change output (VERDICT r6 item 5: the length-derived fake decode
 # became real BMP/PPM/WAV header parsing over synthesized container
 # bytes) — they re-enter the window.
-_RECHECK = frozenset({
-    "multimodal_decode_stats", "multimodal_resize_stats",
-})
+_RECHECK = frozenset()
+# r8: _RECHECK is empty — the two multimodal queries (real-decode
+# rewrite) re-verified green in r07 and fold into _R07_CONFIRMED.
 
 # CORRECTNESS_r05.json: 50/50 green (rows+schema+hash) — the literal
 # key set, folded per the round-6 maintenance note below. This closed
@@ -202,13 +202,49 @@ _R06_CONFIRMED = frozenset({
 })
 
 
+# CORRECTNESS_r07.json: 50/50 green (rows+schema+hash) — the literal
+# key set, folded per the maintenance note below. r07's window covered
+# flagship, the 2 multimodal rechecks, the 23 r7-new queries, and 24
+# of the stalest r02-era greens. With this fold the stalest remaining
+# rows are the r03-vintage block (TPC-H q2..q22, early dedup/text/
+# multimodal) — exactly what the r8 window's spare slots re-verify
+# (VERDICT r7 item 2).
+_R07_CONFIRMED = frozenset({
+    "flagship_payment_pipeline", "multimodal_decode_stats",
+    "multimodal_resize_stats", "sample_importance_dsir",
+    "sample_importance_dsir_topk", "eval_cohens_kappa_lang_guess",
+    "privacy_k_anonymity_audit", "audit_referential_integrity",
+    "stream_neardedup_admission_batch", "embedding_covariance_matrix",
+    "eval_calibration_doclen", "stats_benford_price_audit",
+    "stats_mad_outliers_doclen", "events_cusum_changepoint",
+    "parts_skyline_frontier", "corr_spearman_qty_discount",
+    "privacy_l_diversity_audit", "attribution_position_events",
+    "events_survival_km_curve", "events_seasonality_dow",
+    "text_zipf_vocab_fit", "incremental_agg_maintenance",
+    "corr_kendall_tau_qty_discount", "agg_hodges_lehmann_quantity",
+    "forecast_mase_seasonal_naive", "events_anomaly_deseasonalized",
+    "scalar_math_functions", "case_when_price_tiers",
+    "json_extract_event_props", "agg_grouping_sets",
+    "agg_stats_per_segment", "agg_collect_sorted_nations",
+    "pivot_status_by_priority", "join_right_customer_orders",
+    "set_union_all_priorities", "set_intersect_all_buyers",
+    "set_except_all_buyers", "window_rank_breadth",
+    "scalar_conditional_functions", "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue", "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue_share", "tpch_q18_large_orders",
+    "agg_boolean_functions", "tpch_q7_volume_shipping",
+    "tpch_q19_disjunctive_predicates", "subquery_exists_late_ship",
+    "subquery_not_in_pending", "subquery_scalar_above_global_avg",
+})
+
+
 _CONFIRMED_ROUNDS = (
     _R02_CONFIRMED, _R03_CONFIRMED, _R04_CONFIRMED, _R05_CONFIRMED,
-    _R06_CONFIRMED)
+    _R06_CONFIRMED, _R07_CONFIRMED)
 
 
 def _last_green_round(name):
-    """0 = never driver-green; k = last round (2..6) with a green row."""
+    """0 = never driver-green; k = last round (2..7) with a green row."""
     last = 0
     for i, s in enumerate(_CONFIRMED_ROUNDS, start=2):
         if name in s:

@@ -224,13 +224,13 @@ def test_catalog_orders_least_verified_first():
             f"{names[1 + i]!r} (last green r{lasts[i]}) registered "
             f"after a fresher query")
     # The unverified region must leave slack inside the window for
-    # re-verifying stale greens. r7 state: _R06_CONFIRMED folded, so
-    # unverified = the 2 multimodal rechecks (real decode changed
-    # their outputs) + the 8 r7-new queries = 10; with flagship and
-    # the 25 stalest r02-vintage rows that is 36 of ~50 window slots,
-    # leaving ~14 for r03-vintage re-checks. The bound below (30)
-    # keeps future rounds honest: adding queries beyond it starts
-    # displacing the stale-green re-verification budget.
+    # re-verifying stale greens. r8 state: _R07_CONFIRMED folded and
+    # _RECHECK empty, so every exposed query has a green row and the
+    # window's spare slots all go to the stalest (r03-vintage) block.
+    # Each NEW query displaces one stale re-check, so r8 additions
+    # stay minimal. The bound below (30) keeps future rounds honest:
+    # adding queries beyond it starts displacing the stale-green
+    # re-verification budget.
     unverified = sum(1 for v in lasts if v == 0)
     assert 1 + unverified <= 30, (
         f"{unverified} unverified queries leave no slack for "

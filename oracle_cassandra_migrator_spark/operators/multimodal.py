@@ -162,12 +162,18 @@ def decode_header(payload: bytes):
     as ``("unknown", None, ...)`` — at 100 TB a bad file must yield a
     quarantine row, never a failed task."""
     got = None
-    if payload[:2] == b"BM":
-        got = _parse_bmp(payload)
-    elif payload[:2] == b"P6":
-        got = _parse_ppm(payload)
-    elif payload[:4] == b"RIFF":
-        got = _parse_wav(payload)
+    try:
+        if payload[:2] == b"BM":
+            got = _parse_bmp(payload)
+        elif payload[:2] == b"P6":
+            got = _parse_ppm(payload)
+        elif payload[:4] == b"RIFF":
+            got = _parse_wav(payload)
+    except (struct.error, IndexError, ValueError):
+        # e.g. a RIFF chunk header that declares more bytes than the
+        # payload carries — the contract above demands a quarantine
+        # row, not a failed task
+        got = None
     return got if got is not None else ("unknown",) + _NULLS
 
 

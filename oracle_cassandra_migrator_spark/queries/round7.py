@@ -315,8 +315,13 @@ def _neardedup_admission_oracle() -> str:
     est >= ceil(t*K) signature-estimate pair set restricted per batch,
     and the three drop rules (intra-batch-0, intra-batch-1, batch-1 vs
     ADMITTED-state) as NOT-IN subqueries. ``max_band_size`` is omitted
-    from the replay: the state cap (1000 per band) cannot bind at any
-    driver SF (< 1000 admitted docs total)."""
+    from the replay: both caps (state probe AND, since r8, the
+    within-batch self-join) are 1000 per band and cannot bind at any
+    driver SF (< 1000 admitted docs total). Zero-shingle docs (< n
+    words) are admitted unconditionally (r8, ADVICE r7): their
+    sentinel signatures never estimate-match anything, so the replay
+    just unions them into each batch's admit set — a no-op at driver
+    SFs, where no such doc exists, keeping the r07 green row valid."""
     import math
 
     from oracle_cassandra_migrator_spark.operators import dedup
@@ -333,7 +338,7 @@ def _neardedup_admission_oracle() -> str:
     return f"""
     WITH {_minhash_cand_cte(dedup.LSH_BANDS, dedup.LSH_ROWS, 10 ** 9)},
     szs AS (SELECT doc_id, CAST(len(shingles) AS INT) AS n_sh
-            FROM sh WHERE len(shingles) > 0),
+            FROM sh),
     pair_est AS (
         SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb
         FROM bands x
@@ -346,7 +351,10 @@ def _neardedup_admission_oracle() -> str:
     drop0 AS (SELECT DISTINCT idb FROM pair_est
               WHERE ida % 2 = 0 AND idb % 2 = 0),
     admit0 AS (SELECT doc_id FROM mh WHERE doc_id % 2 = 0
-               AND doc_id NOT IN (SELECT idb FROM drop0)),
+               AND doc_id NOT IN (SELECT idb FROM drop0)
+               UNION ALL
+               SELECT doc_id FROM szs
+               WHERE n_sh = 0 AND doc_id % 2 = 0),
     drop1 AS (SELECT DISTINCT idb FROM pair_est
               WHERE ida % 2 = 1 AND idb % 2 = 1),
     dropvs AS (SELECT DISTINCT
@@ -358,7 +366,10 @@ def _neardedup_admission_oracle() -> str:
                       AND idb IN (SELECT doc_id FROM admit0))),
     admit1 AS (SELECT doc_id FROM mh WHERE doc_id % 2 = 1
                AND doc_id NOT IN (SELECT idb FROM drop1)
-               AND doc_id NOT IN (SELECT d FROM dropvs))
+               AND doc_id NOT IN (SELECT d FROM dropvs)
+               UNION ALL
+               SELECT doc_id FROM szs
+               WHERE n_sh = 0 AND doc_id % 2 = 1)
     SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
            CAST(0 AS INT) AS batch, s.n_sh
     FROM admit0 a JOIN szs s ON s.doc_id = a.doc_id

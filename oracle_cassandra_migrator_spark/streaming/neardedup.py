@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from oracle_cassandra_migrator_spark.operators.dedup import (
+    HASH_P,
     LSH_BANDS,
     LSH_MAX_BAND_SIZE,
     LSH_ROWS,
@@ -70,16 +71,34 @@ def batch_signatures(df: DataFrame, text_col: str, id_col: str,
                      n: int = 3) -> DataFrame:
     """(id, m0..m{K-1}, n_sh) signature table for one batch — the same
     hash family as the batch operators, so stream and batch estimates
-    agree bit-for-bit."""
+    agree bit-for-bit.
+
+    Zero-shingle docs (fewer than ``n`` words) are NOT dropped: a doc
+    with no shingles cannot be a near-dup of anything, so the gate
+    must admit it, not lose it (ADVICE r7). They carry a per-doc
+    SENTINEL signature, -1 - (xxhash64(id) mod P), the same value in
+    every component: real minhash components live in [0, P) so a
+    sentinel never equals one (the estimate vs any real doc is 0),
+    and distinct ids get distinct band keys so zero-shingle docs never
+    become candidates of each other either (up to a 2^-31 hash
+    collision, which would drop one of an identical-id pair — moot,
+    ids are unique within a stream)."""
     shingled = with_shingles(df.select(id_col, text_col), text_col, n)
     exploded = (shingled
                 .select(F.col(id_col),
                         F.expr("size(shingles)").alias("n_sh"),
-                        F.explode("shingles").alias("sh"))
+                        F.explode_outer("shingles").alias("sh"))
                 .withColumn("h", F.expr(BASE_HASH_SPARK)))
-    return exploded.groupBy(id_col).agg(
+    sig = exploded.groupBy(id_col).agg(
         *[F.expr(minhash_term_spark(i)).alias(f"m{i}") for i in range(K)],
         F.first("n_sh").alias("n_sh"))
+    sentinel = -(F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                        F.lit(HASH_P)) + F.lit(1))
+    return sig.select(
+        F.col(id_col),
+        *[F.coalesce(F.col(f"m{i}"), sentinel).alias(f"m{i}")
+          for i in range(K)],
+        "n_sh")
 
 
 def band_rows(sig: DataFrame, id_col: str) -> DataFrame:
@@ -122,7 +141,17 @@ def admit_batch(batch_df: DataFrame, state_sigs: DataFrame | None,
     est_ab = _estimate_ge(threshold)
 
     # within-batch: drop docs whose estimate reaches threshold vs a
-    # smaller id (min-id-wins admission)
+    # smaller id (min-id-wins admission). The self-join gets the SAME
+    # band-size cap as the cross-batch state probe below (ADVICE r7):
+    # a degenerate batch where thousands of docs share one band key
+    # (identical boilerplate) must stay candidate-bounded, not go
+    # quadratic in batch size.
+    if max_band_size is not None:
+        from pyspark.sql.window import Window
+
+        wb = Window.partitionBy("band_idx", "band_key")
+        bands = (bands.withColumn("__n", F.count("*").over(wb))
+                 .where(F.col("__n") <= max_band_size).drop("__n"))
     cand_a = bands.select(F.col(id_col).alias("ida"), "band_idx",
                           "band_key")
     cand_b = bands.select(F.col(id_col).alias("idb"), "band_idx",
@@ -166,8 +195,10 @@ def admit_batch(batch_df: DataFrame, state_sigs: DataFrame | None,
     admitted_sigs = survivors.select(
         F.col(id_col).alias("doc_id"),
         *[F.col(f"m{i}") for i in range(K)], "n_sh")
-    admitted_bands = band_rows(survivors, id_col).select(
-        F.col(id_col).alias("doc_id"), "band_idx", "band_key")
+    # bands derive FROM admitted_sigs (not a parallel plan over
+    # survivors) so a caller that persists admitted_sigs pays for the
+    # admission computation exactly once across the two state writes
+    admitted_bands = band_rows(admitted_sigs, "doc_id")
     return admitted_sigs, admitted_bands
 
 
@@ -228,11 +259,19 @@ def foreach_batch_near_dedup(
         sigs, bands = read_state(spark, base_dir, store)
         adm_sigs, adm_bands = admit_batch(
             batch_df, sigs, bands, text_col, id_col, n, threshold)
-        adm_sigs.write.mode("overwrite").parquet(
-            posixpath.join(base_dir, f"sigs-v{batch_id}"))
-        adm_bands.write.mode("overwrite").parquet(
-            posixpath.join(base_dir, f"bands-v{batch_id}"))
-        store.put_marker(marker)
+        # two actions consume the admission result (sigs + bands
+        # appends); persist it so the signature aggregation, the
+        # intra-batch LSH self-join, and the state probe run ONCE per
+        # micro-batch, mirroring _partitioned_applier's discipline
+        adm_sigs.persist()
+        try:
+            adm_sigs.write.mode("overwrite").parquet(
+                posixpath.join(base_dir, f"sigs-v{batch_id}"))
+            adm_bands.write.mode("overwrite").parquet(
+                posixpath.join(base_dir, f"bands-v{batch_id}"))
+            store.put_marker(marker)
+        finally:
+            adm_sigs.unpersist()
 
     writer = (stream.writeStream.foreachBatch(apply)
               .option("checkpointLocation", checkpoint_dir))

@@ -213,8 +213,14 @@ def lookup_keys(spark, base_dir: str, keys: list[str],
     manifest = _read_manifest(spark, base_dir, tokens[-1])
     _check_manifest(manifest, None, keys)
     owners = manifest["owners"]
-    if not owners or not values:
+    if not owners:
         return None
+    if not values:
+        # committed non-empty table, empty probe list: the documented
+        # contract (None is reserved for no-table) — an empty frame
+        # with the stored schema, same as a probe that misses
+        any_path = _bucket_paths(base_dir, owners, sorted(owners))[0]
+        return spark.read.parquet(any_path).limit(0)
     probe = spark.createDataFrame(values, ", ".join(
         f"{k} {t}" for k, t in zip(
             keys, _probe_types(spark, base_dir, owners, keys))))

@@ -186,3 +186,45 @@ def test_exact_resend_always_rejected_vs_state(spark):
     resend = docs.selectExpr("doc_id + 1000000 AS doc_id", "text")
     s2, _ = neardedup.admit_batch(resend, s1, b1, "text", "doc_id")
     assert s2.count() == 0
+
+
+def test_zero_shingle_docs_are_admitted_not_lost(spark):
+    """Docs with fewer than n words have no shingles, cannot be
+    near-dups of anything, and must pass the gate with n_sh=0 —
+    pre-r8 they vanished in the explode (ADVICE r7)."""
+    from oracle_cassandra_migrator_spark.streaming import neardedup
+
+    b1 = _mk_docs(spark, [(1, BASE), (2, "two words"), (3, "one")])
+    sigs1, bands1 = neardedup.admit_batch(
+        b1, None, None, "text", "doc_id")
+    rows = {r["doc_id"]: r["n_sh"] for r in sigs1.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2] == 0 and rows[3] == 0
+
+    # across batches: a DIFFERENT short doc is also admitted (distinct
+    # sentinel signatures never estimate-match), while a real near-dup
+    # of admitted doc 1 is still rejected against the state
+    sigs1, bands1 = sigs1.cache(), bands1.cache()
+    b2 = _mk_docs(spark, [
+        (10, "tiny doc"),
+        (11, BASE.replace("garden", "stone")),
+    ])
+    sigs2, _ = neardedup.admit_batch(
+        b2, sigs1, bands1, "text", "doc_id")
+    assert {r["doc_id"] for r in sigs2.collect()} == {10}
+
+
+def test_within_batch_band_cap_bounds_candidates(spark):
+    """The intra-batch self-join honors max_band_size like the state
+    probe (ADVICE r7): docs in an over-full band stop being candidates
+    of each other, bounding a degenerate boilerplate batch."""
+    from oracle_cassandra_migrator_spark.streaming import neardedup
+
+    b = _mk_docs(spark, [(1, BASE), (2, BASE), (3, BASE)])
+    sigs_default, _ = neardedup.admit_batch(
+        b, None, None, "text", "doc_id")
+    assert {r["doc_id"] for r in sigs_default.collect()} == {1}
+    # every band key holds 3 identical rows > cap 2 -> no candidates
+    sigs_capped, _ = neardedup.admit_batch(
+        b, None, None, "text", "doc_id", max_band_size=2)
+    assert {r["doc_id"] for r in sigs_capped.collect()} == {1, 2, 3}

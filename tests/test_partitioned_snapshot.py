@@ -189,6 +189,12 @@ def test_lookup_reads_only_probe_buckets(spark, tmp_path):
     # a miss probes cleanly (empty result, not an error)
     miss = partitioned.lookup_keys(spark, base, ["k"], [(424242,)])
     assert miss.count() == 0
+    # an EMPTY probe list on a committed table is not no-table: the
+    # contract reserves None for no-table, so this must be an empty
+    # frame with the stored schema (ADVICE r7)
+    empty = partitioned.lookup_keys(spark, base, ["k"], [])
+    assert empty is not None and empty.count() == 0
+    assert empty.schema == out.schema
 
 
 # ---------------------------------------------------------------------------

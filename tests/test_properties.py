@@ -336,3 +336,17 @@ def test_decode_header_never_raises_on_fuzz(data):
     for prefix in (b"", b"BM", b"P6", b"RIFF", b"RIFF1234WAVE"):
         got = mm.decode_header(prefix + data)
         assert isinstance(got, tuple) and len(got) == 6
+
+
+def test_decode_header_truncated_riff_quarantines():
+    """A 'fmt ' chunk that declares 16 bytes but carries 4 used to
+    escape the fuzz and raise struct.error from unpack_from, failing
+    the whole task on one bad file (ADVICE r7). It must quarantine."""
+    import struct
+
+    from oracle_cassandra_migrator_spark.operators import multimodal as mm
+
+    p = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+         + b"fmt " + struct.pack("<I", 16) + b"\x01\x00\x01\x00")
+    assert mm.decode_header(p) == (
+        "unknown", None, None, None, None, None)

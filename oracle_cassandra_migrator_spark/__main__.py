@@ -36,6 +36,20 @@ def main(argv: list[str] | None = None) -> int:
         prog="oracle_cassandra_migrator_spark",
         description="Run config-driven, resumable Spark pipelines.")
     parser.add_argument("config", help="path to the pipeline config JSON")
+    parser.add_argument(
+        "--from-reference", action="store_true",
+        help="treat the config as the REFERENCE tool's own JSON shape "
+             "(oracle/s3/cassandra blocks + tables[]) and translate it "
+             "to an engine spec before running")
+    parser.add_argument(
+        "--override-file",
+        help="with --from-reference: JSON of connection-fact overrides "
+             "(jdbc options, sink spec, staging_dir, master, "
+             "spark_conf) for environments without Oracle/Cassandra")
+    parser.add_argument(
+        "--translate-only", action="store_true",
+        help="with --from-reference: print the translated engine "
+             "config as JSON and exit without running")
     parser.add_argument("--log-level", default="INFO")
     args = parser.parse_args(argv)
 
@@ -45,6 +59,19 @@ def main(argv: list[str] | None = None) -> int:
 
     with open(args.config) as fh:
         config = json.load(fh)
+
+    if args.from_reference:
+        from oracle_cassandra_migrator_spark.reference_config import (
+            translate_reference_config)
+
+        overrides = None
+        if args.override_file:
+            with open(args.override_file) as fh:
+                overrides = json.load(fh)
+        config = translate_reference_config(config, overrides)
+        if args.translate_only:
+            print(json.dumps(config, indent=2))
+            return 0
 
     spark = build_session(
         app_name=config.get("app_name", "ocm-spark"),

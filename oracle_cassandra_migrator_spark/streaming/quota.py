@@ -80,6 +80,12 @@ def quota_limit_stream(
 ) -> DataFrame:
     """Apply the per-user quota to a streaming events frame. Append
     output mode: each admitted row is emitted exactly once."""
+    from oracle_cassandra_migrator_spark._vendor import ensure_protobuf
+
+    # the state-v2 runner speaks protobuf to the JVM; fall back to the
+    # vendored runtime when no install exists (workers included —
+    # effective only if no SparkSession existed yet, see _vendor)
+    ensure_protobuf()
     return (
         events.select("user_id", "event_id", "ts", "event_type", "value")
         .groupBy("user_id")

@@ -18,9 +18,10 @@ identical set. A document re-delivered with a HIGHER score keeps one
 slot (best score wins) and re-emits at its new score; a lower re-score
 is ignored.
 
-Like quota.py, the state-v2 runner needs google.protobuf (absent in
-this env) — the integration path is pytest-gated; the processor
-contract is covered unconditionally in tests/test_topk_stream.py.
+Like quota.py, the state-v2 runner needs google.protobuf — satisfied
+by the vendored pure-Python runtime (``_vendor.ensure_protobuf``);
+both the integration path and the processor contract are covered in
+tests/test_topk_stream.py.
 """
 
 from __future__ import annotations
@@ -90,6 +91,9 @@ def topk_stream(stream: DataFrame, k: int = 5) -> DataFrame:
     """Wire the processor: input needs (key STRING, doc_id BIGINT,
     score DOUBLE) columns; output = OUTPUT_SCHEMA rows as keys' top-k
     membership changes."""
+    from oracle_cassandra_migrator_spark._vendor import ensure_protobuf
+
+    ensure_protobuf()  # state-v2 runner dependency; see _vendor
     return (
         stream.groupBy("key")
         .transformWithStateInPandas(

@@ -10,11 +10,7 @@ admission logic itself is covered unconditionally below."""
 
 import pytest
 
-try:
-    from google.protobuf import descriptor  # noqa: F401
-    _HAVE_PROTOBUF = True
-except ImportError:
-    _HAVE_PROTOBUF = False
+from tests.conftest import HAVE_PROTOBUF as _HAVE_PROTOBUF
 
 from pyspark.sql import functions as F
 
@@ -48,7 +44,7 @@ def rocksdb_conf(spark):
 @pytest.mark.skipif(
     not _HAVE_PROTOBUF,
     reason="transformWithStateInPandas requires google.protobuf "
-           "(absent in this env); processor logic tested below")
+           "(vendored copy failed to load)")
 def test_quota_stream_admits_first_k_per_user(
         spark, rocksdb_conf, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("quota_stream"))

@@ -7,11 +7,7 @@ with a fake handle."""
 
 import pytest
 
-try:
-    from google.protobuf import descriptor  # noqa: F401
-    _HAVE_PROTOBUF = True
-except ImportError:
-    _HAVE_PROTOBUF = False
+from tests.conftest import HAVE_PROTOBUF as _HAVE_PROTOBUF
 
 from oracle_cassandra_migrator_spark.streaming.topk import TopKProcessor
 
@@ -96,11 +92,28 @@ def test_topk_state_is_bounded():
     assert sorted(p.best._rows, reverse=True)[0][0] == pytest.approx(9.49)
 
 
+@pytest.fixture()
+def rocksdb_conf(spark):
+    """transformWithState needs the RocksDB state store (the default
+    HDFS-backed provider rejects multiple column families)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    yield
+    if old is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, old)
+
+
 @pytest.mark.skipif(
     not _HAVE_PROTOBUF,
     reason="transformWithStateInPandas requires google.protobuf "
-           "(absent in this env); processor logic tested above")
-def test_topk_stream_integration(spark, tmp_path):
+           "(vendored copy failed to load)")
+def test_topk_stream_integration(spark, rocksdb_conf, tmp_path):
     from oracle_cassandra_migrator_spark.streaming.topk import topk_stream
 
     src = str(tmp_path / "topk_src")

@@ -131,9 +131,15 @@ _R04_CONFIRMED = frozenset({
 # change output (VERDICT r6 item 5: the length-derived fake decode
 # became real BMP/PPM/WAV header parsing over synthesized container
 # bytes) — they re-enter the window.
-_RECHECK = frozenset()
-# r8: _RECHECK is empty — the two multimodal queries (real-decode
-# rewrite) re-verified green in r07 and fold into _R07_CONFIRMED.
+# r8: the two r7 rechecks (multimodal real-decode rewrite) re-verified
+# green in r07 and folded into _R07_CONFIRMED. New recheck:
+# window_rank_breadth's OUTPUT changed when its window was re-keyed
+# from the 3-value o_orderstatus partition onto the 4096-way customer
+# cohort (VERDICT r7 item 5 — the last weak-at-scale catalog plan), so
+# the driver must re-certify it under the new contract.
+_RECHECK = frozenset({
+    "window_rank_breadth",
+})
 
 # CORRECTNESS_r05.json: 50/50 green (rows+schema+hash) — the literal
 # key set, folded per the round-6 maintenance note below. This closed

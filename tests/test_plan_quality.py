@@ -583,3 +583,14 @@ def test_triangle_count_builds_oriented_edges_once(spark):
     assert "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_window_rank_breadth_partitions_by_cohort(spark):
+    """r8 re-key (VERDICT r7 item 5): the ranking-breadth window must
+    partition on the 4096-way customer cohort — a hash exchange on the
+    modulo expression, never a 3-value status key or a single
+    partition — so the sort parallelizes at any corpus size."""
+    plan = plan_of(spark, "window_rank_breadth")
+    assert "o_orderstatus" not in plan
+    assert "SinglePartition" not in plan
+    assert re.search(r"Exchange hashpartitioning\(_w\d+", plan)

@@ -27,10 +27,12 @@ def merge_upsert(current: DataFrame, updates: DataFrame,
                  keys: list[str]) -> DataFrame:
     """Upsert ``updates`` into ``current`` by ``keys``: a key present
     in both yields the update row; keys only in ``current`` are kept;
-    keys only in ``updates`` are inserts. Schemas must match by name."""
+    keys only in ``updates`` are inserts. Columns match by name;
+    a column present on only one side (schema evolution — e.g. a new
+    batch column the stored snapshot predates) null-fills the other."""
     survivors = current.join(
         updates.select(*keys).distinct(), keys, "left_anti")
-    return updates.unionByName(survivors)
+    return updates.unionByName(survivors, allowMissingColumns=True)
 
 
 def scd2_apply(history: DataFrame, updates: DataFrame, keys: list[str],

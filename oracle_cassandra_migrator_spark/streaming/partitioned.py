@@ -16,11 +16,17 @@ Layout under ``base_dir`` (any Hadoop scheme):
   <token> rewrote (``partitionBy`` dirs; data files carry data
   columns only).
 - ``manifest-v<token>.json`` — ``{"n_buckets": N, "keys": [...],
-  "owners": {"<b>": "<token>"}}``: the bucketing arity AND the exact
-  key list/order (both validated on every write/compact/lookup — a
-  different key order hashes differently, which would silently
-  corrupt placement), plus, for every bucket with data, the version
-  that currently owns it.
+  "owners": {"<b>": "<token>"}, "schema": "<DDL>"}``: the bucketing
+  arity AND the exact key list/order (both validated on every
+  write/compact/lookup — a different key order hashes differently,
+  which would silently corrupt placement), plus, for every bucket
+  with data, the version that currently owns it. ``schema`` is the
+  table's evolving union schema: a batch may ADD columns (recorded
+  append-only; readers project every bucket through it, so buckets
+  written before the column null-fill — no mergeSchema footer sweep,
+  no rewrite of untouched buckets), while a column re-appearing with
+  a DIFFERENT type aborts the batch before any file lands. Manifests
+  predating the field fall back to parquet inference.
 - ``markers/batch-<token>.marker`` — the commit point (the
   upsert/rollup protocol; a manifest without its marker is an
   invisible orphan).
@@ -141,11 +147,61 @@ def _read_manifest(spark, base_dir: str, token: str) -> dict:
 
 def _write_manifest(spark, base_dir: str, token: str,
                     n_buckets: int, keys: list[str],
-                    owners: dict[int, str]) -> None:
-    _write_text(spark, _manifest_path(base_dir, token),
-                json.dumps({"n_buckets": n_buckets, "keys": list(keys),
-                            "owners": {str(k): v for k, v
-                                       in owners.items()}}))
+                    owners: dict[int, str],
+                    schema_ddl: str | None = None) -> None:
+    doc = {"n_buckets": n_buckets, "keys": list(keys),
+           "owners": {str(k): v for k, v in owners.items()}}
+    if schema_ddl is not None:
+        doc["schema"] = schema_ddl
+    _write_text(spark, _manifest_path(base_dir, token), json.dumps(doc))
+
+
+def _evolved_schema_ddl(prev_ddl: str | None, merged_schema) -> str:
+    """The table schema a manifest records: the previous manifest's
+    fields (order preserved) plus any NEW fields this version's merge
+    introduced, appended. Untouched buckets keep their old files; the
+    recorded union schema is what readers project them through (parquet
+    null-fills absent columns). A re-appearing field with a DIFFERENT
+    type is placement-corrupting ambiguity and fails loudly."""
+    from pyspark.sql.types import StructType
+
+    def ddl(f):
+        # StructField.toDDL is JVM-only; simpleString IS the DDL type
+        return f"{f.name} {f.dataType.simpleString()}"
+
+    if prev_ddl is None:
+        return ", ".join(ddl(f) for f in merged_schema.fields)
+    prev = StructType.fromDDL(prev_ddl)
+    by_name = {f.name: f for f in prev.fields}
+    out = list(prev.fields)
+    for f in merged_schema.fields:
+        old = by_name.get(f.name)
+        if old is None:
+            out.append(f)
+        elif old.dataType != f.dataType:
+            raise ValueError(
+                f"schema evolution type conflict on {f.name!r}: table "
+                f"has {old.dataType.simpleString()}, batch brings "
+                f"{f.dataType.simpleString()}")
+    return ", ".join(ddl(f) for f in out)
+
+
+def _manifest_schema(manifest: dict):
+    """StructType from the manifest, or None for pre-evolution
+    manifests (readers then fall back to plain parquet inference)."""
+    from pyspark.sql.types import StructType
+
+    ddl = manifest.get("schema")
+    return StructType.fromDDL(ddl) if ddl else None
+
+
+def _read_buckets(spark, manifest: dict, paths: list[str]) -> DataFrame:
+    """Read version/bucket dirs projected through the manifest schema
+    when recorded — buckets written before a column was added
+    null-fill it — else plain inference (legacy manifests)."""
+    st = _manifest_schema(manifest)
+    reader = spark.read.schema(st) if st is not None else spark.read
+    return reader.parquet(*paths)
 
 
 def _check_manifest(manifest: dict, n_buckets: int | None,
@@ -186,11 +242,12 @@ def latest_partitioned_snapshot(
         store, posixpath.join(base_dir, "markers"))
     if not tokens:
         return None
-    owners = _read_manifest(spark, base_dir, tokens[-1])["owners"]
+    manifest = _read_manifest(spark, base_dir, tokens[-1])
+    owners = manifest["owners"]
     if not owners:
         return None
     paths = _bucket_paths(base_dir, owners, sorted(owners))
-    return spark.read.parquet(*paths)
+    return _read_buckets(spark, manifest, paths)
 
 
 def lookup_keys(spark, base_dir: str, keys: list[str],
@@ -220,10 +277,11 @@ def lookup_keys(spark, base_dir: str, keys: list[str],
         # contract (None is reserved for no-table) — an empty frame
         # with the stored schema, same as a probe that misses
         any_path = _bucket_paths(base_dir, owners, sorted(owners))[0]
-        return spark.read.parquet(any_path).limit(0)
+        return _read_buckets(spark, manifest, [any_path]).limit(0)
     probe = spark.createDataFrame(values, ", ".join(
         f"{k} {t}" for k, t in zip(
-            keys, _probe_types(spark, base_dir, owners, keys))))
+            keys, _probe_types(spark, base_dir, owners, keys,
+                               manifest))))
     bexpr = _bucket_expr(keys, manifest["n_buckets"])
     buckets = sorted(r[0] for r in probe.selectExpr(f"{bexpr} AS b")
                      .distinct().collect())
@@ -233,19 +291,23 @@ def lookup_keys(spark, base_dir: str, keys: list[str],
         # frame with the stored schema (None is reserved for
         # no-table), read from any owned bucket's footer
         any_path = _bucket_paths(base_dir, owners, sorted(owners))[0]
-        return spark.read.parquet(any_path).limit(0)
-    snap = spark.read.parquet(*paths)
+        return _read_buckets(spark, manifest, [any_path]).limit(0)
+    snap = _read_buckets(spark, manifest, paths)
     return snap.join(F.broadcast(probe), keys, "left_semi")
 
 
 def _probe_types(spark, base_dir: str, owners: dict[int, str],
-                 keys: list[str]) -> list[str]:
-    """Key column DDL types read from one existing bucket's footer so
-    the probe frame hashes identically to the stored keys (an INT
-    probe against a BIGINT key column would xxhash64 differently)."""
-    first = _bucket_paths(base_dir, owners, sorted(owners))[0]
-    schema = spark.read.parquet(first).schema
-    by_name = {f.name: f.dataType.simpleString() for f in schema.fields}
+                 keys: list[str],
+                 manifest: dict | None = None) -> list[str]:
+    """Key column DDL types, from the manifest schema when recorded
+    (zero IO) else one existing bucket's footer, so the probe frame
+    hashes identically to the stored keys (an INT probe against a
+    BIGINT key column would xxhash64 differently)."""
+    st = _manifest_schema(manifest) if manifest else None
+    if st is None:
+        first = _bucket_paths(base_dir, owners, sorted(owners))[0]
+        st = spark.read.parquet(first).schema
+    by_name = {f.name: f.dataType.simpleString() for f in st.fields}
     return [by_name[k] for k in keys]
 
 
@@ -288,16 +350,22 @@ def _partitioned_applier(
                 manifest = _read_manifest(spark, base_dir, prev[-1])
                 _check_manifest(manifest, n_buckets, keys)
                 owners = manifest["owners"]
+                prev_ddl = manifest.get("schema")
             else:
+                manifest = {}
                 owners = {}
+                prev_ddl = None
             # bounded by n_buckets — a tiny, legal collect
             touched = sorted(
                 r[0] for r in prepped.selectExpr(f"{bexpr} AS b")
                 .distinct().collect())
             cur_paths = _bucket_paths(base_dir, owners, touched)
-            current = (spark.read.parquet(*cur_paths)
+            current = (_read_buckets(spark, manifest, cur_paths)
                        if cur_paths else None)
             merged = merge_fn(prepped, current).persist()
+            # validate/record schema evolution BEFORE any write: a
+            # type conflict must abort with zero new files on disk
+            schema_ddl = _evolved_schema_ddl(prev_ddl, merged.schema)
             try:
                 present = {
                     r[0] for r in merged.selectExpr(f"{bexpr} AS b")
@@ -318,7 +386,7 @@ def _partitioned_applier(
                     # readers would chase a nonexistent path
                     new_owners.pop(b, None)
             _write_manifest(spark, base_dir, token, n_buckets, keys,
-                            new_owners)
+                            new_owners, schema_ddl)
             store.put_marker(marker)
         finally:
             prepped.unpersist()
@@ -477,8 +545,9 @@ def compact_partitioned(spark, base_dir: str,
     base, suf = _token_key(tokens[-1])
     new_token = f"{base}c{suf + 1}"
     if owners:
-        current = spark.read.parquet(
-            *_bucket_paths(base_dir, owners, sorted(owners)))
+        current = _read_buckets(
+            spark, manifest,
+            _bucket_paths(base_dir, owners, sorted(owners)))
         bexpr = _bucket_expr(keys, manifest["n_buckets"])
         (current.withColumn("bucket", F.expr(bexpr))
          .repartition("bucket")
@@ -487,8 +556,11 @@ def compact_partitioned(spark, base_dir: str,
         new_owners = {b: new_token for b in owners}
     else:
         new_owners = {}
+    # compaction NORMALIZES every bucket to the recorded schema (old
+    # buckets re-written with null-filled late columns), then carries
+    # the schema forward unchanged
     _write_manifest(spark, base_dir, new_token, manifest["n_buckets"],
-                    keys, new_owners)
+                    keys, new_owners, manifest.get("schema"))
     store.put_marker(
         posixpath.join(marker_dir, f"batch-{new_token}.marker"))
     return new_token

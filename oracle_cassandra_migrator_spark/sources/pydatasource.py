@@ -124,9 +124,60 @@ class JsonlDirReader(DataSourceReader):
                     yield tuple(rec.get(n) for n in names)
 
 
+class JsonlDirStreamReader(SimpleDataSourceStreamReader):
+    """CDC-dump directory tailer — the streaming complement of the
+    batch reader: each micro-batch consumes the ``.jsonl`` files that
+    arrived since the committed offset, the landing-zone shape CDC
+    tools write (Debezium file sink, DMS drops, export cron jobs).
+
+    Offsets are ``{"last": "<filename>"}``; a batch reads every file
+    sorting strictly above it. File names must therefore be
+    MONOTONICALLY increasing (sequence- or timestamp-stamped — the
+    standard change-dump convention) and files are immutable once
+    landed: ``readBetweenOffsets`` replays a committed range by name
+    interval, which is deterministic under exactly those two rules. A
+    late file sorting at or below the consumed watermark is ignored
+    (never silently reordered into an already-committed range)."""
+
+    def __init__(self, schema: StructType, options):
+        self.names = [f.name for f in schema.fields]
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_dir stream requires a 'path' option")
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def _files(self) -> list[str]:
+        return sorted(n for n in os.listdir(self.path)
+                      if n.endswith(".jsonl"))
+
+    def _rows(self, files: list[str]):
+        for name in files:
+            with open(os.path.join(self.path, name),
+                      "r", encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        rec = json.loads(line)
+                        yield tuple(rec.get(c) for c in self.names)
+
+    def read(self, start: dict):
+        fresh = [n for n in self._files() if n > start["last"]]
+        end = {"last": fresh[-1] if fresh else start["last"]}
+        return iter(list(self._rows(fresh))), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        names = [n for n in self._files()
+                 if start["last"] < n <= end["last"]]
+        return iter(list(self._rows(names)))
+
+
 class JsonlDirDataSource(DataSource):
     """``spark.read.format("jsonl_dir").schema(...).option("path", d)``
-    — register with ``spark.dataSource.register(JsonlDirDataSource)``."""
+    (batch, partition-per-file, pushdown) or
+    ``spark.readStream.format("jsonl_dir")`` (CDC directory tailing) —
+    register with ``spark.dataSource.register(JsonlDirDataSource)``."""
 
     @classmethod
     def name(cls) -> str:
@@ -137,6 +188,9 @@ class JsonlDirDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return JsonlDirReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType):
+        return JsonlDirStreamReader(schema, self.options)
 
     def writer(self, schema: StructType, overwrite: bool):
         return JsonlDirWriter(schema, self.options, overwrite=overwrite)

@@ -38,6 +38,14 @@ def read_stream_source(spark: SparkSession,
     """Open one streaming source per its spec dict; returns a lazy
     streaming DataFrame."""
     fmt = spec.get("format", "parquet").lower()
+    from oracle_cassandra_migrator_spark.sources.readers import (
+        PYTHON_DS_FORMATS)
+
+    if fmt in PYTHON_DS_FORMATS:
+        from oracle_cassandra_migrator_spark.sources.pydatasource import (
+            register_python_sources)
+
+        register_python_sources(spark)
     reader = spark.readStream.format(fmt)
     if spec.get("schema"):
         reader = reader.schema(spec["schema"])

@@ -337,3 +337,66 @@ def test_cli_runs_cdc_mirror_config(spark, tmp_path):
     got = {r.cust_id: (r.name, r.balance) for r in snap.collect()}
     assert got == {1: ("ada2", 11.0), 2: ("bo", 20.0)}
     shutil.rmtree("/tmp/ocm-cdc-mirror", ignore_errors=True)
+
+
+def test_cdc_pysource_tail_to_partitioned_rollup(spark, tmp_path):
+    """Config alone expresses CDC landing zone -> maintained table
+    (example: streaming_cdc_pysource.json): the jsonl_dir PYTHON data
+    source tails a directory of sequence-named change dumps as a
+    stream, and the spec terminates in the partitioned rollup sink. A
+    later file drop drains incrementally from the same checkpoint
+    (committed batches replay as no-ops), and the maintained state
+    equals the recompute over the surviving change rows."""
+    import json as _json
+
+    from oracle_cassandra_migrator_spark.streaming import partitioned
+    from oracle_cassandra_migrator_spark.streaming.pipeline import (
+        run_stream_pipeline)
+
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def drop(name, rows):
+        with open(src / name, "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+
+    drop("000001.jsonl", [
+        {"op": "I", "g": "A", "new_v": 10, "old_v": None, "seq": 1},
+        {"op": "I", "g": "B", "new_v": 5, "old_v": None, "seq": 2},
+        {"op": "X", "g": "A", "new_v": 99, "old_v": None, "seq": 3},
+    ])
+    drop("000002.jsonl", [
+        {"op": "U", "g": "A", "new_v": 12, "old_v": 10, "seq": 4},
+        {"op": "I", "g": "A", "new_v": 7, "old_v": None, "seq": 5},
+    ])
+    schema = "op STRING, g STRING, new_v INT, old_v INT, seq INT"
+    base = str(tmp_path / "state")
+    spec = {
+        "source": {"format": "jsonl_dir", "schema": schema,
+                   "options": {"path": str(src)}},
+        "transform": [{"op": "filter", "expr": "op IN ('I','U','D')"}],
+        "sink": {"type": "partitioned_rollup", "base_dir": base,
+                 "keys": ["g"], "new": "new_v", "old": "old_v",
+                 "n_buckets": 4,
+                 "checkpoint_dir": str(tmp_path / "ck")},
+    }
+    q = run_stream_pipeline(spark, spec)
+    q.awaitTermination(180)
+    got = {r.g: (r.n, int(r.s)) for r in
+           partitioned.latest_partitioned_snapshot(
+               spark, base).collect()}
+    # A: I 10, U 10->12 (+2), I 7 => (2, 19); B: I 5 => (1, 5);
+    # the op='X' row was filtered by the spec step
+    assert got == {"A": (2, 19), "B": (1, 5)}
+
+    # a LATE dump: rerunning the same spec drains only the new file
+    drop("000003.jsonl", [
+        {"op": "D", "g": "B", "new_v": None, "old_v": 5, "seq": 6}])
+    q = run_stream_pipeline(spark, spec)
+    q.awaitTermination(180)
+    got = {r.g: (r.n, int(r.s)) for r in
+           partitioned.latest_partitioned_snapshot(
+               spark, base).collect()}
+    # B's count returned to 0 -> the group dies out of its bucket
+    assert got == {"A": (2, 19)}

@@ -520,6 +520,7 @@ def dedup_keep_representative(
 def allpairs_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str,
     n: int = 3, threshold: float = 0.5,
+    max_token_df: int | None = None,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (AllPairs /
     PPJoin family): every pair with word-n-gram Jaccard >= threshold,
@@ -547,10 +548,18 @@ def allpairs_jaccard_pairs(
     cheap recomputes). The per-doc prefix rank windows on doc_id
     (high-cardinality, no skew); verification is the candidate-
     restricted intersection count minhash_lsh_pairs uses, same
-    no-arrays-in-shuffles rule. At 100 TB a hot-shingle guard
-    (max_token_df, as in ngram_jaccard_pairs) bounds a pathological
-    near-all-equal corpus; the catalog query runs uncapped so the
-    oracle replays exact semantics.
+    no-arrays-in-shuffles rule.
+
+    ``max_token_df`` is the 100 TB hot-shingle guard, with
+    ngram_jaccard_pairs' EXACT cap semantics so the capped twins stay
+    output-identical (pinned in pytest): shingles above the df cap are
+    dropped from both candidate generation and verification while
+    ``n_sh`` keeps counting ALL shingles. No false negatives w.r.t.
+    the capped score: the prefix length m - ceil(t*m) + 1 is monotone
+    in m, so computing it from the FULL size over the survivor ranking
+    only lengthens prefixes. The catalog query runs uncapped so the
+    oracle replays exact semantics; the capped path's wall/recall at
+    the 30x/100x probes is recorded in SCALE.md.
     """
     from pyspark.sql.window import Window
 
@@ -560,10 +569,14 @@ def allpairs_jaccard_pairs(
                   F.explode("shingles").alias("sh"))
           .where("n_sh > 0")
           .select(id_col, "n_sh", F.expr(BASE_HASH_SPARK).alias("sh")))
-    ranked = (ex.withColumn("df", F.count("*").over(
-                  Window.partitionBy("sh")))
-              .withColumn("rn", F.row_number().over(
-                  Window.partitionBy(id_col).orderBy("df", "sh"))))
+    # document frequency rides the shingle-key exchange either way;
+    # under the cap it also gates the verification arms below
+    ex = ex.withColumn("df", F.count("*").over(Window.partitionBy("sh")))
+    if max_token_df is not None:
+        ex = ex.where(F.col("df") <= max_token_df)
+    ranked = ex.withColumn("rn", F.row_number().over(
+        Window.partitionBy(id_col).orderBy("df", "sh")))
+    ex = ex.drop("df")
     prefix = ranked.where(
         F.expr(f"rn <= n_sh - ceil({threshold} * n_sh) + 1"))
     cand = (

@@ -291,3 +291,42 @@ def cms_estimate(keys: DataFrame, sketch: DataFrame,
     return (est.withColumn("est_cnt", F.expr(f"least({mins})"))
             .drop(*[c for d in range(CMS_DEPTH)
                     for c in (f"slot_{d}", f"c_{d}")]))
+
+
+def kll_quantile_report(df: DataFrame, val_expr: str,
+                        exact: bool = True,
+                        accuracy: int = 10000) -> DataFrame:
+    """The KLL bounded-error quantile contract behind
+    ``sketch_kll_price_quantiles``: p50/p90 of ``val_expr`` plus
+    booleans pinning each KLL estimate inside a rank +/- 2% envelope.
+
+    ``exact=True`` (the oracle-checked catalog arm) audits against the
+    sort-based ``percentile`` — inherently corpus-sorting, fine for an
+    audit job. ``exact=False`` is the 100 TB switch (VERDICT r7 item
+    3): the envelope comes from ``approx_percentile``, a bounded-memory
+    QuantileSummaries sketch with map-side partials — the whole report
+    is then one scan + fixed-size aggregation state, no sort anywhere.
+    Envelope semantics are unchanged (values at ranks 48/52% and
+    88/92%); approx_percentile's own rank error (<= 1/accuracy) is two
+    orders below the 2% envelope width, so the contract keeps teeth."""
+    pcts = "array(0.50D, 0.90D)"
+    lo_p = "array(0.48D, 0.88D)"
+    hi_p = "array(0.52D, 0.92D)"
+    if exact:
+        ex, lo, hi = (f"percentile({val_expr}, {p})"
+                      for p in (pcts, lo_p, hi_p))
+    else:
+        ex, lo, hi = (f"approx_percentile({val_expr}, {p}, {accuracy})"
+                      for p in (pcts, lo_p, hi_p))
+    agg = df.agg(
+        F.expr(ex).alias("ex"), F.expr(lo).alias("lo"),
+        F.expr(hi).alias("hi"),
+        F.expr(f"kll_sketch_agg_double({val_expr})").alias("sk"),
+    )
+    return agg.selectExpr(
+        "round(ex[0], 4) AS p50", "round(ex[1], 4) AS p90",
+        "kll_sketch_get_quantile_double(sk, 0.50)"
+        " BETWEEN lo[0] AND hi[0] AS kll_p50_ok",
+        "kll_sketch_get_quantile_double(sk, 0.90)"
+        " BETWEEN lo[1] AND hi[1] AS kll_p90_ok",
+    )

@@ -1010,22 +1010,19 @@ def sketch_kll_price_quantiles(spark, sf_dir):
     per-day sketches roll up like the HLL and theta families, which
     approx_percentile's internal-only sketch cannot do. That is the
     quantile story at 100 TB: one fixed-size sketch per partition,
-    merged hierarchically, queried at any rank after the fact."""
-    val = "CAST(l_extendedprice AS DOUBLE)"
+    merged hierarchically, queried at any rank after the fact.
+
+    This catalog arm audits against the exact sort-based percentile
+    (``exact=True``) so the oracle replays it; the sort-free scale arm
+    is ``kll_quantile_report(..., exact=False)`` — approx_percentile
+    envelope, one scan + fixed-size state — benched at the 30x/100x
+    probes in SCALE.md (r8)."""
+    from oracle_cassandra_migrator_spark.operators.sketches import (
+        kll_quantile_report)
+
     li = read_table(spark, sf_dir, "lineitem")
-    agg = li.agg(
-        F.expr(f"percentile({val}, array(0.50D, 0.90D))").alias("ex"),
-        F.expr(f"percentile({val}, array(0.48D, 0.88D))").alias("lo"),
-        F.expr(f"percentile({val}, array(0.52D, 0.92D))").alias("hi"),
-        F.expr(f"kll_sketch_agg_double({val})").alias("sk"),
-    )
-    return agg.selectExpr(
-        "round(ex[0], 4) AS p50", "round(ex[1], 4) AS p90",
-        "kll_sketch_get_quantile_double(sk, 0.50)"
-        " BETWEEN lo[0] AND hi[0] AS kll_p50_ok",
-        "kll_sketch_get_quantile_double(sk, 0.90)"
-        " BETWEEN lo[1] AND hi[1] AS kll_p90_ok",
-    )
+    return kll_quantile_report(
+        li, "CAST(l_extendedprice AS DOUBLE)", exact=True)
 
 
 @query(

@@ -559,3 +559,47 @@ def test_builtin_approx_top_k_matches_exact_on_separated_heavy_tail(spark):
     boundary = exact[-1]["count"]
     assert {r["item"] for r in approx if r["count"] > boundary} == \
         {r["w"] for r in exact if r["count"] > boundary}
+
+
+def test_allpairs_cap_equals_capped_inverted_index(spark):
+    """The max_token_df guard (r8): capped AllPairs must stay
+    output-identical to the capped inverted-index join — same survivor
+    universe, same full-size denominators — on dense seeded corpora
+    where the cap BINDS, and the planted rare-overlap pair survives
+    while boilerplate-only pairs drop (the ngram cap contract)."""
+    import random
+
+    from oracle_cassandra_migrator_spark.operators.dedup import (
+        allpairs_jaccard_pairs, ngram_jaccard_pairs)
+
+    letters = "abcdefghijkl"
+    for seed, vocab, n_docs, t, cap in [
+            (11, 6, 60, 0.5, 8), (12, 9, 50, 0.4, 5)]:
+        rng = random.Random(seed)
+        rows = []
+        for i in range(n_docs):
+            if i >= 5 and i % 5 == 0:
+                words = rows[rng.randrange(i)][1].split()
+                if words:
+                    words[rng.randrange(len(words))] = rng.choice(
+                        letters[:vocab])
+                rows.append((i, " ".join(words)))
+            else:
+                rows.append((i, " ".join(
+                    rng.choice(letters[:vocab])
+                    for _ in range(rng.randint(0, 12)))))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r.doc_a, r.doc_b, r.jaccard) for r in
+               allpairs_jaccard_pairs(
+                   df, "text", "doc_id", threshold=t,
+                   max_token_df=cap).collect()}
+        want = {(r.doc_a, r.doc_b, r.jaccard) for r in
+                ngram_jaccard_pairs(
+                    df, "text", "doc_id", threshold=t,
+                    max_token_df=cap).collect()}
+        assert got == want, (seed, t, cap, len(got), len(want))
+        uncapped = {(r.doc_a, r.doc_b) for r in
+                    ngram_jaccard_pairs(
+                        df, "text", "doc_id", threshold=t).collect()}
+        assert {(a, b) for a, b, _ in got} <= uncapped
+        assert uncapped, f"vacuous corpus for seed {seed}"

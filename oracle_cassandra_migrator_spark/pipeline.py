@@ -84,10 +84,23 @@ class Pipeline:
         self.staging = spec["staging_dir"]
 
     # -- phase 1 -----------------------------------------------------
+    # Default layout: <staging_dir>/<name>/raw/<source> and
+    # <staging_dir>/<name>/transformed. ``staging_raw_dir`` /
+    # ``staging_transformed_dir`` override the two roots independently
+    # — the reference's layout (s3a://bucket/<raw_prefix>/<source> and
+    # s3a://bucket/<transformed_prefix>/<target>, py:189/:210), which
+    # the --from-reference translator emits so existing IAM/lifecycle
+    # rules scoped to those prefixes keep applying.
     def _raw_path(self, source_name: str) -> str:
+        root = self.spec.get("staging_raw_dir")
+        if root:
+            return os.path.join(root, source_name)
         return os.path.join(self.staging, self.name, "raw", source_name)
 
     def _transformed_path(self) -> str:
+        root = self.spec.get("staging_transformed_dir")
+        if root:
+            return root
         return os.path.join(self.staging, self.name, "transformed")
 
     def stage_sources(self, result: PipelineResult) -> dict[str, DataFrame]:

@@ -31,7 +31,11 @@ Faithful mappings (reference file:line):
 - Staging (py:187-223): both staging writes repartition(num_partitions,
   default 10) to ``s3a://bucket/<staging_path>/<table>``; here
   ``stage_partitions`` / ``transform_partitions`` with the same
-  default and ``staging_dir = s3a://bucket/<prefix>``.
+  default, and the table spec's ``staging_raw_dir`` /
+  ``staging_transformed_dir`` reproduce the reference's exact prefix
+  layout (``<bucket>/<staging_path_raw_data>/<source_table>``,
+  ``<bucket>/<staging_path_transformed_data>/<target_table>``) so
+  prefix-scoped IAM/lifecycle rules keep applying.
 - Cassandra sink (py:303-373): format org.apache.spark.sql.cassandra,
   table/keyspace options, the three output-tuning options verbatim,
   repartition(8 * number of contact hosts), append mode, per-file
@@ -192,6 +196,7 @@ def translate_reference_config(
     s3 = ref.get("s3") or {}
 
     staging_dir = overrides.get("staging_dir")
+    use_ref_prefixes = staging_dir is None
     if staging_dir is None:
         staging_dir = f"s3a://{s3.get('bucket')}"
 
@@ -199,7 +204,7 @@ def translate_reference_config(
     for table_cfg in ref.get("tables", []):
         sink = (copy.deepcopy(overrides["sink"]) if "sink" in overrides
                 else _cassandra_sink(cassandra, table_cfg))
-        tables.append({
+        table: dict[str, Any] = {
             "name": table_cfg["target_table"],
             "sources": {
                 st: _jdbc_source(oracle, table_cfg, st,
@@ -213,7 +218,24 @@ def translate_reference_config(
             "sink": sink,
             "retry": {"retries": table_cfg.get("retries", 3),
                       "delay": 5.0, "backoff": 2.0},
-        })
+        }
+        if use_ref_prefixes:
+            # the reference's EXACT staging layout (py:189/:210):
+            # s3a://bucket/<raw_prefix>/<source_table> and
+            # s3a://bucket/<transformed_prefix>/<target_table> — so
+            # IAM policies / lifecycle rules / cleanup jobs scoped to
+            # the configured prefixes keep applying verbatim. An
+            # overridden staging_dir (sandbox runs) uses the engine's
+            # default <staging_dir>/<name>/... layout instead.
+            raw_prefix = s3.get("staging_path_raw_data",
+                                "staging_raw_data")
+            tr_prefix = s3.get("staging_path_transformed_data",
+                               "staging_transformed_data")
+            table["staging_raw_dir"] = f"{staging_dir}/{raw_prefix}"
+            table["staging_transformed_dir"] = (
+                f"{staging_dir}/{tr_prefix}/"
+                f"{table_cfg['target_table']}")
+        tables.append(table)
 
     config: dict[str, Any] = {
         "app_name": "oracle-cassandra-migration",

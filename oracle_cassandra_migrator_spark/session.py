@@ -63,6 +63,14 @@ def build_session(
     ``conf`` entries override ``DEFAULT_CONF``. ``master`` is only set
     when given, so cluster submit (--master) keeps working untouched.
     """
+    # BEFORE the JVM exists: the vendored google.protobuf (state-v2
+    # streaming dependency) must land on PYTHONPATH here, or the
+    # JVM-spawned Python workers can never import StateMessage_pb2 —
+    # calling ensure_protobuf() later (e.g. from quota/topk builders)
+    # is driver-only by then
+    from oracle_cassandra_migrator_spark._vendor import ensure_protobuf
+
+    ensure_protobuf()
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)

@@ -133,15 +133,21 @@ class JsonlDirStreamReader(SimpleDataSourceStreamReader):
     Offsets are ``{"last": "<filename>"}``; a batch reads every file
     sorting strictly above it. File names must therefore be
     MONOTONICALLY increasing (sequence- or timestamp-stamped — the
-    standard change-dump convention) and files are immutable once
-    landed: ``readBetweenOffsets`` replays a committed range by name
-    interval, which is deterministic under exactly those two rules. A
-    late file sorting at or below the consumed watermark is ignored
-    (never silently reordered into an already-committed range)."""
+    standard change-dump convention) and files must LAND ATOMICALLY
+    (write to a temp name, rename to the final ``.jsonl`` — exactly
+    what JsonlDirStreamWriter below does): a file consumed mid-append
+    would be truncated forever, since the filename watermark never
+    revisits it. For producers that append in place, the
+    ``settle_seconds`` option defers a file until its mtime is at
+    least that old. ``readBetweenOffsets`` replays a committed range
+    by name interval, deterministic under the same two rules. A late
+    file sorting at or below the consumed watermark is ignored (never
+    silently reordered into an already-committed range)."""
 
     def __init__(self, schema: StructType, options):
         self.names = [f.name for f in schema.fields]
         self.path = options.get("path")
+        self.settle_seconds = float(options.get("settle_seconds", 0))
         if not self.path:
             raise ValueError("jsonl_dir stream requires a 'path' option")
 
@@ -149,8 +155,16 @@ class JsonlDirStreamReader(SimpleDataSourceStreamReader):
         return {"last": ""}
 
     def _files(self) -> list[str]:
-        return sorted(n for n in os.listdir(self.path)
-                      if n.endswith(".jsonl"))
+        names = sorted(n for n in os.listdir(self.path)
+                       if n.endswith(".jsonl"))
+        if self.settle_seconds > 0:
+            import time
+
+            cutoff = time.time() - self.settle_seconds
+            names = [n for n in names
+                     if os.path.getmtime(
+                         os.path.join(self.path, n)) <= cutoff]
+        return names
 
     def _rows(self, files: list[str]):
         for name in files:
@@ -168,8 +182,11 @@ class JsonlDirStreamReader(SimpleDataSourceStreamReader):
         return iter(list(self._rows(fresh))), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        names = [n for n in self._files()
-                 if start["last"] < n <= end["last"]]
+        # committed ranges replay WITHOUT the settle filter: every file
+        # in the interval was settled when the range first committed
+        names = [n for n in sorted(os.listdir(self.path))
+                 if n.endswith(".jsonl")
+                 and start["last"] < n <= end["last"]]
         return iter(list(self._rows(names)))
 
 

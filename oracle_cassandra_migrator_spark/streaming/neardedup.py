@@ -48,7 +48,6 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from oracle_cassandra_migrator_spark.operators.dedup import (
-    HASH_P,
     LSH_BANDS,
     LSH_MAX_BAND_SIZE,
     LSH_ROWS,
@@ -76,13 +75,14 @@ def batch_signatures(df: DataFrame, text_col: str, id_col: str,
     Zero-shingle docs (fewer than ``n`` words) are NOT dropped: a doc
     with no shingles cannot be a near-dup of anything, so the gate
     must admit it, not lose it (ADVICE r7). They carry a per-doc
-    SENTINEL signature, -1 - (xxhash64(id) mod P), the same value in
-    every component: real minhash components live in [0, P) so a
-    sentinel never equals one (the estimate vs any real doc is 0),
-    and distinct ids get distinct band keys so zero-shingle docs never
-    become candidates of each other either (up to a 2^-31 hash
-    collision, which would drop one of an identical-id pair — moot,
-    ids are unique within a stream)."""
+    SENTINEL signature — the full 64-bit xxhash64(id) folded into the
+    strictly-negative range — the same value in every component: real
+    minhash components live in [0, P) so a sentinel never equals one
+    (the estimate vs any real doc is 0), and distinct ids get distinct
+    band keys so zero-shingle docs never become candidates of each
+    other either, up to a 2^-63-per-pair full-width collision
+    (negligible even against a 100 TB admitted state — the earlier
+    mod-P fold left a 2^-31 birthday exposure there)."""
     shingled = with_shingles(df.select(id_col, text_col), text_col, n)
     exploded = (shingled
                 .select(F.col(id_col),
@@ -92,8 +92,10 @@ def batch_signatures(df: DataFrame, text_col: str, id_col: str,
     sig = exploded.groupBy(id_col).agg(
         *[F.expr(minhash_term_spark(i)).alias(f"m{i}") for i in range(K)],
         F.first("n_sh").alias("n_sh"))
-    sentinel = -(F.pmod(F.xxhash64(F.col(id_col).cast("string")),
-                        F.lit(HASH_P)) + F.lit(1))
+    h = F.xxhash64(F.col(id_col).cast("string"))
+    # bijective fold of the full 64-bit hash into the negatives:
+    # h >= 0 -> -h - 1, h < 0 -> h (never overflows, always < 0)
+    sentinel = F.when(h >= 0, -h - F.lit(1)).otherwise(h)
     return sig.select(
         F.col(id_col),
         *[F.coalesce(F.col(f"m{i}"), sentinel).alias(f"m{i}")

@@ -156,6 +156,13 @@ def _write_manifest(spark, base_dir: str, token: str,
     _write_text(spark, _manifest_path(base_dir, token), json.dumps(doc))
 
 
+def _schema_ddl(schema) -> str:
+    """StructType -> DDL (StructField.toDDL is JVM-only; simpleString
+    IS the DDL type)."""
+    return ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+
+
 def _evolved_schema_ddl(prev_ddl: str | None, merged_schema) -> str:
     """The table schema a manifest records: the previous manifest's
     fields (order preserved) plus any NEW fields this version's merge
@@ -165,12 +172,8 @@ def _evolved_schema_ddl(prev_ddl: str | None, merged_schema) -> str:
     type is placement-corrupting ambiguity and fails loudly."""
     from pyspark.sql.types import StructType
 
-    def ddl(f):
-        # StructField.toDDL is JVM-only; simpleString IS the DDL type
-        return f"{f.name} {f.dataType.simpleString()}"
-
     if prev_ddl is None:
-        return ", ".join(ddl(f) for f in merged_schema.fields)
+        return _schema_ddl(merged_schema)
     prev = StructType.fromDDL(prev_ddl)
     by_name = {f.name: f for f in prev.fields}
     out = list(prev.fields)
@@ -178,12 +181,18 @@ def _evolved_schema_ddl(prev_ddl: str | None, merged_schema) -> str:
         old = by_name.get(f.name)
         if old is None:
             out.append(f)
-        elif old.dataType != f.dataType:
+        # compare the DDL rendering, not dataType equality: the DDL
+        # round-trip drops nested containsNull/valueContainsNull, so
+        # an array<bigint> built with containsNull=false must not
+        # read as a type change of the recorded array<bigint>
+        elif (old.dataType.simpleString()
+              != f.dataType.simpleString()):
             raise ValueError(
                 f"schema evolution type conflict on {f.name!r}: table "
                 f"has {old.dataType.simpleString()}, batch brings "
                 f"{f.dataType.simpleString()}")
-    return ", ".join(ddl(f) for f in out)
+    return ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in out)
 
 
 def _manifest_schema(manifest: dict):
@@ -351,6 +360,15 @@ def _partitioned_applier(
                 _check_manifest(manifest, n_buckets, keys)
                 owners = manifest["owners"]
                 prev_ddl = manifest.get("schema")
+                if prev_ddl is None and owners:
+                    # legacy pre-evolution manifest: recover the stored
+                    # schema from the live buckets' footers ONCE (this
+                    # batch's manifest records it) — else a narrow batch
+                    # touching only unowned buckets would record ITS
+                    # schema as the table's and silently hide columns
+                    prev_ddl = _schema_ddl(spark.read.parquet(
+                        *_bucket_paths(base_dir, owners,
+                                       sorted(owners))).schema)
             else:
                 manifest = {}
                 owners = {}
@@ -558,9 +576,13 @@ def compact_partitioned(spark, base_dir: str,
         new_owners = {}
     # compaction NORMALIZES every bucket to the recorded schema (old
     # buckets re-written with null-filled late columns), then carries
-    # the schema forward unchanged
+    # the schema forward (recovering it from the stitched read for
+    # legacy pre-evolution manifests)
+    schema_ddl = manifest.get("schema")
+    if schema_ddl is None and owners:
+        schema_ddl = _schema_ddl(current.schema)
     _write_manifest(spark, base_dir, new_token, manifest["n_buckets"],
-                    keys, new_owners, manifest.get("schema"))
+                    keys, new_owners, schema_ddl)
     store.put_marker(
         posixpath.join(marker_dir, f"batch-{new_token}.marker"))
     return new_token

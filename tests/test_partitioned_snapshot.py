@@ -575,3 +575,36 @@ def test_reader_sees_committed_view_mid_compaction(spark, tmp_path):
              partitioned.latest_partitioned_snapshot(
                  spark, base).collect()}
     assert after == before
+
+
+def test_legacy_manifest_schema_recovered_not_narrowed(spark, tmp_path):
+    """Upgrade path: a pre-evolution manifest (no schema field) must
+    NOT let a narrow batch that touches only unowned buckets record
+    ITS schema as the table's — the stored buckets' footers seed the
+    union, so legacy columns stay visible (r8 review finding)."""
+    import json as _json
+
+    from oracle_cassandra_migrator_spark.streaming import partitioned
+
+    base = str(tmp_path / "part")
+    apply = partitioned.make_upsert_applier(
+        base, ["k"], ["seq"], n_buckets=N_BUCKETS)
+    apply(spark.createDataFrame(BATCH1, SCHEMA), 0)
+    # simulate the pre-r8 manifest: strip the schema field
+    mpath = f"{base}/manifest-v0.json"
+    m = _json.loads(open(mpath).read())
+    assert m.pop("schema", None) is not None
+    # go through the Hadoop FS writer so the sidecar .crc stays valid
+    partitioned._write_text(spark, mpath, _json.dumps(m))
+
+    # a batch WITHOUT the v column, touching only its own bucket
+    apply(spark.createDataFrame([(424242, 999)], "k BIGINT, seq INT"), 1)
+
+    snap = partitioned.latest_partitioned_snapshot(spark, base)
+    assert set(snap.columns) == {"k", "v", "seq"}
+    got = {r.k: r.v for r in snap.collect()}
+    assert got[1] == "v1" and len(got) == 21
+    assert got[424242] is None  # the narrow insert null-fills v
+    # and the recovered union schema is now recorded going forward
+    m1 = _json.loads(open(f"{base}/manifest-v1.json").read())
+    assert "v string" in m1["schema"]

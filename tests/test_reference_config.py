@@ -190,10 +190,19 @@ def test_translate_maps_every_reference_field():
         "spark.cassandra.output.concurrent.writes"] == "100"
     assert sink["repartition"] == {"partitions": 24}  # 3 hosts * 8
 
-    # staging + retry (py:18-33, 187-223)
+    # staging + retry (py:18-33, 187-223): the reference's EXACT
+    # prefix layout, so prefix-scoped IAM/lifecycle rules keep applying
     assert cfg["staging_dir"] == "s3a://bkt"
+    assert table["staging_raw_dir"] == "s3a://bkt/staging_raw_data"
+    assert table["staging_transformed_dir"] == (
+        "s3a://bkt/staging_transformed_data/customer_payment_information")
     assert table["retry"] == {"retries": 3, "delay": 5.0, "backoff": 2.0}
     assert table["transform_partitions"] == 8
+    # an overridden staging_dir (sandbox) suppresses the s3 prefixes
+    # and falls back to the engine layout under the override
+    cfg2 = translate_reference_config(
+        REF_CONFIG, {"staging_dir": "/tmp/x"})
+    assert "staging_raw_dir" not in cfg2["tables"][0]
 
 
 def test_translate_rejects_unknown_multi_table_join():

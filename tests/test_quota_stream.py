@@ -52,10 +52,26 @@ def test_quota_stream_admits_first_k_per_user(
         "user_id", "event_id", "ts", "event_type", "value")
     # two ts-range files -> two micro-batches in event-time order, so
     # the streamed admission order equals the global (ts, event_id)
-    # order and the batch first-k is an exact oracle.
-    (events.repartitionByRange(2, "ts", "event_id")
-     .sortWithinPartitions("ts", "event_id")
-     .write.mode("overwrite").parquet(path))
+    # order and the batch first-k is an exact oracle. The two files
+    # are written as SEPARATE jobs, low-ts half first: FileStreamSource
+    # orders by modification time, and a single two-partition write
+    # lands its part files in task-completion order — under load the
+    # high-ts file can finish first and flip the batch order (observed
+    # flaking in the full suite).
+    from pyspark.sql.window import Window as _W
+
+    ranked = events.withColumn(
+        "__rn", F.row_number().over(_W.orderBy("ts", "event_id")))
+    half = events.count() // 2
+    lo = ranked.where(F.col("__rn") <= half).drop("__rn")
+    hi = ranked.where(F.col("__rn") > half).drop("__rn")
+    lo.coalesce(1).sortWithinPartitions("ts", "event_id") \
+        .write.mode("overwrite").parquet(path)
+    import time as _time
+
+    _time.sleep(1.1)  # distinct mtimes even on coarse filesystems
+    hi.coalesce(1).sortWithinPartitions("ts", "event_id") \
+        .write.mode("append").parquet(path)
     batch = spark.read.parquet(path)
     stream = (spark.readStream.schema(batch.schema)
               .option("maxFilesPerTrigger", 1).parquet(path))

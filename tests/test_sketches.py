@@ -603,3 +603,26 @@ def test_allpairs_cap_equals_capped_inverted_index(spark):
                         df, "text", "doc_id", threshold=t).collect()}
         assert {(a, b) for a, b, _ in got} <= uncapped
         assert uncapped, f"vacuous corpus for seed {seed}"
+
+
+def test_kll_envelope_sketch_arm_matches_exact(spark):
+    """The sort-free scale arm (exact=False, approx_percentile
+    envelope — SCALE.md r8): same booleans as the exact-audit arm, and
+    the approx quantile values land within the envelope's own 2% rank
+    tolerance of the exact ones."""
+    from oracle_cassandra_migrator_spark.operators.sketches import (
+        kll_quantile_report)
+    from oracle_cassandra_migrator_spark.sources.testdata import (
+        read_table)
+
+    li = read_table(spark, SF_SMALL, "lineitem")
+    val = "CAST(l_extendedprice AS DOUBLE)"
+    approx = kll_quantile_report(li, val, exact=False).collect()[0]
+    exact = kll_quantile_report(li, val, exact=True).collect()[0]
+    assert approx["kll_p50_ok"] and approx["kll_p90_ok"]
+    assert exact["kll_p50_ok"] and exact["kll_p90_ok"]
+    # approx_percentile's rank error (1/accuracy = 1e-4) is far inside
+    # the 2%-rank envelope; value-space check against the exact arm
+    lo, hi = exact["p50"], exact["p90"]
+    assert abs(approx["p50"] - lo) <= 0.02 * lo
+    assert abs(approx["p90"] - hi) <= 0.02 * hi

@@ -579,10 +579,18 @@ def allpairs_jaccard_pairs(
     ex = ex.drop("df")
     prefix = ranked.where(
         F.expr(f"rn <= n_sh - ceil({threshold} * n_sh) + 1"))
+    # the classic AllPairs LENGTH filter prunes candidates inside the
+    # join: J(A,B) <= min/max, so |B| must lie in [t*|A|, |A|/t] —
+    # exactness-preserving (pairs outside the band cannot reach t) and
+    # strictly shrinking the distinct's input, the operator's true
+    # spill bomb at scale (SCALE.md r8)
     cand = (
-        prefix.select(F.col(id_col).alias("doc_a"), "sh")
-        .join(prefix.select(F.col(id_col).alias("doc_b"), "sh"), "sh")
-        .where("doc_a < doc_b")
+        prefix.select(F.col(id_col).alias("doc_a"),
+                      F.col("n_sh").alias("la"), "sh")
+        .join(prefix.select(F.col(id_col).alias("doc_b"),
+                            F.col("n_sh").alias("lb"), "sh"), "sh")
+        .where(f"doc_a < doc_b AND lb >= ceil({threshold} * la)"
+               f" AND la >= ceil({threshold} * lb)")
         .select("doc_a", "doc_b")
         .distinct())
     a = ex.select(F.col(id_col).alias("doc_a"),

@@ -350,3 +350,105 @@ def test_decode_header_truncated_riff_quarantines():
          + b"fmt " + struct.pack("<I", 16) + b"\x01\x00\x01\x00")
     assert mm.decode_header(p) == (
         "unknown", None, None, None, None, None)
+
+
+# ---------------------------------------------------------------------------
+# r8 protocol algebra: manifest schema evolution + CDC filename offsets
+# ---------------------------------------------------------------------------
+
+_FIELD_NAMES = st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=4),
+    min_size=1, max_size=6, unique=True)
+_TYPES_POOL = ["bigint", "int", "string", "double"]
+
+
+@settings(max_examples=60, deadline=None)
+@given(prev_names=_FIELD_NAMES, new_names=_FIELD_NAMES,
+       data=st.data())
+def test_evolved_schema_ddl_union_algebra(spark, prev_names, new_names,
+                                           data):
+    """(spark fixture: DDL parsing goes through the JVM.)
+    _evolved_schema_ddl is an order-preserving union: previous
+    fields keep their positions and types, genuinely-new fields append
+    in batch order, same-type re-appearances are no-ops, and applying
+    the same batch twice is idempotent. A type change raises."""
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    from oracle_cassandra_migrator_spark.streaming.partitioned import (
+        _evolved_schema_ddl)
+
+    types = {n: data.draw(st.sampled_from(_TYPES_POOL), label=f"t_{n}")
+             for n in set(prev_names) | set(new_names)}
+    prev_ddl = ", ".join(f"{n} {types[n]}" for n in prev_names)
+    merged = StructType([
+        StructField(n, _parse_datatype_string(types[n]))
+        for n in new_names])
+
+    out = _evolved_schema_ddl(prev_ddl, merged)
+    got = [p.strip().split() for p in out.split(",")]
+    want_names = prev_names + [n for n in new_names
+                               if n not in prev_names]
+    assert [g[0] for g in got] == want_names
+    assert all(g[1] == types[g[0]] for g in got)
+    # idempotent: evolving the result by the same batch changes nothing
+    assert _evolved_schema_ddl(out, merged) == out
+
+    # a re-appearing field with a different type must raise
+    clash = [n for n in new_names if n in prev_names]
+    if clash:
+        n0 = clash[0]
+        other = next(t for t in _TYPES_POOL if t != types[n0])
+        bad = StructType([StructField(n0, _parse_datatype_string(other))])
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="type conflict"):
+            _evolved_schema_ddl(out, bad)
+
+
+@settings(max_examples=40, deadline=None)
+@given(batches=st.lists(
+    st.lists(st.integers(min_value=0, max_value=30),
+             min_size=0, max_size=4),
+    min_size=1, max_size=5))
+def test_jsonl_stream_offsets_replay_exactly(spark, tmp_path_factory,
+                                             batches):
+    """Offset algebra of the CDC directory tailer (spark fixture only
+    for schema parsing — reads stay driver-side pure Python):
+    feeding files batch-by-batch reads each row exactly once in name
+    order, and readBetweenOffsets replays every committed (start, end]
+    interval byte-identically — the exactly-once recovery contract."""
+    import json as _json
+
+    from oracle_cassandra_migrator_spark.sources.pydatasource import (
+        JsonlDirStreamReader)
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL("k BIGINT")
+    root = tmp_path_factory.mktemp("cdc")
+    reader = JsonlDirStreamReader(schema, {"path": str(root)})
+
+    seq = 0
+    offsets = [reader.initialOffset()]
+    seen: list[tuple] = []
+    for rows in batches:
+        for k in rows:
+            seq += 1
+            (root / f"{seq:06d}.jsonl").write_text(
+                _json.dumps({"k": k}) + "\n")
+        got, end = reader.read(offsets[-1])
+        got = list(got)
+        assert got == [(k,) for k in rows]
+        seen.extend(got)
+        offsets.append(end)
+    # every committed interval replays exactly
+    for i in range(len(offsets) - 1):
+        replay = list(reader.readBetweenOffsets(offsets[i],
+                                                offsets[i + 1]))
+        assert replay == [(k,) for k in batches[i]]
+    # a late file below a NON-EMPTY watermark is ignored by the next
+    # read (with no files consumed yet the watermark is "" and the
+    # late name is legitimately new)
+    if seq > 0:
+        (root / "000000.jsonl").write_text(_json.dumps({"k": 99}) + "\n")
+        more, _ = reader.read(offsets[-1])
+        assert list(more) == []

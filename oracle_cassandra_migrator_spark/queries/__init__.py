@@ -132,13 +132,15 @@ _R04_CONFIRMED = frozenset({
 # became real BMP/PPM/WAV header parsing over synthesized container
 # bytes) — they re-enter the window.
 # r8: the two r7 rechecks (multimodal real-decode rewrite) re-verified
-# green in r07 and folded into _R07_CONFIRMED. New recheck:
-# window_rank_breadth's OUTPUT changed when its window was re-keyed
-# from the 3-value o_orderstatus partition onto the 4096-way customer
-# cohort (VERDICT r7 item 5 — the last weak-at-scale catalog plan), so
-# the driver must re-certify it under the new contract.
+# green in r07 and folded into _R07_CONFIRMED. window_rank_breadth
+# (re-keyed onto the 4096-way customer cohort in r8) re-certified
+# green in CORRECTNESS_r08 and left _RECHECK.
+# r9: multimodal_decode_stats' OUTPUT changes again — decode_header
+# gained PNG/GIF container parsing (VERDICT r8 item 8), so payloads
+# that previously quarantined as `unknown` now decode; the driver must
+# re-certify it under the new contract.
 _RECHECK = frozenset({
-    "window_rank_breadth",
+    "multimodal_decode_stats",
 })
 
 # CORRECTNESS_r05.json: 50/50 green (rows+schema+hash) — the literal
@@ -244,13 +246,48 @@ _R07_CONFIRMED = frozenset({
 })
 
 
+# CORRECTNESS_r08.json: 50/50 green (rows+schema+hash) — the literal
+# key set, folded per the maintenance note below. r08's window covered
+# flagship, the window_rank_breadth recheck (green under its 4096-way
+# cohort re-key, so it leaves _RECHECK), and 48 of the stalest r03-era
+# greens. With this fold the stalest remaining rows are the
+# _R04_CONFIRMED block (scalar-function family, early text/embedding
+# ops, search_bm25_topk, pivot/unpivot...) — exactly what the r9
+# window's spare slots re-verify (VERDICT r8 item 2).
+_R08_CONFIRMED = frozenset({
+    "agg_approx_percentiles", "agg_global_lineitem",
+    "dedup_cluster_components", "dedup_embedding_lsh_blocked",
+    "dedup_exact_documents", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash_buckets", "dedup_simhash_hamming",
+    "embedding_label_centroids", "events_cohort_retention",
+    "events_daily_type_counts", "events_funnel_counts",
+    "events_sessionize", "flagship_payment_pipeline",
+    "merge_upsert_orders", "multimodal_frame_sample",
+    "pack_token_budget_bins", "pii_masking", "pipeline_corpus_curation",
+    "sample_stratified_by_lang", "scd2_customer_segments",
+    "sim_ann_lsh_exact", "sim_ivf_topk", "sim_ivf_trained_topk",
+    "sim_topk_bruteforce", "skew_salted_revenue_by_status",
+    "split_train_val_test", "subquery_correlated_above_own_avg",
+    "text_bpe_token_counts", "text_fingerprint_bottomk",
+    "text_lang_guess", "text_quality_scores", "text_token_stats",
+    "tpch_q11_important_values", "tpch_q12_priority_shipment",
+    "tpch_q13_customer_distribution", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_breadth", "tpch_q17_small_quantity_revenue",
+    "tpch_q20_excess_shippers", "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_customers", "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "udf_embedding_norms", "udf_user_gap_median", "udtf_chunk_documents",
+    "window_rank_breadth",
+})
+
+
 _CONFIRMED_ROUNDS = (
     _R02_CONFIRMED, _R03_CONFIRMED, _R04_CONFIRMED, _R05_CONFIRMED,
-    _R06_CONFIRMED, _R07_CONFIRMED)
+    _R06_CONFIRMED, _R07_CONFIRMED, _R08_CONFIRMED)
 
 
 def _last_green_round(name):
-    """0 = never driver-green; k = last round (2..7) with a green row."""
+    """0 = never driver-green; k = last round (2..8) with a green row."""
     last = 0
     for i, s in enumerate(_CONFIRMED_ROUNDS, start=2):
         if name in s:

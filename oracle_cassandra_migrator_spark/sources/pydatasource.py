@@ -15,8 +15,8 @@ the user-extensible source surface, exercised two ways:
   explicit range partitions.
 
 Reference parity: the reference's source surface is a partitioned
-parallel JDBC scan (oracle_to_cassandra_migration.py:239-262 options
-dict); this module shows the same partition-planned parallel read
+parallel JDBC scan (verizon_table_migration_Rakesh_filters.py:101-116
+options dict); this module shows the same partition-planned parallel read
 through Spark's public Python DS API, where the reference had to rely
 on the built-in JDBC source. Everything here is driver/executor-safe:
 readers are pickled to Python workers, so they hold only plain data.

@@ -24,15 +24,32 @@ from pyspark.sql import functions as F
 
 
 def merge_upsert(current: DataFrame, updates: DataFrame,
-                 keys: list[str]) -> DataFrame:
+                 keys: list[str], *,
+                 allow_missing: bool = False) -> DataFrame:
     """Upsert ``updates`` into ``current`` by ``keys``: a key present
     in both yields the update row; keys only in ``current`` are kept;
-    keys only in ``updates`` are inserts. Columns match by name;
-    a column present on only one side (schema evolution — e.g. a new
-    batch column the stored snapshot predates) null-fills the other."""
+    keys only in ``updates`` are inserts. Columns match by name.
+
+    Schema evolution is OPT-IN (ADVICE r8): by default a column
+    present on only one side raises with the symmetric difference
+    named, so a renamed or typo'd column in the update stream fails
+    loudly instead of silently forking into two half-null columns.
+    Pass ``allow_missing=True`` for genuinely evolving pipelines
+    (e.g. the manifest-schema'd partitioned snapshot applier) — then
+    the missing side null-fills."""
+    if not allow_missing:
+        only_cur = set(current.columns) - set(updates.columns)
+        only_upd = set(updates.columns) - set(current.columns)
+        if only_cur or only_upd:
+            raise ValueError(
+                "merge_upsert schema drift: current-only columns "
+                f"{sorted(only_cur)}, updates-only columns "
+                f"{sorted(only_upd)}; pass allow_missing=True to "
+                "null-fill (schema evolution) if this is intended")
     survivors = current.join(
         updates.select(*keys).distinct(), keys, "left_anti")
-    return updates.unionByName(survivors, allowMissingColumns=True)
+    return updates.unionByName(
+        survivors, allowMissingColumns=allow_missing)
 
 
 def scd2_apply(history: DataFrame, updates: DataFrame, keys: list[str],

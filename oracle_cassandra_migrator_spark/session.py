@@ -10,6 +10,7 @@ partitions, Arrow) are on by default and overridable.
 
 from __future__ import annotations
 
+import os
 from typing import Mapping
 
 from pyspark.sql import SparkSession
@@ -68,7 +69,8 @@ def build_session(
     # JVM-spawned Python workers can never import StateMessage_pb2 —
     # calling ensure_protobuf() later (e.g. from quota/topk builders)
     # is driver-only by then
-    from oracle_cassandra_migrator_spark._vendor import ensure_protobuf
+    from oracle_cassandra_migrator_spark._vendor import (
+        ensure_protobuf, protobuf_executor_env)
 
     ensure_protobuf()
     builder = SparkSession.builder.appName(app_name)
@@ -77,6 +79,30 @@ def build_session(
     merged = dict(DEFAULT_CONF)
     if conf:
         merged.update(conf)
+    # Driver os.environ mutations reach Python workers only in local
+    # mode; on standalone/YARN/K8s the executor JVMs are forked by the
+    # cluster manager, so the protobuf toggles (and the vendored
+    # runtime's PYTHONPATH entry) must travel as spark.executorEnv.*.
+    _merge_executor_env(merged, protobuf_executor_env())
     for key, value in merged.items():
         builder = builder.config(key, value)
     return builder.getOrCreate()
+
+
+def _merge_executor_env(
+    merged: dict[str, str], env: Mapping[str, str]
+) -> None:
+    """Fold plain env-var requirements into ``spark.executorEnv.*``
+    conf entries in place. User-supplied values win; PYTHONPATH is
+    MERGED (required entries prepended, existing ones preserved)
+    rather than replaced, so a caller's own executor PYTHONPATH keeps
+    working alongside the vendored runtime."""
+    for key, value in env.items():
+        conf_key = f"spark.executorEnv.{key}"
+        if key == "PYTHONPATH" and merged.get(conf_key):
+            existing = merged[conf_key].split(os.pathsep)
+            missing = [p for p in value.split(os.pathsep)
+                       if p and p not in existing]
+            merged[conf_key] = os.pathsep.join(missing + existing)
+        else:
+            merged.setdefault(conf_key, value)

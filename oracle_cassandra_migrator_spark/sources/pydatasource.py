@@ -138,8 +138,13 @@ class JsonlDirStreamReader(SimpleDataSourceStreamReader):
     what JsonlDirStreamWriter below does): a file consumed mid-append
     would be truncated forever, since the filename watermark never
     revisits it. For producers that append in place, the
-    ``settle_seconds`` option defers a file until its mtime is at
-    least that old. ``readBetweenOffsets`` replays a committed range
+    ``settle_seconds`` option defers files until their mtime is at
+    least that old — and the listing is truncated at the FIRST
+    unsettled name (contiguous settled prefix), not filtered per file:
+    if file N is still being appended when N+1 lands and settles, a
+    per-file filter would advance the watermark past N and skip it
+    forever once it finally settles (ADVICE r8).
+    ``readBetweenOffsets`` replays a committed range
     by name interval, deterministic under the same two rules. A late
     file sorting at or below the consumed watermark is ignored (never
     silently reordered into an already-committed range)."""
@@ -161,9 +166,15 @@ class JsonlDirStreamReader(SimpleDataSourceStreamReader):
             import time
 
             cutoff = time.time() - self.settle_seconds
-            names = [n for n in names
-                     if os.path.getmtime(
-                         os.path.join(self.path, n)) <= cutoff]
+            settled = []
+            for n in names:
+                # contiguous prefix: an unsettled file BLOCKS everything
+                # sorting above it, else the watermark would jump past
+                # it and never come back
+                if os.path.getmtime(os.path.join(self.path, n)) > cutoff:
+                    break
+                settled.append(n)
+            names = settled
         return names
 
     def _rows(self, files: list[str]):

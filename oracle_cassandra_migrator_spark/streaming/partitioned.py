@@ -436,7 +436,10 @@ def make_upsert_applier(
               current: DataFrame | None) -> DataFrame:
         if current is None:
             return winners
-        return merge_upsert(current, winners, keys)
+        # evolution-supporting path: the applier already validates
+        # name/type conflicts against the manifest's union schema, so
+        # a one-sided column here IS intended schema evolution
+        return merge_upsert(current, winners, keys, allow_missing=True)
 
     return _partitioned_applier(
         base_dir, keys, n_buckets, store, merge, prep, "prepped")

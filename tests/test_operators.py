@@ -240,6 +240,23 @@ def test_merge_upsert_semantics(spark):
     assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "D")}
 
 
+def test_merge_upsert_schema_drift_fails_loudly(spark):
+    """ADVICE r8: a renamed/typo'd update column must raise with the
+    symmetric difference named, not silently fork into two half-null
+    columns; allow_missing=True opts into evolution null-fill."""
+    import pytest as _pytest
+
+    from oracle_cassandra_migrator_spark.operators.merge import merge_upsert
+
+    cur = spark.createDataFrame([(1, "a")], ["k", "v"])
+    upd = spark.createDataFrame([(2, "B")], ["k", "val"])  # typo'd "v"
+    with _pytest.raises(ValueError, match=r"\['v'\].*\['val'\]"):
+        merge_upsert(cur, upd, ["k"])
+    evolved = merge_upsert(cur, upd, ["k"], allow_missing=True)
+    got = {(r.k, r.v, r.val) for r in evolved.collect()}
+    assert got == {(1, "a", None), (2, None, "B")}
+
+
 def test_scd2_apply_closes_and_appends(spark):
     from oracle_cassandra_migrator_spark.operators.merge import scd2_apply
 

@@ -233,3 +233,37 @@ def test_write_sink_spec_drives_jsonl_dir(spark, tmp_path):
     assert os.listdir(out) == ["part-00000.jsonl"]
     back = spark.read.format("jsonl_dir").option("path", out).load()
     assert back.count() == 2
+
+
+def test_jsonl_dir_stream_settle_blocks_on_unsettled_gap(tmp_path):
+    """ADVICE r8: with settle_seconds, an in-place appender touching
+    file N after N+1 lands must NOT be skipped — the watermark may
+    only advance through a CONTIGUOUS settled prefix, so the fresh
+    mtime on N blocks N+1 (and above) until N settles."""
+    import os as _os
+
+    from pyspark.sql.types import StructType
+
+    from oracle_cassandra_migrator_spark.sources.pydatasource import (
+        JsonlDirStreamReader)
+
+    schema = StructType.fromDDL(
+        "event_id BIGINT, event_type STRING, value DOUBLE")
+    for name, eid in (("a.jsonl", 1), ("b.jsonl", 2), ("c.jsonl", 3)):
+        (tmp_path / name).write_text(json.dumps(
+            {"event_id": eid, "event_type": "view", "value": 0.0}) + "\n")
+    old = time.time() - 3600
+    _os.utime(tmp_path / "a.jsonl", (old, old))
+    _os.utime(tmp_path / "c.jsonl", (old, old))
+    # b is mid-append (fresh mtime): batch 1 must stop at a, NOT jump
+    # the watermark to c.
+    reader = JsonlDirStreamReader(
+        schema, {"path": str(tmp_path), "settle_seconds": "60"})
+    rows, end = reader.read(reader.initialOffset())
+    assert [r[0] for r in rows] == [1]
+    assert end == {"last": "a.jsonl"}
+    # b settles -> the next batch picks up b THEN c, nothing skipped.
+    _os.utime(tmp_path / "b.jsonl", (old, old))
+    rows, end = reader.read(end)
+    assert [r[0] for r in rows] == [2, 3]
+    assert end == {"last": "c.jsonl"}

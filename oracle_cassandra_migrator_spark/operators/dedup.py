@@ -517,14 +517,73 @@ def dedup_keep_representative(
     return kept.drop("__fp", "__rep_fp", "__rep_id")
 
 
+# The measured routing bar (SCALE.md r8, scripts/bench_adversarial_cap
+# + the 100x probes): prefix filtering keeps candidate blocks small at
+# HIGH thresholds (t=0.9 100x: 28.9 s), but the prefix length
+# |x| - ceil(t|x|) + 1 grows as t drops, and at t=0.5 the candidate
+# relation is pair-density-bound (100x: 463 s / ~45 GB spill vs ~30 s
+# for the inverted-index twin on the same data). Below this bar the
+# inverted-index join is the right exact algorithm.
+ALLPAIRS_ROUTE_THRESHOLD = 0.8
+
+# Forced-allpairs safety valve: refuse when the estimated candidate
+# volume (sum over prefix shingles of c*(c-1)/2 — an upper bound on
+# the candidate join's output) exceeds this many pairs PER DOCUMENT.
+# At the cap, the candidate relation alone is ~1000x the corpus row
+# count — the regime where the r8 probes hit ENOSPC.
+ALLPAIRS_CANDIDATE_CAP_PER_DOC = 1000
+
+
+def jaccard_pair_strategy(
+    threshold: float,
+    strategy: str = "auto",
+    route_threshold: float = ALLPAIRS_ROUTE_THRESHOLD,
+) -> str:
+    """The routing decision, factored pure for testability: which
+    exact-Jaccard pair algorithm runs for a given similarity
+    threshold. Returns ``"allpairs"`` or ``"inverted_index"``."""
+    if strategy == "auto":
+        return ("allpairs" if threshold >= route_threshold
+                else "inverted_index")
+    if strategy in ("allpairs", "inverted_index"):
+        return strategy
+    raise ValueError(
+        f"unknown strategy {strategy!r}: expected 'auto', 'allpairs' "
+        "or 'inverted_index'")
+
+
 def allpairs_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str,
     n: int = 3, threshold: float = 0.5,
     max_token_df: int | None = None,
+    strategy: str = "auto",
+    route_threshold: float = ALLPAIRS_ROUTE_THRESHOLD,
+    candidate_cap_per_doc: int | None = ALLPAIRS_CANDIDATE_CAP_PER_DOC,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (AllPairs /
     PPJoin family): every pair with word-n-gram Jaccard >= threshold,
     no false negatives, without joining on all shingles.
+
+    Strategy guard (VERDICT r8): prefix filtering is the right tool at
+    HIGH thresholds only — the prefix length grows as t drops, and at
+    moderate t the candidate relation is pair-density-bound (measured:
+    t=0.5 at the 100x probe needs 463 s / ~45 GB spill vs ~30 s for
+    the output-identical inverted-index twin). That operational rule
+    is engine behavior, not documentation:
+
+    - ``strategy="auto"`` (default): run the prefix-filter body when
+      ``threshold >= route_threshold`` (default 0.8, the measured
+      bar), else route to ``ngram_jaccard_pairs`` — both arms are
+      EXACT, so the output is identical either way (pinned in pytest);
+      only the physical plan changes.
+    - ``strategy="allpairs"``: force the prefix body. Below the
+      routing bar this first pre-estimates the candidate volume from
+      the prefix df histogram the algorithm already computes
+      (sum over prefix shingles of c*(c-1)/2); above
+      ``candidate_cap_per_doc * n_docs`` it REFUSES with the guidance
+      message (the estimate job costs seconds; the refused join costs
+      the cluster), otherwise it warns and proceeds.
+    - ``strategy="inverted_index"``: delegate unconditionally.
 
     Prefix-filtering theorem: order each doc's shingles by one global
     total order (here: ascending document frequency, shingle string as
@@ -563,6 +622,15 @@ def allpairs_jaccard_pairs(
     """
     from pyspark.sql.window import Window
 
+    resolved = jaccard_pair_strategy(threshold, strategy, route_threshold)
+    if resolved == "inverted_index":
+        return ngram_jaccard_pairs(
+            df, text_col, id_col, n=n, threshold=threshold,
+            max_token_df=max_token_df)
+    guard_candidates = (strategy == "allpairs"
+                        and threshold < route_threshold
+                        and candidate_cap_per_doc is not None)
+
     shingled = with_shingles(df.select(id_col, text_col), text_col, n)
     ex = (shingled
           .select(F.col(id_col), F.expr("size(shingles)").alias("n_sh"),
@@ -579,6 +647,35 @@ def allpairs_jaccard_pairs(
     ex = ex.drop("df")
     prefix = ranked.where(
         F.expr(f"rn <= n_sh - ceil({threshold} * n_sh) + 1"))
+    if guard_candidates:
+        # forced below the routing bar: the prefix df histogram gives
+        # an upper bound on the candidate join's output for the cost
+        # of one tiny aggregate job — seconds, vs the cluster-melting
+        # join it prevents (t=0.5 100x probe: ENOSPC pre-length-filter,
+        # 463 s / ~45 GB spill after — SCALE.md r8)
+        import warnings
+
+        est = (prefix.groupBy("sh")
+               .agg(F.count("*").alias("c"))
+               .agg(F.sum(F.expr("CAST(c AS DOUBLE) * (c - 1) / 2"))
+                    .alias("e"))
+               .first()["e"]) or 0.0
+        n_docs = df.select(id_col).distinct().count() or 1
+        cap = float(candidate_cap_per_doc) * n_docs
+        guidance = (
+            f"allpairs_jaccard_pairs forced at threshold={threshold} "
+            f"(below route_threshold={route_threshold}): prefix "
+            "filtering is pair-density-bound at moderate thresholds — "
+            "use strategy='auto' (routes to the output-identical "
+            "inverted-index join) or minhash_lsh_pairs at corpus scale")
+        if est > cap:
+            raise ValueError(
+                f"{guidance}; estimated candidate volume "
+                f"{est:.3g} pairs exceeds candidate_cap_per_doc="
+                f"{candidate_cap_per_doc} x {n_docs} docs = {cap:.3g} "
+                "(raise candidate_cap_per_doc or pass "
+                "candidate_cap_per_doc=None to override)")
+        warnings.warn(guidance, stacklevel=2)
     # the classic AllPairs LENGTH filter prunes candidates inside the
     # join: J(A,B) <= min/max, so |B| must lie in [t*|A|, |A|/t] —
     # exactness-preserving (pairs outside the band cannot reach t) and

@@ -590,12 +590,20 @@ def dedup_allpairs_prefix(spark, sf_dir):
     algorithm whose join blocks shrink as tokens get more selective —
     the right default for corpus-scale exact dedup when the threshold
     is high. See operators/dedup.py:allpairs_jaccard_pairs for the
-    shuffle-by-shuffle scale analysis."""
+    shuffle-by-shuffle scale analysis.
+
+    The routing bar is lowered to 0.5 HERE deliberately: this query's
+    contract is the prefix-filter plan itself (its oracle replays the
+    candidate pipeline stage by stage and the plan gates assert the
+    doc_id window), and at driver SFs the curated corpus is far below
+    the pair-density regime the default bar protects against. Callers
+    without that knowledge get the measured 0.8 default —
+    dedup_jaccard_auto_routed exercises that path."""
     from oracle_cassandra_migrator_spark.operators import dedup
 
     docs = read_table(spark, sf_dir, "documents")
     return dedup.allpairs_jaccard_pairs(
-        docs, "text", "doc_id", n=3, threshold=0.5)
+        docs, "text", "doc_id", n=3, threshold=0.5, route_threshold=0.5)
 
 
 def _bpe_oracle(k: int = 5) -> str:

@@ -626,3 +626,89 @@ def test_kll_envelope_sketch_arm_matches_exact(spark):
     lo, hi = exact["p50"], exact["p90"]
     assert abs(approx["p50"] - lo) <= 0.02 * lo
     assert abs(approx["p90"] - hi) <= 0.02 * hi
+
+
+# --------------------------------------------------------------------------
+# AllPairs strategy guard (VERDICT r8 item 1): route / warn / refuse
+# --------------------------------------------------------------------------
+
+
+def _adversarial_corpus(spark, n):
+    """The bench_adversarial_cap corpus: every doc shares a boilerplate
+    phrase (hot shingles, df = n) plus a few unique tokens."""
+    boiler = ("please subscribe to our newsletter for updates and "
+              "follow us on every social platform today")
+    return spark.range(n).selectExpr(
+        "id AS doc_id",
+        f"concat('{boiler}', ' unique token ', id, ' tail ', id * 7, "
+        f"' mark ', id * 13) AS text")
+
+
+def test_jaccard_strategy_decision():
+    from oracle_cassandra_migrator_spark.operators.dedup import (
+        jaccard_pair_strategy)
+
+    assert jaccard_pair_strategy(0.9) == "allpairs"
+    assert jaccard_pair_strategy(0.8) == "allpairs"
+    assert jaccard_pair_strategy(0.5) == "inverted_index"
+    assert jaccard_pair_strategy(0.5, route_threshold=0.5) == "allpairs"
+    assert jaccard_pair_strategy(0.9, "inverted_index") == "inverted_index"
+    assert jaccard_pair_strategy(0.3, "allpairs") == "allpairs"
+    with pytest.raises(ValueError, match="unknown strategy"):
+        jaccard_pair_strategy(0.5, "ppjoin")
+
+
+def test_allpairs_auto_routes_below_bar(spark):
+    """auto at t=0.5 must PLAN the inverted-index join (no prefix-rank
+    window anywhere) and produce the identical exact result."""
+    from oracle_cassandra_migrator_spark.operators.dedup import (
+        allpairs_jaccard_pairs, ngram_jaccard_pairs)
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    routed = allpairs_jaccard_pairs(docs, "text", "doc_id",
+                                    threshold=0.5)
+    plan = routed._sc._jvm.PythonSQLUtils.explainString(
+        routed._jdf.queryExecution(), "formatted")
+    assert "row_number" not in plan  # prefix-filter body not planned
+    got = {(r.doc_a, r.doc_b, r.jaccard) for r in routed.collect()}
+    want = {(r.doc_a, r.doc_b, r.jaccard) for r in
+            ngram_jaccard_pairs(docs, "text", "doc_id",
+                                threshold=0.5).collect()}
+    assert got == want and got
+
+
+def test_allpairs_forced_below_bar_warns_and_matches(spark):
+    """Forcing allpairs below the bar on a small adversarial corpus:
+    the candidate estimate stays under the cap, so it WARNS with the
+    guidance and still returns the exact result."""
+    from oracle_cassandra_migrator_spark.operators.dedup import (
+        allpairs_jaccard_pairs, ngram_jaccard_pairs)
+
+    docs = _adversarial_corpus(spark, 60)
+    with pytest.warns(UserWarning, match="pair-density-bound"):
+        forced = allpairs_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.5, strategy="allpairs")
+    got = {(r.doc_a, r.doc_b) for r in forced.collect()}
+    want = {(r.doc_a, r.doc_b) for r in
+            ngram_jaccard_pairs(docs, "text", "doc_id",
+                                threshold=0.5).collect()}
+    assert got == want and got
+
+
+def test_allpairs_forced_refuses_on_candidate_blowup(spark):
+    """Forcing allpairs below the bar on the adversarial corpus at a
+    size where the prefix df histogram predicts a candidate blowup
+    must RAISE with the guidance message BEFORE the join runs."""
+    from oracle_cassandra_migrator_spark.operators.dedup import (
+        allpairs_jaccard_pairs)
+
+    docs = _adversarial_corpus(spark, 400)
+    with pytest.raises(ValueError, match="estimated candidate volume"):
+        allpairs_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.5, strategy="allpairs",
+            candidate_cap_per_doc=100)
+    # cap override is honored: None disables the guard entirely
+    out = allpairs_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.5, strategy="allpairs",
+        candidate_cap_per_doc=None)
+    assert out.columns == ["doc_a", "doc_b", "jaccard"]

@@ -59,10 +59,11 @@ def bucketed_table_name(name: str, n_buckets: int) -> str:
 
 
 def write_bucketed(spark: SparkSession, df: DataFrame, name: str,
-                   key: str, n_buckets: int) -> str:
+                   key: str | list[str], n_buckets: int) -> str:
     """Materialize ``df`` as a bucketed+sorted metastore table. One
-    hash Exchange on ``key`` now; zero on every co-bucketed join
-    after."""
+    hash Exchange on the key column(s) now; zero on every co-bucketed
+    join after."""
+    keys = [key] if isinstance(key, str) else list(key)
     table = bucketed_table_name(name, n_buckets)
     # a killed prior run can leave the warehouse directory behind with
     # no catalog entry — saveAsTable then fails LOCATION_ALREADY_EXISTS
@@ -75,7 +76,8 @@ def write_bucketed(spark: SparkSession, df: DataFrame, name: str,
         path = urlparse(warehouse).path or warehouse
         shutil.rmtree(f"{path}/{table.lower()}", ignore_errors=True)
     (df.write.mode("overwrite")
-       .bucketBy(n_buckets, key).sortBy(key)
+       .bucketBy(n_buckets, keys[0], *keys[1:])
+       .sortBy(keys[0], *keys[1:])
        .format("parquet").saveAsTable(table))
     return table
 

@@ -36,7 +36,13 @@ Scale shape per batch: the batch computes signatures in one pass
 (map-side aggregation over exploded shingles), the state probe is a
 (band_idx, band_key) equi-join against the bands table — candidates,
 never all-pairs — and the admit append writes |admitted| rows. No
-corpus rescan, no state rewrite (append-only + markers).
+corpus rescan, no per-batch state rewrite (append-only + markers).
+The append-only growth is bounded by MAINTENANCE compaction
+(``compact_near_dedup`` + ``vacuum_near_dedup``): at firehose scale
+the version/file COUNT, not the data, becomes the read bottleneck —
+compaction rewrites the live state into one ``<base>c<k>`` version
+(same token protocol as ``streaming/partitioned.py``) with
+byte-identical admission decisions, and vacuum reclaims the rest.
 """
 
 from __future__ import annotations
@@ -204,28 +210,38 @@ def admit_batch(batch_df: DataFrame, state_sigs: DataFrame | None,
     return admitted_sigs, admitted_bands
 
 
-def _committed(store: StateStore, marker_dir: str) -> list[int]:
-    import re
+def _live_tokens(store: StateStore, marker_dir: str) -> list[str]:
+    """Committed version tokens a read must stitch, in commit order.
 
-    ids = []
-    for key in store.list(marker_dir, suffix=".marker"):
-        m = re.search(r"batch-(\d+)\.marker$", key)
-        if m:
-            ids.append(int(m.group(1)))
-    return sorted(ids)
+    Tokens share ``streaming/partitioned.py``'s two namespaces: stream
+    batch ids (``"7"``) and compaction tokens (``"7c1"``, sorting
+    after batch 7 and before batch 8 — compaction never squats on a
+    future micro-batch's id). A compaction REWRITES everything
+    committed at or before it, so the live set is the latest
+    compaction (if any) plus every later stream batch."""
+    from oracle_cassandra_migrator_spark.streaming.partitioned import (
+        _committed_tokens)
+
+    tokens = _committed_tokens(store, marker_dir)
+    last_c = None
+    for i, t in enumerate(tokens):
+        if "c" in t:
+            last_c = i
+    return tokens if last_c is None else tokens[last_c:]
 
 
 def read_state(spark, base_dir: str, state: StateStore | None = None):
     """(sigs, bands) DataFrames of the committed admitted state, or
     (None, None) before the first committed batch. Committed = the
     batch's marker exists; a crash between append and marker leaves
-    orphan part-files in versioned subdirs that are never listed."""
+    orphan part-files in versioned subdirs that are never listed.
+    Versions superseded by a compaction are not stitched."""
     store = state or LocalFSStateStore()
-    ids = _committed(store, posixpath.join(base_dir, "markers"))
-    if not ids:
+    tokens = _live_tokens(store, posixpath.join(base_dir, "markers"))
+    if not tokens:
         return None, None
-    sig_dirs = [posixpath.join(base_dir, f"sigs-v{i}") for i in ids]
-    band_dirs = [posixpath.join(base_dir, f"bands-v{i}") for i in ids]
+    sig_dirs = [posixpath.join(base_dir, f"sigs-v{t}") for t in tokens]
+    band_dirs = [posixpath.join(base_dir, f"bands-v{t}") for t in tokens]
     return (spark.read.parquet(*sig_dirs),
             spark.read.parquet(*band_dirs))
 
@@ -279,3 +295,75 @@ def foreach_batch_near_dedup(
               .option("checkpointLocation", checkpoint_dir))
     writer = writer.trigger(**(trigger or {"availableNow": True}))
     return writer.start()
+
+
+def compact_near_dedup(spark, base_dir: str,
+                       state: StateStore | None = None) -> str:
+    """Maintenance compaction for the admitted-state LSH index: the
+    append-only protocol above adds a sigs + bands version PER
+    micro-batch forever, and at firehose scale the FILE COUNT (not the
+    data) becomes the read bottleneck — every admission stitches every
+    version. This rewrites the whole live state into ONE new version.
+
+    Protocol mirrors ``streaming/partitioned.py:compact_partitioned``:
+    the version token is ``"<base>c<k>"`` — OUTSIDE the stream's
+    batch-id namespace, so compaction can never squat on a future
+    micro-batch's id (which would make that batch read as a replay and
+    silently drop its admissions). Same write-then-marker commit: a
+    crashed compaction leaves invisible orphan dirs and a rerun
+    deterministically overwrites them. Admission decisions are
+    byte-identical across a compaction — the row SET is unchanged, and
+    the signature estimate + band cap are functions of the row set
+    (pinned in pytest). Output partition counts are AQE-coalesced via
+    a doc_id/band_key repartition, so K versions x P files collapse to
+    a handful sized by the data. Returns the new token; run
+    ``vacuum_near_dedup`` after to reclaim superseded versions."""
+    from oracle_cassandra_migrator_spark.streaming.partitioned import (
+        _committed_tokens, _token_key)
+
+    store = state or LocalFSStateStore()
+    marker_dir = posixpath.join(base_dir, "markers")
+    tokens = _committed_tokens(store, marker_dir)
+    if not tokens:
+        raise ValueError("nothing to compact: no committed versions")
+    live = _live_tokens(store, marker_dir)
+    base, suf = _token_key(tokens[-1])
+    new_token = f"{base}c{suf + 1}"
+    sigs = spark.read.parquet(
+        *[posixpath.join(base_dir, f"sigs-v{t}") for t in live])
+    bands = spark.read.parquet(
+        *[posixpath.join(base_dir, f"bands-v{t}") for t in live])
+    (sigs.repartition("doc_id").write.mode("overwrite")
+     .parquet(posixpath.join(base_dir, f"sigs-v{new_token}")))
+    (bands.repartition("band_key").write.mode("overwrite")
+     .parquet(posixpath.join(base_dir, f"bands-v{new_token}")))
+    store.put_marker(
+        posixpath.join(marker_dir, f"batch-{new_token}.marker"))
+    return new_token
+
+
+def vacuum_near_dedup(spark, base_dir: str,
+                      state: StateStore | None = None) -> list[str]:
+    """Reclaim versions superseded by the latest compaction. Deletion
+    order per doomed version is marker FIRST, then data
+    (``vacuum_partitioned``'s rule): a crash mid-vacuum leaves
+    invisible orphan files, never a committed marker whose data is
+    gone (which would wedge every later read). No-op when no
+    compaction has committed. Returns the deleted tokens."""
+    from oracle_cassandra_migrator_spark.streaming.partitioned import (
+        _committed_tokens, _hadoop_fs)
+
+    store = state or LocalFSStateStore()
+    marker_dir = posixpath.join(base_dir, "markers")
+    tokens = _committed_tokens(store, marker_dir)
+    live = set(_live_tokens(store, marker_dir))
+    doomed = [t for t in tokens if t not in live]
+    for tok in doomed:
+        store.delete(
+            posixpath.join(marker_dir, f"batch-{tok}.marker"))
+        for prefix in ("sigs", "bands"):
+            fs, jd = _hadoop_fs(
+                spark, posixpath.join(base_dir, f"{prefix}-v{tok}"))
+            if fs.exists(jd):
+                fs.delete(jd, True)
+    return doomed

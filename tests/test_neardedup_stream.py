@@ -228,3 +228,77 @@ def test_within_batch_band_cap_bounds_candidates(spark):
     sigs_capped, _ = neardedup.admit_batch(
         b, None, None, "text", "doc_id", max_band_size=2)
     assert {r["doc_id"] for r in sigs_capped.collect()} == {1, 2, 3}
+
+
+def test_compaction_halves_files_identical_admissions(spark, tmp_path):
+    """VERDICT r8 item 4: the admitted-state index grows a version per
+    micro-batch forever; compact_near_dedup rewrites the live state
+    into one '<base>c<k>' version (outside the stream batch-id
+    namespace) and vacuum reclaims the rest — with byte-identical
+    state rows and identical admission decisions for the next batch."""
+    import glob
+
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+    from oracle_cassandra_migrator_spark.streaming import neardedup
+
+    docs = read_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    parts = [docs.where(f"doc_id % 4 = {i}") for i in range(4)]
+
+    # three micro-batches through the stream
+    src = str(tmp_path / "src")
+    parts[0].coalesce(1).write.mode("overwrite").parquet(src)
+    parts[1].coalesce(1).write.mode("append").parquet(src)
+    parts[2].coalesce(1).write.mode("append").parquet(src)
+    base_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    neardedup.foreach_batch_near_dedup(
+        stream, base_dir, ckpt).awaitTermination(300)
+
+    sigs_pre, bands_pre = neardedup.read_state(spark, base_dir)
+    state_sig_rows = sorted(map(tuple, sigs_pre.collect()))
+    state_band_rows = sorted(map(tuple, bands_pre.collect()))
+    # reference: batch-mode admission of part 4 against the
+    # UNCOMPACTED state
+    ref_sigs, _ = neardedup.admit_batch(
+        parts[3], sigs_pre, bands_pre, "text", "doc_id")
+    want_next = sorted(r["doc_id"] for r in ref_sigs.collect())
+
+    files_pre = len(glob.glob(f"{base_dir}/sigs-v*/part-*")) \
+        + len(glob.glob(f"{base_dir}/bands-v*/part-*"))
+    token = neardedup.compact_near_dedup(spark, base_dir)
+    assert "c" in token
+    doomed = neardedup.vacuum_near_dedup(spark, base_dir)
+    assert doomed and all("c" not in t for t in doomed)
+    files_post = len(glob.glob(f"{base_dir}/sigs-v*/part-*")) \
+        + len(glob.glob(f"{base_dir}/bands-v*/part-*"))
+    assert files_post <= files_pre // 2, (files_pre, files_post)
+    # superseded version dirs are gone, only the compacted one remains
+    assert glob.glob(f"{base_dir}/sigs-v*") == [
+        f"{base_dir}/sigs-v{token}"]
+
+    # state rows byte-identical across compact+vacuum
+    sigs_post, bands_post = neardedup.read_state(spark, base_dir)
+    assert sorted(map(tuple, sigs_post.collect())) == state_sig_rows
+    assert sorted(map(tuple, bands_post.collect())) == state_band_rows
+
+    # the NEXT micro-batch (same checkpoint, so batch ids continue —
+    # never reuse a committed id) admits exactly the reference set
+    parts[3].coalesce(1).write.mode("append").parquet(src)
+    stream2 = (spark.readStream.schema(docs.schema)
+               .option("maxFilesPerTrigger", "1").parquet(src))
+    neardedup.foreach_batch_near_dedup(
+        stream2, base_dir, ckpt).awaitTermination(300)
+    sigs_final, _ = neardedup.read_state(spark, base_dir)
+    got_all = sorted(r["doc_id"] for r in sigs_final.collect())
+    assert got_all == sorted(
+        [r[0] for r in state_sig_rows] + want_next)
+    assert len(want_next) > 0
+
+
+def test_compact_requires_committed_state(spark, tmp_path):
+    from oracle_cassandra_migrator_spark.streaming import neardedup
+
+    with pytest.raises(ValueError, match="nothing to compact"):
+        neardedup.compact_near_dedup(spark, str(tmp_path / "empty"))

@@ -595,3 +595,105 @@ def test_window_rank_breadth_partitions_by_cohort(spark):
     assert "o_orderstatus" not in plan
     assert "SinglePartition" not in plan
     assert re.search(r"Exchange hashpartitioning\(_w\d+", plan)
+
+
+# --------------------------------------------------------------------------
+# BNLJ build-side invariant (VERDICT r8 item 6)
+# --------------------------------------------------------------------------
+
+# Tables whose cardinality is FIXED at any scale factor (TPC-H region
+# is always 5 rows, nation always 25) — broadcasting their raw scan is
+# bounded no matter the corpus size.
+_FIXED_CARD_SCANS = ("region.parquet", "nation.parquet")
+
+# Operators that bound the build side's row count regardless of what
+# they scan.
+_REDUCING_OPS = ("HashAggregate", "SortAggregate", "ObjectHashAggregate",
+                 "LocalTableScan", "TakeOrderedAndProject", "CollectLimit",
+                 "GlobalLimit", "LocalLimit", "Subquery", "ReusedExchange")
+
+# Queries whose BNLJ build side is deliberately corpus-sized: the
+# exact quadratic BASELINE kept for recall audits (its docstring says
+# "O(n^2) by construction ... small/pre-blocked inputs only").
+_UNBOUNDED_BY_DESIGN = {"dedup_embedding_cosine_baseline"}
+
+
+def _marker_pos(line):
+    m = re.search(r"[:+]- ", line)
+    return m.start() if m else None
+
+
+def _bnlj_build_subtrees(plan):
+    """Yield the build-side subtree text of every BNLJ in a physical
+    plan string, parsed from the tree's indentation."""
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "BroadcastNestedLoopJoin" not in ln:
+            continue
+        p = _marker_pos(ln)
+        if p is None:
+            p = -3
+        kids = []
+        for j in range(i + 1, len(lines)):
+            q = _marker_pos(lines[j])
+            if q is None or q <= p:
+                break
+            if q == p + 3:
+                kids.append(j)
+        assert len(kids) == 2, f"BNLJ tree parse failed at: {ln.strip()}"
+        start = kids[0] if "BuildLeft" in ln else kids[1]
+        endp = _marker_pos(lines[start])
+        end = len(lines)
+        for j in range(start + 1, len(lines)):
+            q = _marker_pos(lines[j])
+            if q is None or q <= endp:
+                end = j
+                break
+        yield "\n".join(lines[start:end])
+
+
+def _build_side_is_bounded(sub):
+    if any(op in sub for op in _REDUCING_OPS):
+        return True  # aggregated / limited / literal relation
+    if "Scan ExistingRDD" in sub and "FileScan" not in sub:
+        return True  # driver-created literal frame
+    scans = re.findall(r"FileScan parquet .*?\.parquet", sub)
+    if scans and all(any(t in s for t in _FIXED_CARD_SCANS)
+                     for s in scans):
+        return True  # fixed-cardinality dims (region=5, nation=25)
+    # a point filter pushed to the scan bounds the build to ~1 row
+    if re.search(r"PushedFilters: \[[^\]]*EqualTo\(", sub):
+        return True
+    return False
+
+
+def test_bnlj_build_sides_are_bounded(spark):
+    """Every BroadcastNestedLoopJoin in the catalog must build from a
+    provably bounded side — a scalar/limited aggregate, a literal
+    frame, a fixed-cardinality dim scan, or a point-filtered row —
+    so a refactor can never silently plan an unbounded nested loop.
+    The per-query BNLJ COUNT is locked in shuffle_budget_catalog.json
+    ('bnlj' kind); this gate checks the SHAPE of each occurrence."""
+    import json
+    import pathlib
+
+    from tests.conftest import SF_SMALL as _SF
+
+    budget = json.loads(
+        pathlib.Path(__file__).with_name(
+            "shuffle_budget_catalog.json").read_text())
+    offenders = []
+    for name, counts in sorted(budget.items()):
+        if not counts.get("bnlj") or name in _UNBOUNDED_BY_DESIGN:
+            continue
+        if name not in QUERIES:
+            continue  # staleness handled by the lockfile test
+        spark.catalog.clearCache()
+        plan = (QUERIES[name](spark, _SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        for sub in _bnlj_build_subtrees(plan):
+            if not _build_side_is_bounded(sub):
+                offenders.append((name, sub.splitlines()[0].strip()))
+    assert not offenders, (
+        "BNLJ with an unbounded build side — use an equi-join, bound "
+        f"the build, or whitelist with justification: {offenders}")

@@ -29,6 +29,12 @@ _PATTERNS = {
     "hash": r"Exchange hashpartitioning",
     "range": r"Exchange rangepartitioning",
     "single": r"Exchange SinglePartition",
+    # VERDICT r8 item 6: a new BroadcastNestedLoopJoin anywhere in the
+    # catalog is a potential unbounded nested loop — it must be
+    # adjudicated here (and pass the build-side shape gate in
+    # test_plan_quality.py::test_bnlj_build_sides_are_bounded) before
+    # its count is locked.
+    "bnlj": r"BroadcastNestedLoopJoin",
 }
 
 

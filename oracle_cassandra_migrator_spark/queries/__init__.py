@@ -136,12 +136,16 @@ _R04_CONFIRMED = frozenset({
 # green in r07 and folded into _R07_CONFIRMED. window_rank_breadth
 # (re-keyed onto the 4096-way customer cohort in r8) re-certified
 # green in CORRECTNESS_r08 and left _RECHECK.
-# r9: multimodal_decode_stats' OUTPUT changes again — decode_header
-# gained PNG/GIF container parsing (VERDICT r8 item 8), so payloads
-# that previously quarantined as `unknown` now decode; the driver must
-# re-certify it under the new contract.
+# r9: the multimodal fixture gained PNG/GIF containers (VERDICT r8
+# item 8 — payload_for_doc now cycles doc_id % 5 across
+# bmp/ppm/wav/png/gif and decode_header parses the two new headers),
+# so the OUTPUT of both fixture-consuming queries changes:
+# multimodal_decode_stats and multimodal_resize_stats (it reuses
+# _MM_DECODED_SQL). The driver must re-certify both under the new
+# contract.
 _RECHECK = frozenset({
     "multimodal_decode_stats",
+    "multimodal_resize_stats",
 })
 
 # CORRECTNESS_r05.json: 50/50 green (rows+schema+hash) — the literal

@@ -619,13 +619,15 @@ def text_fingerprint_bottomk(spark, sf_dir):
 # flips the driver hash.
 _MM_SQL = """
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           doc_id % 3 AS codec,
+           doc_id % 5 AS codec,
            1 + doc_id % 19 AS bw, 1 + (doc_id * 7) % 13 AS bh,
            1 + doc_id % 23 AS pw, 1 + (doc_id * 5) % 11 AS ph,
            1 + doc_id % 2 AS wc,
            CASE (doc_id // 3) % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
                 ELSE 44100 END AS wrate,
-           1 + doc_id % 500 AS wframes
+           1 + doc_id % 500 AS wframes,
+           1 + doc_id % 17 AS ngw, 1 + (doc_id * 3) % 7 AS ngh,
+           1 + doc_id % 29 AS gw, 1 + (doc_id * 11) % 9 AS gh
     FROM documents
 """
 
@@ -636,14 +638,18 @@ _MM_DECODED_SQL = f"""
                 WHEN 0 THEN 54 + ((3 * bw + 3) // 4) * 4 * bh
                 WHEN 1 THEN 9 + length(CAST(pw AS VARCHAR))
                          + length(CAST(ph AS VARCHAR)) + 3 * pw * ph
-                ELSE 44 + wframes * wc * 2 END AS BIGINT) AS n_bytes,
+                WHEN 2 THEN 44 + wframes * wc * 2
+                WHEN 3 THEN 57 + 3 * ngw * ngh
+                ELSE 27 + least(255, gw * gh) END AS BIGINT) AS n_bytes,
            CASE codec WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
-                ELSE 'wav' END AS mm_format,
-           CAST(CASE codec WHEN 0 THEN bw WHEN 1 THEN pw END AS INT)
-             AS width,
-           CAST(CASE codec WHEN 0 THEN bh WHEN 1 THEN ph END AS INT)
-             AS height,
-           CAST(CASE codec WHEN 2 THEN wc END AS INT) AS channels,
+                WHEN 2 THEN 'wav' WHEN 3 THEN 'png'
+                ELSE 'gif' END AS mm_format,
+           CAST(CASE codec WHEN 0 THEN bw WHEN 1 THEN pw
+                WHEN 3 THEN ngw WHEN 4 THEN gw END AS INT) AS width,
+           CAST(CASE codec WHEN 0 THEN bh WHEN 1 THEN ph
+                WHEN 3 THEN ngh WHEN 4 THEN gh END AS INT) AS height,
+           CAST(CASE codec WHEN 2 THEN wc WHEN 3 THEN 3 END AS INT)
+             AS channels,
            CAST(CASE codec WHEN 2 THEN wrate END AS INT) AS sample_rate,
            CAST(CASE codec WHEN 2 THEN wframes * 1000 // wrate
                 END AS BIGINT) AS duration_ms
@@ -654,12 +660,14 @@ _MM_DECODED_SQL = f"""
 @query("multimodal_decode_stats", oracle=_MM_DECODED_SQL)
 def multimodal_decode_stats(spark, sf_dir):
     """Real container decode over Arrow-batched binary payloads: one
-    BMP / P6-PPM / RIFF-WAV file per document (codec chosen by
-    doc_id % 3, built by ``payload_for_doc``), headers parsed
-    byte-for-byte by ``decode_header`` — width/height for images,
-    channels/sample-rate/duration for audio, all from the actual
-    bytes. The oracle replays the generator arithmetic, so the match
-    certifies the full encode -> parse round trip."""
+    BMP / P6-PPM / RIFF-WAV / PNG / GIF file per document (codec
+    chosen by doc_id % 5, built by ``payload_for_doc``), headers
+    parsed byte-for-byte by ``decode_header`` — width/height for
+    images (plus color-type channels for PNG), channels/sample-rate/
+    duration for audio, all from the actual bytes (PNG's IHDR CRC-32
+    is verified for real). The oracle replays the generator
+    arithmetic, so the match certifies the full encode -> parse round
+    trip."""
     docs = read_table(spark, sf_dir, "documents")
     return multimodal.decode_binary_metadata(
         multimodal.synthesized_payloads(docs))

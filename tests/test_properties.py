@@ -323,6 +323,11 @@ def test_multimodal_builders_roundtrip_any_geometry(
         "ppm", width, height, None, None, None)
     assert mm.decode_header(mm.build_wav(channels, rate, frames)) == (
         "wav", None, None, channels, rate, frames * 1000 // rate)
+    assert mm.decode_header(mm.build_png(width, height)) == (
+        "png", width, height, 3, None, None)
+    gw, gh = min(width, 65535), min(height, 65535)
+    assert mm.decode_header(mm.build_gif(gw, gh)) == (
+        "gif", gw, gh, None, None, None)
 
 
 @settings(max_examples=100, deadline=None)
@@ -333,7 +338,8 @@ def test_decode_header_never_raises_on_fuzz(data):
     payload at 100 TB must not kill a task."""
     from oracle_cassandra_migrator_spark.operators import multimodal as mm
 
-    for prefix in (b"", b"BM", b"P6", b"RIFF", b"RIFF1234WAVE"):
+    for prefix in (b"", b"BM", b"P6", b"RIFF", b"RIFF1234WAVE",
+                   b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a"):
         got = mm.decode_header(prefix + data)
         assert isinstance(got, tuple) and len(got) == 6
 

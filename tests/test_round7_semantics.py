@@ -138,6 +138,11 @@ def test_decode_header_parses_real_containers():
     wav = mm.build_wav(2, 16000, 8001)
     assert mm.decode_header(wav) == ("wav", None, None, 2, 16000,
                                      8001 * 1000 // 16000)
+    # r9: PNG (IHDR, color-type channels) and GIF (screen descriptor)
+    assert mm.decode_header(mm.build_png(31, 12)) == (
+        "png", 31, 12, 3, None, None)
+    assert mm.decode_header(mm.build_gif(640, 480)) == (
+        "gif", 640, 480, None, None, None)
 
     import io
     import wave as stdwave
@@ -153,8 +158,23 @@ def test_decode_header_edge_cases():
     # corrupt/unknown payloads degrade to 'unknown', never raise
     for bad in (b"", b"BM", b"BMxxxxxxxxxxxxxxxxxxxxxxxx"[:20],
                 b"P6\n-3 4\n255\n", b"P6 garbage", b"RIFFxxxxJUNK",
-                b"\x89PNG\r\n\x1a\n not supported here"):
+                b"\x89PNG\r\n\x1a\n then not an IHDR chunk....",
+                b"GIF89a\x00\x00\x10\x00\x00\x00\x00"):  # width 0
         assert mm.decode_header(bad)[0] == "unknown", bad
+
+    # PNG: a flipped bit in the IHDR payload breaks the CRC-32 check —
+    # corrupt headers must quarantine, not parse garbage dimensions
+    png = bytearray(mm.build_png(9, 9))
+    png[17] ^= 0x40  # width byte; CRC now mismatches
+    assert mm.decode_header(bytes(png))[0] == "unknown"
+    # ...and an illegal depth/color combination quarantines even with
+    # a VALID crc (depth 4 truecolor is out of spec)
+    import zlib as _zlib
+
+    png2 = bytearray(mm.build_png(9, 9))
+    png2[24] = 4  # bit depth
+    png2[29:33] = _zlib.crc32(bytes(png2[12:29])).to_bytes(4, "big")
+    assert mm.decode_header(bytes(png2))[0] == "unknown"
 
     # top-down BMP (negative height) reports |height|
     import struct

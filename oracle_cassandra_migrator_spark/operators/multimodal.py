@@ -220,6 +220,8 @@ def _parse_png(p: bytes):
         return None
     if depth < 8 and color in (2, 4, 6):
         return None  # sub-byte depths are gray/palette-only
+    if depth == 16 and color == 3:
+        return None  # palette images cap at depth 8 (spec table 11.1)
     return ("png", w, h, channels, None, None)
 
 
@@ -283,9 +285,10 @@ def decode_binary_metadata(df: DataFrame, id_col: str = "doc_id",
 
 
 def synthesized_payloads(documents: DataFrame) -> DataFrame:
-    """Fixture source: one real BMP/PPM/WAV payload per document,
-    built inside the same Arrow batches decode runs in (no driver-side
-    materialization; the bytes exist only within the executor task)."""
+    """Fixture source: one real BMP/PPM/WAV/PNG/GIF payload per
+    document (codec cycles doc_id % 5), built inside the same Arrow
+    batches decode runs in (no driver-side materialization; the bytes
+    exist only within the executor task)."""
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

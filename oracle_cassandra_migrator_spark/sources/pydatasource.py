@@ -160,22 +160,27 @@ class JsonlDirStreamReader(SimpleDataSourceStreamReader):
         return {"last": ""}
 
     def _files(self) -> list[str]:
-        names = sorted(n for n in os.listdir(self.path)
-                       if n.endswith(".jsonl"))
-        if self.settle_seconds > 0:
-            import time
+        return sorted(n for n in os.listdir(self.path)
+                      if n.endswith(".jsonl"))
 
-            cutoff = time.time() - self.settle_seconds
-            settled = []
-            for n in names:
-                # contiguous prefix: an unsettled file BLOCKS everything
-                # sorting above it, else the watermark would jump past
-                # it and never come back
-                if os.path.getmtime(os.path.join(self.path, n)) > cutoff:
-                    break
-                settled.append(n)
-            names = settled
-        return names
+    def _settled_prefix(self, names: list[str]) -> list[str]:
+        """Truncate at the first unsettled name: an unsettled file
+        BLOCKS everything sorting above it, else the watermark would
+        jump past it and never come back. Applies to the
+        ABOVE-watermark listing only — a re-touched already-consumed
+        file (whose appended rows are lost by contract anyway) must
+        not stall the stream forever (self-review r9)."""
+        if self.settle_seconds <= 0:
+            return names
+        import time
+
+        cutoff = time.time() - self.settle_seconds
+        settled = []
+        for n in names:
+            if os.path.getmtime(os.path.join(self.path, n)) > cutoff:
+                break
+            settled.append(n)
+        return settled
 
     def _rows(self, files: list[str]):
         for name in files:
@@ -188,7 +193,8 @@ class JsonlDirStreamReader(SimpleDataSourceStreamReader):
                         yield tuple(rec.get(c) for c in self.names)
 
     def read(self, start: dict):
-        fresh = [n for n in self._files() if n > start["last"]]
+        fresh = self._settled_prefix(
+            [n for n in self._files() if n > start["last"]])
         end = {"last": fresh[-1] if fresh else start["last"]}
         return iter(list(self._rows(fresh))), end
 

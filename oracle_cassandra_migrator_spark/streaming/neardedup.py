@@ -349,18 +349,34 @@ def vacuum_near_dedup(spark, base_dir: str,
     (``vacuum_partitioned``'s rule): a crash mid-vacuum leaves
     invisible orphan files, never a committed marker whose data is
     gone (which would wedge every later read). No-op when no
-    compaction has committed. Returns the deleted tokens."""
+    compaction has committed. Returns the tokens whose data was
+    deleted.
+
+    Replay guard (self-review r9): the HIGHEST doomed stream-batch
+    marker is kept. Spark can replay exactly one batch on restart —
+    the latest, if it committed here but crashed before the checkpoint
+    commit — and foreach_batch's "replayed committed batch is a no-op"
+    contract rests on that marker existing. Its data dir still goes
+    (the compaction owns the rows). Older markers ARE reclaimed, so a
+    FRESH-checkpoint replay of historic files re-executes those
+    batches — harmlessly: every replayed doc estimates 1.0 against its
+    own signature in the compacted state, admits nothing, and writes
+    empty version dirs (admission is idempotent by construction)."""
     from oracle_cassandra_migrator_spark.streaming.partitioned import (
-        _committed_tokens, _hadoop_fs)
+        _committed_tokens, _hadoop_fs, _token_key)
 
     store = state or LocalFSStateStore()
     marker_dir = posixpath.join(base_dir, "markers")
     tokens = _committed_tokens(store, marker_dir)
     live = set(_live_tokens(store, marker_dir))
     doomed = [t for t in tokens if t not in live]
+    stream_doomed = [t for t in doomed if "c" not in t]
+    keep_marker = (max(stream_doomed, key=_token_key)
+                   if stream_doomed else None)
     for tok in doomed:
-        store.delete(
-            posixpath.join(marker_dir, f"batch-{tok}.marker"))
+        if tok != keep_marker:
+            store.delete(
+                posixpath.join(marker_dir, f"batch-{tok}.marker"))
         for prefix in ("sigs", "bands"):
             fs, jd = _hadoop_fs(
                 spark, posixpath.join(base_dir, f"{prefix}-v{tok}"))

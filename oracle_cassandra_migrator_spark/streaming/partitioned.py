@@ -436,9 +436,12 @@ def make_upsert_applier(
               current: DataFrame | None) -> DataFrame:
         if current is None:
             return winners
-        # evolution-supporting path: the applier already validates
-        # name/type conflicts against the manifest's union schema, so
-        # a one-sided column here IS intended schema evolution
+        # evolution-supporting path: column evolution is this
+        # applier's FEATURE (the manifest carries the union schema and
+        # _evolved_schema_ddl rejects TYPE conflicts on shared names).
+        # Name drift is accepted as evolution by design here — a
+        # caller who wants name-strict merging uses the plain
+        # foreach_batch_upsert, whose default refuses drift.
         return merge_upsert(current, winners, keys, allow_missing=True)
 
     return _partitioned_applier(

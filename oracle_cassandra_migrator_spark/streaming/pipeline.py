@@ -142,7 +142,8 @@ def run_stream_pipeline(spark: SparkSession,
         if kind == "upsert":
             return upsert.foreach_batch_upsert(
                 df, sink["base_dir"], sink["keys"], sink["order_by"],
-                checkpoint_dir)
+                checkpoint_dir,
+                allow_missing=bool(sink.get("allow_missing", False)))
         return partitioned.foreach_batch_upsert_partitioned(
             df, sink["base_dir"], sink["keys"], sink["order_by"],
             checkpoint_dir, n_buckets=sink.get("n_buckets", 16))

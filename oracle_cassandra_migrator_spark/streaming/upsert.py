@@ -104,12 +104,19 @@ def foreach_batch_upsert(
     checkpoint_dir: str,
     state: StateStore | None = None,
     trigger: dict[str, Any] | None = None,
+    allow_missing: bool = False,
 ) -> StreamingQuery:
     """Maintain a keyed snapshot under ``base_dir`` from a stream of
     change rows. Within a batch the LAST change per key wins, ordered
     by ``order_by`` (must be a total order per key — e.g.
     [event_time, event_id] — or replays could pick a different
-    winner); across batches later batches win by the merge itself."""
+    winner); across batches later batches win by the merge itself.
+
+    ``allow_missing`` opts into schema EVOLUTION: a restarted stream
+    whose source gained (or dropped) a column null-fills the other
+    side instead of failing. Off by default so a renamed/typo'd column
+    in the change stream fails the batch loudly (ADVICE r8) rather
+    than silently forking the snapshot into half-null columns."""
     store = state or LocalFSStateStore()
     marker_dir = posixpath.join(base_dir, "markers")
 
@@ -134,7 +141,8 @@ def foreach_batch_upsert(
         if prev_ids:
             current = spark.read.parquet(posixpath.join(
                 base_dir, f"snapshot-v{prev_ids[-1]}"))
-            merged = merge_upsert(current, winners, keys)
+            merged = merge_upsert(current, winners, keys,
+                                  allow_missing=allow_missing)
         else:
             merged = winners
         merged.write.mode("overwrite").parquet(

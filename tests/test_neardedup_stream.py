@@ -271,6 +271,13 @@ def test_compaction_halves_files_identical_admissions(spark, tmp_path):
     assert "c" in token
     doomed = neardedup.vacuum_near_dedup(spark, base_dir)
     assert doomed and all("c" not in t for t in doomed)
+    # replay guard survives vacuum: the HIGHEST doomed stream-batch
+    # marker is kept (Spark may replay exactly that batch on restart),
+    # older markers are reclaimed
+    markers = sorted(glob.glob(f"{base_dir}/markers/*.marker"))
+    assert f"{base_dir}/markers/batch-2.marker" in markers
+    assert f"{base_dir}/markers/batch-0.marker" not in markers
+    assert f"{base_dir}/markers/batch-1.marker" not in markers
     files_post = len(glob.glob(f"{base_dir}/sigs-v*/part-*")) \
         + len(glob.glob(f"{base_dir}/bands-v*/part-*"))
     assert files_post <= files_pre // 2, (files_pre, files_post)

@@ -235,7 +235,7 @@ def test_write_sink_spec_drives_jsonl_dir(spark, tmp_path):
     assert back.count() == 2
 
 
-def test_jsonl_dir_stream_settle_blocks_on_unsettled_gap(tmp_path):
+def test_jsonl_dir_stream_settle_blocks_on_unsettled_gap(spark, tmp_path):
     """ADVICE r8: with settle_seconds, an in-place appender touching
     file N after N+1 lands must NOT be skipped — the watermark may
     only advance through a CONTIGUOUS settled prefix, so the fresh
@@ -266,4 +266,39 @@ def test_jsonl_dir_stream_settle_blocks_on_unsettled_gap(tmp_path):
     _os.utime(tmp_path / "b.jsonl", (old, old))
     rows, end = reader.read(end)
     assert [r[0] for r in rows] == [2, 3]
+    assert end == {"last": "c.jsonl"}
+
+
+def test_jsonl_dir_stream_retouched_consumed_file_never_stalls(
+        spark, tmp_path):
+    """Self-review r9: a producer appending IN PLACE to an
+    already-consumed file (fresh mtime at/below the watermark) must
+    not block the settled-prefix truncation — only unsettled files
+    ABOVE the watermark defer the batch."""
+    import os as _os
+
+    from pyspark.sql.types import StructType
+
+    from oracle_cassandra_migrator_spark.sources.pydatasource import (
+        JsonlDirStreamReader)
+
+    schema = StructType.fromDDL(
+        "event_id BIGINT, event_type STRING, value DOUBLE")
+    old = time.time() - 3600
+    (tmp_path / "a.jsonl").write_text(json.dumps(
+        {"event_id": 1, "event_type": "view", "value": 0.0}) + "\n")
+    _os.utime(tmp_path / "a.jsonl", (old, old))
+    reader = JsonlDirStreamReader(
+        schema, {"path": str(tmp_path), "settle_seconds": "60"})
+    rows, end = reader.read(reader.initialOffset())
+    assert [r[0] for r in rows] == [1] and end == {"last": "a.jsonl"}
+    # a is re-touched (fresh mtime, below the watermark) while a NEW
+    # settled file lands: the batch must deliver c, not stall forever
+    (tmp_path / "a.jsonl").write_text(json.dumps(
+        {"event_id": 9, "event_type": "view", "value": 0.0}) + "\n")
+    (tmp_path / "c.jsonl").write_text(json.dumps(
+        {"event_id": 3, "event_type": "view", "value": 0.0}) + "\n")
+    _os.utime(tmp_path / "c.jsonl", (old, old))
+    rows, end = reader.read(end)
+    assert [r[0] for r in rows] == [3]
     assert end == {"last": "c.jsonl"}

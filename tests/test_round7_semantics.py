@@ -175,6 +175,12 @@ def test_decode_header_edge_cases():
     png2[24] = 4  # bit depth
     png2[29:33] = _zlib.crc32(bytes(png2[12:29])).to_bytes(4, "big")
     assert mm.decode_header(bytes(png2))[0] == "unknown"
+    # ...including depth-16 PALETTE (color 3), which the sub-byte
+    # guard alone missed (self-review r9): palette caps at depth 8
+    png3 = bytearray(mm.build_png(9, 9))
+    png3[24], png3[25] = 16, 3
+    png3[29:33] = _zlib.crc32(bytes(png3[12:29])).to_bytes(4, "big")
+    assert mm.decode_header(bytes(png3))[0] == "unknown"
 
     # top-down BMP (negative height) reports |height|
     import struct

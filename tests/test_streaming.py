@@ -1158,3 +1158,61 @@ def test_refreshing_enrich_sees_dim_updates_between_batches(spark, tmp_path):
     run("ckpt2")
     assert {tuple(r) for r in spark.read.parquet(out).collect()} == got
     assert len(loads) == n_loads, "replayed batch paid a dim load"
+
+
+def test_foreach_batch_upsert_schema_evolution_opt_in(spark, tmp_path):
+    """Self-review r9: the strict merge default must not hard-break a
+    restarted upsert stream whose source gained a column — evolution
+    is available via allow_missing=True (spec key 'allow_missing'),
+    and the strict default fails the batch loudly instead of silently
+    forking the snapshot."""
+    import datetime
+    import glob
+
+    from oracle_cassandra_migrator_spark.streaming import (
+        foreach_batch_upsert, latest_snapshot)
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 12, m)
+    v1 = "k long, ts timestamp, seq long, val string"
+    v2 = v1 + ", extra string"
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, t(0), 1, "a1")], v1).coalesce(1).write.mode(
+        "overwrite").parquet(src)
+    q = foreach_batch_upsert(
+        (spark.readStream.schema(v1)
+         .option("maxFilesPerTrigger", "1").parquet(src)),
+        base, keys=["k"], order_by=["ts", "seq"], checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+
+    # restart with the EVOLVED source schema
+    spark.createDataFrame(
+        [(2, t(5), 2, "b1", "x")], v2).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    def rerun(allow):
+        q = foreach_batch_upsert(
+            (spark.readStream.schema(v2)
+             .option("maxFilesPerTrigger", "1").parquet(src)),
+            base, keys=["k"], order_by=["ts", "seq"],
+            checkpoint_dir=ckpt, allow_missing=allow)
+        q.awaitTermination(120)
+
+    # strict default: the evolving batch FAILS loudly, nothing commits
+    versions_before = sorted(glob.glob(f"{base}/snapshot-v*"))
+    import pytest as _pytest
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with _pytest.raises(StreamingQueryException,
+                        match="merge_upsert schema drift"):
+        rerun(False)
+    assert sorted(glob.glob(f"{base}/snapshot-v*")) == versions_before
+
+    # opt-in: the batch evolves, old rows null-fill the new column
+    rerun(True)
+    snap = {r["k"]: (r["val"], r["extra"])
+            for r in latest_snapshot(spark, base).collect()}
+    assert snap == {1: ("a1", None), 2: ("b1", "x")}

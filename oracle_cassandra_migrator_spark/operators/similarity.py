@@ -51,12 +51,31 @@ def cosine_topk(
     )
 
 
+# The forced-quadratic safety valve (the AllPairs guard's embedding
+# twin, r9): n^2/2 comparisons over more rows than this refuse unless
+# the caller overrides. At the default, the join evaluates ~5e9 cosine
+# terms — hours of cluster time that an LSH-blocked run does in
+# minutes, and recall there is tunable where this is a hard wall.
+COSINE_PAIRS_MAX_ROWS = 100_000
+
+
 def cosine_pairs(
     embeddings: DataFrame, threshold: float,
     vec_col: str = "embedding", id_col: str = "vec_id",
+    max_rows: int | None = COSINE_PAIRS_MAX_ROWS,
 ) -> DataFrame:
     """All pairs (a < b) with cosine >= threshold. O(n^2) compare —
     use only on small or pre-blocked inputs; see lsh_bucketed_topk.
+
+    Scale guard (r9 — the jaccard strategy guard's embedding analog,
+    but a REFUSE-only valve: unlike the exact jaccard twins, the
+    LSH-blocked composition is not output-identical, so silently
+    routing would change results): above ``max_rows`` input rows this
+    raises with the guidance to use ``cosine_pairs_lsh_blocked`` (or
+    pre-block), instead of handing a 100 TB corpus the quadratic
+    cross join. ``max_rows=None`` disables (the recall-audit truth
+    arms run pre-limited inputs). The one count() job it costs is
+    noise next to the join it gates.
 
     The streamed side is repartitioned to the session parallelism
     first: single-file inputs otherwise arrive as ONE partition, and a
@@ -64,6 +83,15 @@ def cosine_pairs(
     partition count (measured 128 s -> 7 s at sf0.1 on local[32]).
     The work is still quadratic — that is this baseline's documented
     point — but it is quadratic across all cores."""
+    if max_rows is not None:
+        n = embeddings.count()
+        if n > max_rows:
+            raise ValueError(
+                f"cosine_pairs is the O(n^2) exact baseline and the "
+                f"input has {n} rows (max_rows={max_rows}): use "
+                "cosine_pairs_lsh_blocked (bucketed candidates, exact "
+                "verification) or pre-block the input; pass "
+                "max_rows=None to force the quadratic join anyway")
     par = embeddings.sparkSession.sparkContext.defaultParallelism
     a = (embeddings.select(F.col(id_col).alias("id_a"),
                            F.col(vec_col).alias("va"))

@@ -29,8 +29,12 @@ with the same marker-per-batch exactly-once discipline as
 ``streaming/upsert.py`` — replays of a committed batch are no-ops):
 - ``sigs``:  (doc_id, m0..m{k-1}, n_sh) — one row per admitted doc.
 - ``bands``: (doc_id, band_idx, band_key) — the LSH index the probe
-  side equi-joins; at scale this is partitioned by band_key prefix so
-  a batch probes only matching buckets.
+  side equi-joins. The probe's scale shape: the micro-batch side is
+  small (trigger-bounded) so AQE broadcasts it and the state streams
+  through map-side — the state is SCANNED but never SHUFFLED per
+  batch; compaction rewrites the state hash-partitioned on band_key,
+  which clusters each band key into one file's min/max range for
+  row-group pruning on skewed probes.
 
 Scale shape per batch: the batch computes signatures in one pass
 (map-side aggregation over exploded shingles), the state probe is a

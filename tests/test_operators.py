@@ -889,3 +889,22 @@ def test_fuzzy_join_tie_breaks_on_right_col_first(spark):
     assert len(got) == 1
     assert got[0]["name"] == "abd"       # min name wins...
     assert got[0]["category"] == "z"     # ...not min category
+
+
+def test_cosine_pairs_guard_refuses_large_inputs(spark):
+    """r9: the quadratic exact-cosine baseline refuses corpus-sized
+    inputs with guidance (the jaccard strategy guard's embedding
+    analog — refuse-only, since the LSH-blocked twin is not
+    output-identical); max_rows=None forces."""
+    import pytest
+
+    from oracle_cassandra_migrator_spark.operators import similarity
+
+    emb = spark.range(50).selectExpr(
+        "id AS vec_id", "array(CAST(id AS FLOAT), 1.0F) AS embedding")
+    with pytest.raises(ValueError, match="cosine_pairs_lsh_blocked"):
+        similarity.cosine_pairs(emb, threshold=0.9, max_rows=10)
+    forced = similarity.cosine_pairs(
+        emb, threshold=0.9, max_rows=None)
+    assert forced.columns == ["id_a", "id_b", "cosine"]
+    assert forced.count() > 0

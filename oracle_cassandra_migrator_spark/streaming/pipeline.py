@@ -160,9 +160,18 @@ def run_stream_pipeline(spark: SparkSession,
             sink["old"], checkpoint_dir,
             n_buckets=sink.get("n_buckets", 16),
             op_col=sink.get("op_col", "op"))
+    if kind == "neardedup":
+        from oracle_cassandra_migrator_spark.streaming import neardedup
+
+        return neardedup.foreach_batch_near_dedup(
+            df, sink["base_dir"], checkpoint_dir,
+            text_col=sink.get("text_col", "text"),
+            id_col=sink.get("id_col", "doc_id"),
+            n=int(sink.get("n", 3)),
+            threshold=float(sink.get("threshold", 0.5)))
     raise ValueError(
         f"unknown sink type {kind!r}: expected files / upsert / "
-        f"rollup / partitioned_upsert / partitioned_rollup")
+        f"rollup / partitioned_upsert / partitioned_rollup / neardedup")
 
 
 def run_batch_equivalent(spark: SparkSession, spec: Mapping[str, Any],

@@ -400,3 +400,38 @@ def test_cdc_pysource_tail_to_partitioned_rollup(spark, tmp_path):
                spark, base).collect()}
     # B's count returned to 0 -> the group dies out of its bucket
     assert got == {"A": (2, 19)}
+
+
+def test_spec_driven_neardedup_sink(spark, tmp_path):
+    """r9: the near-dup admission gate is spec-selectable like the
+    other maintenance sinks — a document file stream through a
+    'neardedup' sink leaves the admitted-state equal to the same
+    batches replayed through admit_batch."""
+    from oracle_cassandra_migrator_spark.streaming import neardedup
+    from oracle_cassandra_migrator_spark.streaming.pipeline import (
+        run_stream_pipeline)
+
+    base_txt = ("the quick brown fox jumps over the lazy dog while "
+                "the cat naps in the warm afternoon sun by the wall")
+    rows = [(1, base_txt),
+            (2, base_txt.replace("afternoon", "evening")),  # near-dup
+            (3, "a completely different document about adaptive "
+                "query execution over columnar shuffle partitions")]
+    schema = "doc_id BIGINT, text STRING"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+
+    base = str(tmp_path / "state")
+    spec = {
+        "source": {"format": "parquet", "path": src, "schema": schema},
+        "sink": {"type": "neardedup", "base_dir": base,
+                 "text_col": "text", "id_col": "doc_id",
+                 "threshold": 0.5,
+                 "checkpoint_dir": str(tmp_path / "ck")},
+    }
+    q = run_stream_pipeline(spark, spec)
+    q.awaitTermination(120)
+
+    sigs, _ = neardedup.read_state(spark, base)
+    assert sorted(r["doc_id"] for r in sigs.collect()) == [1, 3]

@@ -458,3 +458,99 @@ def test_jsonl_stream_offsets_replay_exactly(spark, tmp_path_factory,
         (root / "000000.jsonl").write_text(_json.dumps({"k": 99}) + "\n")
         more, _ = reader.read(offsets[-1])
         assert list(more) == []
+
+
+# ---------------------------------------------------------------------------
+# r9 protocol algebra: strategy routing, live-token suffix, settle prefix
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=200, deadline=None)
+@given(threshold=st.floats(min_value=0.0, max_value=1.0),
+       bar=st.floats(min_value=0.0, max_value=1.0))
+def test_strategy_decision_total_and_monotone(threshold, bar):
+    """The routing decision is total over (threshold, bar), picks
+    allpairs exactly on threshold >= bar, and explicit strategies are
+    always honored verbatim."""
+    from oracle_cassandra_migrator_spark.operators.dedup import (
+        jaccard_pair_strategy)
+
+    auto = jaccard_pair_strategy(threshold, "auto", bar)
+    assert auto == ("allpairs" if threshold >= bar else "inverted_index")
+    assert jaccard_pair_strategy(threshold, "allpairs", bar) == "allpairs"
+    assert jaccard_pair_strategy(
+        threshold, "inverted_index", bar) == "inverted_index"
+
+
+class _FakeStore:
+    def __init__(self, tokens):
+        self._keys = [f"m/batch-{t}.marker" for t in tokens]
+
+    def list(self, prefix, suffix=""):
+        return [k for k in self._keys if k.endswith(suffix)]
+
+
+@settings(max_examples=200, deadline=None)
+@given(batches=st.lists(st.integers(min_value=0, max_value=30),
+                        unique=True, max_size=12),
+       compactions=st.lists(
+           st.tuples(st.integers(min_value=0, max_value=30),
+                     st.integers(min_value=1, max_value=3)),
+           unique=True, max_size=4))
+def test_live_tokens_is_suffix_from_last_compaction(batches, compactions):
+    """For ANY committed token set, the live set is the ordered suffix
+    starting at the latest compaction token (everything earlier is
+    superseded); with no compaction, everything is live. Exactly the
+    invariant read_state/compact/vacuum all rest on."""
+    from oracle_cassandra_migrator_spark.streaming.neardedup import (
+        _live_tokens)
+    from oracle_cassandra_migrator_spark.streaming.partitioned import (
+        _token_key)
+
+    tokens = sorted(
+        [str(b) for b in batches]
+        + [f"{b}c{k}" for b, k in compactions], key=_token_key)
+    live = _live_tokens(_FakeStore(tokens), "m")
+    comp_idx = [i for i, t in enumerate(tokens) if "c" in t]
+    want = tokens if not comp_idx else tokens[comp_idx[-1]:]
+    assert live == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(spec=st.lists(st.booleans(), max_size=8),
+       consumed=st.integers(min_value=0, max_value=8))
+def test_settle_prefix_watermark_never_skips(tmp_path_factory, spec,
+                                             consumed):
+    """For ANY settled/unsettled pattern and ANY committed watermark:
+    the batch consumes exactly the contiguous settled prefix of the
+    ABOVE-watermark names — nothing below the first unsettled fresh
+    file, and files at/below the watermark never block or re-deliver."""
+    import json
+    import os as _os
+    import time as _time
+
+    from oracle_cassandra_migrator_spark.sources.pydatasource import (
+        JsonlDirStreamReader)
+
+    d = tmp_path_factory.mktemp("settle")
+    old = _time.time() - 3600
+    names = [f"f{i:02d}.jsonl" for i in range(len(spec))]
+    for i, name in enumerate(names):
+        (d / name).write_text(json.dumps(
+            {"event_id": i, "event_type": "view", "value": 0.0}) + "\n")
+        if spec[i]:
+            _os.utime(d / name, (old, old))
+    consumed = min(consumed, len(spec))
+    start = {"last": names[consumed - 1] if consumed else ""}
+    reader = JsonlDirStreamReader.__new__(JsonlDirStreamReader)
+    reader.names = ["event_id", "event_type", "value"]
+    reader.path = str(d)
+    reader.settle_seconds = 60.0
+    rows, end = reader.read(start)
+    above = list(range(consumed, len(spec)))
+    want = []
+    for i in above:
+        if not spec[i]:
+            break
+        want.append(i)
+    assert [r[0] for r in rows] == want
+    assert end == {"last": names[want[-1]] if want else start["last"]}

@@ -356,31 +356,32 @@ def vacuum_near_dedup(spark, base_dir: str,
     compaction has committed. Returns the tokens whose data was
     deleted.
 
-    Replay guard (self-review r9): the HIGHEST doomed stream-batch
-    marker is kept. Spark can replay exactly one batch on restart —
-    the latest, if it committed here but crashed before the checkpoint
-    commit — and foreach_batch's "replayed committed batch is a no-op"
-    contract rests on that marker existing. Its data dir still goes
-    (the compaction owns the rows). Older markers ARE reclaimed, so a
-    FRESH-checkpoint replay of historic files re-executes those
-    batches — harmlessly: every replayed doc estimates 1.0 against its
-    own signature in the compacted state, admits nothing, and writes
-    empty version dirs (admission is idempotent by construction)."""
+    Replay contract (self-review r9, twice): ALL doomed markers are
+    reclaimed, so a batch id whose marker was vacuumed RE-EXECUTES on
+    replay instead of taking the marker fast path. That is safe by
+    construction — admission is IDEMPOTENT against the compacted
+    state: every doc of a replayed batch either already sits in the
+    state (estimates 1.0 against its own signature, rejected) or was
+    rejected originally for a doc that is still in the state, so the
+    re-execution admits nothing and the state is unchanged (the empty
+    version dir it leaves is cleared by the next vacuum). Retaining
+    doomed markers instead would be WRONG: a later fresh-checkpoint
+    run over the same base_dir restarts batch ids at 0, and a stale
+    retained marker would silently swallow a NEW batch that happens to
+    reuse the id — permanent data loss. The no-op fast path therefore
+    applies only to markers not yet vacuumed; correctness never rests
+    on it."""
     from oracle_cassandra_migrator_spark.streaming.partitioned import (
-        _committed_tokens, _hadoop_fs, _token_key)
+        _committed_tokens, _hadoop_fs)
 
     store = state or LocalFSStateStore()
     marker_dir = posixpath.join(base_dir, "markers")
     tokens = _committed_tokens(store, marker_dir)
     live = set(_live_tokens(store, marker_dir))
     doomed = [t for t in tokens if t not in live]
-    stream_doomed = [t for t in doomed if "c" not in t]
-    keep_marker = (max(stream_doomed, key=_token_key)
-                   if stream_doomed else None)
     for tok in doomed:
-        if tok != keep_marker:
-            store.delete(
-                posixpath.join(marker_dir, f"batch-{tok}.marker"))
+        store.delete(
+            posixpath.join(marker_dir, f"batch-{tok}.marker"))
         for prefix in ("sigs", "bands"):
             fs, jd = _hadoop_fs(
                 spark, posixpath.join(base_dir, f"{prefix}-v{tok}"))

@@ -108,6 +108,20 @@ def build_stream(spark: SparkSession,
     return df
 
 
+def _spec_bool(value: Any, key: str) -> bool:
+    """Parse a spec boolean strictly: JSON true/false, or the string
+    forms config authors write ("true"/"false", any case). Plain
+    bool() would turn "false" into True — for a flag that loosens a
+    safety default (allow_missing), that silent inversion is exactly
+    the drift the default exists to catch."""
+    if isinstance(value, bool):
+        return value
+    if isinstance(value, str) and value.lower() in ("true", "false"):
+        return value.lower() == "true"
+    raise ValueError(
+        f"{key!r} must be true/false (got {value!r})")
+
+
 def run_stream_pipeline(spark: SparkSession,
                         spec: Mapping[str, Any]) -> StreamingQuery:
     """Start the spec end-to-end. The sink's ``type`` selects the
@@ -121,6 +135,9 @@ def run_stream_pipeline(spark: SparkSession,
     - ``"rollup"`` / ``"partitioned_rollup"``: continuously-maintained
       (count, sum) GROUP BY from CDC rows; needs ``keys`` + ``new`` +
       ``old`` measure-image expressions
+    - ``"neardedup"``: MinHash-LSH near-duplicate admission gate over
+      a document stream (streaming/neardedup.py); needs ``base_dir``
+      (+ optional ``text_col``/``id_col``/``threshold``/``n``)
 
     Maintenance sinks consume CHANGE rows, so they pair with the
     stateless transform subset rather than a windowed aggregation
@@ -143,7 +160,8 @@ def run_stream_pipeline(spark: SparkSession,
             return upsert.foreach_batch_upsert(
                 df, sink["base_dir"], sink["keys"], sink["order_by"],
                 checkpoint_dir,
-                allow_missing=bool(sink.get("allow_missing", False)))
+                allow_missing=_spec_bool(
+                    sink.get("allow_missing", False), "allow_missing"))
         return partitioned.foreach_batch_upsert_partitioned(
             df, sink["base_dir"], sink["keys"], sink["order_by"],
             checkpoint_dir, n_buckets=sink.get("n_buckets", 16))

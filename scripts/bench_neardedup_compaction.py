@@ -67,7 +67,11 @@ def main() -> None:
                   .option("maxFilesPerTrigger", "1").parquet(src))
         q = neardedup.foreach_batch_near_dedup(
             stream, base, f"{work}/ckpt")
-        q.awaitTermination(1800)
+        if not q.awaitTermination(1800):
+            q.stop()
+            raise RuntimeError(
+                "stream did not drain in 1800 s — refusing to measure "
+                "compaction against a mid-flight state")
 
         probe = neardedup.band_rows(
             neardedup.batch_signatures(

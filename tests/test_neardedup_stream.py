@@ -271,13 +271,16 @@ def test_compaction_halves_files_identical_admissions(spark, tmp_path):
     assert "c" in token
     doomed = neardedup.vacuum_near_dedup(spark, base_dir)
     assert doomed and all("c" not in t for t in doomed)
-    # replay guard survives vacuum: the HIGHEST doomed stream-batch
-    # marker is kept (Spark may replay exactly that batch on restart),
-    # older markers are reclaimed
+    # every doomed marker is reclaimed (a retained stale marker could
+    # swallow a same-id batch of a later fresh-checkpoint run); replay
+    # of a vacuumed batch is safe by IDEMPOTENCE instead — re-running
+    # batch 2's data against the compacted state admits nothing
     markers = sorted(glob.glob(f"{base_dir}/markers/*.marker"))
-    assert f"{base_dir}/markers/batch-2.marker" in markers
-    assert f"{base_dir}/markers/batch-0.marker" not in markers
-    assert f"{base_dir}/markers/batch-1.marker" not in markers
+    assert markers == [f"{base_dir}/markers/batch-2c1.marker"]
+    sigs_c, bands_c = neardedup.read_state(spark, base_dir)
+    replay_sigs, _ = neardedup.admit_batch(
+        parts[2], sigs_c, bands_c, "text", "doc_id")
+    assert replay_sigs.count() == 0
     files_post = len(glob.glob(f"{base_dir}/sigs-v*/part-*")) \
         + len(glob.glob(f"{base_dir}/bands-v*/part-*"))
     assert files_post <= files_pre // 2, (files_pre, files_post)

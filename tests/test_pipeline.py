@@ -467,7 +467,11 @@ def test_bucketed_layout_example_pipeline_e2e(spark, tmp_path):
         # bucketed tables exist in the catalog under the spec names
         assert spark.catalog.tableExists("example_orders_b8")
         assert spark.catalog.tableExists("example_lineitem_b8")
-        # result equals the plain (unbucketed) computation
+        # result equals the plain (unbucketed) computation, VALUES
+        # included — a count-only check would miss a wrong source
+        # file, a dropped discount term, or swapped aggregates
+        from pyspark.sql import functions as F
+
         orders = spark.read.parquet(
             "/root/testdata/sf0.001/orders.parquet")
         li = spark.read.parquet(
@@ -478,8 +482,12 @@ def test_bucketed_layout_example_pipeline_e2e(spark, tmp_path):
                             "l_extendedprice * (1 - l_discount)"
                             " AS net_price")
                 .groupBy("order_key", "priority")
-                .agg({"net_price": "sum", "*": "count"}))
-        assert got.count() == want.count() > 0
+                .agg(F.expr("sum(net_price) AS order_net"),
+                     F.expr("count(*) AS n_lines")))
+        got_rows = sorted(map(tuple, got.select(
+            "order_key", "priority", "order_net", "n_lines").collect()))
+        want_rows = sorted(map(tuple, want.collect()))
+        assert got_rows == want_rows and len(want_rows) > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS example_orders_b8")
         spark.sql("DROP TABLE IF EXISTS example_lineitem_b8")

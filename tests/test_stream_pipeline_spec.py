@@ -435,3 +435,39 @@ def test_spec_driven_neardedup_sink(spark, tmp_path):
 
     sigs, _ = neardedup.read_state(spark, base)
     assert sorted(r["doc_id"] for r in sigs.collect()) == [1, 3]
+
+
+def test_spec_bool_parses_strictly():
+    import pytest
+
+    from oracle_cassandra_migrator_spark.streaming.pipeline import (
+        _spec_bool)
+
+    assert _spec_bool(True, "k") is True
+    assert _spec_bool(False, "k") is False
+    assert _spec_bool("true", "k") is True
+    assert _spec_bool("FALSE", "k") is False  # bool("false") trap
+    for bad in ("yes", 1, None, ""):
+        with pytest.raises(ValueError, match="'k' must be"):
+            _spec_bool(bad, "k")
+
+
+def test_streaming_examples_have_runnable_shape():
+    """Every streaming example must carry the CLI 'streams' wrapper
+    (a bare spec is a silent no-op through __main__) and jsonl_dir
+    sources must put 'path' inside options (the reader only looks
+    there) — both shipped-example regressions from the r9 review."""
+    import json
+    import pathlib
+
+    ex_dir = pathlib.Path(__file__).resolve().parent.parent / "examples"
+    for p in sorted(ex_dir.glob("streaming_*.json")):
+        cfg = json.loads(p.read_text())
+        assert cfg.get("streams"), f"{p.name}: no 'streams' wrapper"
+        for stream in cfg["streams"]:
+            src = stream["source"]
+            assert "sink" in stream, p.name
+            assert "checkpoint_dir" in stream["sink"], p.name
+            if src.get("format") == "jsonl_dir":
+                assert "path" in (src.get("options") or {}), (
+                    f"{p.name}: jsonl_dir path must live in options")

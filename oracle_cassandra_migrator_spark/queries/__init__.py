@@ -136,10 +136,13 @@ _R04_CONFIRMED = frozenset({
 # green in r07 and folded into _R07_CONFIRMED. window_rank_breadth
 # (re-keyed onto the 4096-way customer cohort in r8) re-certified
 # green in CORRECTNESS_r08 and left _RECHECK.
-# r9: the multimodal fixture gained PNG/GIF containers (VERDICT r8
-# item 8 — payload_for_doc now cycles doc_id % 5 across
-# bmp/ppm/wav/png/gif and decode_header parses the two new headers),
-# so the OUTPUT of both fixture-consuming queries changes:
+# r9: the multimodal fixture gained PNG/GIF containers — both
+# fixture-consuming queries re-certified green in CORRECTNESS_r09 and
+# left _RECHECK at the r10 fold.
+# r10: the fixture gains JPEG containers (VERDICT r9 item 2 —
+# payload_for_doc now cycles doc_id % 6 across bmp/ppm/wav/png/gif/
+# jpeg and decode_header parses SOF0/SOF2 frame headers), so the
+# OUTPUT of both fixture-consuming queries changes again:
 # multimodal_decode_stats and multimodal_resize_stats (it reuses
 # _MM_DECODED_SQL). The driver must re-certify both under the new
 # contract.
@@ -286,13 +289,49 @@ _R08_CONFIRMED = frozenset({
 })
 
 
+# CORRECTNESS_r09.json: 50/50 green (rows+schema+hash) — the literal
+# key set, folded per the maintenance note below. r09's window covered
+# flagship, the two multimodal rechecks (green under the PNG/GIF
+# contract), the one r9-new query (dedup_jaccard_auto_routed), and 46
+# of the stalest r04-era greens. With this fold the stalest remaining
+# rows are the 45 r05-vintage greens (_R05_CONFIRMED minus flagship
+# and the four sim_ann_pq/ivfpq re-verifications) — exactly what the
+# r10 window's spare slots re-verify (VERDICT r9 item 1).
+_R09_CONFIRMED = frozenset({
+    "agg_approx_count_distinct", "agg_corr_quantity_price",
+    "agg_distinct_per_segment", "agg_price_histogram",
+    "asof_join_purchase_click", "cap_docs_per_source",
+    "contamination_ngram_overlap", "corpus_mix_report",
+    "cube_orders_status_priority", "dedup_embedding_cosine_baseline",
+    "dedup_incremental_snapshot", "dedup_jaccard_auto_routed",
+    "dedup_minhash_estimate_audit", "dedup_prefix_boilerplate",
+    "dedup_semantic_cells", "dedup_semantic_prune",
+    "embedding_quantize_int8", "embedding_random_projection",
+    "events_user_lifecycle", "flagship_payment_pipeline",
+    "join_anti_customers_without_orders", "join_cross_region_pairs",
+    "join_full_nation_coverage", "join_left_order_counts",
+    "join_range_price_buckets", "join_semi_urgent_customers",
+    "lateral_explode_tokens", "multimodal_decode_stats",
+    "multimodal_resize_stats", "pricing_summary",
+    "rollup_acctbal_region_nation", "sample_temperature_by_lang",
+    "scalar_array_functions", "scalar_bitwise_functions",
+    "scalar_struct_map_functions", "search_bm25_topk",
+    "sim_ivf_multiprobe_topk", "sort_top_customers_by_balance",
+    "text_bigram_logprob", "text_char_entropy", "text_repetition_stats",
+    "text_tfidf_topk", "text_vocab_topk", "topk_order_revenue",
+    "unpivot_part_metrics", "window_lag_event_gap",
+    "window_ntile_quartiles", "window_rank_top_orders",
+    "window_running_total", "window_value_functions",
+})
+
+
 _CONFIRMED_ROUNDS = (
     _R02_CONFIRMED, _R03_CONFIRMED, _R04_CONFIRMED, _R05_CONFIRMED,
-    _R06_CONFIRMED, _R07_CONFIRMED, _R08_CONFIRMED)
+    _R06_CONFIRMED, _R07_CONFIRMED, _R08_CONFIRMED, _R09_CONFIRMED)
 
 
 def _last_green_round(name):
-    """0 = never driver-green; k = last round (2..8) with a green row."""
+    """0 = never driver-green; k = last round (2..9) with a green row."""
     last = 0
     for i, s in enumerate(_CONFIRMED_ROUNDS, start=2):
         if name in s:

@@ -408,7 +408,11 @@ def dedup_embedding_cosine_baseline(spark, sf_dir):
     The scale path is dedup_embedding_lsh_blocked below: identical
     verification cosine, candidates restricted to sign-LSH buckets."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_pairs(emb, threshold=0.45)
+    # max_rows=None (ADVICE r9): this catalog entry IS the whitelisted
+    # deliberately-quadratic baseline — SCALE.md's recorded 100x probe
+    # sweep runs it at 200k embeddings, above the refuse valve that
+    # cosine_pairs applies to ad-hoc callers by default.
+    return similarity.cosine_pairs(emb, threshold=0.45, max_rows=None)
 
 
 def _plane_literal_sql(plane_idx: int, dim: int = 64) -> str:
@@ -612,14 +616,14 @@ def text_fingerprint_bottomk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 # doc_id arithmetic mirrored by operators/multimodal.payload_for_doc:
-# codec by doc_id % 3, geometry from doc_id — the oracle replays the
+# codec by doc_id % 6, geometry from doc_id — the oracle replays the
 # ARITHMETIC while Spark round-trips real container bytes through the
 # builders and the header parsers; a header-layout bug (wrong offset,
 # wrong endianness, bad row padding) breaks n_bytes or a dimension and
 # flips the driver hash.
 _MM_SQL = """
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           doc_id % 5 AS codec,
+           doc_id % 6 AS codec,
            1 + doc_id % 19 AS bw, 1 + (doc_id * 7) % 13 AS bh,
            1 + doc_id % 23 AS pw, 1 + (doc_id * 5) % 11 AS ph,
            1 + doc_id % 2 AS wc,
@@ -627,7 +631,9 @@ _MM_SQL = """
                 ELSE 44100 END AS wrate,
            1 + doc_id % 500 AS wframes,
            1 + doc_id % 17 AS ngw, 1 + (doc_id * 3) % 7 AS ngh,
-           1 + doc_id % 29 AS gw, 1 + (doc_id * 11) % 9 AS gh
+           1 + doc_id % 29 AS gw, 1 + (doc_id * 11) % 9 AS gh,
+           1 + doc_id % 31 AS jw, 1 + (doc_id * 13) % 15 AS jh,
+           1 + 2 * (doc_id % 2) AS jc
     FROM documents
 """
 
@@ -640,16 +646,20 @@ _MM_DECODED_SQL = f"""
                          + length(CAST(ph AS VARCHAR)) + 3 * pw * ph
                 WHEN 2 THEN 44 + wframes * wc * 2
                 WHEN 3 THEN 57 + 3 * ngw * ngh
-                ELSE 27 + least(255, gw * gh) END AS BIGINT) AS n_bytes,
+                WHEN 4 THEN 27 + least(255, gw * gh)
+                ELSE 36 + 3 * jc + least(255, jw * jh)
+                END AS BIGINT) AS n_bytes,
            CASE codec WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
                 WHEN 2 THEN 'wav' WHEN 3 THEN 'png'
-                ELSE 'gif' END AS mm_format,
+                WHEN 4 THEN 'gif' ELSE 'jpeg' END AS mm_format,
            CAST(CASE codec WHEN 0 THEN bw WHEN 1 THEN pw
-                WHEN 3 THEN ngw WHEN 4 THEN gw END AS INT) AS width,
+                WHEN 3 THEN ngw WHEN 4 THEN gw WHEN 5 THEN jw
+                END AS INT) AS width,
            CAST(CASE codec WHEN 0 THEN bh WHEN 1 THEN ph
-                WHEN 3 THEN ngh WHEN 4 THEN gh END AS INT) AS height,
-           CAST(CASE codec WHEN 2 THEN wc WHEN 3 THEN 3 END AS INT)
-             AS channels,
+                WHEN 3 THEN ngh WHEN 4 THEN gh WHEN 5 THEN jh
+                END AS INT) AS height,
+           CAST(CASE codec WHEN 2 THEN wc WHEN 3 THEN 3
+                WHEN 5 THEN jc END AS INT) AS channels,
            CAST(CASE codec WHEN 2 THEN wrate END AS INT) AS sample_rate,
            CAST(CASE codec WHEN 2 THEN wframes * 1000 // wrate
                 END AS BIGINT) AS duration_ms
@@ -660,14 +670,15 @@ _MM_DECODED_SQL = f"""
 @query("multimodal_decode_stats", oracle=_MM_DECODED_SQL)
 def multimodal_decode_stats(spark, sf_dir):
     """Real container decode over Arrow-batched binary payloads: one
-    BMP / P6-PPM / RIFF-WAV / PNG / GIF file per document (codec
-    chosen by doc_id % 5, built by ``payload_for_doc``), headers
-    parsed byte-for-byte by ``decode_header`` — width/height for
-    images (plus color-type channels for PNG), channels/sample-rate/
-    duration for audio, all from the actual bytes (PNG's IHDR CRC-32
-    is verified for real). The oracle replays the generator
-    arithmetic, so the match certifies the full encode -> parse round
-    trip."""
+    BMP / P6-PPM / RIFF-WAV / PNG / GIF / JPEG file per document
+    (codec chosen by doc_id % 6, built by ``payload_for_doc``),
+    headers parsed byte-for-byte by ``decode_header`` — width/height
+    for images (plus color-type channels for PNG and frame components
+    for JPEG), channels/sample-rate/duration for audio, all from the
+    actual bytes (PNG's IHDR CRC-32 is verified; JPEG's marker
+    segments are walked to SOF0/SOF2). The oracle replays the
+    generator arithmetic, so the match certifies the full encode ->
+    parse round trip."""
     docs = read_table(spark, sf_dir, "documents")
     return multimodal.decode_binary_metadata(
         multimodal.synthesized_payloads(docs))

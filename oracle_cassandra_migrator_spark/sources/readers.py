@@ -52,6 +52,8 @@ from typing import Any, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
 
+from oracle_cassandra_migrator_spark.configspec import spec_bool
+
 READ_PATH_FORMATS = {"parquet", "csv", "json", "orc", "text", "avro",
                      "xml", "jsonl_dir"}
 
@@ -151,7 +153,12 @@ def _apply_layout(spark: SparkSession, df: DataFrame,
             "bucketed layout needs a table name: set layout.table, "
             "or give the source an alias/name")
     table = bucketed_table_name(stem, n_buckets)
-    if layout.get("refresh") or not spark.catalog.tableExists(table):
+    # Strict bool parse (ADVICE r9): "refresh": "false" under raw
+    # truthiness would silently rewrite the bucketed table on EVERY
+    # read — the exact string-form hazard spec_bool exists for.
+    refresh = ("refresh" in layout
+               and spec_bool(layout["refresh"], "layout.refresh"))
+    if refresh or not spark.catalog.tableExists(table):
         write_bucketed(spark, df, stem, keys, n_buckets)
     return spark.table(table)
 

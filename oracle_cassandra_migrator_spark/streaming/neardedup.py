@@ -181,6 +181,19 @@ def admit_batch(batch_df: DataFrame, state_sigs: DataFrame | None,
 
     # across batches: probe the admitted-state LSH index
     if state_bands is not None and state_sigs is not None:
+        # Exact-id anti-join FIRST (ADVICE r9): a replayed
+        # already-admitted doc whose band keys are all over
+        # max_band_size would never collide with its own state
+        # signature in the capped probe below and be re-admitted,
+        # breaking the "replay leaves the row SET unchanged"
+        # idempotence the marker-vacuum contract rests on. The id is
+        # the admission identity, so a doc_id already in the state is
+        # dropped unconditionally — cheap (one hash anti-join on the
+        # key column), cap-independent, and it also collapses the
+        # common exact-resend case before the banded estimate runs.
+        survivors = survivors.join(
+            state_sigs.select(F.col("doc_id").alias(id_col)),
+            id_col, "left_anti")
         probe_bands = band_rows(survivors, id_col)
         state_b = state_bands.select(
             F.col("doc_id").alias("admitted_id"), "band_idx", "band_key")
@@ -270,6 +283,9 @@ def foreach_batch_near_dedup(
     marker_dir = posixpath.join(base_dir, "markers")
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        from oracle_cassandra_migrator_spark.streaming.partitioned import (
+            _committed_tokens, _token_key)
+
         marker = posixpath.join(marker_dir, f"batch-{batch_id}.marker")
         if store.exists(marker):
             # replayed committed batch: execute without writing so the
@@ -278,6 +294,21 @@ def foreach_batch_near_dedup(
             consume_without_writing(batch_df)
             return
         spark = batch_df.sparkSession
+        # Liveness guard (ADVICE r9, medium): a version whose token
+        # sorts below the latest compaction is INVISIBLE to
+        # _live_tokens stitching and reclaimed by the next vacuum. A
+        # marker-vacuumed REPLAY landing there is safe — admission is
+        # idempotent (exact-id anti-join + estimate), so it writes an
+        # empty version and loses nothing. But a FRESH-checkpoint run
+        # over the same base_dir restarts batch ids at 0, and its
+        # batches carry NEW admissions that would commit below the
+        # compaction token and silently vanish. Distinguish by the
+        # admitted set: non-empty admissions below the compaction
+        # cannot be a replay, so fail LOUDLY instead of losing them.
+        compactions = [t for t in _committed_tokens(store, marker_dir)
+                       if "c" in t]
+        below_compaction = bool(compactions) and (
+            _token_key(str(batch_id)) < _token_key(compactions[-1]))
         sigs, bands = read_state(spark, base_dir, store)
         adm_sigs, adm_bands = admit_batch(
             batch_df, sigs, bands, text_col, id_col, n, threshold)
@@ -287,6 +318,17 @@ def foreach_batch_near_dedup(
         # micro-batch, mirroring _partitioned_applier's discipline
         adm_sigs.persist()
         try:
+            if below_compaction and adm_sigs.limit(1).count() > 0:
+                raise RuntimeError(
+                    f"near-dedup state at {base_dir!r} was compacted "
+                    f"at token {compactions[-1]!r}, but this stream "
+                    f"is writing batch {batch_id} with NON-EMPTY "
+                    "admissions below it — a fresh-checkpoint run "
+                    "over an already-compacted base_dir. Its versions "
+                    "would be invisible to reads and reclaimed by the "
+                    "next vacuum (silent data loss). Resume the "
+                    "original checkpoint, point this run at a new "
+                    "base_dir, or clear the state first.")
             adm_sigs.write.mode("overwrite").parquet(
                 posixpath.join(base_dir, f"sigs-v{batch_id}"))
             adm_bands.write.mode("overwrite").parquet(
@@ -356,21 +398,28 @@ def vacuum_near_dedup(spark, base_dir: str,
     compaction has committed. Returns the tokens whose data was
     deleted.
 
-    Replay contract (self-review r9, twice): ALL doomed markers are
-    reclaimed, so a batch id whose marker was vacuumed RE-EXECUTES on
-    replay instead of taking the marker fast path. That is safe by
-    construction — admission is IDEMPOTENT against the compacted
-    state: every doc of a replayed batch either already sits in the
-    state (estimates 1.0 against its own signature, rejected) or was
-    rejected originally for a doc that is still in the state, so the
-    re-execution admits nothing and the state is unchanged (the empty
-    version dir it leaves is cleared by the next vacuum). Retaining
-    doomed markers instead would be WRONG: a later fresh-checkpoint
-    run over the same base_dir restarts batch ids at 0, and a stale
-    retained marker would silently swallow a NEW batch that happens to
-    reuse the id — permanent data loss. The no-op fast path therefore
-    applies only to markers not yet vacuumed; correctness never rests
-    on it."""
+    Replay contract (self-review r9, twice; hardened r10): ALL doomed
+    markers are reclaimed, so a batch id whose marker was vacuumed
+    RE-EXECUTES on replay instead of taking the marker fast path. That
+    is safe by construction — admission is IDEMPOTENT against the
+    compacted state: every doc of a replayed batch either already sits
+    in the state (dropped by the exact-doc_id anti-join in
+    ``admit_batch`` — cap-INDEPENDENT, so even a doc whose band keys
+    are all over ``max_band_size`` cannot slip past its own state row;
+    ADVICE r9) or was rejected originally for a doc that is still in
+    the state, so the re-execution admits nothing and the state is
+    unchanged (the empty version dir it leaves is cleared by the next
+    vacuum). Retaining doomed markers instead would be WRONG: a later
+    fresh-checkpoint run over the same base_dir restarts batch ids at
+    0, and a stale retained marker would silently swallow a NEW batch
+    that happens to reuse the id — permanent data loss. The no-op fast
+    path therefore applies only to markers not yet vacuumed;
+    correctness never rests on it. The remaining fresh-checkpoint
+    hazard — a NEW run's batches committing real admissions at tokens
+    below the latest compaction, invisible to reads and doomed by this
+    vacuum — is refused loudly at write time by the liveness guard in
+    ``foreach_batch_near_dedup`` (non-empty admissions below the
+    compaction token cannot be a replay)."""
     from oracle_cassandra_migrator_spark.streaming.partitioned import (
         _committed_tokens, _hadoop_fs)
 

@@ -109,17 +109,12 @@ def build_stream(spark: SparkSession,
 
 
 def _spec_bool(value: Any, key: str) -> bool:
-    """Parse a spec boolean strictly: JSON true/false, or the string
-    forms config authors write ("true"/"false", any case). Plain
-    bool() would turn "false" into True — for a flag that loosens a
-    safety default (allow_missing), that silent inversion is exactly
-    the drift the default exists to catch."""
-    if isinstance(value, bool):
-        return value
-    if isinstance(value, str) and value.lower() in ("true", "false"):
-        return value.lower() == "true"
-    raise ValueError(
-        f"{key!r} must be true/false (got {value!r})")
+    """Strict spec-boolean parse — shared helper (configspec.py) so
+    source specs (layout.refresh) and stream specs (allow_missing)
+    reject the same string-form hazards identically."""
+    from oracle_cassandra_migrator_spark.configspec import spec_bool
+
+    return spec_bool(value, key)
 
 
 def run_stream_pipeline(spark: SparkSession,

@@ -312,3 +312,112 @@ def test_compact_requires_committed_state(spark, tmp_path):
 
     with pytest.raises(ValueError, match="nothing to compact"):
         neardedup.compact_near_dedup(spark, str(tmp_path / "empty"))
+
+
+def test_overcap_replayed_doc_never_readmitted(spark):
+    """ADVICE r9 (low): the marker-vacuum replay contract rests on
+    admission idempotence, but the capped state probe skips band
+    groups larger than max_band_size — so a replayed already-admitted
+    doc whose band keys are ALL over-cap never collided with its own
+    state signature and was re-admitted. The exact-doc_id anti-join
+    must drop it regardless of capping."""
+    from oracle_cassandra_migrator_spark.streaming import neardedup
+
+    # cap=2 admits all three identical docs (no candidates — pinned in
+    # test_within_batch_band_cap_bounds_candidates), so every band key
+    # now holds 3 state rows > cap: the banded probe is blind here
+    b1 = _mk_docs(spark, [(1, BASE), (2, BASE), (3, BASE)])
+    sigs1, bands1 = neardedup.admit_batch(
+        b1, None, None, "text", "doc_id", max_band_size=2)
+    sigs1, bands1 = sigs1.cache(), bands1.cache()
+    assert sigs1.count() == 3
+
+    replay = _mk_docs(spark, [(2, BASE)])
+    sigs2, bands2 = neardedup.admit_batch(
+        replay, sigs1, bands1, "text", "doc_id", max_band_size=2)
+    assert sigs2.count() == 0, "replayed admitted doc re-admitted"
+    assert bands2.count() == 0
+
+
+def test_fresh_checkpoint_over_compacted_state_refused(spark, tmp_path):
+    """ADVICE r9 (medium): a fresh-checkpoint run over an
+    already-compacted base_dir restarts batch ids at 0 — below the
+    compaction token — so its versions would be invisible to
+    _live_tokens stitching and reclaimed by the next vacuum: silent
+    permanent loss of its admissions. Non-empty admissions below the
+    compaction token cannot be a replay (admission is idempotent), so
+    the gate must fail LOUDLY instead of committing them."""
+    from oracle_cassandra_migrator_spark.streaming import neardedup
+
+    src = str(tmp_path / "src")
+    b1 = _mk_docs(spark, [(1, BASE)])
+    b2 = _mk_docs(spark, [(2, NOVEL)])
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    base_dir = str(tmp_path / "state")
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    neardedup.foreach_batch_near_dedup(
+        stream, base_dir, str(tmp_path / "ckpt")).awaitTermination(180)
+    neardedup.compact_near_dedup(spark, base_dir)
+    neardedup.vacuum_near_dedup(spark, base_dir)
+    sigs_pre, _ = neardedup.read_state(spark, base_dir)
+    rows_pre = sorted(map(tuple, sigs_pre.collect()))
+
+    # a NEW run (fresh checkpoint, new source) carrying a genuinely
+    # novel doc: its batch 0 sorts below the compaction token and
+    # admits rows -> must refuse, not silently doom them
+    src2 = str(tmp_path / "src2")
+    _mk_docs(spark, [
+        (50, "entirely new prose describing mountain weather "
+             "patterns and the slow churn of glacial ice fields"),
+    ]).coalesce(1).write.mode("overwrite").parquet(src2)
+    stream2 = (spark.readStream.schema(b1.schema)
+               .option("maxFilesPerTrigger", "1").parquet(src2))
+    q = neardedup.foreach_batch_near_dedup(
+        stream2, base_dir, str(tmp_path / "ckpt2"))
+    with pytest.raises(Exception, match="compacted"):
+        q.awaitTermination(180)
+        raise AssertionError("fresh-checkpoint collision not refused")
+
+    # nothing committed: state unchanged, no stray markers below the
+    # compaction token
+    sigs_post, _ = neardedup.read_state(spark, base_dir)
+    assert sorted(map(tuple, sigs_post.collect())) == rows_pre
+    import glob
+
+    assert sorted(glob.glob(f"{base_dir}/markers/*.marker")) == [
+        f"{base_dir}/markers/batch-1c1.marker"]
+
+
+def test_marker_vacuumed_replay_is_empty_noop(spark, tmp_path):
+    """The flip side of the collision guard: a replay of data already
+    IN the compacted state (same docs, fresh checkpoint) admits
+    nothing by idempotence, so it passes the guard, commits empty
+    versions below the compaction token, and the state is unchanged —
+    the exact contract vacuum_near_dedup documents."""
+    from oracle_cassandra_migrator_spark.streaming import neardedup
+
+    src = str(tmp_path / "src")
+    b1 = _mk_docs(spark, [(1, BASE)])
+    b2 = _mk_docs(spark, [(2, NOVEL)])
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    base_dir = str(tmp_path / "state")
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    neardedup.foreach_batch_near_dedup(
+        stream, base_dir, str(tmp_path / "ckpt")).awaitTermination(180)
+    neardedup.compact_near_dedup(spark, base_dir)
+    neardedup.vacuum_near_dedup(spark, base_dir)
+    sigs_pre, _ = neardedup.read_state(spark, base_dir)
+    rows_pre = sorted(map(tuple, sigs_pre.collect()))
+
+    # fresh checkpoint, SAME source: batches 0..1 re-deliver docs that
+    # are all in the compacted state already
+    stream2 = (spark.readStream.schema(b1.schema)
+               .option("maxFilesPerTrigger", "1").parquet(src))
+    neardedup.foreach_batch_near_dedup(
+        stream2, base_dir, str(tmp_path / "ckpt2")).awaitTermination(180)
+    sigs_post, _ = neardedup.read_state(spark, base_dir)
+    assert sorted(map(tuple, sigs_post.collect())) == rows_pre

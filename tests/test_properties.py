@@ -328,6 +328,9 @@ def test_multimodal_builders_roundtrip_any_geometry(
     gw, gh = min(width, 65535), min(height, 65535)
     assert mm.decode_header(mm.build_gif(gw, gh)) == (
         "gif", gw, gh, None, None, None)
+    assert mm.decode_header(mm.build_jpeg(
+        gw, gh, channels=channels, progressive=bool(frames % 2))) == (
+        "jpeg", gw, gh, channels, None, None)
 
 
 @settings(max_examples=100, deadline=None)
@@ -339,7 +342,8 @@ def test_decode_header_never_raises_on_fuzz(data):
     from oracle_cassandra_migrator_spark.operators import multimodal as mm
 
     for prefix in (b"", b"BM", b"P6", b"RIFF", b"RIFF1234WAVE",
-                   b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a"):
+                   b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a",
+                   b"\xff\xd8", b"\xff\xd8\xff\xe0", b"\xff\xd8\xff\xc0"):
         got = mm.decode_header(prefix + data)
         assert isinstance(got, tuple) and len(got) == 6
 

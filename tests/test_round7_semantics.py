@@ -143,6 +143,12 @@ def test_decode_header_parses_real_containers():
         "png", 31, 12, 3, None, None)
     assert mm.decode_header(mm.build_gif(640, 480)) == (
         "gif", 640, 480, None, None, None)
+    # r10: JPEG — baseline (SOF0) and progressive (SOF2) frame headers
+    assert mm.decode_header(mm.build_jpeg(1920, 1080)) == (
+        "jpeg", 1920, 1080, 3, None, None)
+    assert mm.decode_header(
+        mm.build_jpeg(33, 7, channels=1, progressive=True)) == (
+        "jpeg", 33, 7, 1, None, None)
 
     import io
     import wave as stdwave
@@ -201,6 +207,25 @@ def test_decode_header_edge_cases():
                + patched[12:])
     assert mm.decode_header(patched) == ("wav", None, None, 1, 8000,
                                          100 * 1000 // 8000)
+
+    # JPEG quarantine paths (r10): truncated segment, SOS before SOF,
+    # EOI before SOF, DNL-deferred height 0, declared-length mismatch
+    jpg = mm.build_jpeg(9, 9)
+    assert mm.decode_header(jpg[:20])[0] == "unknown"
+    assert mm.decode_header(
+        b"\xff\xd8\xff\xda\x00\x04\x01\x00\xff\xd9")[0] == "unknown"
+    assert mm.decode_header(b"\xff\xd8\xff\xd9")[0] == "unknown"
+    zero_h = bytearray(jpg)
+    sof = zero_h.rindex(b"\xff\xc0")
+    struct.pack_into(">H", zero_h, sof + 5, 0)  # height := 0 (DNL)
+    assert mm.decode_header(bytes(zero_h))[0] == "unknown"
+    bad_len = bytearray(jpg)
+    struct.pack_into(">H", bad_len, sof + 2, 9)  # seglen != 8 + 3*ncomp
+    assert mm.decode_header(bytes(bad_len))[0] == "unknown"
+    # fill 0xFF bytes before a marker are legal padding (ITU T.81
+    # B.1.1.2) — the walk must skip them, not quarantine
+    padded = jpg[:2] + b"\xff\xff" + jpg[2:]
+    assert mm.decode_header(padded) == ("jpeg", 9, 9, 3, None, None)
 
 
 def test_decode_binary_metadata_quarantines_bad_rows(spark):

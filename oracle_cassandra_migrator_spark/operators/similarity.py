@@ -327,10 +327,23 @@ def ivf_topk(
     smallest centroid id. No per-(vector, centroid) row blow-up, no
     window, no corpus-wide exchange; the only shuffle in the whole plan
     is the |codebook|-row aggregation."""
-    e = DOUBLE_VEC.format(col=vec_col)
     if centroids is None:
         centroids = _default_centroids(embeddings, modulus, vec_col, id_col)
     cells = _assign_cells(embeddings, centroids, vec_col, id_col)
+    return topk_within_cells(cells, k=k, query_id=query_id,
+                             vec_col=vec_col, id_col=id_col)
+
+
+def topk_within_cells(
+    cells: DataFrame, k: int = 10, query_id: int = 0,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Single-cell IVF probe over an ALREADY-ASSIGNED index frame
+    (id, vec, cell_id) — the serving half of ``ivf_topk``, factored
+    out so a maintained/materialized index can be probed without
+    re-running assignment. The query row broadcasts into the cell-key
+    join; only the query's cell is scored."""
+    e = DOUBLE_VEC.format(col=vec_col)
     q = cells.where(f"{id_col} = {query_id}").select(
         F.col("cell_id").alias("qcell"), F.col(vec_col).alias("q"))
     qv = DOUBLE_VEC.format(col="q")
@@ -809,3 +822,109 @@ def project_components(embeddings: DataFrame, components: list[list[float]],
         cols.append(
             F.expr(f"round({dot_expr(e, lit)}, 6)").alias(f"pc{k}"))
     return embeddings.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Incremental ANN index maintenance (VERDICT r9 item 4)
+# ---------------------------------------------------------------------------
+
+# Default retrain gate for extend_or_retrain_ivf, in the same micro-
+# cosine units as the embedding_centroid_drift catalog metric: while
+# the appended batch's centroid stays within cos >= 0.98 of the
+# indexed corpus's, the frozen codebook still tessellates the new data
+# and append-only assignment preserves recall; below it the batch has
+# drifted into regions the codebook never trained on and the index
+# retrains. Same spirit as the PSI 0.25 alert line in psi_gate.
+CENTROID_DRIFT_GATE_MICRO = 980_000
+
+
+def _sum_micro_by_dim(df: DataFrame, vec_col: str):
+    """{dim_idx: exact-decimal component sum quantized to micro-unit
+    int} — one posexplode + map-side-partial aggregate; the collect is
+    dim-sized (64 rows), never corpus-sized."""
+    rows = (
+        df.select(F.posexplode(
+            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))"))
+            .alias("dim_idx", "x"))
+        .groupBy("dim_idx")
+        .agg(F.expr("CAST(floor(CAST(SUM(CAST(x AS DECIMAL(27,6)))"
+                    " AS DOUBLE) * 1e6 + 0.5) AS BIGINT)").alias("s"))
+        .collect())
+    return {r["dim_idx"]: int(r["s"]) for r in rows}
+
+
+def centroid_drift_micro(base: DataFrame, appended: DataFrame,
+                         vec_col: str = "embedding") -> int:
+    """Cosine (micro-units, floor(x*1e6 + 0.5)) between the centroid of
+    the indexed corpus and the centroid of an appended batch — the
+    label-free variant of the ``embedding_centroid_drift`` catalog
+    metric, on the same exact path: per-dimension DECIMAL sums
+    quantized to micro-unit integers, then exact integer dot/norms
+    (cosine is scale-invariant, so sums stand in for means and no
+    centroid ever materializes). Driver math is over two dim-sized
+    dicts; the only cluster work is one narrow aggregate per side."""
+    import math
+
+    a = _sum_micro_by_dim(base, vec_col)
+    b = _sum_micro_by_dim(appended, vec_col)
+    dims = sorted(set(a) | set(b))
+    dot = sum(a.get(d, 0) * b.get(d, 0) for d in dims)
+    na2 = sum(a.get(d, 0) ** 2 for d in dims)
+    nb2 = sum(b.get(d, 0) ** 2 for d in dims)
+    if na2 == 0 or nb2 == 0:
+        return 0
+    return int(math.floor(dot / (math.sqrt(na2) * math.sqrt(nb2))
+                          * 1e6 + 0.5))
+
+
+def assign_appended_batch(
+    appended: DataFrame, codebook_rows,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode ONLY the appended rows against a FROZEN codebook
+    (driver-collected (cid, cvec) rows rendered as a plan literal):
+    a pure per-row projection — no join, no broadcast variable, no
+    shuffle, no touch of the already-indexed corpus. The daily-append
+    fast path of IVF maintenance: cost is O(|batch| x |codebook|)
+    regardless of index size."""
+    return assign_cells_literal(
+        appended, codebook_literal_expr(codebook_rows), vec_col, id_col)
+
+
+def extend_or_retrain_ivf(
+    base_cells: DataFrame, appended: DataFrame, codebook_rows,
+    gate_micro: int = CENTROID_DRIFT_GATE_MICRO,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    modulus: int = 43, iters: int = 2, init_limit: int | None = 64,
+):
+    """IVF index maintenance for an append-only corpus: returns
+    ``(cells, retrained, drift_micro)``.
+
+    - drift within the gate (appended centroid cosine >=
+      ``gate_micro`` vs the indexed corpus): the appended batch is
+      encoded against the frozen codebook (``assign_appended_batch``,
+      zero shuffle) and unioned under the existing index — the
+      existing assignment is NOT recomputed, so maintenance cost is
+      O(|batch|) at any index size. By assignment determinism the
+      result is row-identical to re-assigning the full corpus against
+      the same codebook (pinned in pytest).
+    - drift beyond the gate: the codebook no longer represents the
+      data; retrain ``kmeans_codebook`` on base+appended and reassign
+      everything (the full rebuild the gate exists to amortize).
+
+    ``base_cells`` is the existing index frame (id, vec, cell_id);
+    ``codebook_rows`` the driver-collected frozen codebook."""
+    appended = appended.select(id_col, vec_col)
+    drift = centroid_drift_micro(
+        base_cells.select(vec_col), appended, vec_col)
+    if drift >= gate_micro:
+        new_cells = assign_appended_batch(
+            appended, codebook_rows, vec_col, id_col)
+        return (base_cells.select(id_col, vec_col, "cell_id")
+                .unionByName(new_cells), False, drift)
+    full = base_cells.select(id_col, vec_col).unionByName(appended)
+    retrained = kmeans_codebook(
+        full, modulus=modulus, iters=iters, init_limit=init_limit,
+        vec_col=vec_col, id_col=id_col)
+    return (_assign_cells(full, retrained, vec_col, id_col),
+            True, drift)

@@ -1126,8 +1126,11 @@ def _ivf_cells_parts(modulus: int = 43, iters: int = 2,
 
 
 def _ivf_trained_oracle(modulus: int = 43, iters: int = 2, k: int = 10,
-                        query_id: int = 0) -> str:
-    parts = _ivf_cells_parts(modulus, iters)
+                        query_id: int = 0,
+                        sample_mod: int | None = None,
+                        init_limit: int | None = None) -> str:
+    parts = _ivf_cells_parts(modulus, iters, sample_mod=sample_mod,
+                             init_limit=init_limit)
     cos = (
         "round(list_dot_product(c.embedding::DOUBLE[], q.qv::DOUBLE[])"
         " / (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))"

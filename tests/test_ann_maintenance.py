@@ -1,0 +1,120 @@
+"""Incremental ANN index maintenance (VERDICT r9 item 4,
+operators/similarity.py): appending against a frozen codebook must be
+row-identical to re-assigning the full corpus against it, the drift
+gate must route append vs retrain, and the append path must stay
+zero-shuffle."""
+
+from oracle_cassandra_migrator_spark.operators import similarity
+from tests.conftest import SF_SMALL
+
+
+def _emb(spark):
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    return read_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", "embedding")
+
+
+def _negated(df, id_offset=1_000_000):
+    return df.selectExpr(
+        f"vec_id + {id_offset} AS vec_id",
+        "transform(embedding, x -> CAST(-x AS FLOAT)) AS embedding")
+
+
+def test_centroid_drift_micro_is_exact_cosine(spark):
+    emb = _emb(spark)
+    assert similarity.centroid_drift_micro(emb, emb) == 1_000_000
+    assert similarity.centroid_drift_micro(emb, _negated(emb)) \
+        == -1_000_000
+
+
+def test_append_within_gate_equals_full_reassign(spark):
+    """The maintenance invariant: encode ONLY the appended half
+    against the frozen codebook, union under the untouched base index
+    — row-identical to assigning the whole corpus against the same
+    codebook, and the probe over the maintained index equals the probe
+    over the rebuilt one."""
+    emb = _emb(spark)
+    base = emb.where("vec_id % 2 = 0")
+    appended = emb.where("vec_id % 2 = 1")
+    cents = similarity.kmeans_codebook(
+        base, modulus=43, iters=2, init_limit=64)
+    rows = cents.collect()
+    expr = similarity.codebook_literal_expr(rows)
+    base_cells = similarity.assign_cells_literal(base, expr)
+
+    drift = similarity.centroid_drift_micro(base, appended)
+    maintained, retrained, got_drift = similarity.extend_or_retrain_ivf(
+        base_cells, appended, rows, gate_micro=drift)  # gate met exactly
+    assert retrained is False and got_drift == drift
+
+    want = similarity.assign_cells_literal(emb, expr)
+    assert (sorted(map(tuple, maintained.collect()))
+            == sorted(map(tuple, want.collect())))
+
+    got_topk = similarity.topk_within_cells(
+        maintained, k=10, query_id=0).collect()
+    want_topk = similarity.topk_within_cells(
+        want, k=10, query_id=0).collect()
+    assert [tuple(r) for r in got_topk] == [tuple(r) for r in want_topk]
+    assert len(got_topk) == 10
+
+
+def test_drift_beyond_gate_retrains_full_rebuild(spark):
+    """A drifted batch (negated vectors: centroid cosine -1.0) must
+    cross the default gate and trigger the full rebuild — maintenance
+    equals a from-scratch retrain+reassign over base+appended."""
+    emb = _emb(spark)
+    base = emb.where("vec_id % 4 = 0")
+    appended = _negated(base)
+    cents = similarity.kmeans_codebook(
+        base, modulus=43, iters=2, init_limit=64)
+    rows = cents.collect()
+    base_cells = similarity.assign_cells_literal(
+        base, similarity.codebook_literal_expr(rows))
+
+    maintained, retrained, drift = similarity.extend_or_retrain_ivf(
+        base_cells, appended, rows)
+    assert retrained is True
+    assert drift == -1_000_000 < similarity.CENTROID_DRIFT_GATE_MICRO
+
+    full = base.unionByName(appended)
+    want_cents = similarity.kmeans_codebook(
+        full, modulus=43, iters=2, init_limit=64)
+    want = similarity._assign_cells(
+        full, want_cents, "embedding", "vec_id")
+    assert (sorted(map(tuple, maintained.collect()))
+            == sorted(map(tuple, want.collect())))
+
+
+def test_gate_routing_is_threshold_exact(spark):
+    """Routing is a pure comparison against the measured drift: gate
+    at drift appends, gate one micro-unit above retrains."""
+    emb = _emb(spark)
+    base = emb.where("vec_id % 2 = 0")
+    appended = emb.where("vec_id % 2 = 1")
+    rows = similarity.kmeans_codebook(
+        base, modulus=43, iters=2, init_limit=64).collect()
+    base_cells = similarity.assign_cells_literal(
+        base, similarity.codebook_literal_expr(rows))
+    drift = similarity.centroid_drift_micro(base, appended)
+    _, retrained_lo, _ = similarity.extend_or_retrain_ivf(
+        base_cells, appended, rows, gate_micro=drift)
+    _, retrained_hi, _ = similarity.extend_or_retrain_ivf(
+        base_cells, appended, rows, gate_micro=drift + 1)
+    assert retrained_lo is False and retrained_hi is True
+
+
+def test_assign_appended_batch_is_zero_shuffle(spark):
+    """The append fast path must be a pure per-row projection: no
+    Exchange anywhere, inside whole-stage codegen — O(|batch|) at any
+    index size."""
+    emb = _emb(spark)
+    rows = similarity.kmeans_codebook(
+        emb.where("vec_id % 2 = 0"), modulus=43, iters=2,
+        init_limit=64).collect()
+    assigned = similarity.assign_appended_batch(
+        emb.where("vec_id % 2 = 1"), rows)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "WholeStageCodegen" in plan or "*(" in plan

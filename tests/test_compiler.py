@@ -651,3 +651,63 @@ def test_compiler_maintain_agg_step(spark):
     ])
     got = {r.k: (r.n, int(r.s)) for r in out.collect()}
     assert got == {"a": (2, 35), "c": (1, 7)}
+
+
+def test_compiler_dedup_near_step(spark):
+    """dedup_near (VERDICT r9 item 3): the declarative step's
+    decisions output must be row-identical to the dedup_minhash_prune
+    catalog query on the same input; mode=filter must return exactly
+    the kept input rows; pairs=jaccard must route through the exact
+    strategy router and agree with minhash decisions' keep set on this
+    corpus slice where both verify the same exact-Jaccard bar."""
+    from oracle_cassandra_migrator_spark.plans.compiler import (
+        compile_transform)
+    from oracle_cassandra_migrator_spark.queries.extensions import (
+        dedup_minhash_prune)
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    from tests.conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    decisions = compile_transform(spark, {"docs": docs}, [
+        {"op": "dedup_near", "input": "docs", "text": "text",
+         "id": "doc_id", "threshold": 0.5, "n": 3},
+    ])
+    assert decisions.columns == ["doc_id", "cluster_rep", "is_kept"]
+    got = sorted(map(tuple, decisions.collect()))
+    want = sorted(map(tuple, dedup_minhash_prune(
+        spark, SF_SMALL).collect()))
+    assert got == want and len(got) > 0
+
+    kept_ids = {r[0] for r in got if r[2]}
+    assert 0 < len(kept_ids) < len(got)  # some near-dups exist at sf
+
+    filtered = compile_transform(spark, {"docs": docs}, [
+        {"op": "dedup_near", "input": "docs", "text": "text",
+         "id": "doc_id", "threshold": 0.5, "mode": "filter"},
+    ])
+    assert set(filtered.columns) == set(docs.columns)
+    assert {r["doc_id"] for r in filtered.collect()} == kept_ids
+
+    # exact-Jaccard track through the measured router (strategy=auto
+    # at t=0.5 routes to the inverted-index twin)
+    jac = compile_transform(spark, {"docs": docs}, [
+        {"op": "dedup_near", "input": "docs", "text": "text",
+         "id": "doc_id", "threshold": 0.5, "pairs": "jaccard",
+         "strategy": "auto"},
+    ])
+    assert jac.columns == ["doc_id", "cluster_rep", "is_kept"]
+    assert jac.where("is_kept").count() > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pairs"):
+        compile_transform(spark, {"docs": docs}, [
+            {"op": "dedup_near", "input": "docs", "text": "text",
+             "id": "doc_id", "pairs": "simhash"},
+        ])
+    with _pytest.raises(ValueError, match="mode"):
+        compile_transform(spark, {"docs": docs}, [
+            {"op": "dedup_near", "input": "docs", "text": "text",
+             "id": "doc_id", "mode": "summarize"},
+        ])

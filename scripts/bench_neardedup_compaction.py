@@ -8,7 +8,11 @@ delta is pure version/file fan-out, which is what compaction exists to
 bound (streaming/neardedup.py).
 
 Usage: python scripts/bench_neardedup_compaction.py [sf_dir] [n_batches]
-Prints one JSON line.
+           [drain_timeout_sec]
+Prints one JSON line. (drain_timeout defaults to 1800; the 30x
+batch-count probe — hundreds of versions — needs more, since the
+before-arm's per-batch stitch cost grows with the version count,
+which is exactly the fan-out being measured.)
 """
 
 from __future__ import annotations
@@ -46,6 +50,7 @@ def probe_wall(spark, base_dir: str, probe_bands) -> float:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    drain_timeout = int(sys.argv[3]) if len(sys.argv) > 3 else 1800
 
     from oracle_cassandra_migrator_spark.sources.testdata import read_table
     from oracle_cassandra_migrator_spark.streaming import neardedup
@@ -67,11 +72,11 @@ def main() -> None:
                   .option("maxFilesPerTrigger", "1").parquet(src))
         q = neardedup.foreach_batch_near_dedup(
             stream, base, f"{work}/ckpt")
-        if not q.awaitTermination(1800):
+        if not q.awaitTermination(drain_timeout):
             q.stop()
             raise RuntimeError(
-                "stream did not drain in 1800 s — refusing to measure "
-                "compaction against a mid-flight state")
+                f"stream did not drain in {drain_timeout} s — refusing "
+                "to measure compaction against a mid-flight state")
 
         probe = neardedup.band_rows(
             neardedup.batch_signatures(

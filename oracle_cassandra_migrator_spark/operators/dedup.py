@@ -492,6 +492,31 @@ def connected_components(edges: DataFrame, src: str = "src",
     return labels
 
 
+def dedup_decisions(df: DataFrame, comp: DataFrame, id_col: str,
+                    cast_bigint: bool = True) -> DataFrame:
+    """(id, cluster_rep, is_kept) decisions from a
+    :func:`connected_components` labels frame: every row of ``df``
+    left-joins its component, singletons keep themselves, and the
+    min-id representative per transitive cluster is the keeper. The
+    one projection every dedup family's keep/drop tail shares (pulled
+    out in r10 — it had grown four inline copies).
+
+    ``cast_bigint=False`` keeps ``id_col``'s own type in cluster_rep
+    (a BIGINT cast of a string/UUID id would be NULL — the
+    ``dedup_keep_representative`` trap); the catalog queries keep the
+    BIGINT cast their oracles pin."""
+    rep = (f"CAST(coalesce(component, {id_col}) AS BIGINT)"
+           if cast_bigint else f"coalesce(component, {id_col})")
+    return (
+        df.select(id_col)
+        .join(comp, F.col(id_col) == comp.node, "left")
+        .selectExpr(
+            id_col,
+            f"{rep} AS cluster_rep",
+            f"coalesce(component, {id_col}) = {id_col} AS is_kept")
+    )
+
+
 def dedup_keep_representative(
     df: DataFrame, text_col: str, id_col: str,
 ) -> DataFrame:

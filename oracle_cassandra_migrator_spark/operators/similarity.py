@@ -838,10 +838,15 @@ def project_components(embeddings: DataFrame, components: list[list[float]],
 CENTROID_DRIFT_GATE_MICRO = 980_000
 
 
-def _sum_micro_by_dim(df: DataFrame, vec_col: str):
+def embedding_dim_sums_micro(df: DataFrame,
+                             vec_col: str = "embedding") -> dict:
     """{dim_idx: exact-decimal component sum quantized to micro-unit
     int} — one posexplode + map-side-partial aggregate; the collect is
-    dim-sized (64 rows), never corpus-sized."""
+    dim-sized (64 rows), never corpus-sized. These sums are ADDITIVE:
+    a maintenance loop computes them once for the indexed corpus,
+    carries the O(dim) dict forward, and folds each appended batch's
+    sums in driver-side (``{d: a.get(d,0)+b.get(d,0)}``) — so drift
+    gating never re-scans the index (see ``extend_or_retrain_ivf``)."""
     rows = (
         df.select(F.posexplode(
             F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))"))
@@ -851,6 +856,21 @@ def _sum_micro_by_dim(df: DataFrame, vec_col: str):
                     " AS DOUBLE) * 1e6 + 0.5) AS BIGINT)").alias("s"))
         .collect())
     return {r["dim_idx"]: int(r["s"]) for r in rows}
+
+
+def centroid_drift_from_sums(a: dict, b: dict) -> int:
+    """Micro-cosine of two per-dimension sum dicts (exact integer
+    dot/norms; the only float math is the final sqrt/divide)."""
+    import math
+
+    dims = sorted(set(a) | set(b))
+    dot = sum(a.get(d, 0) * b.get(d, 0) for d in dims)
+    na2 = sum(a.get(d, 0) ** 2 for d in dims)
+    nb2 = sum(b.get(d, 0) ** 2 for d in dims)
+    if na2 == 0 or nb2 == 0:
+        return 0
+    return int(math.floor(dot / (math.sqrt(na2) * math.sqrt(nb2))
+                          * 1e6 + 0.5))
 
 
 def centroid_drift_micro(base: DataFrame, appended: DataFrame,
@@ -863,18 +883,9 @@ def centroid_drift_micro(base: DataFrame, appended: DataFrame,
     (cosine is scale-invariant, so sums stand in for means and no
     centroid ever materializes). Driver math is over two dim-sized
     dicts; the only cluster work is one narrow aggregate per side."""
-    import math
-
-    a = _sum_micro_by_dim(base, vec_col)
-    b = _sum_micro_by_dim(appended, vec_col)
-    dims = sorted(set(a) | set(b))
-    dot = sum(a.get(d, 0) * b.get(d, 0) for d in dims)
-    na2 = sum(a.get(d, 0) ** 2 for d in dims)
-    nb2 = sum(b.get(d, 0) ** 2 for d in dims)
-    if na2 == 0 or nb2 == 0:
-        return 0
-    return int(math.floor(dot / (math.sqrt(na2) * math.sqrt(nb2))
-                          * 1e6 + 0.5))
+    return centroid_drift_from_sums(
+        embedding_dim_sums_micro(base, vec_col),
+        embedding_dim_sums_micro(appended, vec_col))
 
 
 def assign_appended_batch(
@@ -896,6 +907,7 @@ def extend_or_retrain_ivf(
     gate_micro: int = CENTROID_DRIFT_GATE_MICRO,
     vec_col: str = "embedding", id_col: str = "vec_id",
     modulus: int = 43, iters: int = 2, init_limit: int | None = 64,
+    assume_new_ids: bool = False, base_sums: dict | None = None,
 ):
     """IVF index maintenance for an append-only corpus: returns
     ``(cells, retrained, drift_micro)``.
@@ -904,27 +916,54 @@ def extend_or_retrain_ivf(
       ``gate_micro`` vs the indexed corpus): the appended batch is
       encoded against the frozen codebook (``assign_appended_batch``,
       zero shuffle) and unioned under the existing index — the
-      existing assignment is NOT recomputed, so maintenance cost is
-      O(|batch|) at any index size. By assignment determinism the
-      result is row-identical to re-assigning the full corpus against
-      the same codebook (pinned in pytest).
+      existing assignment is NOT recomputed. By assignment determinism
+      the result is row-identical to re-assigning the full corpus
+      against the same codebook (pinned in pytest).
     - drift beyond the gate: the codebook no longer represents the
       data; retrain ``kmeans_codebook`` on base+appended and reassign
       everything (the full rebuild the gate exists to amortize).
 
+    Replay safety (self-review r10): a replayed/retried batch must not
+    double-insert its rows — by default appended ids already present
+    in the index are dropped by an exact-id anti-join first (the
+    near-dedup gate's idempotence rule), and a batch that dedupes to
+    EMPTY short-circuits to the unchanged index (retrained=False,
+    drift 1e6 = "no evidence of drift") instead of feeding the
+    degenerate empty-centroid drift into a pointless full retrain.
+
+    Cost at scale: the anti-join and (if ``base_sums`` is None) the
+    drift sums scan the index once per batch — fine at probe SFs,
+    wrong as a steady state at 100 TB. A production loop passes
+    ``assume_new_ids=True`` (ids are new by construction, e.g.
+    monotonic) and carries ``base_sums`` (``embedding_dim_sums_micro``
+    is additive — compute once, fold each batch's sums in driver-side)
+    so the whole append arm is O(|batch|) at any index size.
+
     ``base_cells`` is the existing index frame (id, vec, cell_id);
     ``codebook_rows`` the driver-collected frozen codebook."""
     appended = appended.select(id_col, vec_col)
-    drift = centroid_drift_micro(
-        base_cells.select(vec_col), appended, vec_col)
-    if drift >= gate_micro:
-        new_cells = assign_appended_batch(
-            appended, codebook_rows, vec_col, id_col)
-        return (base_cells.select(id_col, vec_col, "cell_id")
-                .unionByName(new_cells), False, drift)
-    full = base_cells.select(id_col, vec_col).unionByName(appended)
-    retrained = kmeans_codebook(
-        full, modulus=modulus, iters=iters, init_limit=init_limit,
-        vec_col=vec_col, id_col=id_col)
-    return (_assign_cells(full, retrained, vec_col, id_col),
-            True, drift)
+    if not assume_new_ids:
+        appended = appended.join(
+            base_cells.select(id_col), id_col, "left_anti")
+    appended = appended.persist()
+    try:
+        if appended.limit(1).count() == 0:
+            return (base_cells.select(id_col, vec_col, "cell_id"),
+                    False, 1_000_000)
+        a = (base_sums if base_sums is not None else
+             embedding_dim_sums_micro(base_cells, vec_col))
+        drift = centroid_drift_from_sums(
+            a, embedding_dim_sums_micro(appended, vec_col))
+        if drift >= gate_micro:
+            new_cells = assign_appended_batch(
+                appended, codebook_rows, vec_col, id_col)
+            return (base_cells.select(id_col, vec_col, "cell_id")
+                    .unionByName(new_cells), False, drift)
+        full = base_cells.select(id_col, vec_col).unionByName(appended)
+        retrained = kmeans_codebook(
+            full, modulus=modulus, iters=iters, init_limit=init_limit,
+            vec_col=vec_col, id_col=id_col)
+        return (_assign_cells(full, retrained, vec_col, id_col),
+                True, drift)
+    finally:
+        appended.unpersist()

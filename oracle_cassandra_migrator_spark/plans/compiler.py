@@ -592,6 +592,7 @@ def _op_dedup_near(ns, step):
         LSH_ROWS,
         allpairs_jaccard_pairs,
         connected_components,
+        dedup_decisions,
         minhash_lsh_pairs,
     )
 
@@ -615,16 +616,10 @@ def _op_dedup_near(ns, step):
             f"dedup_near pairs must be 'minhash' or 'jaccard' "
             f"(got {pairs_alg!r})")
     comp = connected_components(pairs, src="doc_a", dst="doc_b")
-    decisions = (
-        df.select(id_col)
-        .join(comp, F.col(id_col) == comp.node, "left")
-        .selectExpr(
-            id_col,
-            # component inherits id_col's own type (labels ARE ids),
-            # so no lossy cast — a string/UUID id survives intact
-            # (the dedup_keep_representative trap)
-            f"coalesce(component, {id_col}) AS cluster_rep",
-            f"coalesce(component, {id_col}) = {id_col} AS is_kept"))
+    # cast_bigint=False: component inherits id_col's own type (labels
+    # ARE ids), so a string/UUID id survives intact — the
+    # dedup_keep_representative trap
+    decisions = dedup_decisions(df, comp, id_col, cast_bigint=False)
     mode = step.get("mode", "decisions")
     if mode == "decisions":
         return decisions

@@ -214,14 +214,7 @@ def dedup_minhash_prune(spark, sf_dir):
     pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id",
                                     n=3, threshold=0.5)
     comp = dedup.connected_components(pairs, src="doc_a", dst="doc_b")
-    return (
-        docs.select("doc_id")
-        .join(comp, docs.doc_id == comp.node, "left")
-        .selectExpr(
-            "doc_id",
-            "CAST(coalesce(component, doc_id) AS BIGINT) AS cluster_rep",
-            "coalesce(component, doc_id) = doc_id AS is_kept")
-    )
+    return dedup.dedup_decisions(docs, comp, "doc_id")
 
 
 @query("dedup_minhash_estimate_audit", oracle=_minhash_audit_oracle())
@@ -2458,14 +2451,7 @@ def dedup_semantic_prune(spark, sf_dir):
     cells = similarity.assign_cells_literal(emb, codebook)
     pairs = similarity.cosine_pairs_within_cells(cells, threshold=0.45)
     comp = dedup.connected_components(pairs, src="id_a", dst="id_b")
-    return (
-        emb.select("vec_id")
-        .join(comp, emb.vec_id == comp.node, "left")
-        .selectExpr(
-            "vec_id",
-            "CAST(coalesce(component, vec_id) AS BIGINT) AS cluster_rep",
-            "coalesce(component, vec_id) = vec_id AS is_kept")
-    )
+    return dedup.dedup_decisions(emb, comp, "vec_id")
 
 
 @query(
@@ -3986,14 +3972,7 @@ def dedup_simhash_prune(spark, sf_dir):
     pairs = dedup.simhash_hamming_pairs(
         docs, "text", "doc_id", max_distance=1)
     comp = dedup.connected_components(pairs, src="doc_a", dst="doc_b")
-    return (
-        docs.select("doc_id")
-        .join(comp, docs.doc_id == comp.node, "left")
-        .selectExpr(
-            "doc_id",
-            "CAST(coalesce(component, doc_id) AS BIGINT) AS cluster_rep",
-            "coalesce(component, doc_id) = doc_id AS is_kept")
-    )
+    return dedup.dedup_decisions(docs, comp, "doc_id")
 
 
 @query(

@@ -69,10 +69,6 @@ from oracle_cassandra_migrator_spark.reliability.state import (
     LocalFSStateStore,
     StateStore,
 )
-from oracle_cassandra_migrator_spark.streaming.sinks import (
-    consume_without_writing,
-)
-
 K = LSH_BANDS * LSH_ROWS
 
 
@@ -287,13 +283,32 @@ def foreach_batch_near_dedup(
             _committed_tokens, _token_key)
 
         marker = posixpath.join(marker_dir, f"batch-{batch_id}.marker")
-        if store.exists(marker):
-            # replayed committed batch: execute without writing so the
-            # upstream state (and Spark 4.1's state-commit validation)
-            # still sees every partition — see sinks.consume_without_writing
-            consume_without_writing(batch_df)
-            return
         spark = batch_df.sparkSession
+        if store.exists(marker):
+            # Committed-marker hit. Blindly skipping here would
+            # silently swallow a FRESH-CHECKPOINT run whose batch id
+            # collides with a not-yet-vacuumed marker (same silent
+            # loss as the compaction-window case below, just through
+            # the other door — self-review r10). Instead RE-EXECUTE
+            # admission: a true replay is an exact re-delivery of the
+            # committed batch, every doc drops against the state
+            # (exact-id anti-join + estimate), and the re-execution
+            # doubles as Spark 4.1's required batch consumption. A
+            # non-empty admission under a committed marker is
+            # therefore NEW data under a reused id — refuse loudly.
+            sigs0, bands0 = read_state(spark, base_dir, store)
+            replay_sigs, _ = admit_batch(
+                batch_df, sigs0, bands0, text_col, id_col, n, threshold)
+            if replay_sigs.limit(1).count() > 0:
+                raise RuntimeError(
+                    f"batch {batch_id} carries a committed marker at "
+                    f"{base_dir!r} but admits NEW docs — a "
+                    "fresh-checkpoint run is reusing a committed "
+                    "batch id over the same base_dir, and skipping it "
+                    "would silently drop its admissions. Resume the "
+                    "original checkpoint, use a new base_dir, or "
+                    "clear the state first.")
+            return
         # Liveness guard (ADVICE r9, medium): a version whose token
         # sorts below the latest compaction is INVISIBLE to
         # _live_tokens stitching and reclaimed by the next vacuum. A
@@ -414,12 +429,14 @@ def vacuum_near_dedup(spark, base_dir: str,
     0, and a stale retained marker would silently swallow a NEW batch
     that happens to reuse the id — permanent data loss. The no-op fast
     path therefore applies only to markers not yet vacuumed;
-    correctness never rests on it. The remaining fresh-checkpoint
-    hazard — a NEW run's batches committing real admissions at tokens
-    below the latest compaction, invisible to reads and doomed by this
-    vacuum — is refused loudly at write time by the liveness guard in
-    ``foreach_batch_near_dedup`` (non-empty admissions below the
-    compaction token cannot be a replay)."""
+    correctness never rests on it. The two fresh-checkpoint hazards —
+    a NEW run's batches committing real admissions at tokens below the
+    latest compaction (invisible to reads, doomed by this vacuum), and
+    a NEW run's batch id colliding with a not-yet-vacuumed marker
+    (skipped as a replay) — are both refused loudly at write time by
+    ``foreach_batch_near_dedup``: non-empty admissions below the
+    compaction token, or under a committed marker, cannot be a
+    replay."""
     from oracle_cassandra_migrator_spark.streaming.partitioned import (
         _committed_tokens, _hadoop_fs)
 

@@ -118,3 +118,62 @@ def test_assign_appended_batch_is_zero_shuffle(spark):
     plan = assigned._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "WholeStageCodegen" in plan or "*(" in plan
+
+
+def test_replayed_batch_is_a_noop_not_double_insert(spark):
+    """Self-review r10: a retried/redelivered batch whose ids already
+    sit in the index must not double-insert (duplicate neighbors would
+    crowd the top-k) — the exact-id anti-join dedupes it to empty and
+    the index comes back unchanged without a retrain."""
+    emb = _emb(spark)
+    base = emb.where("vec_id % 2 = 0")
+    rows = similarity.kmeans_codebook(
+        base, modulus=43, iters=2, init_limit=64).collect()
+    base_cells = similarity.assign_cells_literal(
+        base, similarity.codebook_literal_expr(rows)).cache()
+    want = sorted(map(tuple, base_cells.collect()))
+
+    replay, retrained, drift = similarity.extend_or_retrain_ivf(
+        base_cells, base, rows)  # the whole batch is a replay
+    assert retrained is False and drift == 1_000_000
+    got = sorted(map(tuple, replay.collect()))
+    assert got == want  # no duplicates, nothing changed
+    base_cells.unpersist()
+
+
+def test_empty_batch_short_circuits_without_retrain(spark):
+    """Self-review r10: an empty append day must return the unchanged
+    index — not feed the degenerate zero-centroid drift into a full
+    k-means retrain."""
+    emb = _emb(spark)
+    base = emb.where("vec_id % 2 = 0")
+    rows = similarity.kmeans_codebook(
+        base, modulus=43, iters=2, init_limit=64).collect()
+    base_cells = similarity.assign_cells_literal(
+        base, similarity.codebook_literal_expr(rows)).cache()
+    empty = emb.where("vec_id < 0")
+    cells, retrained, drift = similarity.extend_or_retrain_ivf(
+        base_cells, empty, rows)
+    assert retrained is False and drift == 1_000_000
+    assert (sorted(map(tuple, cells.collect()))
+            == sorted(map(tuple, base_cells.collect())))
+    base_cells.unpersist()
+
+
+def test_carried_base_sums_match_recomputed_drift(spark):
+    """The production O(|batch|) path: base sums are computed once and
+    carried forward (they are additive), and routing with them equals
+    routing with a fresh index scan."""
+    emb = _emb(spark)
+    base = emb.where("vec_id % 2 = 0")
+    appended = emb.where("vec_id % 2 = 1")
+    rows = similarity.kmeans_codebook(
+        base, modulus=43, iters=2, init_limit=64).collect()
+    base_cells = similarity.assign_cells_literal(
+        base, similarity.codebook_literal_expr(rows))
+    sums = similarity.embedding_dim_sums_micro(base)
+    drift_scan = similarity.centroid_drift_micro(base, appended)
+    _, _, drift_carried = similarity.extend_or_retrain_ivf(
+        base_cells, appended, rows, gate_micro=-10**7,
+        assume_new_ids=True, base_sums=sums)
+    assert drift_carried == drift_scan

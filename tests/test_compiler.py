@@ -690,14 +690,17 @@ def test_compiler_dedup_near_step(spark):
     assert {r["doc_id"] for r in filtered.collect()} == kept_ids
 
     # exact-Jaccard track through the measured router (strategy=auto
-    # at t=0.5 routes to the inverted-index twin)
+    # at t=0.5 routes to the inverted-index twin). On this corpus the
+    # banded MinHash candidates recover every exact pair (verified
+    # directly: the two pair sets are equal at sf0.001), so the two
+    # tracks' decisions must agree outright.
     jac = compile_transform(spark, {"docs": docs}, [
         {"op": "dedup_near", "input": "docs", "text": "text",
          "id": "doc_id", "threshold": 0.5, "pairs": "jaccard",
          "strategy": "auto"},
     ])
     assert jac.columns == ["doc_id", "cluster_rep", "is_kept"]
-    assert jac.where("is_kept").count() > 0
+    assert sorted(map(tuple, jac.collect())) == got
 
     import pytest as _pytest
 

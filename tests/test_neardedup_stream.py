@@ -421,3 +421,40 @@ def test_marker_vacuumed_replay_is_empty_noop(spark, tmp_path):
         stream2, base_dir, str(tmp_path / "ckpt2")).awaitTermination(180)
     sigs_post, _ = neardedup.read_state(spark, base_dir)
     assert sorted(map(tuple, sigs_post.collect())) == rows_pre
+
+
+def test_fresh_checkpoint_under_committed_marker_refused(spark, tmp_path):
+    """Self-review r10 (the marker-window twin of the compaction
+    guard): a fresh-checkpoint run whose batch id collides with a
+    NOT-yet-vacuumed committed marker used to be silently skipped as a
+    replay — swallowing its NEW admissions. The marker hit now
+    re-executes admission (a true replay admits nothing) and refuses
+    loudly when docs survive."""
+    from oracle_cassandra_migrator_spark.streaming import neardedup
+
+    src = str(tmp_path / "src")
+    _mk_docs(spark, [(1, BASE)]).coalesce(1).write.mode(
+        "overwrite").parquet(src)
+    base_dir = str(tmp_path / "state")
+    stream = (spark.readStream.schema("doc_id BIGINT, text STRING")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    neardedup.foreach_batch_near_dedup(
+        stream, base_dir, str(tmp_path / "ckpt")).awaitTermination(180)
+    sigs_pre, _ = neardedup.read_state(spark, base_dir)
+    rows_pre = sorted(map(tuple, sigs_pre.collect()))
+
+    # no compaction, no vacuum: batch-0 marker still committed. A new
+    # run over a DIFFERENT source restarts at batch 0 with novel docs.
+    src2 = str(tmp_path / "src2")
+    _mk_docs(spark, [(77, NOVEL)]).coalesce(1).write.mode(
+        "overwrite").parquet(src2)
+    stream2 = (spark.readStream.schema("doc_id BIGINT, text STRING")
+               .option("maxFilesPerTrigger", "1").parquet(src2))
+    q = neardedup.foreach_batch_near_dedup(
+        stream2, base_dir, str(tmp_path / "ckpt2"))
+    with pytest.raises(Exception, match="committed marker"):
+        q.awaitTermination(180)
+        raise AssertionError("marker-id collision not refused")
+
+    sigs_post, _ = neardedup.read_state(spark, base_dir)
+    assert sorted(map(tuple, sigs_post.collect())) == rows_pre

@@ -910,7 +910,10 @@ def extend_or_retrain_ivf(
     assume_new_ids: bool = False, base_sums: dict | None = None,
 ):
     """IVF index maintenance for an append-only corpus: returns
-    ``(cells, retrained, drift_micro)``.
+    ``(cells, codebook_rows, retrained, drift_micro)`` — the codebook
+    comes back so a maintenance loop always holds the CURRENT one for
+    the next batch (the retrain arm mints a new codebook; losing it
+    would strand every later append on the stale literal).
 
     - drift within the gate (appended centroid cosine >=
       ``gate_micro`` vs the indexed corpus): the appended batch is
@@ -949,7 +952,7 @@ def extend_or_retrain_ivf(
     try:
         if appended.limit(1).count() == 0:
             return (base_cells.select(id_col, vec_col, "cell_id"),
-                    False, 1_000_000)
+                    codebook_rows, False, 1_000_000)
         a = (base_sums if base_sums is not None else
              embedding_dim_sums_micro(base_cells, vec_col))
         drift = centroid_drift_from_sums(
@@ -958,12 +961,123 @@ def extend_or_retrain_ivf(
             new_cells = assign_appended_batch(
                 appended, codebook_rows, vec_col, id_col)
             return (base_cells.select(id_col, vec_col, "cell_id")
-                    .unionByName(new_cells), False, drift)
+                    .unionByName(new_cells), codebook_rows, False, drift)
         full = base_cells.select(id_col, vec_col).unionByName(appended)
         retrained = kmeans_codebook(
             full, modulus=modulus, iters=iters, init_limit=init_limit,
             vec_col=vec_col, id_col=id_col)
         return (_assign_cells(full, retrained, vec_col, id_col),
-                True, drift)
+                retrained.collect(), True, drift)
+    finally:
+        appended.unpersist()
+
+
+def _pq_code_expr(codebooks: list[list[dict]], s: int, sub_dim: int,
+                  vec_expr: str) -> str:
+    """Per-subspace nearest-centroid code against the LITERAL codebook
+    — the encode criterion shared by ``pq_topk`` and ``pq_encode``."""
+    cb = codebook_literal_expr(codebooks[s])
+    xs = f"slice({vec_expr}, {s * sub_dim + 1}, {sub_dim})"
+    return (
+        f"-(array_max(transform({cb}, c -> "
+        f"struct(round({dot_expr(xs, 'c.cvec')}, 6) AS aff, "
+        f"-c.cid AS neg_cid)))).neg_cid"
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame, codebooks: list[list[dict]],
+    sub_dim: int = 16,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, vec, code0..code{n_sub-1}) against FROZEN literal
+    codebooks — the PQ analog of ``assign_appended_batch``: a pure
+    per-row projection (no join, no shuffle, whole-stage codegen), so
+    encoding a daily append batch costs O(|batch| x k x n_sub)
+    regardless of index size. The per-subspace criterion is exactly
+    ``pq_topk``'s inline encode, factored so a MAINTAINED code table
+    can be stored/extended instead of re-encoding the corpus per
+    probe."""
+    e = DOUBLE_VEC.format(col=vec_col)
+    cols = [F.col(id_col), F.col(vec_col)]
+    for s in range(len(codebooks)):
+        cols.append(F.expr(_pq_code_expr(codebooks, s, sub_dim, e))
+                    .alias(f"code{s}"))
+    return embeddings.select(*cols)
+
+
+def pq_topk_over_codes(
+    codes: DataFrame, codebooks: list[list[dict]], query: DataFrame,
+    sub_dim: int = 16, k: int = 10, id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC serving over an ALREADY-ENCODED table: (id, pq_score) top-k
+    where the affinity estimate is the sum of per-subspace
+    dot(query-sub, centroid-of-code) — raw vectors are NOT read, which
+    is the whole point of storing codes (with 8 centroids/subspace a
+    64-float vector serves from 4 small codes). ``query`` is a one-row
+    frame with array column ``q``; the plan is scan -> per-row literal
+    decode -> TakeOrderedAndProject(k), zero corpus shuffles."""
+    q = DOUBLE_VEC.format(col="q")
+    df = codes.crossJoin(F.broadcast(query))
+    terms = []
+    for s, book in enumerate(codebooks):
+        cb = codebook_literal_expr(book)
+        qs = f"slice({q}, {s * sub_dim + 1}, {sub_dim})"
+        terms.append(
+            f"round({dot_expr(qs, f'element_at({cb}, CAST(code{s} AS INT)).cvec')}, 6)")
+    approx = " + ".join(terms)
+    return (
+        df.withColumn("pq_score", F.expr(f"round({approx}, 6)"))
+        .orderBy(F.col("pq_score").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, "pq_score")
+    )
+
+
+def extend_or_retrain_pq(
+    base_codes: DataFrame, appended: DataFrame,
+    codebooks: list[list[dict]],
+    gate_micro: int = CENTROID_DRIFT_GATE_MICRO,
+    n_sub: int = 4, sub_dim: int = 16,
+    modulus: int = 13, iters: int = 1, init_limit: int = 8,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    assume_new_ids: bool = False, base_sums: dict | None = None,
+):
+    """PQ index maintenance — the product-quantization twin of
+    ``extend_or_retrain_ivf``, same contract: returns
+    ``(codes, codebooks, retrained, drift_micro)``.
+
+    Append arm (drift within the gate): ``pq_encode`` ONLY the new
+    rows against the frozen codebooks and union under the untouched
+    code table — row-identical to re-encoding the full corpus against
+    the same codebooks (per-row determinism; pinned). Retrain arm:
+    ``pq_train_codebooks`` on base+appended, re-encode everything,
+    hand back the NEW codebooks. Replay discipline, empty-batch
+    short-circuit, ``assume_new_ids``/``base_sums`` fast path: all
+    identical to the IVF twin (see its docstring)."""
+    appended = appended.select(id_col, vec_col)
+    if not assume_new_ids:
+        appended = appended.join(
+            base_codes.select(id_col), id_col, "left_anti")
+    appended = appended.persist()
+    try:
+        if appended.limit(1).count() == 0:
+            return base_codes, codebooks, False, 1_000_000
+        a = (base_sums if base_sums is not None else
+             embedding_dim_sums_micro(base_codes, vec_col))
+        drift = centroid_drift_from_sums(
+            a, embedding_dim_sums_micro(appended, vec_col))
+        if drift >= gate_micro:
+            new_codes = pq_encode(appended, codebooks, sub_dim,
+                                  vec_col, id_col)
+            return (base_codes.unionByName(new_codes),
+                    codebooks, False, drift)
+        full = base_codes.select(id_col, vec_col).unionByName(appended)
+        books = pq_train_codebooks(
+            full, n_sub=n_sub, sub_dim=sub_dim, modulus=modulus,
+            iters=iters, init_limit=init_limit,
+            vec_col=vec_col, id_col=id_col)
+        return (pq_encode(full, books, sub_dim, vec_col, id_col),
+                books, True, drift)
     finally:
         appended.unpersist()

@@ -44,9 +44,10 @@ def test_append_within_gate_equals_full_reassign(spark):
     base_cells = similarity.assign_cells_literal(base, expr)
 
     drift = similarity.centroid_drift_micro(base, appended)
-    maintained, retrained, got_drift = similarity.extend_or_retrain_ivf(
+    maintained, cb_back, retrained, got_drift = similarity.extend_or_retrain_ivf(
         base_cells, appended, rows, gate_micro=drift)  # gate met exactly
     assert retrained is False and got_drift == drift
+    assert cb_back is rows  # append arm hands the frozen codebook back
 
     want = similarity.assign_cells_literal(emb, expr)
     assert (sorted(map(tuple, maintained.collect()))
@@ -73,7 +74,7 @@ def test_drift_beyond_gate_retrains_full_rebuild(spark):
     base_cells = similarity.assign_cells_literal(
         base, similarity.codebook_literal_expr(rows))
 
-    maintained, retrained, drift = similarity.extend_or_retrain_ivf(
+    maintained, new_cb, retrained, drift = similarity.extend_or_retrain_ivf(
         base_cells, appended, rows)
     assert retrained is True
     assert drift == -1_000_000 < similarity.CENTROID_DRIFT_GATE_MICRO
@@ -81,6 +82,11 @@ def test_drift_beyond_gate_retrains_full_rebuild(spark):
     full = base.unionByName(appended)
     want_cents = similarity.kmeans_codebook(
         full, modulus=43, iters=2, init_limit=64)
+    # the retrain arm must hand back the NEW codebook (a maintenance
+    # loop appends against it next batch)
+    assert (sorted((r["cid"], tuple(r["cvec"])) for r in new_cb)
+            == sorted((r["cid"], tuple(r["cvec"]))
+                      for r in want_cents.collect()))
     want = similarity._assign_cells(
         full, want_cents, "embedding", "vec_id")
     assert (sorted(map(tuple, maintained.collect()))
@@ -98,9 +104,9 @@ def test_gate_routing_is_threshold_exact(spark):
     base_cells = similarity.assign_cells_literal(
         base, similarity.codebook_literal_expr(rows))
     drift = similarity.centroid_drift_micro(base, appended)
-    _, retrained_lo, _ = similarity.extend_or_retrain_ivf(
+    _, _, retrained_lo, _ = similarity.extend_or_retrain_ivf(
         base_cells, appended, rows, gate_micro=drift)
-    _, retrained_hi, _ = similarity.extend_or_retrain_ivf(
+    _, _, retrained_hi, _ = similarity.extend_or_retrain_ivf(
         base_cells, appended, rows, gate_micro=drift + 1)
     assert retrained_lo is False and retrained_hi is True
 
@@ -133,7 +139,7 @@ def test_replayed_batch_is_a_noop_not_double_insert(spark):
         base, similarity.codebook_literal_expr(rows)).cache()
     want = sorted(map(tuple, base_cells.collect()))
 
-    replay, retrained, drift = similarity.extend_or_retrain_ivf(
+    replay, _, retrained, drift = similarity.extend_or_retrain_ivf(
         base_cells, base, rows)  # the whole batch is a replay
     assert retrained is False and drift == 1_000_000
     got = sorted(map(tuple, replay.collect()))
@@ -152,7 +158,7 @@ def test_empty_batch_short_circuits_without_retrain(spark):
     base_cells = similarity.assign_cells_literal(
         base, similarity.codebook_literal_expr(rows)).cache()
     empty = emb.where("vec_id < 0")
-    cells, retrained, drift = similarity.extend_or_retrain_ivf(
+    cells, _, retrained, drift = similarity.extend_or_retrain_ivf(
         base_cells, empty, rows)
     assert retrained is False and drift == 1_000_000
     assert (sorted(map(tuple, cells.collect()))
@@ -173,7 +179,89 @@ def test_carried_base_sums_match_recomputed_drift(spark):
         base, similarity.codebook_literal_expr(rows))
     sums = similarity.embedding_dim_sums_micro(base)
     drift_scan = similarity.centroid_drift_micro(base, appended)
-    _, _, drift_carried = similarity.extend_or_retrain_ivf(
+    _, _, _, drift_carried = similarity.extend_or_retrain_ivf(
         base_cells, appended, rows, gate_micro=-10**7,
         assume_new_ids=True, base_sums=sums)
     assert drift_carried == drift_scan
+
+
+# ---------------------------------------------------------------------------
+# PQ twin (extend_or_retrain_pq / pq_encode / pq_topk_over_codes)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_append_within_gate_equals_full_reencode(spark):
+    """PQ maintenance invariant: encode only the appended half against
+    the frozen codebooks, union under the untouched code table —
+    row-identical to re-encoding the whole corpus, and ADC serving
+    over the maintained codes equals serving over the rebuilt table."""
+    emb = _emb(spark)
+    base = emb.where("vec_id % 2 = 0")
+    appended = emb.where("vec_id % 2 = 1")
+    books = similarity.pq_train_codebooks(base)
+    base_codes = similarity.pq_encode(base, books)
+
+    codes, books_back, retrained, drift = similarity.extend_or_retrain_pq(
+        base_codes, appended, books, gate_micro=-10**7)
+    assert retrained is False and books_back is books
+
+    want = similarity.pq_encode(emb, books)
+    assert (sorted(map(tuple, codes.collect()))
+            == sorted(map(tuple, want.collect())))
+
+    query = emb.where("vec_id = 0").selectExpr("embedding AS q")
+    got_topk = similarity.pq_topk_over_codes(
+        codes, books, query, k=10).collect()
+    want_topk = similarity.pq_topk_over_codes(
+        want, books, query, k=10).collect()
+    assert [tuple(r) for r in got_topk] == [tuple(r) for r in want_topk]
+    assert len(got_topk) == 10
+
+
+def test_pq_retrain_hands_back_new_codebooks(spark):
+    """A drifted batch retrains: the returned codebooks equal a
+    from-scratch pq_train_codebooks over base+appended and the codes
+    equal the full re-encode against them."""
+    emb = _emb(spark)
+    base = emb.where("vec_id % 4 = 0")
+    appended = _negated(base)
+    books = similarity.pq_train_codebooks(base)
+    base_codes = similarity.pq_encode(base, books)
+
+    codes, new_books, retrained, drift = similarity.extend_or_retrain_pq(
+        base_codes, appended, books)
+    assert retrained is True and drift == -1_000_000
+
+    full = base.unionByName(appended)
+    want_books = similarity.pq_train_codebooks(full)
+    assert new_books == want_books
+    want = similarity.pq_encode(full, want_books)
+    assert (sorted(map(tuple, codes.collect()))
+            == sorted(map(tuple, want.collect())))
+
+
+def test_pq_replayed_and_empty_batches_are_noops(spark):
+    emb = _emb(spark)
+    base = emb.where("vec_id % 2 = 0")
+    books = similarity.pq_train_codebooks(base)
+    base_codes = similarity.pq_encode(base, books).cache()
+    want = sorted(map(tuple, base_codes.collect()))
+
+    replay, books_r, retrained, drift = similarity.extend_or_retrain_pq(
+        base_codes, base, books)
+    assert retrained is False and drift == 1_000_000
+    assert sorted(map(tuple, replay.collect())) == want
+    empty, _, retrained_e, _ = similarity.extend_or_retrain_pq(
+        base_codes, emb.where("vec_id < 0"), books)
+    assert retrained_e is False
+    assert sorted(map(tuple, empty.collect())) == want
+    base_codes.unpersist()
+
+
+def test_pq_encode_is_zero_shuffle(spark):
+    emb = _emb(spark)
+    books = similarity.pq_train_codebooks(emb.where("vec_id % 2 = 0"))
+    encoded = similarity.pq_encode(emb.where("vec_id % 2 = 1"), books)
+    plan = encoded._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "WholeStageCodegen" in plan or "*(" in plan

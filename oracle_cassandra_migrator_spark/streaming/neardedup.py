@@ -177,19 +177,25 @@ def admit_batch(batch_df: DataFrame, state_sigs: DataFrame | None,
 
     # across batches: probe the admitted-state LSH index
     if state_bands is not None and state_sigs is not None:
-        # Exact-id anti-join FIRST (ADVICE r9): a replayed
-        # already-admitted doc whose band keys are all over
-        # max_band_size would never collide with its own state
-        # signature in the capped probe below and be re-admitted,
-        # breaking the "replay leaves the row SET unchanged"
-        # idempotence the marker-vacuum contract rests on. The id is
-        # the admission identity, so a doc_id already in the state is
-        # dropped unconditionally — cheap (one hash anti-join on the
-        # key column), cap-independent, and it also collapses the
-        # common exact-resend case before the banded estimate runs.
+        # Exact-id drop FIRST (ADVICE r9): a replayed already-admitted
+        # doc whose band keys are all over max_band_size would never
+        # collide with its own state signature in the capped probe
+        # below and be re-admitted, breaking the "replay leaves the
+        # row SET unchanged" idempotence the marker-vacuum contract
+        # rests on. The id is the admission identity, so a doc_id
+        # already in the state is dropped unconditionally,
+        # cap-independent. Shape matters at scale: a plain anti-join
+        # would SHUFFLE the state's id column every micro-batch, so
+        # instead the trigger-bounded batch-id side broadcasts BOTH
+        # ways — state ids matching the batch (map-side semi over the
+        # state scan, |result| <= |batch|) then a broadcast anti-join
+        # back — preserving the module contract that the state is
+        # scanned but never shuffled per batch.
+        batch_ids = survivors.select(id_col)
+        already = (state_sigs.select(F.col("doc_id").alias(id_col))
+                   .join(F.broadcast(batch_ids), id_col, "left_semi"))
         survivors = survivors.join(
-            state_sigs.select(F.col("doc_id").alias(id_col)),
-            id_col, "left_anti")
+            F.broadcast(already), id_col, "left_anti")
         probe_bands = band_rows(survivors, id_col)
         state_b = state_bands.select(
             F.col("doc_id").alias("admitted_id"), "band_idx", "band_key")

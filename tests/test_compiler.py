@@ -26,7 +26,7 @@ def test_every_op_is_exercised_here():
         "quantile_bucket", "gapfill", "interval_join",
         "dedup_exact", "salted_join", "zorder", "expect",
         "anti_join_bloom", "fuzzy_join", "winsorize", "target_encode",
-        "psi_gate", "dsir_select", "maintain_agg",
+        "psi_gate", "dsir_select", "maintain_agg", "dedup_near",
     }
     assert exercised == set(OPS)
 

@@ -966,8 +966,17 @@ def extend_or_retrain_ivf(
         retrained = kmeans_codebook(
             full, modulus=modulus, iters=iters, init_limit=init_limit,
             vec_col=vec_col, id_col=id_col)
-        return (_assign_cells(full, retrained, vec_col, id_col),
-                retrained.collect(), True, drift)
+        # collect ONCE and re-enter the plan as a literal: returning
+        # _assign_cells(full, retrained) would embed the un-
+        # checkpointed Lloyd training DAG in the index plan, re-running
+        # training on every downstream action. Bit-identical: centroids
+        # are round(6) doubles and the literal renders %.6f exactly;
+        # the argmax tie-breaks on cid, so codebook order is
+        # irrelevant (review r10).
+        rows = retrained.collect()
+        return (assign_cells_literal(
+                    full, codebook_literal_expr(rows), vec_col, id_col),
+                rows, True, drift)
     finally:
         appended.unpersist()
 
@@ -1038,7 +1047,7 @@ def extend_or_retrain_pq(
     base_codes: DataFrame, appended: DataFrame,
     codebooks: list[list[dict]],
     gate_micro: int = CENTROID_DRIFT_GATE_MICRO,
-    n_sub: int = 4, sub_dim: int = 16,
+    n_sub: int | None = None, sub_dim: int | None = None,
     modulus: int = 13, iters: int = 1, init_limit: int = 8,
     vec_col: str = "embedding", id_col: str = "vec_id",
     assume_new_ids: bool = False, base_sums: dict | None = None,
@@ -1054,7 +1063,32 @@ def extend_or_retrain_pq(
     ``pq_train_codebooks`` on base+appended, re-encode everything,
     hand back the NEW codebooks. Replay discipline, empty-batch
     short-circuit, ``assume_new_ids``/``base_sums`` fast path: all
-    identical to the IVF twin (see its docstring)."""
+    identical to the IVF twin (see its docstring).
+
+    Geometry is a property of the INDEX, not a free parameter: both
+    arms derive (n_sub, sub_dim) from the passed codebooks — the
+    append arm's encode offsets and the retrain arm's new-codebook
+    shape always agree with the serving schema (code0..code{n_sub-1}).
+    Pre-review-r10 the append arm used ``len(codebooks)`` while the
+    retrain arm used an independent ``n_sub=4`` default, so an index
+    trained with non-default geometry silently encoded wrong slices
+    and retrained to a mismatched schema. Explicit ``n_sub``/
+    ``sub_dim`` are validated against the codebooks and refused on
+    conflict."""
+    derived_n_sub = len(codebooks)
+    derived_sub_dim = len(codebooks[0][0]["cvec"])
+    if n_sub is not None and n_sub != derived_n_sub:
+        raise ValueError(
+            f"extend_or_retrain_pq: n_sub={n_sub} conflicts with the "
+            f"passed codebooks ({derived_n_sub} subspaces) — geometry "
+            "is derived from the index; drop the argument")
+    if sub_dim is not None and sub_dim != derived_sub_dim:
+        raise ValueError(
+            f"extend_or_retrain_pq: sub_dim={sub_dim} conflicts with "
+            f"the passed codebooks (centroids are "
+            f"{derived_sub_dim}-dim) — geometry is derived from the "
+            "index; drop the argument")
+    n_sub, sub_dim = derived_n_sub, derived_sub_dim
     appended = appended.select(id_col, vec_col)
     if not assume_new_ids:
         appended = appended.join(

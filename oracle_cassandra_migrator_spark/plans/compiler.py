@@ -602,11 +602,16 @@ def _op_dedup_near(ns, step):
     n = int(step.get("n", 3))
     pairs_alg = step.get("pairs", "minhash")
     if pairs_alg == "minhash":
+        # coerce like bands/rows/threshold: a JSON-string "500" must
+        # not reach the Spark band-cap comparison raw (implicit
+        # string-vs-bigint coercion silently NULLs the filter for
+        # values like "1e3"); None stays None = cap disabled
+        mbs = step.get("max_band_size", LSH_MAX_BAND_SIZE)
         pairs = minhash_lsh_pairs(
             df, text_col, id_col, n=n, threshold=threshold,
             bands=int(step.get("bands", LSH_BANDS)),
             rows=int(step.get("rows", LSH_ROWS)),
-            max_band_size=step.get("max_band_size", LSH_MAX_BAND_SIZE))
+            max_band_size=int(mbs) if mbs is not None else None)
     elif pairs_alg == "jaccard":
         pairs = allpairs_jaccard_pairs(
             df, text_col, id_col, n=n, threshold=threshold,

@@ -397,14 +397,22 @@ def stream_neardedup_admission_batch(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     lo = docs.where("doc_id % 2 = 0")
     hi = docs.where("doc_id % 2 = 1")
-    s1, b1 = neardedup.admit_batch(lo, None, None, "text", "doc_id")
-    # cache the batch-0 ADMITTED state exactly as the stream holds it
-    # (foreach_batch_near_dedup persists state as parquet between
-    # micro-batches): batch 1's probe consumes it several times — the
-    # exact-id semi+anti (r10) plus both signature joins — and without
-    # materialization each reference would replay the whole batch-0
-    # admission DAG inside one plan (the r10 lockfile blowup).
-    s1, b1 = s1.cache(), b1.cache()
+    s1, _ = neardedup.admit_batch(lo, None, None, "text", "doc_id")
+    # materialize the batch-0 ADMITTED state exactly as the stream
+    # holds it (foreach_batch_near_dedup persists state as parquet
+    # between micro-batches): batch 1's probe consumes it several
+    # times — the exact-id semi+anti (r10) plus both signature joins —
+    # and without materialization each reference would replay the
+    # whole batch-0 admission DAG inside one plan (the r10 lockfile
+    # blowup). localCheckpoint, NOT cache: a cache() here is never
+    # unpersisted and pins batch-0 state in the session's CacheManager
+    # for its lifetime across repeated catalog invocations (review
+    # r10); a localCheckpoint block is reclaimed by the ContextCleaner
+    # once the result frame is dropped. Bands derive FROM the
+    # checkpointed sigs (admit_batch's own discipline), so they are a
+    # cheap projection, not a second materialization.
+    s1 = s1.localCheckpoint(eager=True)
+    b1 = neardedup.band_rows(s1, "doc_id")
     s2, _ = neardedup.admit_batch(hi, s1, b1, "text", "doc_id")
     return (
         s1.selectExpr("CAST(doc_id AS BIGINT) AS doc_id",

@@ -26,7 +26,10 @@ Semantics (documented, deliberately admission-style):
 
 State layout under ``base_dir`` (both append-only parquet, committed
 with the same marker-per-batch exactly-once discipline as
-``streaming/upsert.py`` — replays of a committed batch are no-ops):
+``streaming/upsert.py`` — replays of a committed batch are no-ops,
+decided EXACTLY by a per-batch content fingerprint ledger under
+``fingerprints/``: zero-byte ``fp-<id>-<fp>.marker`` singles, merged
+into one JSON manifest per vacuum):
 - ``sigs``:  (doc_id, m0..m{k-1}, n_sh) — one row per admitted doc.
 - ``bands``: (doc_id, band_idx, band_key) — the LSH index the probe
   side equi-joins. The probe's scale shape: the micro-batch side is
@@ -229,6 +232,90 @@ def admit_batch(batch_df: DataFrame, state_sigs: DataFrame | None,
     return admitted_sigs, admitted_bands
 
 
+def _batch_fingerprint(batch_df: DataFrame, text_col: str,
+                       id_col: str) -> str:
+    """Deterministic content fingerprint of one micro-batch:
+    ``"{count}-{sum1:016x}-{sum2:016x}"`` over two independent
+    xxhash64 streams of (id, text), summed in exact DECIMAL (order-
+    and partitioning-independent, multiset-exact — XOR would cancel
+    duplicated rows) and folded mod 2^64. One map-side aggregate job,
+    which also satisfies Spark's requirement that every foreachBatch
+    invocation consume its batch. This is the exactly-once identity
+    the marker protocol compares: a TRUE replay re-delivers the same
+    byte content (same fingerprint); a fresh-checkpoint run reusing
+    the batch id carries different content (different fingerprint) —
+    an EXACT discrimination, unlike the earlier "re-execute and see if
+    anything is admitted" heuristic, whose admission idempotence is
+    band-cap-dependent (a band group crossing ``max_band_size``
+    between commit and replay blinds the probe and the heuristic
+    misreads a legitimate crash-recovery replay as a collision,
+    wedging the stream — review r10)."""
+    row = (batch_df
+           .select(
+               F.xxhash64(F.col(id_col).cast("string"),
+                          F.col(text_col)).alias("h1"),
+               F.xxhash64(F.col(text_col),
+                          F.col(id_col).cast("string"),
+                          F.lit("fp2")).alias("h2"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("h1").cast("decimal(38,0)")).alias("s1"),
+                F.sum(F.col("h2").cast("decimal(38,0)")).alias("s2"))
+           .collect()[0])
+    s1 = int(row["s1"] or 0) % (1 << 64)
+    s2 = int(row["s2"] or 0) % (1 << 64)
+    return f"{row['n']}-{s1:016x}-{s2:016x}"
+
+
+def _fp_dir(base_dir: str) -> str:
+    return posixpath.join(base_dir, "fingerprints")
+
+
+def _fp_key(base_dir: str, batch_id, fp: str) -> str:
+    return posixpath.join(_fp_dir(base_dir),
+                          f"fp-{batch_id}-{fp}.marker")
+
+
+def _fp_manifests(spark, store: StateStore, base_dir: str) -> dict:
+    """Union of all fingerprint manifests ({batch_id str: fp}) under
+    ``fingerprints/``. A truncated manifest (crash mid-write) is
+    skipped: its entries' singles were deleted only AFTER a successful
+    write, so they are still present and the next vacuum re-merges
+    them — self-healing."""
+    import json
+
+    from oracle_cassandra_migrator_spark.streaming.partitioned import (
+        _read_text)
+
+    out: dict = {}
+    for key in store.list(_fp_dir(base_dir), suffix=".json"):
+        try:
+            out.update(json.loads(_read_text(spark, key)))
+        except Exception:
+            continue
+    return out
+
+
+def _fingerprint_committed(spark, store: StateStore, base_dir: str,
+                           batch_id, fp: str) -> bool:
+    """Whether (batch_id, fp) is in the committed-fingerprint ledger —
+    a zero-byte single (O(1) ``exists``) or a vacuum-merged manifest
+    (read only on this replay-path lookup, never per ordinary batch).
+    Fingerprints are written AFTER the batch marker, so presence here
+    PROVES the exact batch content was fully committed."""
+    if store.exists(_fp_key(base_dir, batch_id, fp)):
+        return True
+    return _fp_manifests(spark, store, base_dir).get(str(batch_id)) == fp
+
+
+def _any_fingerprint_for(spark, store: StateStore, base_dir: str,
+                         batch_id) -> bool:
+    prefix = f"fp-{batch_id}-"
+    for key in store.list(_fp_dir(base_dir), suffix=".marker"):
+        if posixpath.basename(key).startswith(prefix):
+            return True
+    return str(batch_id) in _fp_manifests(spark, store, base_dir)
+
+
 def _live_tokens(store: StateStore, marker_dir: str) -> list[str]:
     """Committed version tokens a read must stitch, in commit order.
 
@@ -273,6 +360,7 @@ def foreach_batch_near_dedup(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_band_size: int | None = LSH_MAX_BAND_SIZE,
     state: StateStore | None = None,
     trigger: dict[str, Any] | None = None,
 ) -> StreamingQuery:
@@ -280,7 +368,20 @@ def foreach_batch_near_dedup(
     ``admit_batch`` against the committed state and appends the
     admitted docs' signatures + band rows as version-stamped parquet,
     marker-committed — replays of a committed batchId are no-ops, and
-    an uncommitted crash leaves only invisible orphan versions."""
+    an uncommitted crash leaves only invisible orphan versions.
+
+    Exactly-once ledger: alongside the marker, each committed batch
+    records a zero-byte content FINGERPRINT
+    (``fingerprints/fp-<id>-<fp>.marker``, written AFTER the marker so
+    its presence proves full commit). Replay vs fresh-checkpoint
+    collision is decided by fingerprint EQUALITY — exact, never by the
+    band-cap-dependent "re-execution admits nothing" heuristic: a true
+    replay (same id, same content) is skipped even when the state's
+    band groups have since crossed ``max_band_size``; a reused id with
+    different content is refused loudly. Fingerprint singles are
+    merged into one JSON manifest per vacuum, so the ledger's file
+    count is bounded by the maintenance cadence, not the batch
+    cadence."""
     store = state or LocalFSStateStore()
     marker_dir = posixpath.join(base_dir, "markers")
 
@@ -290,21 +391,37 @@ def foreach_batch_near_dedup(
 
         marker = posixpath.join(marker_dir, f"batch-{batch_id}.marker")
         spark = batch_df.sparkSession
+        # one small aggregate job — also Spark's required batch
+        # consumption on every early-return path below
+        fp = _batch_fingerprint(batch_df, text_col, id_col)
+        fp_key = _fp_key(base_dir, batch_id, fp)
         if store.exists(marker):
-            # Committed-marker hit. Blindly skipping here would
-            # silently swallow a FRESH-CHECKPOINT run whose batch id
-            # collides with a not-yet-vacuumed marker (same silent
-            # loss as the compaction-window case below, just through
-            # the other door — self-review r10). Instead RE-EXECUTE
-            # admission: a true replay is an exact re-delivery of the
-            # committed batch, every doc drops against the state
-            # (exact-id anti-join + estimate), and the re-execution
-            # doubles as Spark 4.1's required batch consumption. A
-            # non-empty admission under a committed marker is
-            # therefore NEW data under a reused id — refuse loudly.
+            # Committed-marker hit. Blindly skipping would silently
+            # swallow a FRESH-CHECKPOINT run whose batch id collides
+            # with a not-yet-vacuumed marker (self-review r10);
+            # re-executing admission and refusing on non-empty
+            # admissions misreads a legitimate replay whenever a band
+            # group crossed the cap after commit (review r10). The
+            # fingerprint decides EXACTLY:
+            if store.exists(fp_key):
+                return  # true replay of the committed content — no-op
+            if _any_fingerprint_for(spark, store, base_dir, batch_id):
+                raise RuntimeError(
+                    f"batch {batch_id} carries a committed marker at "
+                    f"{base_dir!r} but its content fingerprint does "
+                    "not match the committed one — a fresh-checkpoint "
+                    "run is reusing a committed batch id over the "
+                    "same base_dir, and skipping it would silently "
+                    "drop its admissions. Resume the original "
+                    "checkpoint, use a new base_dir, or clear the "
+                    "state first.")
+            # Legacy marker (pre-fingerprint state, or a crash in the
+            # marker->fingerprint window): fall back to the
+            # re-execution heuristic and HEAL the ledger on success.
             sigs0, bands0 = read_state(spark, base_dir, store)
             replay_sigs, _ = admit_batch(
-                batch_df, sigs0, bands0, text_col, id_col, n, threshold)
+                batch_df, sigs0, bands0, text_col, id_col, n,
+                threshold, max_band_size)
             if replay_sigs.limit(1).count() > 0:
                 raise RuntimeError(
                     f"batch {batch_id} carries a committed marker at "
@@ -314,25 +431,32 @@ def foreach_batch_near_dedup(
                     "would silently drop its admissions. Resume the "
                     "original checkpoint, use a new base_dir, or "
                     "clear the state first.")
+            store.put_marker(fp_key)
             return
         # Liveness guard (ADVICE r9, medium): a version whose token
         # sorts below the latest compaction is INVISIBLE to
         # _live_tokens stitching and reclaimed by the next vacuum. A
-        # marker-vacuumed REPLAY landing there is safe — admission is
-        # idempotent (exact-id anti-join + estimate), so it writes an
-        # empty version and loses nothing. But a FRESH-checkpoint run
-        # over the same base_dir restarts batch ids at 0, and its
-        # batches carry NEW admissions that would commit below the
-        # compaction token and silently vanish. Distinguish by the
-        # admitted set: non-empty admissions below the compaction
-        # cannot be a replay, so fail LOUDLY instead of losing them.
+        # marker-vacuumed REPLAY landing there is safe; a
+        # FRESH-checkpoint run over the same base_dir restarts batch
+        # ids at 0, and its batches carry NEW admissions that would
+        # commit below the compaction token and silently vanish.
         compactions = [t for t in _committed_tokens(store, marker_dir)
                        if "c" in t]
         below_compaction = bool(compactions) and (
             _token_key(str(batch_id)) < _token_key(compactions[-1]))
+        if below_compaction and _fingerprint_committed(
+                spark, store, base_dir, batch_id, fp):
+            # marker vacuumed, fingerprint proves this exact content
+            # was committed before the compaction: true replay — write
+            # NOTHING (the admissions live on in the compacted state;
+            # pre-fingerprint this path re-ran admission and committed
+            # an empty version, which the cap-crossing edge could
+            # corrupt with spurious admissions)
+            return
         sigs, bands = read_state(spark, base_dir, store)
         adm_sigs, adm_bands = admit_batch(
-            batch_df, sigs, bands, text_col, id_col, n, threshold)
+            batch_df, sigs, bands, text_col, id_col, n, threshold,
+            max_band_size)
         # two actions consume the admission result (sigs + bands
         # appends); persist it so the signature aggregation, the
         # intra-batch LSH self-join, and the state probe run ONCE per
@@ -355,6 +479,12 @@ def foreach_batch_near_dedup(
             adm_bands.write.mode("overwrite").parquet(
                 posixpath.join(base_dir, f"bands-v{batch_id}"))
             store.put_marker(marker)
+            # fingerprint LAST: its presence proves the marker (and
+            # therefore the data) committed — the invariant the
+            # below_compaction fast path above relies on. A crash in
+            # the marker->fingerprint window degrades to the legacy
+            # heuristic once, then heals.
+            store.put_marker(fp_key)
         finally:
             adm_sigs.unpersist()
 
@@ -419,32 +549,35 @@ def vacuum_near_dedup(spark, base_dir: str,
     compaction has committed. Returns the tokens whose data was
     deleted.
 
-    Replay contract (self-review r9, twice; hardened r10): ALL doomed
-    markers are reclaimed, so a batch id whose marker was vacuumed
-    RE-EXECUTES on replay instead of taking the marker fast path. That
-    is safe by construction — admission is IDEMPOTENT against the
-    compacted state: every doc of a replayed batch either already sits
-    in the state (dropped by the exact-doc_id anti-join in
-    ``admit_batch`` — cap-INDEPENDENT, so even a doc whose band keys
-    are all over ``max_band_size`` cannot slip past its own state row;
-    ADVICE r9) or was rejected originally for a doc that is still in
-    the state, so the re-execution admits nothing and the state is
-    unchanged (the empty version dir it leaves is cleared by the next
-    vacuum). Retaining doomed markers instead would be WRONG: a later
-    fresh-checkpoint run over the same base_dir restarts batch ids at
-    0, and a stale retained marker would silently swallow a NEW batch
-    that happens to reuse the id — permanent data loss. The no-op fast
-    path therefore applies only to markers not yet vacuumed;
-    correctness never rests on it. The two fresh-checkpoint hazards —
-    a NEW run's batches committing real admissions at tokens below the
-    latest compaction (invisible to reads, doomed by this vacuum), and
-    a NEW run's batch id colliding with a not-yet-vacuumed marker
-    (skipped as a replay) — are both refused loudly at write time by
-    ``foreach_batch_near_dedup``: non-empty admissions below the
-    compaction token, or under a committed marker, cannot be a
-    replay."""
+    Replay contract (self-review r9, twice; hardened r10, re-hardened
+    by review r10): ALL doomed markers are reclaimed — retaining them
+    would be WRONG: a later fresh-checkpoint run over the same
+    base_dir restarts batch ids at 0, and a stale retained marker
+    would silently swallow a NEW batch that happens to reuse the id —
+    permanent data loss. The FINGERPRINT ledger
+    (``fingerprints/fp-<id>-<fp>.marker``) is what survives a vacuum
+    instead: a replayed batch whose (id, content-fingerprint) is in
+    the ledger is skipped exactly (its admissions live on in the
+    compacted state), and a reused id with different content is
+    refused loudly at write time by ``foreach_batch_near_dedup`` —
+    both decisions are content-exact, independent of the band cap.
+    (The earlier contract rested on admission idempotence — "a replay
+    re-executes and admits nothing" — which breaks when a band group
+    crosses ``max_band_size`` between commit and replay: the capped
+    probe goes blind, the re-execution admits a previously-rejected
+    doc, and the guard wedges a legitimate crash recovery.)
+
+    Ledger growth is bounded here too: fingerprint singles for batch
+    ids below the latest compaction are merged — together with any
+    prior manifests — into one ``fingerprints/manifest-<token>.json``,
+    then deleted (manifest write FIRST, so a crash leaves duplicates,
+    never losses; a truncated manifest is skipped by readers and
+    re-merged next vacuum). Zero-byte singles above the compaction
+    stay O(batches-since-maintenance)."""
+    import json
+
     from oracle_cassandra_migrator_spark.streaming.partitioned import (
-        _committed_tokens, _hadoop_fs)
+        _committed_tokens, _hadoop_fs, _token_key, _write_text)
 
     store = state or LocalFSStateStore()
     marker_dir = posixpath.join(base_dir, "markers")
@@ -459,4 +592,31 @@ def vacuum_near_dedup(spark, base_dir: str,
                 spark, posixpath.join(base_dir, f"{prefix}-v{tok}"))
             if fs.exists(jd):
                 fs.delete(jd, True)
+    # Fingerprint-ledger compaction: singles below the latest
+    # compaction token + all prior manifests -> one manifest.
+    compactions = [t for t in tokens if "c" in t]
+    if compactions:
+        ctoken = compactions[-1]
+        merged = _fp_manifests(spark, store, base_dir)
+        old_manifests = store.list(_fp_dir(base_dir), suffix=".json")
+        merged_singles = []
+        for key in store.list(_fp_dir(base_dir), suffix=".marker"):
+            name = posixpath.basename(key)
+            # fp-<id>-<count>-<hex>-<hex>.marker
+            _, bid, fp = name[:-len(".marker")].split("-", 2)
+            if _token_key(bid) < _token_key(ctoken):
+                merged[bid] = fp
+                merged_singles.append(key)
+        if merged:
+            new_manifest = posixpath.join(
+                _fp_dir(base_dir), f"manifest-{ctoken}.json")
+            _write_text(spark, new_manifest, json.dumps(merged))
+            for key in merged_singles:
+                store.delete(key)
+            for key in old_manifests:
+                # compare by basename: list() may return scheme-
+                # qualified URIs while new_manifest is a plain path
+                if (posixpath.basename(key)
+                        != f"manifest-{ctoken}.json"):
+                    store.delete(key)
     return doomed

@@ -176,12 +176,14 @@ def run_stream_pipeline(spark: SparkSession,
     if kind == "neardedup":
         from oracle_cassandra_migrator_spark.streaming import neardedup
 
+        mbs = sink.get("max_band_size", neardedup.LSH_MAX_BAND_SIZE)
         return neardedup.foreach_batch_near_dedup(
             df, sink["base_dir"], checkpoint_dir,
             text_col=sink.get("text_col", "text"),
             id_col=sink.get("id_col", "doc_id"),
             n=int(sink.get("n", 3)),
-            threshold=float(sink.get("threshold", 0.5)))
+            threshold=float(sink.get("threshold", 0.5)),
+            max_band_size=int(mbs) if mbs is not None else None)
     raise ValueError(
         f"unknown sink type {kind!r}: expected files / upsert / "
         f"rollup / partitioned_upsert / partitioned_rollup / neardedup")

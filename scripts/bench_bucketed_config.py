@@ -74,9 +74,16 @@ def main():
            "materialize_sec": t_materialize, "reuse_sec": t_reuse,
            "zero_orderkey_exchanges": zero_orderkey_exchanges,
            "runs": {}}
+    # rebuild the query per run in BOTH arms (bench_bucketed.py's
+    # rule): counting the same DataFrame object twice lets the second
+    # run reuse the first run's shuffle stages (skipped stages), which
+    # inflated the bucketed arm's best-of-N vs the rebuilt plain arm
+    # (review r10)
     cases = {
         "q21_plain": lambda: run_q21(spark, plain).count(),
-        "q21_config_bucketed": lambda: q21_cfg.count(),
+        "q21_config_bucketed": lambda: run_q21(
+            spark, {"supplier": plain["supplier"],
+                    "nation": plain["nation"], **cfg}).count(),
     }
     for name, fn in cases.items():
         times = []

@@ -265,3 +265,74 @@ def test_pq_encode_is_zero_shuffle(spark):
     plan = encoded._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "WholeStageCodegen" in plan or "*(" in plan
+
+
+def test_pq_geometry_derived_from_codebooks(spark):
+    """Review r10: geometry is a property of the index. A non-default
+    8x8 index must append with 8-dim slice offsets and retrain to 8
+    codebooks — pre-fix the append arm used len(codebooks) while the
+    retrain arm used the n_sub=4 default, silently disagreeing."""
+    import pytest
+
+    emb = _emb(spark)
+    base = emb.where("vec_id % 2 = 0")
+    appended = emb.where("vec_id % 2 = 1")
+    books = similarity.pq_train_codebooks(base, n_sub=8, sub_dim=8)
+    assert len(books) == 8 and len(books[0][0]["cvec"]) == 8
+    base_codes = similarity.pq_encode(base, books, sub_dim=8)
+
+    # append arm: encode offsets must match the 8x8 geometry
+    codes, _, retrained, _ = similarity.extend_or_retrain_pq(
+        base_codes, appended, books, gate_micro=-10**7)
+    assert retrained is False
+    want = similarity.pq_encode(emb, books, sub_dim=8)
+    assert sorted(c for c in codes.columns) == sorted(want.columns)
+    assert (sorted(map(tuple, codes.collect()))
+            == sorted(map(tuple, want.collect())))
+
+    # retrain arm: new codebooks keep the index's 8x8 geometry
+    drifted = _negated(base)
+    codes_r, new_books, retrained_r, _ = similarity.extend_or_retrain_pq(
+        base_codes, drifted, books)
+    assert retrained_r is True
+    assert len(new_books) == 8
+    assert len(new_books[0][0]["cvec"]) == 8
+    assert sorted(codes_r.columns) == sorted(base_codes.columns)
+
+    # explicit geometry conflicting with the index is refused
+    with pytest.raises(ValueError, match="n_sub=4 conflicts"):
+        similarity.extend_or_retrain_pq(
+            base_codes, appended, books, n_sub=4)
+    with pytest.raises(ValueError, match="sub_dim=16 conflicts"):
+        similarity.extend_or_retrain_pq(
+            base_codes, appended, books, sub_dim=16)
+
+
+def test_ivf_retrain_plan_carries_literal_codebook(spark):
+    """Review r10: the retrain arm must re-enter the NEW codebook as a
+    literal, not embed the Lloyd training DAG in the returned index
+    plan (which would re-run training on every downstream action)."""
+    emb = _emb(spark)
+    base = emb.where("vec_id % 4 = 0")
+    cents = similarity.kmeans_codebook(
+        base, modulus=43, iters=2, init_limit=64)
+    rows = cents.collect()
+    base_cells = similarity.assign_cells_literal(
+        base, similarity.codebook_literal_expr(rows))
+
+    cells, new_rows, retrained, _ = similarity.extend_or_retrain_ivf(
+        base_cells, _negated(base), rows)
+    assert retrained is True
+    plan = cells._jdf.queryExecution().optimizedPlan().toString()
+    # training runs Lloyd means through a posexplode + aggregate; a
+    # literal-codebook plan has neither
+    assert "posexplode" not in plan.lower()
+    assert "Aggregate" not in plan
+    # and the assignment equals a from-scratch literal assignment
+    # against the returned codebook
+    full = base.select("vec_id", "embedding").unionByName(
+        _negated(base))
+    want = similarity.assign_cells_literal(
+        full, similarity.codebook_literal_expr(new_rows))
+    assert (sorted(map(tuple, cells.collect()))
+            == sorted(map(tuple, want.collect())))

@@ -714,3 +714,29 @@ def test_compiler_dedup_near_step(spark):
             {"op": "dedup_near", "input": "docs", "text": "text",
              "id": "doc_id", "mode": "summarize"},
         ])
+
+
+def test_compiler_dedup_near_coerces_max_band_size(spark):
+    """Review r10: a JSON-string "2" for max_band_size must be coerced
+    like bands/rows/threshold — raw passthrough reached the Spark
+    band-cap comparison as a string literal, silently NULLing the
+    filter for values like "1e3". Pinned by equality with the int
+    form on a corpus where the cap binds (3 identical docs, cap 2:
+    every band group overflows, so all three are kept)."""
+    from oracle_cassandra_migrator_spark.plans.compiler import (
+        compile_transform)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "alpha beta gamma delta epsilon zeta eta theta"),
+         (3, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id BIGINT, text STRING")
+    spec = {"op": "dedup_near", "input": "docs", "text": "text",
+            "id": "doc_id", "threshold": 0.5}
+    as_int = compile_transform(
+        spark, {"docs": docs}, [dict(spec, max_band_size=2)])
+    as_str = compile_transform(
+        spark, {"docs": docs}, [dict(spec, max_band_size="2")])
+    got_int = sorted(map(tuple, as_int.collect()))
+    assert sorted(map(tuple, as_str.collect())) == got_int
+    assert all(kept for _, _, kept in got_int)  # cap binds: no pairs

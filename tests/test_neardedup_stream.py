@@ -423,6 +423,154 @@ def test_marker_vacuumed_replay_is_empty_noop(spark, tmp_path):
     assert sorted(map(tuple, sigs_post.collect())) == rows_pre
 
 
+def test_true_replay_skipped_even_when_band_cap_crossed(spark, tmp_path):
+    """Review r10 (the crash-loop hole in the r10 marker guard): the
+    'a true replay admits nothing' heuristic is band-cap-DEPENDENT —
+    if the band group that originally rejected doc X crosses
+    max_band_size before the replay, the capped probe goes blind, the
+    re-execution admits X, and the guard raises on a LEGITIMATE
+    crash-recovery replay, wedging the stream permanently. The content
+    fingerprint decides exactly: same id + same content = skip,
+    regardless of what the state's band groups look like now."""
+    from oracle_cassandra_migrator_spark.streaming import neardedup
+
+    base_dir = str(tmp_path / "state")
+    b0 = _mk_docs(spark, [(1, BASE)])
+    b1 = _mk_docs(spark, [(5, BASE.replace("afternoon", "evening"))])
+
+    # Fabricate the committed state the failure needs: doc 1's sig
+    # plus three clones under other ids, so every band group holding
+    # doc 1's keys has 4 rows > cap 2 — the capped probe cannot see
+    # doc 1 any more, and a re-execution of batch 1 would ADMIT doc 5
+    # (its original rejector is cap-invisible).
+    sig1, _ = neardedup.admit_batch(b0, None, None, "text", "doc_id")
+    sig1 = sig1.cache()
+    clones = sig1
+    for fake_id in (100, 101, 102):
+        clones = clones.unionByName(
+            sig1.withColumn("doc_id", F.lit(fake_id).cast("bigint")))
+    clones.write.mode("overwrite").parquet(f"{base_dir}/sigs-v0")
+    neardedup.band_rows(
+        spark.read.parquet(f"{base_dir}/sigs-v0"), "doc_id"
+    ).write.mode("overwrite").parquet(f"{base_dir}/bands-v0")
+    # batch 1 committed EMPTY (doc 5 was rejected originally)
+    empty = spark.read.parquet(f"{base_dir}/sigs-v0").limit(0)
+    empty.write.mode("overwrite").parquet(f"{base_dir}/sigs-v1")
+    neardedup.band_rows(empty, "doc_id").write.mode(
+        "overwrite").parquet(f"{base_dir}/bands-v1")
+    store = neardedup.LocalFSStateStore()
+    for bid, bdf in ((0, b0), (1, b1)):
+        store.put_marker(f"{base_dir}/markers/batch-{bid}.marker")
+        store.put_marker(neardedup._fp_key(
+            base_dir, bid,
+            neardedup._batch_fingerprint(bdf, "text", "doc_id")))
+
+    # sanity: the heuristic really would misfire here — re-executing
+    # batch 1 against this state admits doc 5 under cap=2
+    sigs0, bands0 = neardedup.read_state(spark, base_dir)
+    readmitted, _ = neardedup.admit_batch(
+        b1, sigs0, bands0, "text", "doc_id", max_band_size=2)
+    assert {r["doc_id"] for r in readmitted.collect()} == {5}
+
+    # the replay (fresh checkpoint, same content, committed markers)
+    # must be a clean no-op — not a RuntimeError, not a state write
+    src = str(tmp_path / "src")
+    b0.coalesce(1).write.mode("overwrite").parquet(src)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    rows_pre = sorted(map(tuple, sigs0.collect()))
+    stream = (spark.readStream.schema(b0.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = neardedup.foreach_batch_near_dedup(
+        stream, base_dir, str(tmp_path / "ckpt"), max_band_size=2)
+    q.awaitTermination(180)
+    assert q.exception() is None, q.exception()
+    sigs_post, _ = neardedup.read_state(spark, base_dir)
+    assert sorted(map(tuple, sigs_post.collect())) == rows_pre
+
+
+def test_legacy_marker_without_fingerprint_heals(spark, tmp_path):
+    """Markers from a pre-fingerprint state (or a crash in the
+    marker->fingerprint window) fall back to the re-execution
+    heuristic once, then HEAL the ledger: a true replay admits
+    nothing, writes the missing fingerprint, and the next replay takes
+    the exact fast path."""
+    import glob
+
+    from oracle_cassandra_migrator_spark.streaming import neardedup
+
+    src = str(tmp_path / "src")
+    _mk_docs(spark, [(1, BASE)]).coalesce(1).write.mode(
+        "overwrite").parquet(src)
+    base_dir = str(tmp_path / "state")
+    stream = (spark.readStream.schema("doc_id BIGINT, text STRING")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    neardedup.foreach_batch_near_dedup(
+        stream, base_dir, str(tmp_path / "ckpt")).awaitTermination(180)
+    fps = glob.glob(f"{base_dir}/fingerprints/fp-*.marker")
+    assert len(fps) == 1
+    for p in fps:
+        import os
+
+        os.remove(p)
+    sigs_pre, _ = neardedup.read_state(spark, base_dir)
+    rows_pre = sorted(map(tuple, sigs_pre.collect()))
+
+    stream2 = (spark.readStream.schema("doc_id BIGINT, text STRING")
+               .option("maxFilesPerTrigger", "1").parquet(src))
+    q = neardedup.foreach_batch_near_dedup(
+        stream2, base_dir, str(tmp_path / "ckpt2"))
+    q.awaitTermination(180)
+    assert q.exception() is None, q.exception()
+    sigs_post, _ = neardedup.read_state(spark, base_dir)
+    assert sorted(map(tuple, sigs_post.collect())) == rows_pre
+    assert len(glob.glob(f"{base_dir}/fingerprints/fp-*.marker")) == 1
+
+
+def test_vacuum_compacts_fingerprint_ledger(spark, tmp_path):
+    """The fingerprint ledger must not re-grow the file count the
+    compaction exists to bound: vacuum merges singles below the
+    compaction token (plus prior manifests) into one JSON manifest,
+    and a vacuumed-marker replay still resolves through it."""
+    import glob
+
+    from oracle_cassandra_migrator_spark.streaming import neardedup
+
+    src = str(tmp_path / "src")
+    b1 = _mk_docs(spark, [(1, BASE)])
+    b2 = _mk_docs(spark, [(2, NOVEL)])
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    base_dir = str(tmp_path / "state")
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    neardedup.foreach_batch_near_dedup(
+        stream, base_dir, str(tmp_path / "ckpt")).awaitTermination(180)
+    assert len(glob.glob(f"{base_dir}/fingerprints/fp-*.marker")) == 2
+
+    neardedup.compact_near_dedup(spark, base_dir)
+    neardedup.vacuum_near_dedup(spark, base_dir)
+    # singles below the compaction merged away, one manifest remains
+    assert glob.glob(f"{base_dir}/fingerprints/fp-*.marker") == []
+    manifests = glob.glob(f"{base_dir}/fingerprints/manifest-*.json")
+    assert len(manifests) == 1
+    rows_pre = sorted(map(tuple, neardedup.read_state(
+        spark, base_dir)[0].collect()))
+
+    # vacuumed-marker replay resolves through the manifest: skip, no
+    # write, no raise (fresh checkpoint, same source)
+    stream2 = (spark.readStream.schema(b1.schema)
+               .option("maxFilesPerTrigger", "1").parquet(src))
+    q = neardedup.foreach_batch_near_dedup(
+        stream2, base_dir, str(tmp_path / "ckpt2"))
+    q.awaitTermination(180)
+    assert q.exception() is None, q.exception()
+    assert sorted(map(tuple, neardedup.read_state(
+        spark, base_dir)[0].collect())) == rows_pre
+    # the skip wrote nothing — no version dirs below the compaction
+    assert sorted(glob.glob(f"{base_dir}/sigs-v*")) == sorted(
+        glob.glob(f"{base_dir}/sigs-v*c*"))
+
+
 def test_fresh_checkpoint_under_committed_marker_refused(spark, tmp_path):
     """Self-review r10 (the marker-window twin of the compaction
     guard): a fresh-checkpoint run whose batch id collides with a

@@ -1,0 +1,158 @@
+"""Per-batch CONTENT-FINGERPRINT ledger shared by every foreachBatch
+sink (``neardedup``, ``upsert``, ``rollup``, both ``partitioned``
+twins): the exactly-once identity that decides "true replay of a
+committed batch" vs "fresh-checkpoint run reusing a committed batch
+id" EXACTLY, instead of by silent marker-skip (which swallows the
+colliding run's data) or by re-execution heuristics (whose admission
+idempotence is band-cap-dependent — review r10).
+
+Ledger layout under ``<base_dir>/fingerprints/``:
+
+- ``fp-<batch_id>-<fp>.marker`` — one zero-byte single per committed
+  batch, written AFTER the batch's commit marker so its presence
+  PROVES the batch (data + marker) fully committed. Lookup is a
+  direct O(1) ``exists`` — never a listing in the per-batch hot path.
+- ``manifest-<token>.json`` — vacuum-time merge of singles (plus any
+  prior manifests) into one JSON object ``{batch_id: fp}``, so the
+  ledger's file count is bounded by the MAINTENANCE cadence, not the
+  batch cadence. Manifests are read only on replay/collision paths.
+  A truncated manifest (crash mid-write) is skipped by readers: its
+  entries' singles are deleted only after a successful write, so they
+  are still present and the next vacuum re-merges them.
+
+The fingerprint is order- and partitioning-independent and
+multiset-exact: two independent xxhash64 streams over the chosen
+columns, summed in exact DECIMAL (XOR would cancel duplicated rows)
+and folded mod 2^64, plus the row count. Computing it is one map-side
+aggregate job per micro-batch — a full execution of the batch plan,
+so it also satisfies the contract behind
+``sinks.consume_without_writing``: stateful operators upstream of
+foreachBatch still update their state and Spark 4.1's state-commit
+validation still sees every batch consumed, with no separate noop
+pass.
+
+Scope — deliberately NOT applied to the pass-through sinks
+(``sinks.foreach_batch_sink`` / ``enrich.py``): those commonly sit
+DOWNSTREAM of Spark's own stateful operators (windowed aggregations),
+where the frame delivered for a given batch id is a function of
+watermark/state history — a fresh-checkpoint recovery run (the
+documented, test-pinned pattern in
+``test_replayed_batches_still_feed_state``) legitimately re-delivers
+DIFFERENT content under a reused id, so fingerprint equality would
+misread recovery as collision. The four state-maintaining sinks this
+ledger guards (neardedup, upsert, rollup, the partitioned twins) ARE
+the stateful operator: their foreachBatch receives the raw
+source/CDC batch, which Spark re-delivers byte-identically on every
+true replay — content identity is exactly the right discriminator.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+from typing import Callable, Iterable
+
+from pyspark.sql import DataFrame, functions as F
+
+from oracle_cassandra_migrator_spark.reliability.state import StateStore
+
+
+def batch_fingerprint(batch_df: DataFrame,
+                      cols: Iterable[str] | None = None) -> str:
+    """``"{count}-{sum1:016x}-{sum2:016x}"`` over ``cols`` (default:
+    every column, sorted by name for schema-order independence).
+    Sinks that key their semantics on a column subset (the near-dedup
+    gate reads only id + text) pass that subset, so payload columns
+    the sink ignores cannot flip a true replay into a collision."""
+    cols = sorted(batch_df.columns) if cols is None else list(cols)
+    h1 = F.xxhash64(*[F.col(c) for c in cols])
+    h2 = F.xxhash64(F.lit("fp2"), *[F.col(c) for c in reversed(cols)])
+    row = (batch_df
+           .select(h1.alias("h1"), h2.alias("h2"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("h1").cast("decimal(38,0)")).alias("s1"),
+                F.sum(F.col("h2").cast("decimal(38,0)")).alias("s2"))
+           .collect()[0])
+    s1 = int(row["s1"] or 0) % (1 << 64)
+    s2 = int(row["s2"] or 0) % (1 << 64)
+    return f"{row['n']}-{s1:016x}-{s2:016x}"
+
+
+def fp_dir(base_dir: str) -> str:
+    return posixpath.join(base_dir, "fingerprints")
+
+
+def fp_key(base_dir: str, batch_id, fp: str) -> str:
+    return posixpath.join(fp_dir(base_dir), f"fp-{batch_id}-{fp}.marker")
+
+
+def _manifests(spark, store: StateStore, base_dir: str) -> dict:
+    """Union of all fingerprint manifests ({batch_id str: fp})."""
+    from oracle_cassandra_migrator_spark.streaming.partitioned import (
+        _read_text)
+
+    out: dict = {}
+    for key in store.list(fp_dir(base_dir), suffix=".json"):
+        try:
+            out.update(json.loads(_read_text(spark, key)))
+        except Exception:
+            continue
+    return out
+
+
+def fingerprint_committed(spark, store: StateStore, base_dir: str,
+                          batch_id, fp: str) -> bool:
+    """Whether (batch_id, fp) is in the committed ledger — a zero-byte
+    single (O(1) ``exists``) or a vacuum-merged manifest (read only on
+    this replay-path lookup, never per ordinary batch)."""
+    if store.exists(fp_key(base_dir, batch_id, fp)):
+        return True
+    return _manifests(spark, store, base_dir).get(str(batch_id)) == fp
+
+
+def any_fingerprint_for(spark, store: StateStore, base_dir: str,
+                        batch_id) -> bool:
+    """Whether ANY fingerprint was recorded for this batch id — the
+    legacy/collision discriminator: absent means a pre-ledger state
+    (fall back to the sink's legacy behavior), present with a
+    different fp means a fresh-checkpoint collision (refuse)."""
+    prefix = f"fp-{batch_id}-"
+    for key in store.list(fp_dir(base_dir), suffix=".marker"):
+        if posixpath.basename(key).startswith(prefix):
+            return True
+    return str(batch_id) in _manifests(spark, store, base_dir)
+
+
+def compact_fingerprints(spark, store: StateStore, base_dir: str,
+                         is_below: Callable[[str], bool],
+                         token: str) -> None:
+    """Vacuum-time ledger compaction: merge singles whose batch id
+    satisfies ``is_below`` (the sink's retention boundary, e.g. below
+    the latest compaction token) plus all prior manifests into
+    ``manifest-<token>.json``, then delete the merged files. Write
+    FIRST, delete after: a crash leaves duplicates, never losses."""
+    from oracle_cassandra_migrator_spark.streaming.partitioned import (
+        _write_text)
+
+    merged = _manifests(spark, store, base_dir)
+    old_manifests = store.list(fp_dir(base_dir), suffix=".json")
+    merged_singles = []
+    for key in store.list(fp_dir(base_dir), suffix=".marker"):
+        name = posixpath.basename(key)
+        # fp-<id>-<count>-<hex>-<hex>.marker
+        _, bid, fp = name[:-len(".marker")].split("-", 2)
+        if is_below(bid):
+            merged[bid] = fp
+            merged_singles.append(key)
+    if not merged:
+        return
+    new_name = f"manifest-{token}.json"
+    _write_text(spark, posixpath.join(fp_dir(base_dir), new_name),
+                json.dumps(merged))
+    for key in merged_singles:
+        store.delete(key)
+    for key in old_manifests:
+        # compare by basename: list() may return scheme-qualified URIs
+        # while the new manifest was written under a plain path
+        if posixpath.basename(key) != new_name:
+            store.delete(key)

@@ -72,6 +72,8 @@ from oracle_cassandra_migrator_spark.reliability.state import (
     LocalFSStateStore,
     StateStore,
 )
+from oracle_cassandra_migrator_spark.streaming import fingerprint
+
 K = LSH_BANDS * LSH_ROWS
 
 
@@ -234,86 +236,21 @@ def admit_batch(batch_df: DataFrame, state_sigs: DataFrame | None,
 
 def _batch_fingerprint(batch_df: DataFrame, text_col: str,
                        id_col: str) -> str:
-    """Deterministic content fingerprint of one micro-batch:
-    ``"{count}-{sum1:016x}-{sum2:016x}"`` over two independent
-    xxhash64 streams of (id, text), summed in exact DECIMAL (order-
-    and partitioning-independent, multiset-exact — XOR would cancel
-    duplicated rows) and folded mod 2^64. One map-side aggregate job,
-    which also satisfies Spark's requirement that every foreachBatch
-    invocation consume its batch. This is the exactly-once identity
-    the marker protocol compares: a TRUE replay re-delivers the same
-    byte content (same fingerprint); a fresh-checkpoint run reusing
-    the batch id carries different content (different fingerprint) —
-    an EXACT discrimination, unlike the earlier "re-execute and see if
-    anything is admitted" heuristic, whose admission idempotence is
-    band-cap-dependent (a band group crossing ``max_band_size``
-    between commit and replay blinds the probe and the heuristic
-    misreads a legitimate crash-recovery replay as a collision,
-    wedging the stream — review r10)."""
-    row = (batch_df
-           .select(
-               F.xxhash64(F.col(id_col).cast("string"),
-                          F.col(text_col)).alias("h1"),
-               F.xxhash64(F.col(text_col),
-                          F.col(id_col).cast("string"),
-                          F.lit("fp2")).alias("h2"))
-           .agg(F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("h1").cast("decimal(38,0)")).alias("s1"),
-                F.sum(F.col("h2").cast("decimal(38,0)")).alias("s2"))
-           .collect()[0])
-    s1 = int(row["s1"] or 0) % (1 << 64)
-    s2 = int(row["s2"] or 0) % (1 << 64)
-    return f"{row['n']}-{s1:016x}-{s2:016x}"
+    """The gate's content identity: the shared ledger fingerprint over
+    (id, text) ONLY — admission semantics read nothing else, so
+    payload columns the gate ignores cannot flip a true replay into a
+    collision. See ``streaming/fingerprint.py`` for why the exact
+    fingerprint replaced the "re-execute and see if anything is
+    admitted" heuristic (band-cap-dependent idempotence — review
+    r10)."""
+    return fingerprint.batch_fingerprint(batch_df, [id_col, text_col])
 
 
-def _fp_dir(base_dir: str) -> str:
-    return posixpath.join(base_dir, "fingerprints")
-
-
-def _fp_key(base_dir: str, batch_id, fp: str) -> str:
-    return posixpath.join(_fp_dir(base_dir),
-                          f"fp-{batch_id}-{fp}.marker")
-
-
-def _fp_manifests(spark, store: StateStore, base_dir: str) -> dict:
-    """Union of all fingerprint manifests ({batch_id str: fp}) under
-    ``fingerprints/``. A truncated manifest (crash mid-write) is
-    skipped: its entries' singles were deleted only AFTER a successful
-    write, so they are still present and the next vacuum re-merges
-    them — self-healing."""
-    import json
-
-    from oracle_cassandra_migrator_spark.streaming.partitioned import (
-        _read_text)
-
-    out: dict = {}
-    for key in store.list(_fp_dir(base_dir), suffix=".json"):
-        try:
-            out.update(json.loads(_read_text(spark, key)))
-        except Exception:
-            continue
-    return out
-
-
-def _fingerprint_committed(spark, store: StateStore, base_dir: str,
-                           batch_id, fp: str) -> bool:
-    """Whether (batch_id, fp) is in the committed-fingerprint ledger —
-    a zero-byte single (O(1) ``exists``) or a vacuum-merged manifest
-    (read only on this replay-path lookup, never per ordinary batch).
-    Fingerprints are written AFTER the batch marker, so presence here
-    PROVES the exact batch content was fully committed."""
-    if store.exists(_fp_key(base_dir, batch_id, fp)):
-        return True
-    return _fp_manifests(spark, store, base_dir).get(str(batch_id)) == fp
-
-
-def _any_fingerprint_for(spark, store: StateStore, base_dir: str,
-                         batch_id) -> bool:
-    prefix = f"fp-{batch_id}-"
-    for key in store.list(_fp_dir(base_dir), suffix=".marker"):
-        if posixpath.basename(key).startswith(prefix):
-            return True
-    return str(batch_id) in _fp_manifests(spark, store, base_dir)
+# module-local aliases: the gate's tests and vacuum use these names
+_fp_dir = fingerprint.fp_dir
+_fp_key = fingerprint.fp_key
+_fingerprint_committed = fingerprint.fingerprint_committed
+_any_fingerprint_for = fingerprint.any_fingerprint_for
 
 
 def _live_tokens(store: StateStore, marker_dir: str) -> list[str]:
@@ -574,10 +511,8 @@ def vacuum_near_dedup(spark, base_dir: str,
     never losses; a truncated manifest is skipped by readers and
     re-merged next vacuum). Zero-byte singles above the compaction
     stay O(batches-since-maintenance)."""
-    import json
-
     from oracle_cassandra_migrator_spark.streaming.partitioned import (
-        _committed_tokens, _hadoop_fs, _token_key, _write_text)
+        _committed_tokens, _hadoop_fs, _token_key)
 
     store = state or LocalFSStateStore()
     marker_dir = posixpath.join(base_dir, "markers")
@@ -597,26 +532,7 @@ def vacuum_near_dedup(spark, base_dir: str,
     compactions = [t for t in tokens if "c" in t]
     if compactions:
         ctoken = compactions[-1]
-        merged = _fp_manifests(spark, store, base_dir)
-        old_manifests = store.list(_fp_dir(base_dir), suffix=".json")
-        merged_singles = []
-        for key in store.list(_fp_dir(base_dir), suffix=".marker"):
-            name = posixpath.basename(key)
-            # fp-<id>-<count>-<hex>-<hex>.marker
-            _, bid, fp = name[:-len(".marker")].split("-", 2)
-            if _token_key(bid) < _token_key(ctoken):
-                merged[bid] = fp
-                merged_singles.append(key)
-        if merged:
-            new_manifest = posixpath.join(
-                _fp_dir(base_dir), f"manifest-{ctoken}.json")
-            _write_text(spark, new_manifest, json.dumps(merged))
-            for key in merged_singles:
-                store.delete(key)
-            for key in old_manifests:
-                # compare by basename: list() may return scheme-
-                # qualified URIs while new_manifest is a plain path
-                if (posixpath.basename(key)
-                        != f"manifest-{ctoken}.json"):
-                    store.delete(key)
+        fingerprint.compact_fingerprints(
+            spark, store, base_dir,
+            lambda bid: _token_key(bid) < _token_key(ctoken), ctoken)
     return doomed

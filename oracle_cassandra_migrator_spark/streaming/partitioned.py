@@ -46,9 +46,13 @@ manifests. Read amplification (latest snapshot stitches buckets from
 several versions) is bounded by ``compact_partitioned``; vacuum
 deletes marker FIRST, then manifest, then data — a crash mid-vacuum
 leaves invisible orphans, never a committed id whose manifest is
-gone. Reusing a base_dir with a FRESH checkpoint is not supported
-(Spark restarts batch ids at 0, which would read as replays — same
-contract as upsert.py; start a new base_dir or keep the checkpoint).
+gone. Reusing a base_dir with a FRESH checkpoint is refused LOUDLY,
+not silently swallowed: Spark restarts batch ids at 0, and the
+per-batch content-fingerprint ledger (``streaming/fingerprint.py``)
+distinguishes a true replay (same content — skipped exactly) from a
+colliding new run (different content — RuntimeError), both under a
+still-committed marker and at a stale id whose marker was vacuumed
+(same contract as upsert.py/rollup.py/neardedup.py).
 
 Reference parity: generalizes the reference's overwrite-everything
 staging (verizon_table_migration_Rakesh_filters.py:187-223) into
@@ -71,9 +75,7 @@ from oracle_cassandra_migrator_spark.reliability.state import (
     LocalFSStateStore,
     StateStore,
 )
-from oracle_cassandra_migrator_spark.streaming.sinks import (
-    consume_without_writing,
-)
+from oracle_cassandra_migrator_spark.streaming import fingerprint
 
 __all__ = [
     "foreach_batch_upsert_partitioned",
@@ -342,18 +344,57 @@ def _partitioned_applier(
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         token = str(batch_id)
         marker = posixpath.join(marker_dir, f"batch-{token}.marker")
-        if store.exists(marker):
-            # replayed committed batch: execute without writing so
-            # upstream state sees every partition (sinks module note)
-            consume_without_writing(batch_df)
-            return
         spark = batch_df.sparkSession
+        # one map-side aggregate job; also the required batch
+        # consumption on every skip path (replaces the separate
+        # consume_without_writing pass) — see streaming/fingerprint.py
+        fp = fingerprint.batch_fingerprint(batch_df)
+        if store.exists(marker):
+            # committed-marker hit: replay vs fresh-checkpoint
+            # collision decided by CONTENT, never by silent skip
+            if fingerprint.fingerprint_committed(
+                    spark, store, base_dir, token, fp):
+                return  # true replay of the committed content
+            if fingerprint.any_fingerprint_for(
+                    spark, store, base_dir, token):
+                raise RuntimeError(
+                    f"batch {batch_id} carries a committed marker at "
+                    f"{base_dir!r} but its content fingerprint does "
+                    "not match the committed one — a fresh-checkpoint "
+                    "run is reusing a committed batch id over the "
+                    "same base_dir, and skipping it would silently "
+                    "drop its changes. Resume the original "
+                    "checkpoint, use a new base_dir, or clear the "
+                    "state first.")
+            return  # legacy pre-ledger marker: preserve the old skip
+        all_tokens = _committed_tokens(store, marker_dir)
+        if all_tokens and _token_key(token) < _token_key(all_tokens[-1]):
+            # a version below the latest committed token is INVISIBLE
+            # (readers resolve the latest manifest) and reclaimed by
+            # the next vacuum: skip a vacuumed-marker true replay
+            # exactly, refuse new content at a stale id
+            if fingerprint.fingerprint_committed(
+                    spark, store, base_dir, token, fp):
+                return
+            if fingerprint.any_fingerprint_for(
+                    spark, store, base_dir, token):
+                raise RuntimeError(
+                    f"partitioned state at {base_dir!r} is committed "
+                    f"through token {all_tokens[-1]!r}, but this "
+                    f"stream is writing batch {batch_id} with "
+                    "DIFFERENT content than originally committed "
+                    "there — a fresh-checkpoint run over the same "
+                    "base_dir. Its version would be invisible to "
+                    "reads and reclaimed by the next vacuum (silent "
+                    "data loss). Resume the original checkpoint, use "
+                    "a new base_dir, or clear the state first.")
+            # legacy pre-ledger token: fall through to old behavior
         # persisted: the touched-bucket collect AND the merge/write
         # both consume it — without this the batch aggregation and
         # source scan run twice per trigger
         prepped = batch_prep(batch_df).persist()
         try:
-            prev = [t for t in _committed_tokens(store, marker_dir)
+            prev = [t for t in all_tokens
                     if _token_key(t) < (batch_id, 0)]
             if prev:
                 manifest = _read_manifest(spark, base_dir, prev[-1])
@@ -406,6 +447,8 @@ def _partitioned_applier(
             _write_manifest(spark, base_dir, token, n_buckets, keys,
                             new_owners, schema_ddl)
             store.put_marker(marker)
+            # fingerprint LAST: presence proves the marker committed
+            store.put_marker(fingerprint.fp_key(base_dir, token, fp))
         finally:
             prepped.unpersist()
 
@@ -625,4 +668,13 @@ def vacuum_partitioned(spark, base_dir: str, keep_last: int = 2,
             spark, posixpath.join(base_dir, f"v{tok}"))
         if fs.exists(jd):
             fs.delete(jd, True)
+    if doomed and kept:
+        # fingerprints of vacuumed tokens survive (they decide
+        # vacuumed-marker replays exactly); merge their singles into
+        # one manifest so the ledger follows the maintenance cadence
+        boundary = kept[0]
+        fingerprint.compact_fingerprints(
+            spark, store, base_dir,
+            lambda bid: _token_key(bid) < _token_key(boundary),
+            boundary)
     return doomed

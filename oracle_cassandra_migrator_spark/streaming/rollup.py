@@ -42,9 +42,7 @@ from oracle_cassandra_migrator_spark.reliability.state import (
     LocalFSStateStore,
     StateStore,
 )
-from oracle_cassandra_migrator_spark.streaming.sinks import (
-    consume_without_writing,
-)
+from oracle_cassandra_migrator_spark.streaming import fingerprint
 from oracle_cassandra_migrator_spark.streaming.upsert import (
     _committed_ids,
     latest_snapshot,
@@ -80,16 +78,48 @@ def foreach_batch_rollup(
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         marker = posixpath.join(marker_dir, f"batch-{batch_id}.marker")
-        if store.exists(marker):
-            # replayed committed batch: execute without writing so
-            # upstream state sees every partition (sinks module note)
-            consume_without_writing(batch_df)
-            return
         spark = batch_df.sparkSession
+        # one map-side aggregate job; also the required batch
+        # consumption on every skip path (upsert.py's protocol — the
+        # non-idempotent delta merge makes silent collision swallowing
+        # or an invisible stale-id write even more dangerous here)
+        fp = fingerprint.batch_fingerprint(batch_df)
+        if store.exists(marker):
+            if fingerprint.fingerprint_committed(
+                    spark, store, base_dir, batch_id, fp):
+                return  # true replay of the committed content
+            if fingerprint.any_fingerprint_for(
+                    spark, store, base_dir, batch_id):
+                raise RuntimeError(
+                    f"batch {batch_id} carries a committed marker at "
+                    f"{base_dir!r} but its content fingerprint does "
+                    "not match the committed one — a fresh-checkpoint "
+                    "run is reusing a committed batch id over the "
+                    "same base_dir, and skipping it would silently "
+                    "drop its deltas. Resume the original checkpoint, "
+                    "use a new base_dir, or clear the state first.")
+            return  # legacy pre-ledger marker: preserve the old skip
+        committed = _committed_ids(store, marker_dir)
+        if committed and batch_id < committed[-1]:
+            if fingerprint.fingerprint_committed(
+                    spark, store, base_dir, batch_id, fp):
+                return  # vacuumed-marker true replay: already rolled up
+            if fingerprint.any_fingerprint_for(
+                    spark, store, base_dir, batch_id):
+                raise RuntimeError(
+                    f"rollup state at {base_dir!r} is committed "
+                    f"through batch {committed[-1]}, but this stream "
+                    f"is writing batch {batch_id} with DIFFERENT "
+                    "content than originally committed there — a "
+                    "fresh-checkpoint run over the same base_dir. Its "
+                    "snapshot would be invisible to readers and "
+                    "reclaimed by the next vacuum (silent data loss). "
+                    "Resume the original checkpoint, use a new "
+                    "base_dir, or clear the state first.")
+            # legacy pre-ledger id: fall through to the old behavior
         deltas = cdc_to_group_deltas(
             batch_df, keys, new_expr, old_expr, op_col=op_col)
-        prev_ids = [i for i in _committed_ids(store, marker_dir)
-                    if i < batch_id]
+        prev_ids = [i for i in committed if i < batch_id]
         if prev_ids:
             base = spark.read.parquet(posixpath.join(
                 base_dir, f"snapshot-v{prev_ids[-1]}"))
@@ -106,6 +136,8 @@ def foreach_batch_rollup(
         merged.write.mode("overwrite").parquet(
             posixpath.join(base_dir, f"snapshot-v{batch_id}"))
         store.put_marker(marker)
+        # fingerprint LAST: presence proves the marker committed
+        store.put_marker(fingerprint.fp_key(base_dir, batch_id, fp))
 
     writer = (stream.writeStream.foreachBatch(apply)
               .option("checkpointLocation", checkpoint_dir))

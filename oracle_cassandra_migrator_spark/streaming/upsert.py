@@ -18,7 +18,12 @@ Version protocol (all through the StateStore, any Hadoop scheme):
 (never its own uncommitted output), writes its successor, then drops
 the marker. Crash-and-replay safety, case by case:
 
-- replay of a marker-committed batch: the marker short-circuits it.
+- replay of a marker-committed batch: skipped EXACTLY via the content
+  fingerprint ledger (``streaming/fingerprint.py``) — a
+  fresh-checkpoint run reusing the id with different content is
+  refused loudly instead of silently swallowed, and a stale id whose
+  marker was vacuumed is skipped (true replay) or refused (new
+  content) instead of writing an invisible snapshot.
 - crash between write and marker: the replayed batch recomputes from
   the same predecessor and OVERWRITES its own ``snapshot-v<id>`` —
   deterministic inputs (Spark replays the identical batch) make the
@@ -49,9 +54,7 @@ from oracle_cassandra_migrator_spark.reliability.state import (
     LocalFSStateStore,
     StateStore,
 )
-from oracle_cassandra_migrator_spark.streaming.sinks import (
-    consume_without_writing,
-)
+from oracle_cassandra_migrator_spark.streaming import fingerprint
 
 _MARKER_RE = re.compile(r"batch-(\d+)\.marker$")
 
@@ -122,13 +125,56 @@ def foreach_batch_upsert(
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         marker = posixpath.join(marker_dir, f"batch-{batch_id}.marker")
-        if store.exists(marker):
-            # replayed committed batch: execute without writing so the
-            # upstream state (and Spark 4.1's state-commit validation)
-            # still sees every partition — see sinks.consume_without_writing
-            consume_without_writing(batch_df)
-            return
         spark = batch_df.sparkSession
+        # one map-side aggregate job; also the required batch
+        # consumption on every skip path below (replaces the separate
+        # consume_without_writing pass)
+        fp = fingerprint.batch_fingerprint(batch_df)
+        if store.exists(marker):
+            # committed-marker hit: decide replay vs fresh-checkpoint
+            # collision by CONTENT, not by silently skipping — a
+            # skipped colliding run loses its batch forever (the
+            # near-dedup gate's r10 lesson, applied to every sink)
+            if fingerprint.fingerprint_committed(
+                    spark, store, base_dir, batch_id, fp):
+                return  # true replay of the committed content
+            if fingerprint.any_fingerprint_for(
+                    spark, store, base_dir, batch_id):
+                raise RuntimeError(
+                    f"batch {batch_id} carries a committed marker at "
+                    f"{base_dir!r} but its content fingerprint does "
+                    "not match the committed one — a fresh-checkpoint "
+                    "run is reusing a committed batch id over the "
+                    "same base_dir, and skipping it would silently "
+                    "drop its changes. Resume the original "
+                    "checkpoint, use a new base_dir, or clear the "
+                    "state first.")
+            return  # legacy pre-ledger marker: preserve the old skip
+        committed = _committed_ids(store, marker_dir)
+        if committed and batch_id < committed[-1]:
+            # this write would be INVISIBLE: readers resolve the
+            # LATEST committed version, and a snapshot below it is
+            # reclaimed by the next vacuum. A vacuumed-marker true
+            # replay is safe to skip (its changes live on in every
+            # later snapshot); new content at a stale id is a
+            # fresh-checkpoint run — refuse instead of losing it.
+            if fingerprint.fingerprint_committed(
+                    spark, store, base_dir, batch_id, fp):
+                return
+            if fingerprint.any_fingerprint_for(
+                    spark, store, base_dir, batch_id):
+                raise RuntimeError(
+                    f"snapshot state at {base_dir!r} is committed "
+                    f"through batch {committed[-1]}, but this stream "
+                    f"is writing batch {batch_id} with DIFFERENT "
+                    "content than originally committed there — a "
+                    "fresh-checkpoint run over the same base_dir. Its "
+                    "snapshot would be invisible to readers and "
+                    "reclaimed by the next vacuum (silent data loss). "
+                    "Resume the original checkpoint, use a new "
+                    "base_dir, or clear the state first.")
+            # legacy pre-ledger id: fall through to the old behavior
+            # (a deterministic, invisible overwrite)
         # last-writer-wins WITHIN the batch: max(struct(order_by, row))
         # per key — aggregation, not a window, so it map-side-combines
         ordered = F.struct(
@@ -136,8 +182,7 @@ def foreach_batch_upsert(
         winners = (batch_df.groupBy(*keys)
                    .agg(F.max(ordered).alias("__w"))
                    .select("__w.__row.*"))
-        prev_ids = [i for i in _committed_ids(store, marker_dir)
-                    if i < batch_id]
+        prev_ids = [i for i in committed if i < batch_id]
         if prev_ids:
             current = spark.read.parquet(posixpath.join(
                 base_dir, f"snapshot-v{prev_ids[-1]}"))
@@ -148,6 +193,10 @@ def foreach_batch_upsert(
         merged.write.mode("overwrite").parquet(
             posixpath.join(base_dir, f"snapshot-v{batch_id}"))
         store.put_marker(marker)
+        # fingerprint LAST: its presence proves the marker (and the
+        # snapshot) committed — the invariant the vacuumed-id replay
+        # skip above relies on
+        store.put_marker(fingerprint.fp_key(base_dir, batch_id, fp))
 
     writer = (stream.writeStream.foreachBatch(apply)
               .option("checkpointLocation", checkpoint_dir))
@@ -165,7 +214,13 @@ def vacuum_snapshots(spark, base_dir: str, keep_last: int = 2,
     leave a marker pointing at deleted data. ``keep_last`` must be
     >= 1 (the latest version is never vacuumed). Directory removal
     goes through the Hadoop FileSystem API so any scheme
-    (file:/hdfs:/s3a:) works."""
+    (file:/hdfs:/s3a:) works.
+
+    Fingerprints of vacuumed batches are NOT deleted — they are what
+    lets a vacuumed-marker replay be skipped exactly instead of
+    writing an invisible snapshot. Their singles are merged into one
+    JSON manifest here, so the ledger's file count follows the
+    maintenance cadence."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     store = state or LocalFSStateStore()
@@ -182,4 +237,9 @@ def vacuum_snapshots(spark, base_dir: str, keep_last: int = 2,
         if fs.exists(path):
             fs.delete(path, True)
         store.delete(posixpath.join(marker_dir, f"batch-{bid}.marker"))
+    if doomed:
+        boundary = ids[-keep_last]
+        fingerprint.compact_fingerprints(
+            spark, store, base_dir,
+            lambda bid: int(bid) < boundary, str(boundary))
     return doomed

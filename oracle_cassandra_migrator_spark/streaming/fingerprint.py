@@ -62,11 +62,32 @@ def batch_fingerprint(batch_df: DataFrame,
     """``"{count}-{sum1:016x}-{sum2:016x}"`` over ``cols`` (default:
     every column, sorted by name for schema-order independence).
     Sinks that key their semantics on a column subset (the near-dedup
-    gate reads only id + text) pass that subset, so payload columns
-    the sink ignores cannot flip a true replay into a collision."""
+    gate reads only id + text; the rollup only its op/keys/images)
+    pass that subset, so payload columns the sink ignores cannot flip
+    a true replay into a collision.
+
+    Each column is PRE-HASHED separately before the row hash: Spark's
+    variadic ``xxhash64`` SKIPS null arguments entirely, so hashing
+    raw columns would collide rows whose values swap between
+    same-typed columns via NULLs — (new=10, old=NULL) vs (new=NULL,
+    old=10) produce the identical non-null stream, and a semantically
+    opposite batch would be misread as a true replay and silently
+    dropped (review r10, confirmed empirically). A per-column
+    ``xxhash64`` maps NULL to the never-null seed constant, anchoring
+    every column position in the outer hash. Map/variant columns
+    (which ``xxhash64`` refuses) go through ``to_json`` first —
+    deterministic across replays, which re-deliver identical bytes."""
     cols = sorted(batch_df.columns) if cols is None else list(cols)
-    h1 = F.xxhash64(*[F.col(c) for c in cols])
-    h2 = F.xxhash64(F.lit("fp2"), *[F.col(c) for c in reversed(cols)])
+    dtypes = dict(batch_df.dtypes)
+    per_col = []
+    for c in cols:
+        col = F.col(c)
+        dt = dtypes.get(c, "")
+        if dt.startswith("map<") or dt == "variant":
+            col = F.to_json(col)
+        per_col.append(F.xxhash64(col))
+    h1 = F.xxhash64(*per_col)
+    h2 = F.xxhash64(F.lit("fp2"), *reversed(per_col))
     row = (batch_df
            .select(h1.alias("h1"), h2.alias("h2"))
            .agg(F.count(F.lit(1)).alias("n"),
@@ -93,9 +114,17 @@ def _manifests(spark, store: StateStore, base_dir: str) -> dict:
 
     out: dict = {}
     for key in store.list(fp_dir(base_dir), suffix=".json"):
+        text = _read_text(spark, key)  # IO errors PROPAGATE: silently
+        # treating a transient read failure as "no ledger" would
+        # degrade a detectable collision into the silent swallow the
+        # ledger exists to refuse — let the batch fail and retry
         try:
-            out.update(json.loads(_read_text(spark, key)))
-        except Exception:
+            out.update(json.loads(text))
+        except ValueError:
+            # truncated manifest (crash mid-write): its entries'
+            # singles were deleted only AFTER a successful write, so
+            # they are still present and the next vacuum re-merges
+            # them — skipping is self-healing, not lossy
             continue
     return out
 
@@ -121,6 +150,23 @@ def any_fingerprint_for(spark, store: StateStore, base_dir: str,
         if posixpath.basename(key).startswith(prefix):
             return True
     return str(batch_id) in _manifests(spark, store, base_dir)
+
+
+def decide_replay(spark, store: StateStore, base_dir: str, batch_id,
+                  fp: str, collision_msg: str) -> str:
+    """The sinks' shared three-way replay decision at a committed
+    marker or a stale (vacuumed) batch id: ``"skip"`` — the exact
+    content is in the ledger, a true replay; raises RuntimeError with
+    ``collision_msg`` — a fingerprint exists for this id but differs,
+    a fresh-checkpoint run reusing the id; ``"legacy"`` — no ledger
+    entry at all (pre-ledger state), the caller preserves its
+    pre-ledger behavior. One body so the protocol cannot drift
+    between the four sinks (review r10)."""
+    if fingerprint_committed(spark, store, base_dir, batch_id, fp):
+        return "skip"
+    if any_fingerprint_for(spark, store, base_dir, batch_id):
+        raise RuntimeError(collision_msg)
+    return "legacy"
 
 
 def compact_fingerprints(spark, store: StateStore, base_dir: str,

@@ -340,21 +340,26 @@ def foreach_batch_near_dedup(
             # admissions misreads a legitimate replay whenever a band
             # group crossed the cap after commit (review r10). The
             # fingerprint decides EXACTLY:
-            if store.exists(fp_key):
+            decision = fingerprint.decide_replay(
+                spark, store, base_dir, batch_id, fp,
+                f"batch {batch_id} carries a committed marker at "
+                f"{base_dir!r} but its content fingerprint does not "
+                "match the committed one — a fresh-checkpoint run is "
+                "reusing a committed batch id over the same base_dir, "
+                "and skipping it would silently drop its admissions. "
+                "Resume the original checkpoint, use a new base_dir, "
+                "or clear the state first.")
+            if decision == "skip":
                 return  # true replay of the committed content — no-op
-            if _any_fingerprint_for(spark, store, base_dir, batch_id):
-                raise RuntimeError(
-                    f"batch {batch_id} carries a committed marker at "
-                    f"{base_dir!r} but its content fingerprint does "
-                    "not match the committed one — a fresh-checkpoint "
-                    "run is reusing a committed batch id over the "
-                    "same base_dir, and skipping it would silently "
-                    "drop its admissions. Resume the original "
-                    "checkpoint, use a new base_dir, or clear the "
-                    "state first.")
             # Legacy marker (pre-fingerprint state, or a crash in the
             # marker->fingerprint window): fall back to the
-            # re-execution heuristic and HEAL the ledger on success.
+            # re-execution heuristic. Deliberately NO ledger heal:
+            # "admits nothing" does not prove content equality (a
+            # colliding batch whose docs all estimate as near-dups of
+            # the state also admits nothing), so recording the
+            # CURRENT batch's fingerprint could poison the ledger and
+            # wedge the original checkpoint's later true replay
+            # (review r10).
             sigs0, bands0 = read_state(spark, base_dir, store)
             replay_sigs, _ = admit_batch(
                 batch_df, sigs0, bands0, text_col, id_col, n,
@@ -368,7 +373,6 @@ def foreach_batch_near_dedup(
                     "would silently drop its admissions. Resume the "
                     "original checkpoint, use a new base_dir, or "
                     "clear the state first.")
-            store.put_marker(fp_key)
             return
         # Liveness guard (ADVICE r9, medium): a version whose token
         # sorts below the latest compaction is INVISIBLE to
@@ -419,8 +423,9 @@ def foreach_batch_near_dedup(
             # fingerprint LAST: its presence proves the marker (and
             # therefore the data) committed — the invariant the
             # below_compaction fast path above relies on. A crash in
-            # the marker->fingerprint window degrades to the legacy
-            # heuristic once, then heals.
+            # the marker->fingerprint window degrades that batch id
+            # to the legacy heuristic permanently (no heal: see the
+            # marker-hit comment).
             store.put_marker(fp_key)
         finally:
             adm_sigs.unpersist()

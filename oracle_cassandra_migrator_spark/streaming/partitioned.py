@@ -351,34 +351,28 @@ def _partitioned_applier(
         fp = fingerprint.batch_fingerprint(batch_df)
         if store.exists(marker):
             # committed-marker hit: replay vs fresh-checkpoint
-            # collision decided by CONTENT, never by silent skip
-            if fingerprint.fingerprint_committed(
-                    spark, store, base_dir, token, fp):
-                return  # true replay of the committed content
-            if fingerprint.any_fingerprint_for(
-                    spark, store, base_dir, token):
-                raise RuntimeError(
-                    f"batch {batch_id} carries a committed marker at "
-                    f"{base_dir!r} but its content fingerprint does "
-                    "not match the committed one — a fresh-checkpoint "
-                    "run is reusing a committed batch id over the "
-                    "same base_dir, and skipping it would silently "
-                    "drop its changes. Resume the original "
-                    "checkpoint, use a new base_dir, or clear the "
-                    "state first.")
-            return  # legacy pre-ledger marker: preserve the old skip
+            # collision decided by CONTENT, never by silent skip;
+            # skip and legacy both return (pre-ledger markers keep
+            # the old skip)
+            fingerprint.decide_replay(
+                spark, store, base_dir, token, fp,
+                f"batch {batch_id} carries a committed marker at "
+                f"{base_dir!r} but its content fingerprint does not "
+                "match the committed one — a fresh-checkpoint run is "
+                "reusing a committed batch id over the same base_dir, "
+                "and skipping it would silently drop its changes. "
+                "Resume the original checkpoint, use a new base_dir, "
+                "or clear the state first.")
+            return
         all_tokens = _committed_tokens(store, marker_dir)
         if all_tokens and _token_key(token) < _token_key(all_tokens[-1]):
             # a version below the latest committed token is INVISIBLE
             # (readers resolve the latest manifest) and reclaimed by
             # the next vacuum: skip a vacuumed-marker true replay
-            # exactly, refuse new content at a stale id
-            if fingerprint.fingerprint_committed(
-                    spark, store, base_dir, token, fp):
-                return
-            if fingerprint.any_fingerprint_for(
-                    spark, store, base_dir, token):
-                raise RuntimeError(
+            # exactly, refuse new content at a stale id, let legacy
+            # pre-ledger tokens keep the old behavior
+            if fingerprint.decide_replay(
+                    spark, store, base_dir, token, fp,
                     f"partitioned state at {base_dir!r} is committed "
                     f"through token {all_tokens[-1]!r}, but this "
                     f"stream is writing batch {batch_id} with "
@@ -387,8 +381,8 @@ def _partitioned_applier(
                     "base_dir. Its version would be invisible to "
                     "reads and reclaimed by the next vacuum (silent "
                     "data loss). Resume the original checkpoint, use "
-                    "a new base_dir, or clear the state first.")
-            # legacy pre-ledger token: fall through to old behavior
+                    "a new base_dir, or clear the state first.") == "skip":
+                return
         # persisted: the touched-bucket collect AND the merge/write
         # both consume it — without this the batch aggregation and
         # source scan run twice per trigger

@@ -31,7 +31,7 @@ from __future__ import annotations
 import posixpath
 from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from oracle_cassandra_migrator_spark.operators.incremental import (
@@ -82,31 +82,37 @@ def foreach_batch_rollup(
         # one map-side aggregate job; also the required batch
         # consumption on every skip path (upsert.py's protocol — the
         # non-idempotent delta merge makes silent collision swallowing
-        # or an invisible stale-id write even more dangerous here)
-        fp = fingerprint.batch_fingerprint(batch_df)
+        # or an invisible stale-id write even more dangerous here).
+        # Fingerprint the SEMANTIC projection only (op, keys, measure
+        # images): the rollup reads nothing else, so a payload column
+        # the sink ignores can neither flip a replay into a collision
+        # nor break hashing (map-typed payloads are unhashable — a
+        # whole-row fingerprint would fail every batch; review r10).
+        fp = fingerprint.batch_fingerprint(
+            batch_df.select(
+                F.col(op_col).alias("__op"),
+                *[F.col(k) for k in keys],
+                F.expr(new_expr).alias("__new"),
+                F.expr(old_expr).alias("__old")))
         if store.exists(marker):
-            if fingerprint.fingerprint_committed(
-                    spark, store, base_dir, batch_id, fp):
-                return  # true replay of the committed content
-            if fingerprint.any_fingerprint_for(
-                    spark, store, base_dir, batch_id):
-                raise RuntimeError(
-                    f"batch {batch_id} carries a committed marker at "
-                    f"{base_dir!r} but its content fingerprint does "
-                    "not match the committed one — a fresh-checkpoint "
-                    "run is reusing a committed batch id over the "
-                    "same base_dir, and skipping it would silently "
-                    "drop its deltas. Resume the original checkpoint, "
-                    "use a new base_dir, or clear the state first.")
-            return  # legacy pre-ledger marker: preserve the old skip
+            # skip and legacy both return (pre-ledger markers keep
+            # the old skip); collision raises
+            fingerprint.decide_replay(
+                spark, store, base_dir, batch_id, fp,
+                f"batch {batch_id} carries a committed marker at "
+                f"{base_dir!r} but its content fingerprint does not "
+                "match the committed one — a fresh-checkpoint run is "
+                "reusing a committed batch id over the same base_dir, "
+                "and skipping it would silently drop its deltas. "
+                "Resume the original checkpoint, use a new base_dir, "
+                "or clear the state first.")
+            return
         committed = _committed_ids(store, marker_dir)
         if committed and batch_id < committed[-1]:
-            if fingerprint.fingerprint_committed(
-                    spark, store, base_dir, batch_id, fp):
-                return  # vacuumed-marker true replay: already rolled up
-            if fingerprint.any_fingerprint_for(
-                    spark, store, base_dir, batch_id):
-                raise RuntimeError(
+            # vacuumed-marker true replay: already rolled up — skip;
+            # new content at a stale id: refuse; legacy: old behavior
+            if fingerprint.decide_replay(
+                    spark, store, base_dir, batch_id, fp,
                     f"rollup state at {base_dir!r} is committed "
                     f"through batch {committed[-1]}, but this stream "
                     f"is writing batch {batch_id} with DIFFERENT "
@@ -115,8 +121,8 @@ def foreach_batch_rollup(
                     "snapshot would be invisible to readers and "
                     "reclaimed by the next vacuum (silent data loss). "
                     "Resume the original checkpoint, use a new "
-                    "base_dir, or clear the state first.")
-            # legacy pre-ledger id: fall through to the old behavior
+                    "base_dir, or clear the state first.") == "skip":
+                return
         deltas = cdc_to_group_deltas(
             batch_df, keys, new_expr, old_expr, op_col=op_col)
         prev_ids = [i for i in committed if i < batch_id]

@@ -134,22 +134,19 @@ def foreach_batch_upsert(
             # committed-marker hit: decide replay vs fresh-checkpoint
             # collision by CONTENT, not by silently skipping — a
             # skipped colliding run loses its batch forever (the
-            # near-dedup gate's r10 lesson, applied to every sink)
-            if fingerprint.fingerprint_committed(
-                    spark, store, base_dir, batch_id, fp):
-                return  # true replay of the committed content
-            if fingerprint.any_fingerprint_for(
-                    spark, store, base_dir, batch_id):
-                raise RuntimeError(
-                    f"batch {batch_id} carries a committed marker at "
-                    f"{base_dir!r} but its content fingerprint does "
-                    "not match the committed one — a fresh-checkpoint "
-                    "run is reusing a committed batch id over the "
-                    "same base_dir, and skipping it would silently "
-                    "drop its changes. Resume the original "
-                    "checkpoint, use a new base_dir, or clear the "
-                    "state first.")
-            return  # legacy pre-ledger marker: preserve the old skip
+            # near-dedup gate's r10 lesson, applied to every sink);
+            # skip and legacy both return (pre-ledger markers keep
+            # the old skip)
+            fingerprint.decide_replay(
+                spark, store, base_dir, batch_id, fp,
+                f"batch {batch_id} carries a committed marker at "
+                f"{base_dir!r} but its content fingerprint does not "
+                "match the committed one — a fresh-checkpoint run is "
+                "reusing a committed batch id over the same base_dir, "
+                "and skipping it would silently drop its changes. "
+                "Resume the original checkpoint, use a new base_dir, "
+                "or clear the state first.")
+            return
         committed = _committed_ids(store, marker_dir)
         if committed and batch_id < committed[-1]:
             # this write would be INVISIBLE: readers resolve the
@@ -157,13 +154,11 @@ def foreach_batch_upsert(
             # reclaimed by the next vacuum. A vacuumed-marker true
             # replay is safe to skip (its changes live on in every
             # later snapshot); new content at a stale id is a
-            # fresh-checkpoint run — refuse instead of losing it.
-            if fingerprint.fingerprint_committed(
-                    spark, store, base_dir, batch_id, fp):
-                return
-            if fingerprint.any_fingerprint_for(
-                    spark, store, base_dir, batch_id):
-                raise RuntimeError(
+            # fresh-checkpoint run — refuse instead of losing it;
+            # legacy pre-ledger ids keep the old (deterministic,
+            # invisible) overwrite.
+            if fingerprint.decide_replay(
+                    spark, store, base_dir, batch_id, fp,
                     f"snapshot state at {base_dir!r} is committed "
                     f"through batch {committed[-1]}, but this stream "
                     f"is writing batch {batch_id} with DIFFERENT "
@@ -172,9 +167,8 @@ def foreach_batch_upsert(
                     "snapshot would be invisible to readers and "
                     "reclaimed by the next vacuum (silent data loss). "
                     "Resume the original checkpoint, use a new "
-                    "base_dir, or clear the state first.")
-            # legacy pre-ledger id: fall through to the old behavior
-            # (a deterministic, invisible overwrite)
+                    "base_dir, or clear the state first.") == "skip":
+                return
         # last-writer-wins WITHIN the batch: max(struct(order_by, row))
         # per key — aggregation, not a window, so it map-side-combines
         ordered = F.struct(

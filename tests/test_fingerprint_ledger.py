@@ -300,3 +300,67 @@ def test_partitioned_vacuumed_token_replay_resolves_via_manifest(
     assert sorted(glob.glob(f"{base}/v[0-9]")) == []
     assert sorted(map(tuple, partitioned.latest_partitioned_snapshot(
         spark, base).collect())) == want
+
+
+def test_fingerprint_distinguishes_null_swapped_columns(spark):
+    """Review r10 (confirmed empirically pre-fix): Spark's variadic
+    xxhash64 SKIPS null arguments, so (new=10, old=NULL) and
+    (new=NULL, old=10) hashed to the identical non-null stream — a
+    semantically OPPOSITE CDC batch was misread as a true replay and
+    silently dropped. Per-column pre-hashing anchors every position."""
+    a = spark.createDataFrame([("U", "k", 10, None, 1)], CDC_SCHEMA)
+    b = spark.createDataFrame([("U", "k", None, 10, 1)], CDC_SCHEMA)
+    assert (fingerprint.batch_fingerprint(a)
+            != fingerprint.batch_fingerprint(b))
+    # and NULL is distinguished from absent-value lookalikes
+    c = spark.createDataFrame([("U", "k", None, None, 1)], CDC_SCHEMA)
+    fps = {fingerprint.batch_fingerprint(d) for d in (a, b, c)}
+    assert len(fps) == 3
+
+
+def test_fingerprint_handles_map_columns(spark):
+    """Review r10: xxhash64 refuses MAP inputs, so a whole-row
+    fingerprint crashed every batch of a stream carrying a map-typed
+    payload. Maps route through to_json."""
+    schema = "k LONG, payload MAP<STRING,INT>"
+    a = spark.createDataFrame([(1, {"x": 1})], schema)
+    b = spark.createDataFrame([(1, {"x": 2})], schema)
+    fa, fb = (fingerprint.batch_fingerprint(d) for d in (a, b))
+    assert fa != fb
+
+
+def test_rollup_with_map_payload_column_still_commits(spark, tmp_path):
+    """Review r10: the rollup fingerprints only its semantic
+    projection (op, keys, measure images), so an unhashable payload
+    column the sink ignores neither crashes the batch nor flips a
+    replay into a collision."""
+    from oracle_cassandra_migrator_spark.streaming import rollup
+
+    schema = ("op STRING, k STRING, new_v INT, old_v INT, seq INT, "
+              "payload MAP<STRING,INT>")
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("I", "a", 10, None, 1, {"m": 1})], schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    base = str(tmp_path / "state")
+
+    def run(ckpt):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        q = rollup.foreach_batch_rollup(
+            stream, base, ["k"], "new_v", "old_v",
+            str(tmp_path / ckpt))
+        q.awaitTermination(180)
+        return q
+
+    q = run("ckpt")
+    assert q.exception() is None, q.exception()
+    got = {r.k: (r.n, int(r.s))
+           for r in rollup.latest_rollup(spark, base).collect()}
+    assert got == {"a": (1, 10)}
+    # fresh-checkpoint true replay still skips through the semantic fp
+    q2 = run("ckpt2")
+    assert q2.exception() is None, q2.exception()
+    got2 = {r.k: (r.n, int(r.s))
+            for r in rollup.latest_rollup(spark, base).collect()}
+    assert got2 == got

@@ -488,12 +488,16 @@ def test_true_replay_skipped_even_when_band_cap_crossed(spark, tmp_path):
     assert sorted(map(tuple, sigs_post.collect())) == rows_pre
 
 
-def test_legacy_marker_without_fingerprint_heals(spark, tmp_path):
+def test_legacy_marker_without_fingerprint_uses_heuristic(
+        spark, tmp_path):
     """Markers from a pre-fingerprint state (or a crash in the
     marker->fingerprint window) fall back to the re-execution
-    heuristic once, then HEAL the ledger: a true replay admits
-    nothing, writes the missing fingerprint, and the next replay takes
-    the exact fast path."""
+    heuristic: a true replay admits nothing and is skipped.
+    Deliberately NO ledger heal (review r10): "admits nothing" does
+    not prove content equality — a colliding batch whose docs all
+    estimate as near-dups of the state also admits nothing, so
+    recording the current batch's fingerprint could poison the ledger
+    and wedge the original checkpoint's later true replay."""
     import glob
 
     from oracle_cassandra_migrator_spark.streaming import neardedup
@@ -523,7 +527,8 @@ def test_legacy_marker_without_fingerprint_heals(spark, tmp_path):
     assert q.exception() is None, q.exception()
     sigs_post, _ = neardedup.read_state(spark, base_dir)
     assert sorted(map(tuple, sigs_post.collect())) == rows_pre
-    assert len(glob.glob(f"{base_dir}/fingerprints/fp-*.marker")) == 1
+    # no heal: the ledger stays empty for this id
+    assert glob.glob(f"{base_dir}/fingerprints/fp-*.marker") == []
 
 
 def test_vacuum_compacts_fingerprint_ledger(spark, tmp_path):

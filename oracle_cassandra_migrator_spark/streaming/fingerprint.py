@@ -83,7 +83,10 @@ def batch_fingerprint(batch_df: DataFrame,
     for c in cols:
         col = F.col(c)
         dt = dtypes.get(c, "")
-        if dt.startswith("map<") or dt == "variant":
+        # xxhash64 refuses MAP/VARIANT at ANY nesting depth
+        # (struct<..map<..>>, array<map<..>>), so the substring check
+        # is deliberate, not just a top-level type test
+        if "map<" in dt or "variant" in dt:
             col = F.to_json(col)
         per_col.append(F.xxhash64(col))
     h1 = F.xxhash64(*per_col)

@@ -364,3 +364,15 @@ def test_rollup_with_map_payload_column_still_commits(spark, tmp_path):
     got2 = {r.k: (r.n, int(r.s))
             for r in rollup.latest_rollup(spark, base).collect()}
     assert got2 == got
+
+
+def test_fingerprint_handles_nested_map_columns(spark):
+    """xxhash64 refuses MAP at ANY nesting depth (struct<..map..>,
+    array<map..>), so the to_json routing must be a substring check on
+    the dtype, not a top-level type test."""
+    schema = ("k LONG, s STRUCT<m: MAP<STRING,INT>>, "
+              "a ARRAY<MAP<STRING,INT>>")
+    x = spark.createDataFrame([(1, ((({"p": 1}),)), [{"q": 2}])], schema)
+    y = spark.createDataFrame([(1, ((({"p": 1}),)), [{"q": 3}])], schema)
+    fx, fy = (fingerprint.batch_fingerprint(d) for d in (x, y))
+    assert fx != fy

@@ -56,6 +56,15 @@ from pyspark.sql import DataFrame, functions as F
 
 from oracle_cassandra_migrator_spark.reliability.state import StateStore
 
+# Fingerprint ALGORITHM version, embedded as the fp string's first
+# segment. If the algorithm ever changes again, bump this: entries
+# recorded under a DIFFERENT version are treated as "legacy" (fall
+# back to the sink's pre-ledger behavior), never as a collision — an
+# unversioned change would make every committed entry mismatch its own
+# true replay after an upgrade and wedge resumed streams with a false
+# collision error (review r10).
+FP_VERSION = "v1"
+
 
 def batch_fingerprint(batch_df: DataFrame,
                       cols: Iterable[str] | None = None) -> str:
@@ -99,7 +108,7 @@ def batch_fingerprint(batch_df: DataFrame,
            .collect()[0])
     s1 = int(row["s1"] or 0) % (1 << 64)
     s2 = int(row["s2"] or 0) % (1 << 64)
-    return f"{row['n']}-{s1:016x}-{s2:016x}"
+    return f"{FP_VERSION}-{row['n']}-{s1:016x}-{s2:016x}"
 
 
 def fp_dir(base_dir: str) -> str:
@@ -144,15 +153,18 @@ def fingerprint_committed(spark, store: StateStore, base_dir: str,
 
 def any_fingerprint_for(spark, store: StateStore, base_dir: str,
                         batch_id) -> bool:
-    """Whether ANY fingerprint was recorded for this batch id — the
-    legacy/collision discriminator: absent means a pre-ledger state
-    (fall back to the sink's legacy behavior), present with a
-    different fp means a fresh-checkpoint collision (refuse)."""
-    prefix = f"fp-{batch_id}-"
+    """Whether a CURRENT-version fingerprint was recorded for this
+    batch id — the legacy/collision discriminator: absent means a
+    pre-ledger (or older-algorithm) state, so the sink falls back to
+    its legacy behavior; present with a different fp means a
+    fresh-checkpoint collision (refuse). Entries under a different
+    ``FP_VERSION`` are incomparable, hence legacy, never collision."""
+    prefix = f"fp-{batch_id}-{FP_VERSION}-"
     for key in store.list(fp_dir(base_dir), suffix=".marker"):
         if posixpath.basename(key).startswith(prefix):
             return True
-    return str(batch_id) in _manifests(spark, store, base_dir)
+    entry = _manifests(spark, store, base_dir).get(str(batch_id))
+    return entry is not None and entry.startswith(FP_VERSION + "-")
 
 
 def decide_replay(spark, store: StateStore, base_dir: str, batch_id,
@@ -161,13 +173,27 @@ def decide_replay(spark, store: StateStore, base_dir: str, batch_id,
     marker or a stale (vacuumed) batch id: ``"skip"`` — the exact
     content is in the ledger, a true replay; raises RuntimeError with
     ``collision_msg`` — a fingerprint exists for this id but differs,
-    a fresh-checkpoint run reusing the id; ``"legacy"`` — no ledger
-    entry at all (pre-ledger state), the caller preserves its
+    a fresh-checkpoint run reusing the id; ``"legacy"`` — no
+    current-version ledger entry at all (pre-ledger state, or one
+    recorded under an older ``FP_VERSION``), the caller preserves its
     pre-ledger behavior. One body so the protocol cannot drift
-    between the four sinks (review r10)."""
-    if fingerprint_committed(spark, store, base_dir, batch_id, fp):
+    between the four sinks (review r10). Single IO pass: one
+    ``exists``, then at most one singles listing and one manifest
+    read — composing fingerprint_committed + any_fingerprint_for
+    would list the directory and re-read every manifest twice per
+    decision."""
+    if store.exists(fp_key(base_dir, batch_id, fp)):
         return "skip"
-    if any_fingerprint_for(spark, store, base_dir, batch_id):
+    prefix = f"fp-{batch_id}-{FP_VERSION}-"
+    for key in store.list(fp_dir(base_dir), suffix=".marker"):
+        if posixpath.basename(key).startswith(prefix):
+            # a current-version single for this id exists but the
+            # exact (id, fp) key does not: different content
+            raise RuntimeError(collision_msg)
+    entry = _manifests(spark, store, base_dir).get(str(batch_id))
+    if entry == fp:
+        return "skip"
+    if entry is not None and entry.startswith(FP_VERSION + "-"):
         raise RuntimeError(collision_msg)
     return "legacy"
 

@@ -246,11 +246,8 @@ def _batch_fingerprint(batch_df: DataFrame, text_col: str,
     return fingerprint.batch_fingerprint(batch_df, [id_col, text_col])
 
 
-# module-local aliases: the gate's tests and vacuum use these names
-_fp_dir = fingerprint.fp_dir
+# module-local alias: the gate's tests build ledger keys through it
 _fp_key = fingerprint.fp_key
-_fingerprint_committed = fingerprint.fingerprint_committed
-_any_fingerprint_for = fingerprint.any_fingerprint_for
 
 
 def _live_tokens(store: StateStore, marker_dir: str) -> list[str]:
@@ -385,15 +382,31 @@ def foreach_batch_near_dedup(
                        if "c" in t]
         below_compaction = bool(compactions) and (
             _token_key(str(batch_id)) < _token_key(compactions[-1]))
-        if below_compaction and _fingerprint_committed(
-                spark, store, base_dir, batch_id, fp):
-            # marker vacuumed, fingerprint proves this exact content
-            # was committed before the compaction: true replay — write
-            # NOTHING (the admissions live on in the compacted state;
-            # pre-fingerprint this path re-ran admission and committed
-            # an empty version, which the cap-crossing edge could
-            # corrupt with spurious admissions)
-            return
+        if below_compaction:
+            # marker vacuumed. The ledger decides (review r10 — this
+            # was the one decision point still resting on the
+            # admits-nothing heuristic): an exact fingerprint match
+            # proves this content was committed before the compaction
+            # — true replay, write NOTHING (the admissions live on in
+            # the compacted state); a differing current-version entry
+            # is a fresh-checkpoint collision — refuse BEFORE the
+            # heuristic can silently commit an invisible empty
+            # version and poison the ledger with the colliding fp;
+            # only a truly pre-ledger id falls through to the
+            # admits-nothing last-ditch guard below.
+            if fingerprint.decide_replay(
+                    spark, store, base_dir, batch_id, fp,
+                    f"near-dedup state at {base_dir!r} was compacted "
+                    f"at token {compactions[-1]!r}, but batch "
+                    f"{batch_id} re-delivers DIFFERENT content than "
+                    "was committed at this id — a fresh-checkpoint "
+                    "run over an already-compacted base_dir. Its "
+                    "versions would be invisible to reads and "
+                    "reclaimed by the next vacuum (silent data "
+                    "loss). Resume the original checkpoint, point "
+                    "this run at a new base_dir, or clear the state "
+                    "first.") == "skip":
+                return
         sigs, bands = read_state(spark, base_dir, store)
         adm_sigs, adm_bands = admit_batch(
             batch_df, sigs, bands, text_col, id_col, n, threshold,
@@ -425,8 +438,13 @@ def foreach_batch_near_dedup(
             # below_compaction fast path above relies on. A crash in
             # the marker->fingerprint window degrades that batch id
             # to the legacy heuristic permanently (no heal: see the
-            # marker-hit comment).
-            store.put_marker(fp_key)
+            # marker-hit comment). Below the compaction, NO fp is
+            # recorded either: that write is a legacy-path empty
+            # version whose content equality is unproven — recording
+            # the delivered fp there could poison the ledger exactly
+            # like the removed heal.
+            if not below_compaction:
+                store.put_marker(fp_key)
         finally:
             adm_sigs.unpersist()
 

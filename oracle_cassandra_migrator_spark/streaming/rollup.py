@@ -73,6 +73,12 @@ def foreach_batch_rollup(
     against an empty base, so the rollup is born from the stream
     itself; groups whose count returns to 0 disappear from the next
     version."""
+    clash = {"__op", "__new", "__old"}.intersection(keys)
+    if clash:
+        raise ValueError(
+            f"foreach_batch_rollup: key column(s) {sorted(clash)} "
+            "collide with the fingerprint projection's reserved "
+            "aliases (__op/__new/__old) — rename the key(s)")
     store = state or LocalFSStateStore()
     marker_dir = posixpath.join(base_dir, "markers")
 

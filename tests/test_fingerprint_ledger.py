@@ -376,3 +376,50 @@ def test_fingerprint_handles_nested_map_columns(spark):
     y = spark.createDataFrame([(1, ((({"p": 1}),)), [{"q": 3}])], schema)
     fx, fy = (fingerprint.batch_fingerprint(d) for d in (x, y))
     assert fx != fy
+
+
+def test_fingerprint_version_gates_collision_detection(spark, tmp_path):
+    """Review r10: the fp string embeds FP_VERSION, and entries under
+    a DIFFERENT version are legacy (incomparable), never collision —
+    an unversioned algorithm change would make every committed entry
+    mismatch its own true replay after an upgrade."""
+    from oracle_cassandra_migrator_spark.reliability.state import (
+        LocalFSStateStore)
+
+    store = LocalFSStateStore()
+    base = str(tmp_path / "state")
+    df = spark.createDataFrame([(1, 1, "x")], UPSERT_SCHEMA)
+    fp = fingerprint.batch_fingerprint(df)
+    assert fp.startswith(fingerprint.FP_VERSION + "-")
+
+    # old-format entry (no version prefix): legacy, not collision
+    store.put_marker(fingerprint.fp_key(base, 7, "3-aaaa-bbbb"))
+    assert fingerprint.decide_replay(
+        spark, store, base, 7, fp, "boom") == "legacy"
+    # current-version entry with different content: collision
+    store.put_marker(fingerprint.fp_key(
+        base, 8, fingerprint.FP_VERSION + "-3-aaaa-bbbb"))
+    with pytest.raises(RuntimeError, match="boom"):
+        fingerprint.decide_replay(spark, store, base, 8, fp, "boom")
+    # exact match: skip
+    store.put_marker(fingerprint.fp_key(base, 9, fp))
+    assert fingerprint.decide_replay(
+        spark, store, base, 9, fp, "boom") == "skip"
+    # no entry at all: legacy
+    assert fingerprint.decide_replay(
+        spark, store, base, 10, fp, "boom") == "legacy"
+
+
+def test_rollup_reserved_key_names_refused(spark, tmp_path):
+    from oracle_cassandra_migrator_spark.streaming import rollup
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("I", "a", 1, None, 1)], CDC_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(CDC_SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    with pytest.raises(ValueError, match="__op"):
+        rollup.foreach_batch_rollup(
+            stream, str(tmp_path / "state"), ["__op"],
+            "new_v", "old_v", str(tmp_path / "ckpt"))

@@ -611,3 +611,46 @@ def test_fresh_checkpoint_under_committed_marker_refused(spark, tmp_path):
 
     sigs_post, _ = neardedup.read_state(spark, base_dir)
     assert sorted(map(tuple, sigs_post.collect())) == rows_pre
+
+
+def test_below_compaction_collision_refused_even_when_admission_empty(
+        spark, tmp_path):
+    """Review r10 (third pass): the below-compaction path must consult
+    the LEDGER before the admits-nothing heuristic — a colliding
+    fresh-checkpoint batch whose docs all estimate as near-dups of the
+    compacted state admits nothing, and the heuristic alone would
+    silently commit an invisible empty version at the vacuumed id and
+    poison the ledger with the colliding fingerprint."""
+    import glob
+
+    from oracle_cassandra_migrator_spark.streaming import neardedup
+
+    src = str(tmp_path / "src")
+    _mk_docs(spark, [(1, BASE)]).coalesce(1).write.mode(
+        "overwrite").parquet(src)
+    base_dir = str(tmp_path / "state")
+    stream = (spark.readStream.schema("doc_id BIGINT, text STRING")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    neardedup.foreach_batch_near_dedup(
+        stream, base_dir, str(tmp_path / "ckpt")).awaitTermination(180)
+    neardedup.compact_near_dedup(spark, base_dir)
+    neardedup.vacuum_near_dedup(spark, base_dir)
+    markers_pre = sorted(glob.glob(f"{base_dir}/markers/*.marker"))
+
+    # fresh checkpoint: DIFFERENT doc (new id, near-dup text) reuses
+    # vacuumed batch id 0 — admission would be EMPTY vs the state
+    src2 = str(tmp_path / "src2")
+    _mk_docs(spark, [(2, BASE.replace("afternoon", "evening"))]) \
+        .coalesce(1).write.mode("overwrite").parquet(src2)
+    stream2 = (spark.readStream.schema("doc_id BIGINT, text STRING")
+               .option("maxFilesPerTrigger", "1").parquet(src2))
+    q = neardedup.foreach_batch_near_dedup(
+        stream2, base_dir, str(tmp_path / "ckpt2"))
+    with pytest.raises(Exception, match="compacted"):
+        q.awaitTermination(180)
+        raise AssertionError("below-compaction collision not refused")
+    # nothing committed, nothing poisoned: markers and the ledger's
+    # manifest are untouched, no stray singles for id 0
+    assert sorted(glob.glob(f"{base_dir}/markers/*.marker")) \
+        == markers_pre
+    assert glob.glob(f"{base_dir}/fingerprints/fp-*.marker") == []

@@ -118,29 +118,21 @@ def sample_stratified(df: DataFrame, id_col: str, stratum_col: str,
     return df.where(F.expr(f"({bucket}) < ({threshold})"))
 
 
-def temperature_resample_audit(df: DataFrame, id_col: str,
-                               stratum_col: str,
-                               denominator: int = 1_000_000) -> DataFrame:
-    """Temperature-based corpus rebalancing (T=2, i.e. sampling
-    exponent alpha=1/2 as in multilingual-pretraining mixes): stratum
-    l with share p_l is downsampled at rate (p_min/p_l)^(1-alpha) =
-    sqrt(n_min/n_l) — the head flattens, the smallest stratum keeps
-    everything. Returns the per-stratum audit (n_docs, integer ppm
-    threshold, n_kept).
-
-    Exactness: the rate is floored to an integer ppm threshold before
-    comparing against the md5 bucket, so membership is an
-    integer-vs-integer comparison — no knife-edge double compare to
-    drift between engines (sqrt is IEEE-exact, unlike pow(x, 0.5)).
-
-    Scale: two tiny stratum-keyed aggregations + a broadcast of the
-    per-stratum thresholds back onto the corpus; the keep-filter is a
-    per-row hash compare that pushes into the scan pass. No corpus
-    shuffle beyond the audit counts."""
+def temperature_thresholds(df: DataFrame, stratum_col: str,
+                           denominator: int = 1_000_000) -> DataFrame:
+    """Per-stratum (n_docs, threshold_ppm) for temperature (T=2)
+    rebalancing: stratum l with share p_l is downsampled at rate
+    (p_min/p_l)^(1-alpha) = sqrt(n_min/n_l) — the head flattens, the
+    smallest stratum keeps everything. The rate is floored to an
+    integer ppm threshold, so downstream membership is an
+    integer-vs-integer compare (no knife-edge double drift between
+    engines; sqrt is IEEE-exact, unlike pow(x, 0.5)). One tiny
+    stratum-keyed aggregation — the shared head of the audit and the
+    resample filter."""
     counts = df.groupBy(stratum_col).agg(
         F.count("*").cast("bigint").alias("n_docs"))
     n_min = counts.agg(F.min("n_docs").alias("n_min"))
-    rates = (
+    return (
         counts.crossJoin(F.broadcast(n_min))
         .withColumn(
             "threshold_ppm",
@@ -149,6 +141,39 @@ def temperature_resample_audit(df: DataFrame, id_col: str,
                 f"* {denominator}) AS BIGINT)"))
         .drop("n_min")
     )
+
+
+def temperature_resample(df: DataFrame, id_col: str, stratum_col: str,
+                         denominator: int = 1_000_000) -> DataFrame:
+    """The SURVIVING rows of temperature (T=2) rebalancing — the
+    filter form the declarative ``sample_temperature`` step chains
+    into a curation pipeline (the audit twin below reports counts).
+    Broadcast the |strata|-row threshold table onto the corpus and
+    keep rows whose md5 bucket clears their stratum's ppm threshold:
+    deterministic (same survivors at any parallelism), one broadcast
+    join, zero corpus shuffle."""
+    rates = temperature_thresholds(df, stratum_col, denominator)
+    bucket = hash_bucket_expr(id_col, denominator)
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .where(F.expr(f"({bucket}) < threshold_ppm"))
+        .select(*df.columns)
+    )
+
+
+def temperature_resample_audit(df: DataFrame, id_col: str,
+                               stratum_col: str,
+                               denominator: int = 1_000_000) -> DataFrame:
+    """Temperature-based corpus rebalancing (T=2, i.e. sampling
+    exponent alpha=1/2 as in multilingual-pretraining mixes) — the
+    per-stratum audit (n_docs, integer ppm threshold, n_kept) of the
+    ``temperature_resample`` filter above.
+
+    Scale: two tiny stratum-keyed aggregations + a broadcast of the
+    per-stratum thresholds back onto the corpus; the keep-filter is a
+    per-row hash compare that pushes into the scan pass. No corpus
+    shuffle beyond the audit counts."""
+    rates = temperature_thresholds(df, stratum_col, denominator)
     bucket = hash_bucket_expr(id_col, denominator)
     kept = (
         df.join(F.broadcast(rates), stratum_col)
@@ -161,6 +186,67 @@ def temperature_resample_audit(df: DataFrame, id_col: str,
         .select(
             stratum_col, "n_docs", "threshold_ppm",
             F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"))
+    )
+
+
+def sample_fixed_n(df: DataFrame, id_col: str, k: int,
+                   by: str | None = None,
+                   salt: str = "sample") -> DataFrame:
+    """Exactly min(k, |input|) rows by bottom-k-of-salted-hash —
+    global (``by=None``: TakeOrderedAndProject, per-task heaps, no
+    corpus shuffle) or per-group (``by``: one windowed rank per group,
+    the eval-set builder — min(k, group size) rows per group). Returns
+    the surviving rows with the INPUT's columns only, so a curation
+    pipeline can chain it like any other filter. Deterministic: same
+    survivors on every run at any parallelism (the sort key is
+    md5(salt || id), never an RNG)."""
+    if by is None:
+        return cap_by_salted_hash(df, id_col, k, salt)
+    sk = f"md5(concat('{salt}:', CAST({id_col} AS STRING)))"
+    return (
+        df.withColumn("__rnk", F.expr(
+            f"row_number() OVER (PARTITION BY {by} "
+            f"ORDER BY {sk}, {id_col})"))
+        .where(F.col("__rnk") <= k)
+        .select(*df.columns)
+    )
+
+
+def corpus_mix_downsample(df: DataFrame, id_col: str, stratum_col: str,
+                          weight_expr: str = "1",
+                          denominator: int = 1_000_000) -> DataFrame:
+    """Uniform-target corpus mixing as a FILTER: each stratum's
+    resample weight is (corpus_total / n_strata) / stratum_total
+    (the ``corpus_mix_weights`` catalog table's resample_weight_ppm,
+    weighted by ``weight_expr`` — ``1`` mixes by document count,
+    a token-count expression mixes by tokens), capped at 1e6 ppm:
+    over-represented strata are hash-downsampled toward the uniform
+    share, under-represented strata are kept whole (upsampling is
+    repetition — a different op; this step never duplicates rows).
+    Same shape as temperature_resample: one |strata|-row aggregate
+    broadcast back, per-row integer hash compare, zero corpus
+    shuffle."""
+    from pyspark.sql.window import Window
+
+    per = df.groupBy(stratum_col).agg(
+        F.expr(f"CAST(SUM({weight_expr}) AS DECIMAL(38,0))").alias("__t"))
+    w = Window.partitionBy()
+    rates = (
+        per.withColumn("__corpus", F.sum("__t").over(w))
+        .withColumn("__n", F.count("*").over(w))
+        .withColumn(
+            "threshold_ppm",
+            F.expr(
+                f"least(CAST({denominator} AS BIGINT), "
+                f"CAST(floor((CAST(__corpus AS DOUBLE) / __n) "
+                f"/ CAST(__t AS DOUBLE) * {denominator}) AS BIGINT))"))
+        .select(stratum_col, "threshold_ppm")
+    )
+    bucket = hash_bucket_expr(id_col, denominator)
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .where(F.expr(f"({bucket}) < threshold_ppm"))
+        .select(*df.columns)
     )
 
 

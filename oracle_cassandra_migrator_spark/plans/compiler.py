@@ -574,7 +574,10 @@ def _op_dedup_near(ns, step):
     path, knobs ``bands``/``rows``/``max_band_size`` exposed;
     ``pairs="jaccard"`` runs the EXACT n-gram Jaccard self-join
     through the measured strategy router (``strategy`` =
-    auto/allpairs/inverted_index, operators/dedup.py routing bar).
+    auto/allpairs/inverted_index, operators/dedup.py routing bar);
+    ``pairs="simhash"`` runs the pigeonhole hamming multi-index
+    (VERDICT r10 item 6 — the third pair family), knobs
+    ``max_distance``/``bits``/``max_block_size``.
 
     ``mode="decisions"`` (default) returns the decisions table
     (id, cluster_rep, is_kept) — pinned output-equal to the
@@ -594,6 +597,7 @@ def _op_dedup_near(ns, step):
         connected_components,
         dedup_decisions,
         minhash_lsh_pairs,
+        simhash_hamming_pairs,
     )
 
     df = _input(ns, step)
@@ -616,10 +620,19 @@ def _op_dedup_near(ns, step):
         pairs = allpairs_jaccard_pairs(
             df, text_col, id_col, n=n, threshold=threshold,
             strategy=step.get("strategy", "auto"))
+    elif pairs_alg == "simhash":
+        # same int-coercion discipline as max_band_size: a JSON-string
+        # knob must not reach a Spark comparison raw
+        mblk = step.get("max_block_size")
+        pairs = simhash_hamming_pairs(
+            df, text_col, id_col,
+            max_distance=int(step.get("max_distance", 2)),
+            bits=int(step.get("bits", 32)),
+            max_block_size=int(mblk) if mblk is not None else None)
     else:
         raise ValueError(
-            f"dedup_near pairs must be 'minhash' or 'jaccard' "
-            f"(got {pairs_alg!r})")
+            f"dedup_near pairs must be 'minhash', 'jaccard' or "
+            f"'simhash' (got {pairs_alg!r})")
     comp = connected_components(pairs, src="doc_a", dst="doc_b")
     # cast_bigint=False: component inherits id_col's own type (labels
     # ARE ids), so a string/UUID id survives intact — the
@@ -636,3 +649,78 @@ def _op_dedup_near(ns, step):
 
 
 OPS["dedup_near"] = _op_dedup_near
+
+
+def _op_sample_stratified(ns, step):
+    """{"op": "sample_stratified", "input": docs, "id": id_col,
+    "stratum": col, "rates": {"en": 0.3, ...}[, "default_rate": 0.0]}
+    — deterministic per-stratum downsampling as a curation step
+    (operators/sampling.sample_stratified): a row survives iff its
+    md5-id bucket clears the stratum's rate. Pure projection-filter —
+    pushes to the scan, zero shuffle, same survivors at any
+    parallelism (VERDICT r10 item 5: the sample/mix stage no longer
+    exits the spec)."""
+    from oracle_cassandra_migrator_spark.operators.sampling import (
+        sample_stratified)
+
+    return sample_stratified(
+        _input(ns, step), step["id"], step["stratum"],
+        rates={k: float(v) for k, v in step["rates"].items()},
+        default_rate=float(step.get("default_rate", 0.0)))
+
+
+OPS["sample_stratified"] = _op_sample_stratified
+
+
+def _op_sample_temperature(ns, step):
+    """{"op": "sample_temperature", "input": docs, "id": id_col,
+    "stratum": col} — temperature (T=2) rebalancing as a FILTER step:
+    head strata downsampled at sqrt(n_min/n_l), the smallest kept
+    whole (operators/sampling.temperature_resample — the filter twin
+    of the sample_temperature_by_lang audit query). One |strata|-row
+    broadcast, per-row integer hash compare."""
+    from oracle_cassandra_migrator_spark.operators.sampling import (
+        temperature_resample)
+
+    return temperature_resample(_input(ns, step), step["id"],
+                                step["stratum"])
+
+
+OPS["sample_temperature"] = _op_sample_temperature
+
+
+def _op_sample_fixed_n(ns, step):
+    """{"op": "sample_fixed_n", "input": docs, "id": id_col, "k": N
+    [, "by": group_col, "salt": "sample"]} — exactly min(k, |input|)
+    rows by bottom-k-of-salted-hash, global (TakeOrderedAndProject —
+    per-task heaps, no corpus shuffle) or per-group (windowed rank:
+    the eval-set builder). Deterministic; returns input columns only,
+    so it chains like any filter."""
+    from oracle_cassandra_migrator_spark.operators.sampling import (
+        sample_fixed_n)
+
+    return sample_fixed_n(
+        _input(ns, step), step["id"], int(step["k"]),
+        by=step.get("by"), salt=step.get("salt", "sample"))
+
+
+OPS["sample_fixed_n"] = _op_sample_fixed_n
+
+
+def _op_corpus_mix(ns, step):
+    """{"op": "corpus_mix", "input": docs, "id": id_col, "stratum":
+    col[, "weight": SQL expr]} — uniform-target mixture rebalancing as
+    a FILTER: over-represented strata are hash-downsampled toward the
+    uniform share (the corpus_mix_weights table's resample_weight_ppm,
+    capped at 1e6 — this step never duplicates rows), weighted by doc
+    count or a token-count expression. Same broadcast-threshold shape
+    as sample_temperature."""
+    from oracle_cassandra_migrator_spark.operators.sampling import (
+        corpus_mix_downsample)
+
+    return corpus_mix_downsample(
+        _input(ns, step), step["id"], step["stratum"],
+        weight_expr=step.get("weight", "1"))
+
+
+OPS["corpus_mix"] = _op_corpus_mix

@@ -106,9 +106,18 @@ def batch_fingerprint(batch_df: DataFrame,
                 F.sum(F.col("h1").cast("decimal(38,0)")).alias("s1"),
                 F.sum(F.col("h2").cast("decimal(38,0)")).alias("s2"))
            .collect()[0])
+    n = int(row["n"])
+    if n > 0 and (row["s1"] is None or row["s2"] is None):
+        # a decimal(38,0) SUM over non-zero rows can only be NULL via
+        # non-ANSI overflow (~1e19 rows); coercing it to 0 would mint a
+        # degenerate fingerprint that misreads later content — fail
+        # loudly instead (ADVICE r10)
+        raise RuntimeError(
+            "batch_fingerprint: hash-sum overflowed to NULL over "
+            f"{n} rows — cannot mint a sound fingerprint")
     s1 = int(row["s1"] or 0) % (1 << 64)
     s2 = int(row["s2"] or 0) % (1 << 64)
-    return f"{FP_VERSION}-{row['n']}-{s1:016x}-{s2:016x}"
+    return f"{FP_VERSION}-{n}-{s1:016x}-{s2:016x}"
 
 
 def fp_dir(base_dir: str) -> str:
@@ -141,32 +150,6 @@ def _manifests(spark, store: StateStore, base_dir: str) -> dict:
     return out
 
 
-def fingerprint_committed(spark, store: StateStore, base_dir: str,
-                          batch_id, fp: str) -> bool:
-    """Whether (batch_id, fp) is in the committed ledger — a zero-byte
-    single (O(1) ``exists``) or a vacuum-merged manifest (read only on
-    this replay-path lookup, never per ordinary batch)."""
-    if store.exists(fp_key(base_dir, batch_id, fp)):
-        return True
-    return _manifests(spark, store, base_dir).get(str(batch_id)) == fp
-
-
-def any_fingerprint_for(spark, store: StateStore, base_dir: str,
-                        batch_id) -> bool:
-    """Whether a CURRENT-version fingerprint was recorded for this
-    batch id — the legacy/collision discriminator: absent means a
-    pre-ledger (or older-algorithm) state, so the sink falls back to
-    its legacy behavior; present with a different fp means a
-    fresh-checkpoint collision (refuse). Entries under a different
-    ``FP_VERSION`` are incomparable, hence legacy, never collision."""
-    prefix = f"fp-{batch_id}-{FP_VERSION}-"
-    for key in store.list(fp_dir(base_dir), suffix=".marker"):
-        if posixpath.basename(key).startswith(prefix):
-            return True
-    entry = _manifests(spark, store, base_dir).get(str(batch_id))
-    return entry is not None and entry.startswith(FP_VERSION + "-")
-
-
 def decide_replay(spark, store: StateStore, base_dir: str, batch_id,
                   fp: str, collision_msg: str) -> str:
     """The sinks' shared three-way replay decision at a committed
@@ -177,11 +160,11 @@ def decide_replay(spark, store: StateStore, base_dir: str, batch_id,
     current-version ledger entry at all (pre-ledger state, or one
     recorded under an older ``FP_VERSION``), the caller preserves its
     pre-ledger behavior. One body so the protocol cannot drift
-    between the four sinks (review r10). Single IO pass: one
-    ``exists``, then at most one singles listing and one manifest
-    read — composing fingerprint_committed + any_fingerprint_for
-    would list the directory and re-read every manifest twice per
-    decision."""
+    between the sinks (review r10) — this is deliberately the ONLY
+    reader of the ledger (ADVICE r10: the committed/any-entry helper
+    pair it once shadowed duplicated these rules and is gone). Single
+    IO pass: one ``exists``, then at most one singles listing and one
+    manifest read."""
     if store.exists(fp_key(base_dir, batch_id, fp)):
         return "skip"
     prefix = f"fp-{batch_id}-{FP_VERSION}-"
@@ -214,7 +197,9 @@ def compact_fingerprints(spark, store: StateStore, base_dir: str,
     merged_singles = []
     for key in store.list(fp_dir(base_dir), suffix=".marker"):
         name = posixpath.basename(key)
-        # fp-<id>-<count>-<hex>-<hex>.marker
+        # fp-<id>-<version>-<count>-<hex>-<hex>.marker: the fp string
+        # carries FP_VERSION as its first segment, so split('-', 2)
+        # yields it intact as the manifest value
         _, bid, fp = name[:-len(".marker")].split("-", 2)
         if is_below(bid):
             merged[bid] = fp

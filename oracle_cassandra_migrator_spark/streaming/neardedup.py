@@ -320,6 +320,18 @@ def foreach_batch_near_dedup(
     marker_dir = posixpath.join(base_dir, "markers")
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        # persist ACROSS the fingerprint aggregate and admission: the
+        # fp job materializes the cache, so admit_batch (and the
+        # legacy-path re-execution) reads the cached batch instead of
+        # re-running the source scan + upstream transforms (ADVICE
+        # r10; pinned by tests/test_fingerprint_scan_once.py)
+        batch_df = batch_df.persist()
+        try:
+            _apply_once(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    def _apply_once(batch_df: DataFrame, batch_id: int) -> None:
         from oracle_cassandra_migrator_spark.streaming.partitioned import (
             _committed_tokens, _token_key)
 

@@ -52,7 +52,14 @@ per-batch content-fingerprint ledger (``streaming/fingerprint.py``)
 distinguishes a true replay (same content — skipped exactly) from a
 colliding new run (different content — RuntimeError), both under a
 still-committed marker and at a stale id whose marker was vacuumed
-(same contract as upsert.py/rollup.py/neardedup.py).
+(same contract as upsert.py/rollup.py/neardedup.py). The contract's
+one residual hole is shared too: a crash in the marker->fingerprint
+window leaves that token marker-committed but ledger-less ("legacy"),
+so a later fresh-checkpoint collision there is silently skipped like
+pre-ledger state — deliberate, because healing the ledger from a
+replay's own content could record a colliding fingerprint and wedge
+the original checkpoint (neardedup.py's marker-hit comment; ADVICE
+r10).
 
 Reference parity: generalizes the reference's overwrite-everything
 staging (verizon_table_migration_Rakesh_filters.py:187-223) into
@@ -342,6 +349,18 @@ def _partitioned_applier(
     bexpr = _bucket_expr(keys, n_buckets)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        # persist ACROSS the fingerprint aggregate and batch_prep: the
+        # fp job materializes the cache, so prepped below reads the
+        # cached batch instead of re-running the source scan +
+        # upstream transforms (ADVICE r10; pinned by
+        # tests/test_fingerprint_scan_once.py)
+        batch_df = batch_df.persist()
+        try:
+            _apply_once(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    def _apply_once(batch_df: DataFrame, batch_id: int) -> None:
         token = str(batch_id)
         marker = posixpath.join(marker_dir, f"batch-{token}.marker")
         spark = batch_df.sparkSession

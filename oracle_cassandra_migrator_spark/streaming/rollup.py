@@ -13,8 +13,14 @@ maintenance is: a delete is just a (-1, -old) contribution.
 
 Same version/marker protocol as upsert (snapshot-v<batchId> +
 batch-<batchId>.marker through the StateStore), so every crash /
-replay case inherits upsert's analysis, and time travel
-(``snapshot_at``) works on rollups too. Per batch the work is
+replay case inherits upsert's analysis — including the one residual
+hole: a crash in the marker->fingerprint window leaves that batch id
+marker-committed but ledger-less ("legacy"), so a later
+fresh-checkpoint collision at that id is silently skipped like
+pre-ledger state. Deliberate (healing from a replay's own content
+could record a colliding fingerprint and wedge the original
+checkpoint — see streaming/neardedup.py's marker-hit comment; ADVICE
+r10). Time travel (``snapshot_at``) works on rollups too. Per batch the work is
 O(|batch| + |groups|): the delta aggregate shuffles only the batch,
 the merge re-aggregates the (groups + delta-groups) union — with the
 rollup stored bucketed by the group keys even that collapses to the
@@ -84,6 +90,19 @@ def foreach_batch_rollup(
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         marker = posixpath.join(marker_dir, f"batch-{batch_id}.marker")
+        # persist ACROSS the fingerprint aggregate and the delta
+        # merge: the fp job materializes the cache, so
+        # cdc_to_group_deltas below reads the cached batch instead of
+        # re-running the source scan + upstream transforms (ADVICE
+        # r10; pinned by tests/test_fingerprint_scan_once.py)
+        batch_df = batch_df.persist()
+        try:
+            _apply_once(batch_df, batch_id, marker)
+        finally:
+            batch_df.unpersist()
+
+    def _apply_once(batch_df: DataFrame, batch_id: int,
+                    marker: str) -> None:
         spark = batch_df.sparkSession
         # one map-side aggregate job; also the required batch
         # consumption on every skip path (upsert.py's protocol — the

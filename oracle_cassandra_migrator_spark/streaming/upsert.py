@@ -30,6 +30,15 @@ the marker. Crash-and-replay safety, case by case:
   rewrite byte-equivalent; the half-written orphan is never readable
   because readers go through ``latest_snapshot`` (committed markers
   only).
+- crash between marker and fingerprint (the one residual hole, shared
+  with rollup/partitioned/neardedup): that batch id carries a marker
+  but no ledger entry, so it is permanently "legacy" — a later
+  fresh-checkpoint collision at that id is silently skipped, exactly
+  the pre-ledger behavior. Deliberate: healing the ledger from a
+  replay's own content could record a COLLIDING run's fingerprint and
+  wedge the original checkpoint's true replay (see
+  streaming/neardedup.py's marker-hit comment; ADVICE r10 asks for
+  this note everywhere the hole exists).
 
 State is bounded by the snapshot itself (no Spark state store usage —
 the join runs as a batch job per trigger). At 100 TB the snapshot
@@ -125,6 +134,20 @@ def foreach_batch_upsert(
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         marker = posixpath.join(marker_dir, f"batch-{batch_id}.marker")
+        # persist ACROSS the fingerprint aggregate and the snapshot
+        # merge: the fp job materializes the cache, so the winners/
+        # merge below read the cached batch instead of re-running the
+        # source scan + upstream transforms — without this the ledger
+        # doubles source-side work per trigger (ADVICE r10); pinned by
+        # tests/test_fingerprint_scan_once.py
+        batch_df = batch_df.persist()
+        try:
+            _apply_once(batch_df, batch_id, marker)
+        finally:
+            batch_df.unpersist()
+
+    def _apply_once(batch_df: DataFrame, batch_id: int,
+                    marker: str) -> None:
         spark = batch_df.sparkSession
         # one map-side aggregate job; also the required batch
         # consumption on every skip path below (replaces the separate

@@ -141,13 +141,16 @@ _R04_CONFIRMED = frozenset({
 # r9: the multimodal fixture gained PNG/GIF containers — both
 # fixture-consuming queries re-certified green in CORRECTNESS_r09 and
 # left _RECHECK at the r10 fold.
-# r10: the fixture gains JPEG containers (VERDICT r9 item 2 —
-# payload_for_doc now cycles doc_id % 6 across bmp/ppm/wav/png/gif/
-# jpeg and decode_header parses SOF0/SOF2 frame headers), so the
-# OUTPUT of both fixture-consuming queries changes again:
-# multimodal_decode_stats and multimodal_resize_stats (it reuses
-# _MM_DECODED_SQL). The driver must re-certify both under the new
-# contract.
+# r10: the fixture gained JPEG containers (VERDICT r9 item 2) — both
+# fixture-consuming queries re-certified green in CORRECTNESS_r10 and
+# left _RECHECK at the r11 fold.
+# r11: the fixture gains WebP containers (VERDICT r10 item 4 —
+# payload_for_doc now cycles doc_id % 7 across bmp/ppm/wav/png/gif/
+# jpeg/webp and decode_header walks RIFF chunks to the VP8 key-frame /
+# VP8L packed / VP8X canvas dimensions), so the OUTPUT of both
+# fixture-consuming queries changes again: multimodal_decode_stats and
+# multimodal_resize_stats (it reuses _MM_DECODED_SQL). The driver must
+# re-certify both under the new contract.
 _RECHECK = frozenset({
     "multimodal_decode_stats",
     "multimodal_resize_stats",
@@ -327,13 +330,52 @@ _R09_CONFIRMED = frozenset({
 })
 
 
+# CORRECTNESS_r10.json: 50/50 green (rows+schema+hash) — the literal
+# key set, folded per the maintenance note below. r10's window covered
+# flagship, the two multimodal rechecks (green under the JPEG
+# contract), the two r10-new queries (sim_ann_incremental_topk,
+# pipeline_dedup_near_filter), and 46 of the stalest r05-era greens.
+# With this fold the stalest remaining rows are the 49 r06-vintage
+# greens — exactly what the r11 window's spare slots re-verify
+# (VERDICT r10 item 1). The two multimodal queries re-enter _RECHECK
+# (the r11 WebP contract postdates their r10 rows).
+_R10_CONFIRMED = frozenset({
+    "agg_hll_sketch_rollup", "agg_mode_order_priority",
+    "agg_regression_stats", "corpus_dedup_funnel",
+    "corpus_mix_weights", "corpus_trigram_diversity",
+    "dedup_cluster_size_histogram", "dedup_duplicate_segments",
+    "dedup_jaccard_histogram", "dedup_minhash_prune",
+    "dedup_simhash_prune", "embedding_dim_stats",
+    "events_anomaly_zscore", "events_daily_gapfill",
+    "events_dau_wau_stickiness", "events_first_touch_attribution",
+    "events_hot_users_report", "events_rolling_weekly_counts",
+    "events_type_transition_matrix", "flagship_payment_pipeline",
+    "graph_pagerank_nations", "graph_triangle_count",
+    "join_interval_bucketed_prices", "join_null_safe_eq",
+    "join_shuffle_hash_hint", "lateral_subquery_top_orders",
+    "layout_zorder_values", "multimodal_decode_stats",
+    "multimodal_resize_stats", "pipeline_curation_v2",
+    "pipeline_dedup_near_filter", "profile_documents_table",
+    "quantile_assign_prices", "quantile_bucket_doclen_by_lang",
+    "quantile_bucket_prices", "sample_fixed_n_by_hash",
+    "sample_fixed_n_per_group", "scd2_asof_snapshot",
+    "search_hybrid_rrf", "sim_ann_incremental_topk",
+    "sim_ann_recall_audit", "sim_ann_recall_curve",
+    "skew_salted_join_supplier_revenue", "text_feature_hashing",
+    "text_lang_confusion", "text_quality_linear_score",
+    "text_trigram_novelty", "text_vocab_coverage", "text_word_pmi",
+    "udaf_trimmed_mean_price",
+})
+
+
 _CONFIRMED_ROUNDS = (
     _R02_CONFIRMED, _R03_CONFIRMED, _R04_CONFIRMED, _R05_CONFIRMED,
-    _R06_CONFIRMED, _R07_CONFIRMED, _R08_CONFIRMED, _R09_CONFIRMED)
+    _R06_CONFIRMED, _R07_CONFIRMED, _R08_CONFIRMED, _R09_CONFIRMED,
+    _R10_CONFIRMED)
 
 
 def _last_green_round(name):
-    """0 = never driver-green; k = last round (2..9) with a green row."""
+    """0 = never driver-green; k = last round (2..10) with a green row."""
     last = 0
     for i, s in enumerate(_CONFIRMED_ROUNDS, start=2):
         if name in s:

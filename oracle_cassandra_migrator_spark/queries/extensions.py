@@ -609,14 +609,18 @@ def text_fingerprint_bottomk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 # doc_id arithmetic mirrored by operators/multimodal.payload_for_doc:
-# codec by doc_id % 6, geometry from doc_id — the oracle replays the
+# codec by doc_id % 7, geometry from doc_id — the oracle replays the
 # ARITHMETIC while Spark round-trips real container bytes through the
 # builders and the header parsers; a header-layout bug (wrong offset,
 # wrong endianness, bad row padding) breaks n_bytes or a dimension and
-# flips the driver hash.
+# flips the driver hash. WebP (codec 6, r11) carries its own
+# sub-cycle: variant (doc_id // 5) % 3 picks VP8/VP8L/VP8X and alpha
+# (doc_id // 3) % 2 sets the VP8L hint / VP8X flag; wk is the filler
+# length min(255, ww*wh) the RIFF byte-length formulas depend on
+# (odd chunk sizes gain one pad byte — word alignment).
 _MM_SQL = """
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           doc_id % 6 AS codec,
+           doc_id % 7 AS codec,
            1 + doc_id % 19 AS bw, 1 + (doc_id * 7) % 13 AS bh,
            1 + doc_id % 23 AS pw, 1 + (doc_id * 5) % 11 AS ph,
            1 + doc_id % 2 AS wc,
@@ -626,7 +630,11 @@ _MM_SQL = """
            1 + doc_id % 17 AS ngw, 1 + (doc_id * 3) % 7 AS ngh,
            1 + doc_id % 29 AS gw, 1 + (doc_id * 11) % 9 AS gh,
            1 + doc_id % 31 AS jw, 1 + (doc_id * 13) % 15 AS jh,
-           1 + 2 * (doc_id % 2) AS jc
+           1 + 2 * (doc_id % 2) AS jc,
+           1 + doc_id % 37 AS ww, 1 + (doc_id * 19) % 23 AS wh,
+           least(255, (1 + doc_id % 37) * (1 + (doc_id * 19) % 23))
+             AS wk,
+           (doc_id // 5) % 3 AS wv, (doc_id // 3) % 2 AS walpha
     FROM documents
 """
 
@@ -640,19 +648,28 @@ _MM_DECODED_SQL = f"""
                 WHEN 2 THEN 44 + wframes * wc * 2
                 WHEN 3 THEN 57 + 3 * ngw * ngh
                 WHEN 4 THEN 27 + least(255, gw * gh)
-                ELSE 36 + 3 * jc + least(255, jw * jh)
+                WHEN 5 THEN 36 + 3 * jc + least(255, jw * jh)
+                ELSE CASE wv WHEN 0 THEN 30 + wk + (wk % 2)
+                     WHEN 1 THEN 25 + wk + (1 - wk % 2)
+                     ELSE 43 + wk + (1 - wk % 2) END
                 END AS BIGINT) AS n_bytes,
            CASE codec WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
                 WHEN 2 THEN 'wav' WHEN 3 THEN 'png'
-                WHEN 4 THEN 'gif' ELSE 'jpeg' END AS mm_format,
+                WHEN 4 THEN 'gif' WHEN 5 THEN 'jpeg'
+                ELSE 'webp' END AS mm_format,
            CAST(CASE codec WHEN 0 THEN bw WHEN 1 THEN pw
                 WHEN 3 THEN ngw WHEN 4 THEN gw WHEN 5 THEN jw
+                WHEN 6 THEN ww
                 END AS INT) AS width,
            CAST(CASE codec WHEN 0 THEN bh WHEN 1 THEN ph
                 WHEN 3 THEN ngh WHEN 4 THEN gh WHEN 5 THEN jh
+                WHEN 6 THEN wh
                 END AS INT) AS height,
            CAST(CASE codec WHEN 2 THEN wc WHEN 3 THEN 3
-                WHEN 5 THEN jc END AS INT) AS channels,
+                WHEN 5 THEN jc
+                WHEN 6 THEN CASE WHEN wv = 0 THEN 3
+                            ELSE 3 + walpha END
+                END AS INT) AS channels,
            CAST(CASE codec WHEN 2 THEN wrate END AS INT) AS sample_rate,
            CAST(CASE codec WHEN 2 THEN wframes * 1000 // wrate
                 END AS BIGINT) AS duration_ms

@@ -331,6 +331,15 @@ def test_multimodal_builders_roundtrip_any_geometry(
     assert mm.decode_header(mm.build_jpeg(
         gw, gh, channels=channels, progressive=bool(frames % 2))) == (
         "jpeg", gw, gh, channels, None, None)
+    ww, wh = min(width, 16383), min(height, 16383)  # 14-bit dims
+    alpha = bool(frames % 2)
+    assert mm.decode_header(mm.build_webp_vp8(ww, wh)) == (
+        "webp", ww, wh, 3, None, None)
+    assert mm.decode_header(mm.build_webp_vp8l(ww, wh, alpha=alpha)) == (
+        "webp", ww, wh, 3 + alpha, None, None)
+    assert mm.decode_header(mm.build_webp_vp8x(width, height,
+                                               alpha=alpha)) == (
+        "webp", width, height, 3 + alpha, None, None)
 
 
 @settings(max_examples=100, deadline=None)
@@ -343,7 +352,9 @@ def test_decode_header_never_raises_on_fuzz(data):
 
     for prefix in (b"", b"BM", b"P6", b"RIFF", b"RIFF1234WAVE",
                    b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a",
-                   b"\xff\xd8", b"\xff\xd8\xff\xe0", b"\xff\xd8\xff\xc0"):
+                   b"\xff\xd8", b"\xff\xd8\xff\xe0", b"\xff\xd8\xff\xc0",
+                   b"RIFF1234WEBP", b"RIFF1234WEBPVP8 ",
+                   b"RIFF1234WEBPVP8L", b"RIFF1234WEBPVP8X"):
         got = mm.decode_header(prefix + data)
         assert isinstance(got, tuple) and len(got) == 6
 

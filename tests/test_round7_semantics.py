@@ -455,3 +455,72 @@ def test_project_components_matches_numpy_and_plans_shuffle_free(spark):
     t = np.array(top)
     for vid, pc1 in sample.items():
         assert pc1 == pytest.approx(float(raw[vid] @ t), abs=1e-5)
+
+
+def test_decode_header_webp_variants_and_edges():
+    """WebP (VERDICT r10 item 4): round-trip all three bitstream
+    variants, then pin every quarantine path — interframe VP8, bad
+    start code / VP8L signature, nonzero VP8L version, truncated
+    chunk declarations, and canvas-first VP8X precedence."""
+    import struct
+
+    from oracle_cassandra_migrator_spark.operators import multimodal as mm
+
+    # round trips (channels: VP8 fixed 3, VP8L/VP8X 3 + alpha)
+    assert mm.decode_header(mm.build_webp_vp8(320, 240)) == (
+        "webp", 320, 240, 3, None, None)
+    assert mm.decode_header(mm.build_webp_vp8l(16383, 1, alpha=True)) == (
+        "webp", 16383, 1, 4, None, None)
+    assert mm.decode_header(mm.build_webp_vp8x(70000, 3)) == (
+        "webp", 70000, 3, 3, None, None)  # 24-bit canvas > 14-bit dims
+
+    # VP8X is the spec-mandated FIRST chunk: its canvas wins even when
+    # the inner VP8L geometry differs (a cropped/composed canvas)
+    vp8x = mm.build_webp_vp8x(50, 60, alpha=True)
+    assert mm.decode_header(vp8x) == ("webp", 50, 60, 4, None, None)
+
+    # interframe VP8 (frame-tag bit 0 set) has no dims -> quarantine
+    lossy = bytearray(mm.build_webp_vp8(9, 9))
+    lossy[20] |= 0x01  # first payload byte of the VP8 chunk
+    assert mm.decode_header(bytes(lossy))[0] == "unknown"
+
+    # bad start code / bad VP8L signature / nonzero version
+    bad_sc = bytearray(mm.build_webp_vp8(9, 9))
+    bad_sc[23] = 0x00  # 9d 01 2a -> 00 01 2a
+    assert mm.decode_header(bytes(bad_sc))[0] == "unknown"
+    bad_sig = bytearray(mm.build_webp_vp8l(9, 9))
+    bad_sig[20] = 0x2E
+    assert mm.decode_header(bytes(bad_sig))[0] == "unknown"
+    bad_ver = bytearray(mm.build_webp_vp8l(9, 9))
+    bad_ver[24] |= 0xE0  # version bits 29..31 of the packed u32le
+    assert mm.decode_header(bytes(bad_ver))[0] == "unknown"
+
+    # chunk declares more bytes than the payload carries -> quarantine
+    trunc = bytearray(mm.build_webp_vp8(9, 9))
+    struct.pack_into("<I", trunc, 16, 10_000)
+    assert mm.decode_header(bytes(trunc))[0] == "unknown"
+
+    # unknown leading chunk is walked over (word-aligned) to the image
+    vp8l = mm.build_webp_vp8l(7, 5)
+    extra = b"EXIF" + struct.pack("<I", 3) + b"abc\x00"
+    patched = vp8l[:12] + extra + vp8l[12:]
+    patched = (b"RIFF" + struct.pack("<I", len(patched) - 8)
+               + patched[8:])
+    assert mm.decode_header(patched) == ("webp", 7, 5, 3, None, None)
+
+
+def test_payload_for_doc_cycles_seven_codecs():
+    """The fixture contract the multimodal oracles replay: codec =
+    doc_id % 7 across bmp/ppm/wav/png/gif/jpeg/webp, every payload
+    decodes to its own geometry arithmetic."""
+    from oracle_cassandra_migrator_spark.operators import multimodal as mm
+
+    fmts = [mm.decode_header(mm.payload_for_doc(i))[0] for i in range(14)]
+    assert fmts == ["bmp", "ppm", "wav", "png", "gif", "jpeg", "webp"] * 2
+    # webp sub-cycle: variant (i//5)%3, alpha (i//3)%2
+    for i in (6, 13, 20, 27, 34, 41):
+        got = mm.decode_header(mm.payload_for_doc(i))
+        assert got[0] == "webp"
+        assert got[1] == 1 + i % 37 and got[2] == 1 + (i * 19) % 23
+        v, alpha = (i // 5) % 3, (i // 3) % 2
+        assert got[3] == (3 if v == 0 else 3 + alpha), (i, v, alpha, got)

@@ -1,0 +1,361 @@
+"""Streaming ANN index maintenance — the embedding-firehose sink for
+``operators/similarity``'s incremental IVF/PQ maintenance (VERDICT r10
+item 3): each micro-batch of (id, embedding) appends flows through the
+exact micro-cosine drift gate and lands as either
+
+- an APPEND version (drift within the gate): ONLY the batch's rows,
+  encoded against the FROZEN codebook literal (``assign_appended_batch``
+  / ``pq_encode`` — zero-shuffle per-row projections), O(|batch|) work
+  and O(|batch|) bytes written regardless of index size; or
+- a REBUILD version (the codebook no longer represents the data):
+  retrain on index+batch and re-encode everything — the full O(corpus)
+  rebuild the gate exists to amortize.
+
+Readers stitch the latest committed REBUILD plus every committed
+append above it (``read_index``), so steady-state maintenance never
+rewrites the index — the difference from ``streaming/upsert.py``'s
+whole-snapshot versions, and the property that makes this sink honest
+at 100 TB.
+
+Carried additive sums: each version's JSON sidecar
+(``codebook-v<id>.json``) records the codebook, the base rebuild id,
+and the index's per-dimension micro-sums (``embedding_dim_sums_micro``
+is additive — the docstrings in operators/similarity.py), so the drift
+gate costs one |batch|-sized aggregate per trigger and NEVER re-scans
+the index: the documented O(|batch|) steady state of
+``extend_or_retrain_ivf(assume_new_ids=True, base_sums=...)``, here
+wired as a continuously-running sink.
+
+Exactly-once: the upsert/rollup marker protocol plus the content
+fingerprint ledger (``streaming/fingerprint.py``) over the (id, vec)
+projection — true replays of a committed batch are skipped exactly,
+fresh-checkpoint runs reusing a committed id with different content
+are refused loudly, and a stale id whose marker was vacuumed is
+skipped (true replay: its rows live on in every later rebuild) or
+refused (new content — the write would be invisible to ``read_index``
+and reclaimed by the next vacuum). The marker->fingerprint crash
+window degrades that id to legacy silent-skip, same residual hole,
+same no-heal rationale as the other four state sinks (see
+streaming/neardedup.py's marker-hit comment).
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from oracle_cassandra_migrator_spark.operators import similarity
+from oracle_cassandra_migrator_spark.reliability.state import (
+    LocalFSStateStore,
+    StateStore,
+)
+from oracle_cassandra_migrator_spark.streaming import fingerprint
+from oracle_cassandra_migrator_spark.streaming.upsert import _committed_ids
+
+__all__ = [
+    "foreach_batch_ann_maintain",
+    "read_index",
+    "read_sidecar",
+    "vacuum_ann_index",
+]
+
+
+def _sidecar_key(base_dir: str, batch_id) -> str:
+    return posixpath.join(base_dir, f"codebook-v{batch_id}.json")
+
+
+def _index_dir(base_dir: str, batch_id) -> str:
+    return posixpath.join(base_dir, f"index-v{batch_id}")
+
+
+def fold_dim_sums(a: dict, b: dict) -> dict:
+    """Driver-side fold of two per-dimension micro-sum dicts — the
+    additive carry that keeps the drift gate O(|batch|)."""
+    out = dict(a)
+    for d, v in b.items():
+        out[d] = out.get(d, 0) + v
+    return out
+
+
+def read_sidecar(spark, base_dir: str, batch_id,
+                 state: StateStore | None = None) -> dict:
+    """The committed version's codebook/sums sidecar, with the
+    base_sums keys restored to ints (JSON stringifies them)."""
+    from oracle_cassandra_migrator_spark.streaming.partitioned import (
+        _read_text)
+
+    side = json.loads(_read_text(spark, _sidecar_key(base_dir, batch_id)))
+    side["base_sums"] = {int(k): v for k, v in side["base_sums"].items()}
+    return side
+
+
+def read_index(spark, base_dir: str,
+               state: StateStore | None = None) -> DataFrame | None:
+    """The maintained index: the latest committed REBUILD version plus
+    every committed append above it, or None before the first commit.
+    One sidecar read resolves the stitch (each sidecar records its
+    base ``rebuild_id``; every committed id above a rebuild is an
+    append on it by protocol)."""
+    store = state or LocalFSStateStore()
+    ids = _committed_ids(store, posixpath.join(base_dir, "markers"))
+    if not ids:
+        return None
+    rebuild = read_sidecar(spark, base_dir, ids[-1], store)["rebuild_id"]
+    live = [rebuild] + [i for i in ids if i > rebuild]
+    return spark.read.parquet(*[_index_dir(base_dir, i) for i in live])
+
+
+class _IvfAlgo:
+    """Train/encode pair for the IVF arm; codebook JSON = the
+    driver-collected (cid, cvec) rows."""
+
+    def __init__(self, opts):
+        self.modulus = int(opts.get("modulus", 43))
+        self.iters = int(opts.get("iters", 2))
+        self.init_limit = int(opts.get("init_limit", 64))
+        self.vec_col = opts["vec_col"]
+        self.id_col = opts["id_col"]
+
+    def train(self, df: DataFrame):
+        rows = similarity.kmeans_codebook(
+            df, modulus=self.modulus, iters=self.iters,
+            init_limit=self.init_limit,
+            vec_col=self.vec_col, id_col=self.id_col).collect()
+        return [{"cid": int(r["cid"]), "cvec": list(map(float, r["cvec"]))}
+                for r in rows]
+
+    def encode(self, df: DataFrame, codebook) -> DataFrame:
+        return similarity.assign_cells_literal(
+            df, similarity.codebook_literal_expr(codebook),
+            vec_col=self.vec_col, id_col=self.id_col)
+
+
+class _PqAlgo:
+    """Train/encode pair for the PQ arm; codebook JSON = the list of
+    per-subspace codebooks (geometry is a property of the index —
+    recorded at bootstrap, derived from the codebooks thereafter)."""
+
+    def __init__(self, opts):
+        self.n_sub = int(opts.get("n_sub", 4))
+        self.sub_dim = int(opts.get("sub_dim", 16))
+        self.modulus = int(opts.get("modulus", 13))
+        self.iters = int(opts.get("iters", 1))
+        self.init_limit = int(opts.get("init_limit", 8))
+        self.vec_col = opts["vec_col"]
+        self.id_col = opts["id_col"]
+
+    def train(self, df: DataFrame):
+        return similarity.pq_train_codebooks(
+            df, n_sub=self.n_sub, sub_dim=self.sub_dim,
+            modulus=self.modulus, iters=self.iters,
+            init_limit=self.init_limit,
+            vec_col=self.vec_col, id_col=self.id_col)
+
+    def encode(self, df: DataFrame, codebook) -> DataFrame:
+        return similarity.pq_encode(
+            df, codebook, self.sub_dim,
+            vec_col=self.vec_col, id_col=self.id_col)
+
+
+def foreach_batch_ann_maintain(
+    stream: DataFrame,
+    base_dir: str,
+    checkpoint_dir: str,
+    algo: str = "ivf",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    gate_micro: int = similarity.CENTROID_DRIFT_GATE_MICRO,
+    assume_new_ids: bool = False,
+    state: StateStore | None = None,
+    trigger: dict[str, Any] | None = None,
+    **algo_opts,
+) -> StreamingQuery:
+    """Maintain an ANN index under ``base_dir`` from a stream of
+    (id, embedding) appends. The first batch BOOTSTRAPS the index
+    (train + encode = rebuild version 0); each later batch dedupes
+    against the index by exact id (skippable with
+    ``assume_new_ids=True`` when ids are new by construction — the
+    production steady state, since the anti-join is the one step that
+    scans the index), gates on the exact micro-cosine drift between
+    the CARRIED index sums and the batch, and commits an append or a
+    rebuild version. Parity with the batch operator
+    (``extend_or_retrain_ivf``/``_pq`` over the same appends) is
+    pinned in tests/test_ann_stream.py."""
+    if algo not in ("ivf", "pq"):
+        raise ValueError(
+            f"foreach_batch_ann_maintain: algo must be 'ivf' or 'pq' "
+            f"(got {algo!r})")
+    opts = dict(algo_opts, vec_col=vec_col, id_col=id_col)
+    alg = _IvfAlgo(opts) if algo == "ivf" else _PqAlgo(opts)
+    store = state or LocalFSStateStore()
+    marker_dir = posixpath.join(base_dir, "markers")
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        # persist ACROSS the fingerprint aggregate and the encode/
+        # train consumption — the single-execution discipline of the
+        # other state sinks (tests/test_fingerprint_scan_once.py)
+        batch_df = batch_df.persist()
+        try:
+            _apply_once(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    def _apply_once(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = posixpath.join(marker_dir, f"batch-{batch_id}.marker")
+        # fingerprint the SEMANTIC projection (id, vec) only — payload
+        # columns the sink ignores must not flip a replay into a
+        # collision; also the required batch consumption on skip paths
+        fp = fingerprint.batch_fingerprint(
+            batch_df.select(id_col, vec_col))
+        if store.exists(marker):
+            fingerprint.decide_replay(
+                spark, store, base_dir, batch_id, fp,
+                f"batch {batch_id} carries a committed marker at "
+                f"{base_dir!r} but its content fingerprint does not "
+                "match the committed one — a fresh-checkpoint run is "
+                "reusing a committed batch id over the same base_dir, "
+                "and skipping it would silently drop its appends. "
+                "Resume the original checkpoint, use a new base_dir, "
+                "or clear the state first.")
+            return
+        committed = _committed_ids(store, marker_dir)
+        if committed and batch_id < committed[-1]:
+            # below the latest committed id the write is INVISIBLE to
+            # read_index stitching and reclaimed by the next vacuum:
+            # skip a vacuumed-marker true replay exactly (its rows
+            # live on in every later rebuild), refuse new content
+            if fingerprint.decide_replay(
+                    spark, store, base_dir, batch_id, fp,
+                    f"ANN index state at {base_dir!r} is committed "
+                    f"through batch {committed[-1]}, but this stream "
+                    f"is writing batch {batch_id} with DIFFERENT "
+                    "content than originally committed there — a "
+                    "fresh-checkpoint run over the same base_dir. Its "
+                    "version would be invisible to readers and "
+                    "reclaimed by the next vacuum (silent data loss). "
+                    "Resume the original checkpoint, use a new "
+                    "base_dir, or clear the state first.") == "skip":
+                return
+        appended = batch_df.select(id_col, vec_col)
+        prev = [i for i in committed if i < batch_id]
+        if not prev:
+            # bootstrap: the index is born from the stream itself
+            codebook = alg.train(appended)
+            encoded = alg.encode(appended, codebook)
+            side = {
+                "algo": algo, "kind": "rebuild", "rebuild_id": batch_id,
+                "codebook": codebook, "drift_micro": None,
+                "base_sums": similarity.embedding_dim_sums_micro(
+                    appended, vec_col),
+            }
+            _commit(spark, encoded, side, batch_id, marker, fp)
+            return
+        side = read_sidecar(spark, base_dir, prev[-1], store)
+        carried = side["base_sums"]
+        codebook = side["codebook"]
+        if not assume_new_ids:
+            index_df = read_index(spark, base_dir, store)
+            appended = appended.join(
+                index_df.select(id_col), id_col, "left_anti")
+        appended = appended.persist()
+        try:
+            if appended.limit(1).count() == 0:
+                # replayed-away/empty batch: commit an empty append so
+                # the marker+fp protocol stays per-batch contiguous;
+                # sums and codebook are carried unchanged
+                new_side = {
+                    "algo": algo, "kind": "append",
+                    "rebuild_id": side["rebuild_id"],
+                    "codebook": codebook, "drift_micro": 1_000_000,
+                    "base_sums": carried,
+                }
+                encoded = alg.encode(appended, codebook).limit(0)
+                _commit(spark, encoded, new_side, batch_id, marker, fp)
+                return
+            batch_sums = similarity.embedding_dim_sums_micro(
+                appended, vec_col)
+            drift = similarity.centroid_drift_from_sums(
+                carried, batch_sums)
+            new_sums = fold_dim_sums(carried, batch_sums)
+            if drift >= gate_micro:
+                # append arm: encode ONLY the batch against the frozen
+                # codebook — zero shuffle, O(|batch|) at any index size
+                encoded = alg.encode(appended, codebook)
+                new_side = {
+                    "algo": algo, "kind": "append",
+                    "rebuild_id": side["rebuild_id"],
+                    "codebook": codebook, "drift_micro": drift,
+                    "base_sums": new_sums,
+                }
+            else:
+                # drift beyond the gate: the codebook no longer
+                # represents the data — retrain on index+batch and
+                # re-encode everything (the amortized full rebuild)
+                full = (read_index(spark, base_dir, store)
+                        .select(id_col, vec_col).unionByName(appended))
+                codebook = alg.train(full)
+                encoded = alg.encode(full, codebook)
+                new_side = {
+                    "algo": algo, "kind": "rebuild",
+                    "rebuild_id": batch_id,
+                    "codebook": codebook, "drift_micro": drift,
+                    "base_sums": new_sums,
+                }
+            _commit(spark, encoded, new_side, batch_id, marker, fp)
+        finally:
+            appended.unpersist()
+
+    def _commit(spark, encoded: DataFrame, side: dict, batch_id,
+                marker: str, fp: str) -> None:
+        from oracle_cassandra_migrator_spark.streaming.partitioned import (
+            _write_text)
+
+        encoded.write.mode("overwrite").parquet(
+            _index_dir(base_dir, batch_id))
+        _write_text(spark, _sidecar_key(base_dir, batch_id),
+                    json.dumps(side))
+        store.put_marker(marker)
+        # fingerprint LAST: presence proves the marker committed
+        store.put_marker(fingerprint.fp_key(base_dir, batch_id, fp))
+
+    writer = (stream.writeStream.foreachBatch(apply)
+              .option("checkpointLocation", checkpoint_dir))
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()
+
+
+def vacuum_ann_index(spark, base_dir: str,
+                     state: StateStore | None = None) -> list[int]:
+    """Retention: every version BELOW the latest committed rebuild is
+    dead (its rows were re-encoded into the rebuild) — delete its data
+    dir and sidecar, data FIRST, marker LAST (a crash mid-vacuum can
+    never leave a marker pointing at deleted data). Fingerprints of
+    vacuumed batches are merged into one manifest, not deleted — they
+    are what lets a vacuumed-marker replay be skipped exactly."""
+    store = state or LocalFSStateStore()
+    marker_dir = posixpath.join(base_dir, "markers")
+    ids = _committed_ids(store, marker_dir)
+    if not ids:
+        return []
+    rebuild = read_sidecar(spark, base_dir, ids[-1], store)["rebuild_id"]
+    doomed = [i for i in ids if i < rebuild]
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    for bid in doomed:
+        path = jvm.org.apache.hadoop.fs.Path(_index_dir(base_dir, bid))
+        fs = path.getFileSystem(conf)
+        if fs.exists(path):
+            fs.delete(path, True)
+        store.delete(_sidecar_key(base_dir, bid))
+        store.delete(posixpath.join(marker_dir, f"batch-{bid}.marker"))
+    if doomed:
+        fingerprint.compact_fingerprints(
+            spark, store, base_dir,
+            lambda bid: int(bid) < rebuild, str(rebuild))
+    return doomed

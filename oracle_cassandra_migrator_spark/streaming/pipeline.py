@@ -133,6 +133,11 @@ def run_stream_pipeline(spark: SparkSession,
     - ``"neardedup"``: MinHash-LSH near-duplicate admission gate over
       a document stream (streaming/neardedup.py); needs ``base_dir``
       (+ optional ``text_col``/``id_col``/``threshold``/``n``)
+    - ``"ann_maintain"``: drift-gated incremental ANN index
+      maintenance over an embedding stream (streaming/annmaintain.py);
+      needs ``base_dir`` (+ optional ``algo`` ivf/pq,
+      ``id_col``/``vec_col``/``gate_micro``/``assume_new_ids`` and the
+      algo's train knobs)
 
     Maintenance sinks consume CHANGE rows, so they pair with the
     stateless transform subset rather than a windowed aggregation
@@ -184,9 +189,28 @@ def run_stream_pipeline(spark: SparkSession,
             n=int(sink.get("n", 3)),
             threshold=float(sink.get("threshold", 0.5)),
             max_band_size=int(mbs) if mbs is not None else None)
+    if kind == "ann_maintain":
+        from oracle_cassandra_migrator_spark.streaming import annmaintain
+        from oracle_cassandra_migrator_spark.operators.similarity import (
+            CENTROID_DRIFT_GATE_MICRO)
+
+        known = {"base_dir", "algo", "id_col", "vec_col", "gate_micro",
+                 "assume_new_ids"}
+        algo_opts = {k: v for k, v in sink.items() if k not in known}
+        return annmaintain.foreach_batch_ann_maintain(
+            df, sink["base_dir"], checkpoint_dir,
+            algo=sink.get("algo", "ivf"),
+            id_col=sink.get("id_col", "vec_id"),
+            vec_col=sink.get("vec_col", "embedding"),
+            gate_micro=int(sink.get("gate_micro",
+                                    CENTROID_DRIFT_GATE_MICRO)),
+            assume_new_ids=_spec_bool(
+                sink.get("assume_new_ids", False), "assume_new_ids"),
+            **algo_opts)
     raise ValueError(
         f"unknown sink type {kind!r}: expected files / upsert / "
-        f"rollup / partitioned_upsert / partitioned_rollup / neardedup")
+        f"rollup / partitioned_upsert / partitioned_rollup / neardedup "
+        f"/ ann_maintain")
 
 
 def run_batch_equivalent(spark: SparkSession, spec: Mapping[str, Any],

@@ -1,0 +1,222 @@
+"""Streaming ANN index maintenance (streaming/annmaintain.py —
+VERDICT r10 item 3): stream==batch parity with the incremental
+operator (`extend_or_retrain_ivf`/`_pq` over the same appends, carried
+sums folded the same way), the append arm writing O(|batch|) bytes,
+the drift-gated rebuild, replay/collision exactness under the
+fingerprint ledger, vacuum, and the spec-level `type: ann_maintain`
+wiring."""
+
+import glob
+import os
+
+import pytest
+
+from oracle_cassandra_migrator_spark.operators import similarity
+from oracle_cassandra_migrator_spark.streaming import annmaintain
+
+SCHEMA = "vec_id LONG, embedding ARRAY<FLOAT>"
+DIM = 64
+
+
+def _vecs(ids, direction=1.0, spread=0.02):
+    """Synthetic dim-64 vectors clustered around `direction` * e0 with
+    a small deterministic per-id wiggle: same-direction batches stay
+    inside the 0.98-cosine drift gate, a negated batch falls far
+    outside it."""
+    rows = []
+    for i in ids:
+        v = [0.0] * DIM
+        v[0] = direction
+        v[1 + i % 8] = spread * (1 + i % 5)
+        rows.append((i, v))
+    return rows
+
+
+def _write(spark, rows, src):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+
+def _run(spark, src, base, ckpt, **kw):
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = annmaintain.foreach_batch_ann_maintain(
+        stream, base, checkpoint_dir=ckpt, **kw)
+    q.awaitTermination(180)
+    return q
+
+
+def _index_rows(spark, base):
+    df = annmaintain.read_index(spark, base)
+    return sorted(map(tuple, df.collect()))
+
+
+def test_ann_maintain_stream_equals_batch_operator(spark, tmp_path):
+    """The maintained index after three micro-batches (bootstrap +
+    in-gate append + drifted rebuild) is row-identical to iterating
+    the batch operator over the same appends with the same carried
+    sums, and the sidecar's kind/drift routing matches the operator's
+    retrained flags."""
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "ann")
+    ckpt = str(tmp_path / "ckpt")
+
+    batches = [
+        _vecs(range(0, 40)),                      # bootstrap
+        _vecs(range(40, 60)),                     # same direction: append
+        _vecs(range(60, 90), direction=-1.0),     # negated: rebuild
+    ]
+    for i, rows in enumerate(batches):
+        _write(spark, rows, src)
+        _run(spark, src, base, ckpt)
+        side = annmaintain.read_sidecar(spark, base, i)
+        assert side["kind"] == ("rebuild", "append", "rebuild")[i]
+        if i == 2:
+            assert side["drift_micro"] < similarity.\
+                CENTROID_DRIFT_GATE_MICRO
+
+    got = _index_rows(spark, base)
+
+    # batch replay: bootstrap, then extend_or_retrain_ivf per batch,
+    # folding the carried sums exactly like the sink does
+    b = [spark.createDataFrame(r, SCHEMA) for r in batches]
+    rows0 = similarity.kmeans_codebook(
+        b[0], modulus=43, iters=2, init_limit=64).collect()
+    cells = similarity.assign_cells_literal(
+        b[0], similarity.codebook_literal_expr(rows0))
+    sums = similarity.embedding_dim_sums_micro(b[0])
+    codebook = rows0
+    retrained_flags = []
+    for batch in b[1:]:
+        cells, codebook, retrained, drift = \
+            similarity.extend_or_retrain_ivf(
+                cells, batch, codebook, base_sums=sums)
+        retrained_flags.append(retrained)
+        sums = annmaintain.fold_dim_sums(
+            sums, similarity.embedding_dim_sums_micro(batch))
+    assert retrained_flags == [False, True]
+    want = sorted(map(tuple, cells.collect()))
+    assert got == want and len(got) == 90
+
+    # carried sums in the final sidecar equal the batch-side fold
+    final = annmaintain.read_sidecar(spark, base, 2)
+    assert final["base_sums"] == sums
+
+    # append version holds ONLY its batch's rows (O(|batch|) bytes)
+    v1 = spark.read.parquet(str(tmp_path / "ann" / "index-v1"))
+    assert sorted(r["vec_id"] for r in v1.collect()) == list(range(40, 60))
+
+
+def test_ann_maintain_replay_collision_and_duplicates(spark, tmp_path):
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "ann")
+    _write(spark, _vecs(range(0, 30)), src)
+    _run(spark, src, base, str(tmp_path / "ckpt"))
+    want = _index_rows(spark, base)
+
+    # true replay under a FRESH checkpoint (same source, same content
+    # at batch id 0): skipped exactly via the fingerprint ledger
+    _run(spark, src, base, str(tmp_path / "ckpt2"))
+    assert _index_rows(spark, base) == want
+
+    # fresh checkpoint with DIFFERENT content at the committed id:
+    # refused loudly, state unchanged
+    src2 = str(tmp_path / "src2")
+    _write(spark, _vecs(range(100, 120), spread=0.05), src2)
+    stream2 = (spark.readStream.schema(SCHEMA)
+               .option("maxFilesPerTrigger", "1").parquet(src2))
+    q2 = annmaintain.foreach_batch_ann_maintain(
+        stream2, base, checkpoint_dir=str(tmp_path / "ckpt3"))
+    with pytest.raises(Exception, match="fingerprint|fresh-checkpoint"):
+        q2.awaitTermination(180)
+        raise RuntimeError("collision was not refused")
+    assert _index_rows(spark, base) == want
+
+    # an all-duplicate batch commits an EMPTY append (marker + fp kept
+    # per-batch contiguous), index unchanged
+    _write(spark, _vecs(range(0, 30)), src)
+    _run(spark, src, base, str(tmp_path / "ckpt"))
+    assert _index_rows(spark, base) == want
+    side = annmaintain.read_sidecar(spark, base, 1)
+    assert side["kind"] == "append"
+    assert spark.read.parquet(
+        str(tmp_path / "ann" / "index-v1")).count() == 0
+
+
+def test_ann_maintain_vacuum_and_ledger_compaction(spark, tmp_path):
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "ann")
+    ckpt = str(tmp_path / "ckpt")
+    _write(spark, _vecs(range(0, 30)), src)
+    _run(spark, src, base, ckpt)
+    _write(spark, _vecs(range(30, 45)), src)
+    _run(spark, src, base, ckpt)
+    _write(spark, _vecs(range(45, 80), direction=-1.0), src)
+    _run(spark, src, base, ckpt)  # rebuild at v2
+    want = _index_rows(spark, base)
+
+    doomed = annmaintain.vacuum_ann_index(spark, base)
+    assert doomed == [0, 1]
+    assert _index_rows(spark, base) == want
+    assert not os.path.exists(str(tmp_path / "ann" / "index-v0"))
+    # fingerprint singles below the rebuild merged into one manifest
+    fdir = str(tmp_path / "ann" / "fingerprints")
+    assert len(glob.glob(os.path.join(fdir, "manifest-*.json"))) == 1
+
+    # a post-vacuum replay of a vacuumed batch id (fresh checkpoint,
+    # same source prefix) is still skipped exactly via the manifest
+    src_prefix = str(tmp_path / "srcp")
+    _write(spark, _vecs(range(0, 30)), src_prefix)
+    _run(spark, src_prefix, base, str(tmp_path / "ckptp"))
+    assert _index_rows(spark, base) == want
+
+
+def test_ann_maintain_pq_parity(spark, tmp_path):
+    """The PQ arm: maintained code table ≡ batch extend_or_retrain_pq
+    over the same appends."""
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "ann")
+    ckpt = str(tmp_path / "ckpt")
+    batches = [_vecs(range(0, 40)), _vecs(range(40, 60))]
+    for rows in batches:
+        _write(spark, rows, src)
+        _run(spark, src, base, ckpt, algo="pq")
+
+    got = _index_rows(spark, base)
+
+    b = [spark.createDataFrame(r, SCHEMA) for r in batches]
+    books = similarity.pq_train_codebooks(b[0])
+    codes = similarity.pq_encode(b[0], books, 16)
+    sums = similarity.embedding_dim_sums_micro(b[0])
+    codes, books, retrained, _ = similarity.extend_or_retrain_pq(
+        codes, b[1], books, base_sums=sums)
+    assert retrained is False  # same direction: the append arm
+    want = sorted(map(tuple, codes.collect()))
+    assert got == want and len(got) == 60
+    assert annmaintain.read_sidecar(spark, base, 1)["kind"] == "append"
+
+
+def test_ann_maintain_spec_wiring(spark, tmp_path):
+    """`type: ann_maintain` end-to-end through run_stream_pipeline."""
+    from oracle_cassandra_migrator_spark.streaming.pipeline import (
+        run_stream_pipeline)
+
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "ann")
+    _write(spark, _vecs(range(0, 25)), src)
+    spec = {
+        "source": {"format": "parquet", "path": src,
+                   "schema": SCHEMA,
+                   "options": {"maxFilesPerTrigger": "1"}},
+        "sink": {"type": "ann_maintain", "base_dir": base,
+                 "checkpoint_dir": str(tmp_path / "ckpt"),
+                 "init_limit": 16},
+    }
+    q = run_stream_pipeline(spark, spec)
+    q.awaitTermination(180)
+    idx = annmaintain.read_index(spark, base)
+    assert idx.count() == 25
+    assert set(idx.columns) == {"vec_id", "embedding", "cell_id"}
+    # the serving half probes the maintained frame directly
+    top = similarity.topk_within_cells(idx, k=5, query_id=0)
+    assert top.count() == 5

@@ -120,7 +120,7 @@ class _IvfAlgo:
         self.vec_col = opts["vec_col"]
         self.id_col = opts["id_col"]
 
-    def train(self, df: DataFrame):
+    def train(self, df: DataFrame, prev_codebook=None):
         rows = similarity.kmeans_codebook(
             df, modulus=self.modulus, iters=self.iters,
             init_limit=self.init_limit,
@@ -148,16 +148,25 @@ class _PqAlgo:
         self.vec_col = opts["vec_col"]
         self.id_col = opts["id_col"]
 
-    def train(self, df: DataFrame):
+    def train(self, df: DataFrame, prev_codebook=None):
+        # geometry is a property of the INDEX, not the config (the
+        # extend_or_retrain_pq lesson): a rebuild under a restarted
+        # stream whose spec changed n_sub/sub_dim must keep the stored
+        # index's geometry, or the new code table silently mismatches
+        # the serving schema
+        n_sub = len(prev_codebook) if prev_codebook else self.n_sub
+        sub_dim = (len(prev_codebook[0][0]["cvec"]) if prev_codebook
+                   else self.sub_dim)
         return similarity.pq_train_codebooks(
-            df, n_sub=self.n_sub, sub_dim=self.sub_dim,
+            df, n_sub=n_sub, sub_dim=sub_dim,
             modulus=self.modulus, iters=self.iters,
             init_limit=self.init_limit,
             vec_col=self.vec_col, id_col=self.id_col)
 
     def encode(self, df: DataFrame, codebook) -> DataFrame:
+        # sub_dim derived from the codebook for the same reason
         return similarity.pq_encode(
-            df, codebook, self.sub_dim,
+            df, codebook, len(codebook[0][0]["cvec"]),
             vec_col=self.vec_col, id_col=self.id_col)
 
 
@@ -298,7 +307,7 @@ def foreach_batch_ann_maintain(
                 # re-encode everything (the amortized full rebuild)
                 full = (read_index(spark, base_dir, store)
                         .select(id_col, vec_col).unionByName(appended))
-                codebook = alg.train(full)
+                codebook = alg.train(full, prev_codebook=codebook)
                 encoded = alg.encode(full, codebook)
                 new_side = {
                     "algo": algo, "kind": "rebuild",

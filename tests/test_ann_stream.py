@@ -220,3 +220,29 @@ def test_ann_maintain_spec_wiring(spark, tmp_path):
     # the serving half probes the maintained frame directly
     top = similarity.topk_within_cells(idx, k=5, query_id=0)
     assert top.count() == 5
+
+
+def test_ann_maintain_pq_rebuild_keeps_index_geometry(spark, tmp_path):
+    """Geometry is a property of the INDEX, not the spec (the
+    extend_or_retrain_pq lesson): a restarted stream whose config says
+    a different n_sub/sub_dim must rebuild with the STORED codebooks'
+    geometry, or the new code table silently mismatches the serving
+    schema."""
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "ann")
+    _write(spark, _vecs(range(0, 40)), src)
+    _run(spark, src, base, str(tmp_path / "ckpt"), algo="pq")
+    assert len(annmaintain.read_sidecar(spark, base, 0)["codebook"]) == 4
+
+    # restart with a conflicting geometry config and a drifted batch
+    # that forces the rebuild arm
+    _write(spark, _vecs(range(40, 80), direction=-1.0), src)
+    _run(spark, src, base, str(tmp_path / "ckpt"), algo="pq",
+         n_sub=8, sub_dim=8)
+    side = annmaintain.read_sidecar(spark, base, 1)
+    assert side["kind"] == "rebuild"
+    assert len(side["codebook"]) == 4  # index geometry, not the spec's
+    assert len(side["codebook"][0][0]["cvec"]) == 16
+    idx = annmaintain.read_index(spark, base)
+    assert {c for c in idx.columns if c.startswith("code")} == {
+        "code0", "code1", "code2", "code3"}

@@ -128,12 +128,17 @@ def temperature_thresholds(df: DataFrame, stratum_col: str,
     integer-vs-integer compare (no knife-edge double drift between
     engines; sqrt is IEEE-exact, unlike pow(x, 0.5)). One tiny
     stratum-keyed aggregation — the shared head of the audit and the
-    resample filter."""
+    resample filter; n_min comes from a single-partition window OVER
+    THE |strata|-ROW AGGREGATE (aggregate-before-window, the
+    corpus_mix_weights shape — no nested-loop glue join in any plan
+    that composes this)."""
+    from pyspark.sql.window import Window
+
     counts = df.groupBy(stratum_col).agg(
         F.count("*").cast("bigint").alias("n_docs"))
-    n_min = counts.agg(F.min("n_docs").alias("n_min"))
+    w = Window.partitionBy()
     return (
-        counts.crossJoin(F.broadcast(n_min))
+        counts.withColumn("n_min", F.min("n_docs").over(w))
         .withColumn(
             "threshold_ppm",
             F.expr(

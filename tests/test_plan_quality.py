@@ -51,16 +51,10 @@ def test_semi_anti_join_operators(spark):
     assert "LeftAnti" in plan_of(spark, "join_anti_customers_without_orders")
 
 
-def test_no_cartesian_products_anywhere(spark):
-    """CartesianProduct (unbounded NxM without broadcast) must never
-    appear; BroadcastNestedLoopJoin is allowed only for the documented
-    small-side cases."""
-    offenders = []
-    for name in sorted(QUERIES):
-        plan = plan_of(spark, name)
-        if "CartesianProduct" in plan:
-            offenders.append(name)
-    assert not offenders, offenders
+# (the catalog-wide CartesianProduct sweep lives in the parametrized
+# test_no_unexpected_nested_loop_or_cartesian below — a second
+# monolithic pass over all 242 plans cost 280 s of suite wall for
+# zero extra coverage and was removed in r11)
 
 
 @pytest.mark.parametrize("name", ["pricing_summary", "tpch_q6_forecast_revenue"])
@@ -484,7 +478,9 @@ _NL_JOIN_ALLOWED = {
     "corpus_mix_report", "dedup_embedding_cosine_baseline",
     "events_hot_users_report", "join_cross_region_pairs",
     "join_range_price_buckets", "quantile_assign_prices",
-    "quantile_bucket_prices", "sample_temperature_by_lang",
+    "quantile_bucket_prices",
+    # sample_temperature_by_lang left this list in r11: its n_min glue
+    # moved to the aggregate-before-window shape (no NL join at all)
     "scd2_asof_snapshot", "search_bm25_topk", "search_hybrid_rrf",
     "sim_ann_ivfpq_topk", "sim_ann_pq_recall", "sim_ann_pq_topk",
     "sim_ann_recall_audit", "sim_ann_recall_curve",

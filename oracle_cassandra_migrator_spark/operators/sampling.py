@@ -156,11 +156,30 @@ def temperature_resample(df: DataFrame, id_col: str, stratum_col: str,
     Broadcast the |strata|-row threshold table onto the corpus and
     keep rows whose md5 bucket clears their stratum's ppm threshold:
     deterministic (same survivors at any parallelism), one broadcast
-    join, zero corpus shuffle."""
+    join, zero corpus shuffle.
+
+    NULL strata are a REAL stratum (null-safe join — review r11): the
+    groupBy already counts them, so an equi-join would let a tiny
+    NULL group set n_min while its own rows silently vanish — the
+    worst of both (thresholds crushed by a stratum that then keeps
+    nothing)."""
     rates = temperature_thresholds(df, stratum_col, denominator)
+    return _apply_threshold_filter(df, rates, id_col, stratum_col,
+                                   denominator)
+
+
+def _apply_threshold_filter(df: DataFrame, rates: DataFrame,
+                            id_col: str, stratum_col: str,
+                            denominator: int) -> DataFrame:
+    """Broadcast the per-stratum threshold table onto the corpus
+    null-safely and keep rows whose md5 bucket clears their stratum's
+    ppm threshold, returning the input's columns."""
     bucket = hash_bucket_expr(id_col, denominator)
+    r = rates.select(F.col(stratum_col).alias("__stratum"),
+                     "threshold_ppm")
     return (
-        df.join(F.broadcast(rates), stratum_col)
+        df.join(F.broadcast(r),
+                df[stratum_col].eqNullSafe(F.col("__stratum")))
         .where(F.expr(f"({bucket}) < threshold_ppm"))
         .select(*df.columns)
     )
@@ -179,17 +198,17 @@ def temperature_resample_audit(df: DataFrame, id_col: str,
     per-row hash compare that pushes into the scan pass. No corpus
     shuffle beyond the audit counts."""
     rates = temperature_thresholds(df, stratum_col, denominator)
-    bucket = hash_bucket_expr(id_col, denominator)
     kept = (
-        df.join(F.broadcast(rates), stratum_col)
-        .where(F.expr(f"({bucket}) < threshold_ppm"))
+        _apply_threshold_filter(df, rates, id_col, stratum_col,
+                                denominator)
         .groupBy(stratum_col)
         .agg(F.count("*").cast("bigint").alias("n_kept"))
     )
     return (
-        rates.join(kept, stratum_col, "left")
+        rates.join(F.broadcast(kept), rates[stratum_col].eqNullSafe(
+            kept[stratum_col]), "left")
         .select(
-            stratum_col, "n_docs", "threshold_ppm",
+            rates[stratum_col], "n_docs", "threshold_ppm",
             F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"))
     )
 
@@ -230,7 +249,8 @@ def corpus_mix_downsample(df: DataFrame, id_col: str, stratum_col: str,
     repetition — a different op; this step never duplicates rows).
     Same shape as temperature_resample: one |strata|-row aggregate
     broadcast back, per-row integer hash compare, zero corpus
-    shuffle."""
+    shuffle; NULL strata are a real stratum (null-safe join — see
+    temperature_resample)."""
     from pyspark.sql.window import Window
 
     per = df.groupBy(stratum_col).agg(
@@ -247,12 +267,8 @@ def corpus_mix_downsample(df: DataFrame, id_col: str, stratum_col: str,
                 f"/ CAST(__t AS DOUBLE) * {denominator}) AS BIGINT))"))
         .select(stratum_col, "threshold_ppm")
     )
-    bucket = hash_bucket_expr(id_col, denominator)
-    return (
-        df.join(F.broadcast(rates), stratum_col)
-        .where(F.expr(f"({bucket}) < threshold_ppm"))
-        .select(*df.columns)
-    )
+    return _apply_threshold_filter(df, rates, id_col, stratum_col,
+                                   denominator)
 
 
 def reservoir_key_expr(id_col: str, weight_expr: str) -> str:

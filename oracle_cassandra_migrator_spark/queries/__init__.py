@@ -334,7 +334,7 @@ _R09_CONFIRMED = frozenset({
 # key set, folded per the maintenance note below. r10's window covered
 # flagship, the two multimodal rechecks (green under the JPEG
 # contract), the two r10-new queries (sim_ann_incremental_topk,
-# pipeline_dedup_near_filter), and 46 of the stalest r05-era greens.
+# pipeline_dedup_near_filter), and 45 of the stalest r05-era greens.
 # With this fold the stalest remaining rows are the 49 r06-vintage
 # greens — exactly what the r11 window's spare slots re-verify
 # (VERDICT r10 item 1). The two multimodal queries re-enter _RECHECK

@@ -72,6 +72,26 @@ def _index_dir(base_dir: str, batch_id) -> str:
     return posixpath.join(base_dir, f"index-v{batch_id}")
 
 
+def _train_or_fallback(alg, df: DataFrame, prev_codebook=None):
+    """Train, falling back to a modulus-1 init when the deterministic
+    ``id % modulus`` sample selects NOTHING (review r11: a small batch
+    whose ids contain no multiple of the modulus trained an empty
+    codebook, codebook_literal_expr raised, and the streaming query
+    wedged in a crash-retry loop on the re-delivered batch).
+    ``init_limit`` still caps the fallback's codebook size."""
+    codebook = alg.train(df, prev_codebook=prev_codebook)
+    degenerate = (not codebook
+                  or any(not b for b in codebook
+                         if isinstance(b, list)))
+    if degenerate:
+        saved, alg.modulus = alg.modulus, 1
+        try:
+            codebook = alg.train(df, prev_codebook=prev_codebook)
+        finally:
+            alg.modulus = saved
+    return codebook
+
+
 def fold_dim_sums(a: dict, b: dict) -> dict:
     """Driver-side fold of two per-dimension micro-sum dicts — the
     additive carry that keeps the drift gate O(|batch|)."""
@@ -81,10 +101,13 @@ def fold_dim_sums(a: dict, b: dict) -> dict:
     return out
 
 
-def read_sidecar(spark, base_dir: str, batch_id,
-                 state: StateStore | None = None) -> dict:
+def read_sidecar(spark, base_dir: str, batch_id) -> dict:
     """The committed version's codebook/sums sidecar, with the
-    base_sums keys restored to ints (JSON stringifies them)."""
+    base_sums keys restored to ints (JSON stringifies them). Sidecars
+    go through the Hadoop FileSystem API (any file:/hdfs:/s3a: scheme),
+    like the partitioned sink's manifests — deliberately NOT through a
+    StateStore (review r11: an unused store parameter here implied a
+    pluggability the body never honored)."""
     from oracle_cassandra_migrator_spark.streaming.partitioned import (
         _read_text)
 
@@ -104,7 +127,7 @@ def read_index(spark, base_dir: str,
     ids = _committed_ids(store, posixpath.join(base_dir, "markers"))
     if not ids:
         return None
-    rebuild = read_sidecar(spark, base_dir, ids[-1], store)["rebuild_id"]
+    rebuild = read_sidecar(spark, base_dir, ids[-1])["rebuild_id"]
     live = [rebuild] + [i for i in ids if i > rebuild]
     return spark.read.parquet(*[_index_dir(base_dir, i) for i in live])
 
@@ -252,9 +275,16 @@ def foreach_batch_ann_maintain(
                 return
         appended = batch_df.select(id_col, vec_col)
         prev = [i for i in committed if i < batch_id]
-        if not prev:
-            # bootstrap: the index is born from the stream itself
-            codebook = alg.train(appended)
+        if not committed:
+            # bootstrap: the index is born from the stream itself.
+            # An EMPTY first batch commits nothing (the next batch
+            # bootstraps; the fp aggregate above already consumed it)
+            # instead of wedging the stream on an untrainable batch
+            # (review r11: codebook_literal_expr raises on an empty
+            # codebook, and Spark re-delivers batch 0 forever)
+            if appended.limit(1).count() == 0:
+                return
+            codebook = _train_or_fallback(alg, appended)
             encoded = alg.encode(appended, codebook)
             side = {
                 "algo": algo, "kind": "rebuild", "rebuild_id": batch_id,
@@ -264,9 +294,16 @@ def foreach_batch_ann_maintain(
             }
             _commit(spark, encoded, side, batch_id, marker, fp)
             return
-        side = read_sidecar(spark, base_dir, prev[-1], store)
+        if not prev:
+            # batch id below EVERY committed id, passed decide_replay
+            # as legacy (pre-ledger / crash-window state): writing here
+            # would plant an invisible junk version below the stitch —
+            # preserve the skip instead (review r11)
+            return
+        side = read_sidecar(spark, base_dir, prev[-1])
         carried = side["base_sums"]
         codebook = side["codebook"]
+        index_df = None
         if not assume_new_ids:
             index_df = read_index(spark, base_dir, store)
             appended = appended.join(
@@ -304,10 +341,16 @@ def foreach_batch_ann_maintain(
             else:
                 # drift beyond the gate: the codebook no longer
                 # represents the data — retrain on index+batch and
-                # re-encode everything (the amortized full rebuild)
-                full = (read_index(spark, base_dir, store)
-                        .select(id_col, vec_col).unionByName(appended))
-                codebook = alg.train(full, prev_codebook=codebook)
+                # re-encode everything (the amortized full rebuild).
+                # Reuse the anti-join path's stitched frame when it
+                # already exists (review r11: a second read_index here
+                # re-read the sidecar and re-stitched per rebuild)
+                if index_df is None:
+                    index_df = read_index(spark, base_dir, store)
+                full = (index_df.select(id_col, vec_col)
+                        .unionByName(appended))
+                codebook = _train_or_fallback(
+                    alg, full, prev_codebook=codebook)
                 encoded = alg.encode(full, codebook)
                 new_side = {
                     "algo": algo, "kind": "rebuild",
@@ -342,8 +385,15 @@ def vacuum_ann_index(spark, base_dir: str,
                      state: StateStore | None = None) -> list[int]:
     """Retention: every version BELOW the latest committed rebuild is
     dead (its rows were re-encoded into the rebuild) — delete its data
-    dir and sidecar, data FIRST, marker LAST (a crash mid-vacuum can
-    never leave a marker pointing at deleted data). Fingerprints of
+    dir and sidecar first, marker LAST. Honest crash analysis (review
+    r11): a crash between the data delete and the marker delete DOES
+    leave a committed marker whose data is gone; it is tolerated
+    because (a) ``read_index`` never stitches ids below the latest
+    rebuild, so no reader chases it, and (b) the marker keeps the id
+    in the next vacuum's doomed set, which reclaims it — the
+    self-healing property the reverse order (marker first) would lose
+    by leaking orphan data forever. Do NOT build marker-implies-data
+    readers (a snapshot_at analog) over ann versions. Fingerprints of
     vacuumed batches are merged into one manifest, not deleted — they
     are what lets a vacuumed-marker replay be skipped exactly."""
     store = state or LocalFSStateStore()
@@ -351,7 +401,7 @@ def vacuum_ann_index(spark, base_dir: str,
     ids = _committed_ids(store, marker_dir)
     if not ids:
         return []
-    rebuild = read_sidecar(spark, base_dir, ids[-1], store)["rebuild_id"]
+    rebuild = read_sidecar(spark, base_dir, ids[-1])["rebuild_id"]
     doomed = [i for i in ids if i < rebuild]
     sc = spark.sparkContext
     jvm = sc._jvm

@@ -129,3 +129,19 @@ def test_neardedup_scans_source_once(spark, tmp_path, counter):
     sigs, _ = read_state(spark, base)
     assert sigs.count() > 0
     assert _rows_scanned(counter) == N_ROWS
+
+
+def test_ann_maintain_scans_source_once(spark, tmp_path, counter):
+    from oracle_cassandra_migrator_spark.streaming import annmaintain
+
+    schema = "vec_id LONG, embedding ARRAY<FLOAT>"
+    src = str(tmp_path / "src")
+    rows = [(i, [float(i % 7) / 7.0 + 0.5] * 16) for i in range(N_ROWS)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    q = annmaintain.foreach_batch_ann_maintain(
+        _counting_stage(_stream(spark, src, schema), counter),
+        str(tmp_path / "ann"), checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    assert annmaintain.read_index(
+        spark, str(tmp_path / "ann")).count() == N_ROWS
+    assert _rows_scanned(counter) == N_ROWS

@@ -908,3 +908,39 @@ def test_cosine_pairs_guard_refuses_large_inputs(spark):
         emb, threshold=0.9, max_rows=None)
     assert forced.columns == ["id_a", "id_b", "cosine"]
     assert forced.count() > 0
+
+
+def test_temperature_and_mix_treat_null_stratum_as_real(spark):
+    """Review r11: NULL strata were counted in the threshold math but
+    silently dropped by the equi-join — a tiny NULL-lang group set
+    n_min (crushing every real language's threshold) while its own
+    rows vanished. NULL is now a REAL stratum via a null-safe join:
+    its rows survive at their own threshold, and the audit reports it."""
+    from oracle_cassandra_migrator_spark.operators.sampling import (
+        corpus_mix_downsample,
+        temperature_resample,
+        temperature_resample_audit,
+    )
+
+    rows = ([(i, "en") for i in range(400)]
+            + [(400 + i, None) for i in range(3)])
+    docs = spark.createDataFrame(rows, "doc_id LONG, lang STRING")
+
+    audit = {r["lang"]: r for r in
+             temperature_resample_audit(docs, "doc_id", "lang").collect()}
+    assert set(audit) == {"en", None}
+    # the NULL stratum is the smallest: it keeps (nearly) everything
+    assert audit[None]["threshold_ppm"] == 1_000_000
+    assert audit[None]["n_kept"] > 0  # pre-fix: always 0
+
+    kept = temperature_resample(docs, "doc_id", "lang")
+    by_lang = {r["lang"]: r["n"] for r in kept.groupBy("lang")
+               .agg(__import__("pyspark").sql.functions.count("*")
+                    .alias("n")).collect()}
+    assert by_lang.get(None) == audit[None]["n_kept"]
+    # and the audit's n_kept matches the filter's survivors per stratum
+    assert by_lang.get("en", 0) == audit["en"]["n_kept"]
+
+    mixed = corpus_mix_downsample(docs, "doc_id", "lang")
+    langs = {r["lang"] for r in mixed.select("lang").distinct().collect()}
+    assert None in langs  # NULL stratum kept whole (under-represented)

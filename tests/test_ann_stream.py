@@ -246,3 +246,36 @@ def test_ann_maintain_pq_rebuild_keeps_index_geometry(spark, tmp_path):
     idx = annmaintain.read_index(spark, base)
     assert {c for c in idx.columns if c.startswith("code")} == {
         "code0", "code1", "code2", "code3"}
+
+
+def test_ann_maintain_bootstrap_empty_and_degenerate_batches(
+        spark, tmp_path):
+    """Review r11: (a) an empty first micro-batch must commit nothing
+    and NOT wedge the stream (the next batch bootstraps); (b) a first
+    batch whose ids contain no multiple of the kmeans init modulus
+    must bootstrap via the modulus-1 fallback instead of raising on an
+    empty codebook."""
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "ann")
+    ckpt = str(tmp_path / "ckpt")
+
+    # (a) batch 0 = an empty file (what a transform that filters
+    # everything away delivers)
+    spark.createDataFrame([], SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    _run(spark, src, base, ckpt)
+    assert annmaintain.read_index(spark, base) is None
+
+    # (b) batch 1: ids 1001..1035 contain no multiple of 43
+    _write(spark, _vecs(range(1001, 1036)), src)
+    _run(spark, src, base, ckpt)
+    idx = annmaintain.read_index(spark, base)
+    assert idx is not None and idx.count() == 35
+    side = annmaintain.read_sidecar(spark, base, 1)
+    assert side["kind"] == "rebuild" and len(side["codebook"]) > 0
+
+    # the stream keeps maintaining normally after the rocky start
+    _write(spark, _vecs(range(1036, 1050)), src)
+    _run(spark, src, base, ckpt)
+    assert annmaintain.read_index(spark, base).count() == 49
+    assert annmaintain.read_sidecar(spark, base, 2)["kind"] == "append"

@@ -22,3 +22,26 @@ def spark():
     )
     yield session
     session.stop()
+
+
+_PLAN_CACHE: dict = {}
+
+
+def catalog_plan_string(spark, name: str) -> str:
+    """Memoized COLD-CACHE executed-plan string for a catalog query —
+    shared by the plan-quality gates and the shuffle-budget lockfile
+    (r11 suite-runtime pass): the two parametrized suites each built
+    every plan from scratch, and queries with eager compile-time work
+    (connected-components label propagation) paid it twice, ~20-35 s
+    per build. One build per query per session, always against a
+    cleared cache (the lockfile was generated the same way); no plan
+    test mutates session conf, so the memo cannot mask a conf-divergent
+    plan."""
+    if name not in _PLAN_CACHE:
+        from oracle_cassandra_migrator_spark.queries import QUERIES
+
+        spark.catalog.clearCache()
+        _PLAN_CACHE[name] = (
+            QUERIES[name](spark, SF_SMALL)
+            ._jdf.queryExecution().executedPlan().toString())
+    return _PLAN_CACHE[name]

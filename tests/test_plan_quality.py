@@ -12,8 +12,11 @@ from tests.conftest import SF_SMALL
 
 
 def plan_of(spark, name):
-    return (QUERIES[name](spark, SF_SMALL)
-            ._jdf.queryExecution().executedPlan().toString())
+    # session-memoized cold-cache plan (tests/conftest.py — the r11
+    # suite-runtime pass); identical string to the pre-memo builds
+    from tests.conftest import catalog_plan_string
+
+    return catalog_plan_string(spark, name)
 
 
 def test_flagship_pushes_all_source_filters(spark):
@@ -531,8 +534,7 @@ def test_no_unexpected_nested_loop_or_cartesian(spark, name):
     and a BroadcastNestedLoopJoin only on the frozen allowlist of
     one-row-broadcast/coverage plans. An accidental non-equi join of
     two real relations fails here before it ever reaches a cluster."""
-    spark.catalog.clearCache()
-    plan = plan_of(spark, name)
+    plan = plan_of(spark, name)  # memoized cold-cache build
     assert "CartesianProduct" not in plan, name
     if name not in _NL_JOIN_ALLOWED:
         assert "BroadcastNestedLoopJoin" not in plan, (
@@ -684,9 +686,7 @@ def test_bnlj_build_sides_are_bounded(spark):
             continue
         if name not in QUERIES:
             continue  # staleness handled by the lockfile test
-        spark.catalog.clearCache()
-        plan = (QUERIES[name](spark, _SF)
-                ._jdf.queryExecution().executedPlan().toString())
+        plan = plan_of(spark, name)  # memoized cold-cache build
         for sub in _bnlj_build_subtrees(plan):
             if not _build_side_is_bounded(sub):
                 offenders.append((name, sub.splitlines()[0].strip()))

@@ -50,11 +50,13 @@ def test_query_within_catalog_shuffle_budget(spark, name):
     if name not in QUERIES:
         pytest.skip("covered by test_lockfile_covers_catalog")
     # cached relations from earlier tests substitute InMemoryRelation
-    # subtrees into plans and skew the exchange counts — always count
-    # against a cold cache (lockfile was generated the same way)
-    spark.catalog.clearCache()
-    plan = (QUERIES[name](spark, SF_SMALL)
-            ._jdf.queryExecution().executedPlan().toString())
+    # subtrees into plans and skew the exchange counts — the shared
+    # memo always builds against a cold cache (lockfile was generated
+    # the same way), and one build serves both this lockfile and the
+    # plan-quality gates (r11 suite-runtime pass)
+    from tests.conftest import catalog_plan_string
+
+    plan = catalog_plan_string(spark, name)
     for kind, pat in _PATTERNS.items():
         n = len(re.findall(pat, plan))
         assert n <= BUDGET[name][kind], (

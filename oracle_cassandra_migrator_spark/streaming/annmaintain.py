@@ -74,22 +74,25 @@ def _index_dir(base_dir: str, batch_id) -> str:
 
 def _train_or_fallback(alg, df: DataFrame, prev_codebook=None):
     """Train, falling back to a modulus-1 init when the deterministic
-    ``id % modulus`` sample selects NOTHING (review r11: a small batch
-    whose ids contain no multiple of the modulus trained an empty
-    codebook, codebook_literal_expr raised, and the streaming query
-    wedged in a crash-retry loop on the re-delivered batch).
+    ``id % modulus`` sample would select NOTHING (review r11: a small
+    batch whose ids contain no multiple of the modulus wedged the
+    streaming query in a crash-retry loop on the re-delivered batch).
+    The emptiness is checked UP FRONT — the first-draft
+    train-then-inspect version never engaged, because an empty init
+    doesn't come back as an empty codebook: kmeans assigns every row
+    to a NULL cell and IVF's collect crashes on ``int(None)`` while PQ
+    silently renumbers the NULL row to a useless single centroid
+    (review r11, second pass — empirically reproduced).
     ``init_limit`` still caps the fallback's codebook size."""
-    codebook = alg.train(df, prev_codebook=prev_codebook)
-    degenerate = (not codebook
-                  or any(not b for b in codebook
-                         if isinstance(b, list)))
-    if degenerate:
-        saved, alg.modulus = alg.modulus, 1
-        try:
-            codebook = alg.train(df, prev_codebook=prev_codebook)
-        finally:
-            alg.modulus = saved
-    return codebook
+    has_init = df.where(
+        f"{alg.id_col} % {alg.modulus} = 0").limit(1).count() > 0
+    if has_init:
+        return alg.train(df, prev_codebook=prev_codebook)
+    saved, alg.modulus = alg.modulus, 1
+    try:
+        return alg.train(df, prev_codebook=prev_codebook)
+    finally:
+        alg.modulus = saved
 
 
 def fold_dim_sums(a: dict, b: dict) -> dict:

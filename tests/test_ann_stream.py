@@ -266,16 +266,21 @@ def test_ann_maintain_bootstrap_empty_and_degenerate_batches(
     _run(spark, src, base, ckpt)
     assert annmaintain.read_index(spark, base) is None
 
-    # (b) batch 1: ids 1001..1035 contain no multiple of 43
-    _write(spark, _vecs(range(1001, 1036)), src)
+    # (b) batch 1: ids 1001..1031 contain NO multiple of 43
+    # (43*23 = 989, 43*24 = 1032 — the first draft of this test used
+    # ..1035, which includes 1032 and never exercised the fallback;
+    # review r11 second pass). Without the modulus-1 fallback this
+    # batch crashes train on the NULL-cid centroid of the empty init.
+    _write(spark, _vecs(range(1001, 1032)), src)
     _run(spark, src, base, ckpt)
     idx = annmaintain.read_index(spark, base)
-    assert idx is not None and idx.count() == 35
+    assert idx is not None and idx.count() == 31
     side = annmaintain.read_sidecar(spark, base, 1)
-    assert side["kind"] == "rebuild" and len(side["codebook"]) > 0
+    assert side["kind"] == "rebuild" and len(side["codebook"]) > 1
+    assert all(c["cid"] is not None for c in side["codebook"])
 
     # the stream keeps maintaining normally after the rocky start
     _write(spark, _vecs(range(1036, 1050)), src)
     _run(spark, src, base, ckpt)
-    assert annmaintain.read_index(spark, base).count() == 49
+    assert annmaintain.read_index(spark, base).count() == 45
     assert annmaintain.read_sidecar(spark, base, 2)["kind"] == "append"

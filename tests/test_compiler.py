@@ -822,9 +822,10 @@ def test_compiler_sampling_steps(spark):
                "by": "lang"})
     want_df = sampling.sample_fixed_n(docs, "doc_id", 5, by="lang")
     assert ids(per) == ids(want_df)
+    from pyspark.sql import functions as F
+
     sizes = {r["lang"]: r["n"] for r in per.groupBy("lang")
-             .agg(__import__("pyspark").sql.functions.count("*")
-                  .alias("n")).collect()}
+             .agg(F.count("*").alias("n")).collect()}
     assert all(n <= 5 for n in sizes.values()) and max(sizes.values()) == 5
 
     # lang shares are skewed (en-dominant), so the uniform-target mix

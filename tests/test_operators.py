@@ -935,8 +935,7 @@ def test_temperature_and_mix_treat_null_stratum_as_real(spark):
 
     kept = temperature_resample(docs, "doc_id", "lang")
     by_lang = {r["lang"]: r["n"] for r in kept.groupBy("lang")
-               .agg(__import__("pyspark").sql.functions.count("*")
-                    .alias("n")).collect()}
+               .agg(F.count("*").alias("n")).collect()}
     assert by_lang.get(None) == audit[None]["n_kept"]
     # and the audit's n_kept matches the filter's survivors per stratum
     assert by_lang.get("en", 0) == audit["en"]["n_kept"]

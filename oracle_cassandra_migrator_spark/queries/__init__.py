@@ -144,10 +144,13 @@ _R04_CONFIRMED = frozenset({
 # r10: the fixture gained JPEG containers (VERDICT r9 item 2) — both
 # fixture-consuming queries re-certified green in CORRECTNESS_r10 and
 # left _RECHECK at the r11 fold.
-# r11: the fixture gains WebP containers (VERDICT r10 item 4 —
-# payload_for_doc now cycles doc_id % 7 across bmp/ppm/wav/png/gif/
-# jpeg/webp and decode_header walks RIFF chunks to the VP8 key-frame /
-# VP8L packed / VP8X canvas dimensions), so the OUTPUT of both
+# r11: the fixture gained WebP containers — both fixture-consuming
+# queries re-certified green in CORRECTNESS_r11 and left _RECHECK at
+# the r12 fold.
+# r12: the fixture gains MP4/ISO-BMFF containers (VERDICT r11 item 4 —
+# payload_for_doc now cycles doc_id % 8 across bmp/ppm/wav/png/gif/
+# jpeg/webp/mp4 and decode_header walks the box tree ftyp → moov →
+# trak → tkhd/stsd to canvas dimensions), so the OUTPUT of both
 # fixture-consuming queries changes again: multimodal_decode_stats and
 # multimodal_resize_stats (it reuses _MM_DECODED_SQL). The driver must
 # re-certify both under the new contract.
@@ -368,14 +371,53 @@ _R10_CONFIRMED = frozenset({
 })
 
 
+# CORRECTNESS_r11.json: 50/50 green (rows+schema+hash) — the literal
+# key set, folded per the maintenance note below. r11's window covered
+# flagship, the two multimodal rechecks (green under the WebP
+# contract), the r11-new pipeline_sample_stage, and 46 of the stalest
+# r06-vintage greens. With this fold the stalest remaining rows are
+# the 3 leftover r06-vintage greens (assoc_rules_brand_pairs,
+# embedding_centroid_drift, stats_psi_doclen_drift) plus the 46
+# r07-vintage greens — exactly what the r12 window's spare slots
+# re-verify (VERDICT r11 item 1). The two multimodal queries re-enter
+# _RECHECK (the r12 MP4 contract postdates their r11 rows).
+_R11_CONFIRMED = frozenset({
+    "agg_winsorized_mean_price", "contamination_source_matrix",
+    "corpus_drift_report", "dedup_allpairs_prefix",
+    "dedup_bloom_prefilter", "dedup_bloom_ranged_audit",
+    "dedup_containment_pairs", "dedup_minshingle_neighbors",
+    "dedup_strategy_recall_report", "distinct_segment_nation",
+    "encode_target_mean_smoothed", "eval_auc_doclen_lang",
+    "events_daily_ewma", "events_funnel_latency",
+    "events_props_variant_stats", "events_session_stats",
+    "events_user_gini", "events_wow_delta",
+    "flagship_payment_pipeline", "graph_bfs_distances",
+    "join_fuzzy_customer_names", "layout_minmax_pruning_stats",
+    "multimodal_decode_stats", "multimodal_resize_stats",
+    "orders_rfm_segments", "parts_pareto_coverage",
+    "pipeline_sample_stage", "sample_weighted_reservoir",
+    "scalar_date_functions", "scalar_string_functions",
+    "set_except_inactive_customers", "set_intersect_repeat_buyers",
+    "set_union_priority_buyers", "sim_ann_ivfpq_recall",
+    "sim_ann_ivfpq_topk", "sim_ann_pq_recall", "sim_ann_pq_topk",
+    "sim_cluster_quality_nmi", "sim_mmr_diversified_topk",
+    "sketch_cms_heavy_hitters", "sketch_cms_join_size",
+    "sketch_kll_price_quantiles", "sketch_theta_set_algebra",
+    "stats_bootstrap_ci_revenue", "stats_chi2_lang_source",
+    "stats_ks_doclen_drift", "stream_dedup_admission_batch",
+    "text_bpe_encode_stats", "text_bpe_merge_rules",
+    "tpch_q3_shipping_priority",
+})
+
+
 _CONFIRMED_ROUNDS = (
     _R02_CONFIRMED, _R03_CONFIRMED, _R04_CONFIRMED, _R05_CONFIRMED,
     _R06_CONFIRMED, _R07_CONFIRMED, _R08_CONFIRMED, _R09_CONFIRMED,
-    _R10_CONFIRMED)
+    _R10_CONFIRMED, _R11_CONFIRMED)
 
 
 def _last_green_round(name):
-    """0 = never driver-green; k = last round (2..10) with a green row."""
+    """0 = never driver-green; k = last round (2..11) with a green row."""
     last = 0
     for i, s in enumerate(_CONFIRMED_ROUNDS, start=2):
         if name in s:

@@ -221,14 +221,15 @@ def test_catalog_orders_least_verified_first():
             f"{names[1 + i]!r} (last green r{lasts[i]}) registered "
             f"after a fresher query")
     # The unverified region must leave slack inside the window for
-    # re-verifying stale greens. r11 state: _R10_CONFIRMED folded;
-    # _RECHECK holds the two multimodal queries (their r10 green rows
-    # predate the WebP container extension, so they need fresh rows
+    # re-verifying stale greens. r12 state: _R11_CONFIRMED folded;
+    # _RECHECK holds the two multimodal queries (their r11 green rows
+    # predate the MP4 container extension, so they need fresh rows
     # under the new contract); the window's remaining slots go to the
-    # stalest (r06-vintage) block. Each NEW query displaces one stale
-    # re-check, so r11 additions stay minimal. The bound below (30)
-    # keeps future rounds honest: adding queries beyond it starts
-    # displacing the stale-green re-verification budget.
+    # stalest (3 r06-vintage + the r07-vintage) block. Each NEW query
+    # displaces one stale re-check, so r12 additions stay minimal. The
+    # bound below (30) keeps future rounds honest: adding queries
+    # beyond it starts displacing the stale-green re-verification
+    # budget.
     unverified = sum(1 for v in lasts if v == 0)
     assert 1 + unverified <= 30, (
         f"{unverified} unverified queries leave no slack for "

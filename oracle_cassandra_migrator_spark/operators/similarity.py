@@ -239,11 +239,21 @@ def _default_centroids(embeddings: DataFrame, modulus: int,
                     F.col(vec_col).alias("cvec")))
 
 
+# Default absolute bound on the Lloyd training sample (and therefore on
+# the init-sample SOURCE): kmeans_codebook caps its input to the
+# KMEANS_TRAIN_CAP rows with the smallest "km-train"-salted id hash
+# BEFORE the `% modulus` init filter, so anything probing init
+# emptiness (streaming/annmaintain._train_or_fallback) must apply the
+# same cap+salt or it tests a different set than training uses.
+KMEANS_TRAIN_CAP = 16384
+KMEANS_TRAIN_SALT = "km-train"
+
+
 def kmeans_codebook(
     embeddings: DataFrame, modulus: int = 43, iters: int = 2,
     vec_col: str = "embedding", id_col: str = "vec_id",
     init_limit: int | None = None,
-    train_cap: int | None = 16384,
+    train_cap: int | None = KMEANS_TRAIN_CAP,
 ) -> DataFrame:
     """Lloyd's k-means in pure DataFrame ops: deterministic id-sample
     init, then ``iters`` rounds of (assign to nearest centroid by dot
@@ -280,7 +290,8 @@ def kmeans_codebook(
 
     train = embeddings
     if train_cap is not None:
-        train = cap_by_salted_hash(train, id_col, train_cap, "km-train")
+        train = cap_by_salted_hash(train, id_col, train_cap,
+                                   KMEANS_TRAIN_SALT)
     init = train.where(f"{id_col} % {modulus} = 0")
     if init_limit is not None:
         init = init.orderBy(id_col).limit(init_limit)

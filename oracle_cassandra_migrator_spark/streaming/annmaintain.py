@@ -83,8 +83,23 @@ def _train_or_fallback(alg, df: DataFrame, prev_codebook=None):
     to a NULL cell and IVF's collect crashes on ``int(None)`` while PQ
     silently renumbers the NULL row to a useless single centroid
     (review r11, second pass — empirically reproduced).
-    ``init_limit`` still caps the fallback's codebook size."""
-    has_init = df.where(
+    ``init_limit`` still caps the fallback's codebook size.
+
+    The probe replicates kmeans_codebook's training pipeline EXACTLY:
+    the ``KMEANS_TRAIN_CAP`` salted-hash cap is applied BEFORE the
+    ``% modulus`` init filter (ADVICE r11: probing the full frame
+    tests a different set than training uses — on a rebuild input
+    larger than the cap the capped sample can still hold no multiple
+    of the modulus and the NULL-cid crash recurs). PQ trains each
+    subspace through the same kmeans_codebook over the same ids and
+    the same salt, so one probe covers both arms."""
+    from oracle_cassandra_migrator_spark.operators.sampling import (
+        cap_by_salted_hash)
+
+    capped = cap_by_salted_hash(
+        df, alg.id_col, similarity.KMEANS_TRAIN_CAP,
+        similarity.KMEANS_TRAIN_SALT)
+    has_init = capped.where(
         f"{alg.id_col} % {alg.modulus} = 0").limit(1).count() > 0
     if has_init:
         return alg.train(df, prev_codebook=prev_codebook)
@@ -260,24 +275,35 @@ def foreach_batch_ann_maintain(
             return
         committed = _committed_ids(store, marker_dir)
         if committed and batch_id < committed[-1]:
-            # below the latest committed id the write is INVISIBLE to
-            # read_index stitching and reclaimed by the next vacuum:
-            # skip a vacuumed-marker true replay exactly (its rows
-            # live on in every later rebuild), refuse new content
-            if fingerprint.decide_replay(
-                    spark, store, base_dir, batch_id, fp,
-                    f"ANN index state at {base_dir!r} is committed "
-                    f"through batch {committed[-1]}, but this stream "
-                    f"is writing batch {batch_id} with DIFFERENT "
-                    "content than originally committed there — a "
-                    "fresh-checkpoint run over the same base_dir. Its "
-                    "version would be invisible to readers and "
-                    "reclaimed by the next vacuum (silent data loss). "
-                    "Resume the original checkpoint, use a new "
-                    "base_dir, or clear the state first.") == "skip":
-                return
+            # A write below the latest committed id is junk in either
+            # shape: below the rebuild it is INVISIBLE to read_index
+            # stitching and reclaimed by the next vacuum; BETWEEN the
+            # rebuild and committed[-1] (non-contiguous markers above
+            # the rebuild — abnormal state) it WOULD be stitched while
+            # its rows were never folded into later sidecars' carried
+            # sums, silently corrupting the drift gate. decide_replay
+            # skips a vacuumed-marker true replay exactly (its rows
+            # live on in every later rebuild) and refuses new content;
+            # the legacy fall-through (pre-ledger / crash-window
+            # markers) is preserved as a skip in BOTH shapes (ADVICE
+            # r11: the old path only skipped legacy when NO committed
+            # id was below batch_id, letting a rebuild_id < batch_id <
+            # committed[-1] legacy write through to a full commit).
+            fingerprint.decide_replay(
+                spark, store, base_dir, batch_id, fp,
+                f"ANN index state at {base_dir!r} is committed "
+                f"through batch {committed[-1]}, but this stream "
+                f"is writing batch {batch_id} with DIFFERENT "
+                "content than originally committed there — a "
+                "fresh-checkpoint run over the same base_dir. Its "
+                "version would either be invisible to readers and "
+                "reclaimed by the next vacuum, or stitched without "
+                "being folded into later drift sums (silent data "
+                "loss/corruption either way). Resume the original "
+                "checkpoint, use a new base_dir, or clear the state "
+                "first.")
+            return
         appended = batch_df.select(id_col, vec_col)
-        prev = [i for i in committed if i < batch_id]
         if not committed:
             # bootstrap: the index is born from the stream itself.
             # An EMPTY first batch commits nothing (the next batch
@@ -297,13 +323,10 @@ def foreach_batch_ann_maintain(
             }
             _commit(spark, encoded, side, batch_id, marker, fp)
             return
-        if not prev:
-            # batch id below EVERY committed id, passed decide_replay
-            # as legacy (pre-ledger / crash-window state): writing here
-            # would plant an invisible junk version below the stitch —
-            # preserve the skip instead (review r11)
-            return
-        side = read_sidecar(spark, base_dir, prev[-1])
+        # Past the guards, batch_id > committed[-1] (== would have hit
+        # the marker branch), so the latest committed version is the
+        # carry base.
+        side = read_sidecar(spark, base_dir, committed[-1])
         carried = side["base_sums"]
         codebook = side["codebook"]
         index_df = None
@@ -410,11 +433,18 @@ def vacuum_ann_index(spark, base_dir: str,
     jvm = sc._jvm
     conf = sc._jsc.hadoopConfiguration()
     for bid in doomed:
-        path = jvm.org.apache.hadoop.fs.Path(_index_dir(base_dir, bid))
-        fs = path.getFileSystem(conf)
-        if fs.exists(path):
-            fs.delete(path, True)
-        store.delete(_sidecar_key(base_dir, bid))
+        # data dir AND sidecar go through the Hadoop FS API — sidecars
+        # are WRITTEN via _write_text (deliberately not through a
+        # StateStore, see read_sidecar), so deleting them via
+        # store.delete would silently leak them under a
+        # non-filesystem StateStore (ADVICE r11). Only markers (and
+        # the fingerprint ledger) live in the store.
+        for target in (_index_dir(base_dir, bid),
+                       _sidecar_key(base_dir, bid)):
+            path = jvm.org.apache.hadoop.fs.Path(target)
+            fs = path.getFileSystem(conf)
+            if fs.exists(path):
+                fs.delete(path, True)
         store.delete(posixpath.join(marker_dir, f"batch-{bid}.marker"))
     if doomed:
         fingerprint.compact_fingerprints(

@@ -196,10 +196,26 @@ def run_stream_pipeline(spark: SparkSession,
 
         known = {"base_dir", "algo", "id_col", "vec_col", "gate_micro",
                  "assume_new_ids"}
+        # algo knobs are read with .get() defaults inside _IvfAlgo/
+        # _PqAlgo, so a typo'd key ('gatemicro', 'initlimit') would be
+        # silently ignored and the default applied — fail loudly like
+        # the rest of this file's spec parsing (ADVICE r11). An
+        # invalid algo falls through to the sink's own ValueError.
+        algo_knobs = {"ivf": {"modulus", "iters", "init_limit"},
+                      "pq": {"n_sub", "sub_dim", "modulus", "iters",
+                             "init_limit"}}
+        algo = sink.get("algo", "ivf")
+        if algo in algo_knobs:
+            unknown = sorted(set(sink) - known - algo_knobs[algo])
+            if unknown:
+                raise ValueError(
+                    f"ann_maintain sink: unknown key(s) {unknown} — "
+                    f"accepted: {sorted(known)} plus {algo!r} knobs "
+                    f"{sorted(algo_knobs[algo])}")
         algo_opts = {k: v for k, v in sink.items() if k not in known}
         return annmaintain.foreach_batch_ann_maintain(
             df, sink["base_dir"], checkpoint_dir,
-            algo=sink.get("algo", "ivf"),
+            algo=algo,
             id_col=sink.get("id_col", "vec_id"),
             vec_col=sink.get("vec_col", "embedding"),
             gate_micro=int(sink.get("gate_micro",

@@ -248,6 +248,149 @@ def test_ann_maintain_pq_rebuild_keeps_index_geometry(spark, tmp_path):
         "code0", "code1", "code2", "code3"}
 
 
+def test_train_probe_tests_the_capped_set(spark):
+    """ADVICE r11: kmeans_codebook caps training to the
+    KMEANS_TRAIN_CAP rows with the smallest salted id hash BEFORE the
+    `% modulus` init filter, so _train_or_fallback's emptiness probe
+    must run over the SAME capped set — probing the full frame passes
+    on an input whose only modulus-multiple id is outside the cap, and
+    training then crashes on the NULL-cid centroid of the empty init.
+    This builds exactly that input: >cap rows, one qualifying id,
+    chosen (by replaying the salted-hash ranking in Python) to rank
+    OUTSIDE the bottom-cap set."""
+    import hashlib
+
+    cap = similarity.KMEANS_TRAIN_CAP
+    n = cap + 617  # ~3.6% of rows fall outside the cap
+    modulus = 50021  # prime > every base id: 1..n qualify never
+
+    def h(i):
+        return hashlib.md5(
+            f"{similarity.KMEANS_TRAIN_SALT}:{i}".encode()).hexdigest()
+
+    fixed = sorted(h(i) for i in range(1, n + 1))
+    threshold = fixed[cap - 1]  # cap-th smallest of the fixed ids
+    cand = next(k * modulus for k in range(1, 400)
+                if h(k * modulus) > threshold)
+
+    rows = _vecs(list(range(1, n + 1)) + [cand], spread=0.02)
+    df = spark.createDataFrame(rows, SCHEMA)
+    alg = annmaintain._IvfAlgo(
+        {"modulus": modulus, "vec_col": "embedding", "id_col": "vec_id"})
+    codebook = annmaintain._train_or_fallback(alg, df)
+    assert codebook and all(c["cid"] is not None for c in codebook)
+
+
+def test_legacy_write_between_rebuild_and_latest_is_skipped(
+        spark, tmp_path):
+    """ADVICE r11: a legacy (no-ledger-entry) batch id BETWEEN the
+    rebuild and the latest committed id must be skipped, not written —
+    such a version WOULD be stitched by read_index while its rows were
+    never folded into later sidecars' carried sums. Reproduced by
+    vacating one mid-stream marker+fingerprint (the pre-ledger /
+    crash-window shape) and replaying the source under a fresh
+    checkpoint."""
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "ann")
+    ckpt = str(tmp_path / "ckpt")
+    for lo, hi in ((0, 40), (40, 55), (55, 70), (70, 85)):
+        _write(spark, _vecs(range(lo, hi)), src)
+        _run(spark, src, base, ckpt)
+    # committed [0,1,2,3], all same direction: rebuild_id stays 0
+    assert annmaintain.read_sidecar(spark, base, 3)["rebuild_id"] == 0
+
+    # vacate batch 2's marker AND ledger entry -> legacy shape with
+    # rebuild_id(0) < batch_id(2) < committed[-1](3)
+    os.remove(str(tmp_path / "ann" / "markers" / "batch-2.marker"))
+    for f in glob.glob(str(tmp_path / "ann" / "fingerprints" /
+                           "fp-2-*.marker")):
+        os.remove(f)
+    want = _index_rows(spark, base)  # stitch of committed [0,1,3]
+
+    _run(spark, src, base, str(tmp_path / "ckpt2"))  # fresh checkpoint
+    assert not os.path.exists(
+        str(tmp_path / "ann" / "markers" / "batch-2.marker"))
+    assert _index_rows(spark, base) == want
+
+
+def test_vacuum_deletes_sidecars_without_the_store(spark, tmp_path):
+    """ADVICE r11: sidecars are written via the Hadoop FS API (never
+    through a StateStore), so vacuum must delete them the same way —
+    under a non-filesystem store, store.delete would silently leak
+    every sidecar file. Pinned with a dict-backed store that holds
+    ONLY markers/fingerprints."""
+    from oracle_cassandra_migrator_spark.reliability.state import (
+        StateStore)
+
+    class DictStore(StateStore):
+        def __init__(self):
+            self.keys = set()
+
+        def exists(self, key):
+            return key in self.keys
+
+        def put_marker(self, key):
+            self.keys.add(key)
+
+        def list(self, prefix, suffix=""):
+            p = prefix.rstrip("/") + "/"
+            return sorted(k for k in self.keys
+                          if k.startswith(p) and k.endswith(suffix))
+
+        def delete(self, key):
+            self.keys.discard(key)
+
+    store = DictStore()
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "ann")
+    ckpt = str(tmp_path / "ckpt")
+    for rows in (_vecs(range(0, 30)), _vecs(range(30, 45)),
+                 _vecs(range(45, 80), direction=-1.0)):
+        _write(spark, rows, src)
+        stream = (spark.readStream.schema(SCHEMA)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        q = annmaintain.foreach_batch_ann_maintain(
+            stream, base, checkpoint_dir=ckpt, state=store)
+        q.awaitTermination(180)
+    assert annmaintain.read_sidecar(spark, base, 2)["rebuild_id"] == 2
+
+    doomed = annmaintain.vacuum_ann_index(spark, base, state=store)
+    assert doomed == [0, 1]
+    for bid in doomed:
+        assert not os.path.exists(str(tmp_path / "ann" / f"index-v{bid}"))
+        assert not os.path.exists(
+            str(tmp_path / "ann" / f"codebook-v{bid}.json"))
+    # the survivor still reads
+    idx = annmaintain.read_index(spark, base, state=store)
+    assert idx.count() == 80
+
+
+def test_ann_maintain_spec_rejects_unknown_keys(spark, tmp_path):
+    """ADVICE r11: algo knobs are read with .get() defaults, so a
+    typo'd sink key must fail loudly at spec-parse time instead of
+    silently applying the default."""
+    from oracle_cassandra_migrator_spark.streaming.pipeline import (
+        run_stream_pipeline)
+
+    src = str(tmp_path / "src")
+    _write(spark, _vecs(range(0, 10)), src)
+    spec = {
+        "source": {"format": "parquet", "path": src, "schema": SCHEMA,
+                   "options": {"maxFilesPerTrigger": "1"}},
+        "sink": {"type": "ann_maintain",
+                 "base_dir": str(tmp_path / "ann"),
+                 "checkpoint_dir": str(tmp_path / "ckpt"),
+                 "initlimit": 16},  # typo'd init_limit
+    }
+    with pytest.raises(ValueError, match="initlimit"):
+        run_stream_pipeline(spark, spec)
+    # pq-only knobs are rejected under ivf (the default algo)
+    spec["sink"].pop("initlimit")
+    spec["sink"]["n_sub"] = 8
+    with pytest.raises(ValueError, match="n_sub"):
+        run_stream_pipeline(spark, spec)
+
+
 def test_ann_maintain_bootstrap_empty_and_degenerate_batches(
         spark, tmp_path):
     """Review r11: (a) an empty first micro-batch must commit nothing

@@ -131,6 +131,60 @@ def test_neardedup_scans_source_once(spark, tmp_path, counter):
     assert _rows_scanned(counter) == N_ROWS
 
 
+def test_replay_skip_path_scans_source_once(spark, tmp_path, counter):
+    """VERDICT r11 item 8: the replay (skip) path must ALSO be
+    scan-once — a fresh-checkpoint re-delivery of a committed batch
+    computes the content fingerprint (one aggregate over the batch)
+    and consumes nothing else, so total source rows after run+replay
+    is exactly 2x the corpus, not 3x."""
+    from oracle_cassandra_migrator_spark.streaming import (
+        foreach_batch_upsert, latest_snapshot)
+
+    schema = "k LONG, seq LONG, val STRING"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, i, f"v{i}") for i in range(N_ROWS)], schema
+    ).coalesce(1).write.parquet(src)
+    base = str(tmp_path / "snap")
+
+    def run(ckpt):
+        q = foreach_batch_upsert(
+            _counting_stage(_stream(spark, src, schema), counter),
+            base, keys=["k"], order_by=["seq"],
+            checkpoint_dir=str(tmp_path / ckpt))
+        q.awaitTermination(180)
+
+    run("ckpt")
+    assert _rows_scanned(counter) == N_ROWS
+    run("ckpt2")  # fresh checkpoint: same batch id, same content
+    assert latest_snapshot(spark, base).count() == N_ROWS
+    assert _rows_scanned(counter) == 2 * N_ROWS
+
+
+def test_ann_replay_skip_path_scans_source_once(spark, tmp_path, counter):
+    """Same replay-path pin for the ann_maintain sink (its skip path
+    sits behind an extra committed-ids listing)."""
+    from oracle_cassandra_migrator_spark.streaming import annmaintain
+
+    schema = "vec_id LONG, embedding ARRAY<FLOAT>"
+    src = str(tmp_path / "src")
+    rows = [(i, [float(i % 7) / 7.0 + 0.5] * 16) for i in range(N_ROWS)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    base = str(tmp_path / "ann")
+
+    def run(ckpt):
+        q = annmaintain.foreach_batch_ann_maintain(
+            _counting_stage(_stream(spark, src, schema), counter),
+            base, checkpoint_dir=str(tmp_path / ckpt))
+        q.awaitTermination(180)
+
+    run("ckpt")
+    assert _rows_scanned(counter) == N_ROWS
+    run("ckpt2")
+    assert annmaintain.read_index(spark, base).count() == N_ROWS
+    assert _rows_scanned(counter) == 2 * N_ROWS
+
+
 def test_ann_maintain_scans_source_once(spark, tmp_path, counter):
     from oracle_cassandra_migrator_spark.streaming import annmaintain
 

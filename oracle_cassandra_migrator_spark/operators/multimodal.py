@@ -484,22 +484,104 @@ def decode_binary_metadata(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, payload_col).mapInPandas(extract, DECODE_SCHEMA)
 
 
-def synthesized_payloads(documents: DataFrame) -> DataFrame:
+def synthesized_payloads(documents: DataFrame,
+                         extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Fixture source: one real BMP/PPM/WAV/PNG/GIF/JPEG/WebP payload
     per document (codec cycles doc_id % 7), built inside the same Arrow
     batches decode runs in (no driver-side materialization; the bytes
-    exist only within the executor task)."""
+    exist only within the executor task). ``extra_cols`` ride through
+    the same batch (e.g. ``text`` so a downstream dedup step still
+    sees it) — zero-shuffle pass-through, never a re-join."""
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    cols = ["doc_id", *extra_cols]
+    schema = StructType(
+        list(documents.select(*cols).schema.fields)
+        + [StructField("payload", BinaryType())])
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"].astype("int64"),
-                "payload": [payload_for_doc(int(d))
-                            for d in pdf["doc_id"]],
-            })
+            out = pdf.copy()
+            out["payload"] = [payload_for_doc(int(d))
+                              for d in pdf["doc_id"]]
+            yield out
 
-    return documents.select("doc_id").mapInPandas(
-        build, "doc_id BIGINT, payload BINARY")
+    return documents.select(*cols).mapInPandas(build, schema)
+
+
+def decode_media_columns(df: DataFrame, payload_col: str = "payload",
+                         drop_payload: bool = True) -> DataFrame:
+    """Inline decode for pipeline chaining (VERDICT r11 item 3): every
+    input column rides through the SAME Arrow batch with the decoded
+    metadata columns appended — zero shuffle and no re-join, so a
+    curation spec can keep filtering on BOTH the carried columns
+    (text, lang, ...) and the media features. ``drop_payload``
+    projects the binary column away after decode (the metadata-
+    pipeline default); the decode itself is ``decode_header``'s real
+    parse with the same quarantine-as-'unknown' contract."""
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType)
+
+    meta = [("n_bytes", LongType()), ("mm_format", StringType()),
+            ("width", IntegerType()), ("height", IntegerType()),
+            ("channels", IntegerType()), ("sample_rate", IntegerType()),
+            ("duration_ms", LongType())]
+    clash = {n for n, _ in meta} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"decode_media_columns: input columns {sorted(clash)} "
+            f"collide with the decode metadata columns — rename or "
+            f"drop them first")
+    if payload_col not in df.columns:
+        raise ValueError(
+            f"decode_media_columns: no {payload_col!r} column in "
+            f"{df.columns}")
+    keep = [c for c in df.columns
+            if c != payload_col or not drop_payload]
+    schema = StructType(
+        [f for f in df.schema.fields if f.name in keep]
+        + [StructField(n, t) for n, t in meta])
+    meta_dtypes = {"n_bytes": "int64", "width": "Int32",
+                   "height": "Int32", "channels": "Int32",
+                   "sample_rate": "Int32", "duration_ms": "Int64"}
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf[payload_col]]
+            decoded = [decode_header(p) for p in payloads]
+            out = pdf[keep].copy()
+            out["n_bytes"] = pd.Series(
+                [len(p) for p in payloads], dtype="int64",
+                index=pdf.index)
+            out["mm_format"] = [d[0] for d in decoded]
+            for pos, name in enumerate(
+                    ("width", "height", "channels", "sample_rate",
+                     "duration_ms"), start=1):
+                out[name] = pd.Series(
+                    [d[pos] for d in decoded],
+                    dtype=meta_dtypes[name], index=pdf.index)
+            yield out
+
+    return df.mapInPandas(extract, schema)
+
+
+def resize_geometry_exprs(box: int, width_col: str = "width",
+                          height_col: str = "height") -> tuple[str, str]:
+    """The fit-into-box resize geometry as JVM-side SQL expressions —
+    the zero-UDF twin of ``resize_metadata`` (pinned output-equal in
+    tests/test_compiler.py): floor integer division by the max
+    dimension clipped to 1, NULL when EITHER dimension is NULL
+    (Spark's ``greatest`` skips NULLs, pandas' skipna=False max does
+    not — the CASE keeps the two in lockstep for non-image rows)."""
+    w = f"CAST({width_col} AS BIGINT)"
+    h = f"CAST({height_col} AS BIGINT)"
+    denom = f"greatest({w}, {h}, CAST(1 AS BIGINT))"
+    guard = f"{width_col} IS NULL OR {height_col} IS NULL"
+    rw = (f"CASE WHEN {guard} THEN NULL "
+          f"ELSE CAST(({w} * {box}) DIV {denom} AS INT) END")
+    rh = (f"CASE WHEN {guard} THEN NULL "
+          f"ELSE CAST(({h} * {box}) DIV {denom} AS INT) END")
+    return rw, rh
 
 
 def documents_as_binary(documents: DataFrame) -> DataFrame:

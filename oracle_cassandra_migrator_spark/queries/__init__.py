@@ -16,6 +16,7 @@ from oracle_cassandra_migrator_spark.queries import round7b  # noqa: E402,F401
 from oracle_cassandra_migrator_spark.queries import round9  # noqa: E402,F401
 from oracle_cassandra_migrator_spark.queries import round10  # noqa: E402,F401
 from oracle_cassandra_migrator_spark.queries import round11  # noqa: E402,F401
+from oracle_cassandra_migrator_spark.queries import round12  # noqa: E402,F401
 
 # The external correctness gate verifies queries() entries in insertion
 # order and caps each round at ~50 queries, so the catalog is ordered:

@@ -1,0 +1,107 @@
+"""Round-12 additions: the multimodal decode stage of a curation
+pipeline as a declarative compiler step (VERDICT r11 item 3),
+certified end-to-end through the driver gate by one chained spec —
+decode + quarantine + resize geometry -> media quality gate ->
+near-dedup filter -> per-format eval cut.
+
+No reference counterpart (the 450-line reference moves relational
+rows only); extends SURVEY.md §2.12.
+"""
+
+from __future__ import annotations
+
+from oracle_cassandra_migrator_spark.queries.extensions import (
+    _MM_DECODED_SQL,
+    _minhash_prune_oracle,
+)
+from oracle_cassandra_migrator_spark.queries.registry import query
+from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+# ---------------------------------------------------------------------------
+# pipeline_media_stage — decode_media -> filter -> dedup_near -> sample
+# ---------------------------------------------------------------------------
+
+_MEDIA_GATE_SQL = ("(mm_format = 'wav' AND duration_ms >= 10) OR "
+                   "(mm_format <> 'wav' AND width >= 3 AND height >= 3)")
+
+
+def _gated_prune_sql() -> str:
+    """The minhash prune replay with its corpus retargeted at the
+    ``gated_docs`` CTE: the dedup step sees its INPUT (the media-gated
+    survivors), not the raw corpus, so the oracle must shingle/band/
+    cluster exactly that subset. A DuckDB CTE named ``documents``
+    cannot shadow the base view here (the outer gated CTE would be
+    inlined into the shadowed scope — circular), so the two
+    ``FROM documents`` references (_SHINGLE_CTE's and the decisions
+    SELECT's) are retargeted textually; any drift in that shape breaks
+    this query's hash match, which the driver gate would surface."""
+    sql = _minhash_prune_oracle()
+    assert sql.count("FROM documents") == 2, sql
+    return sql.replace("FROM documents", "FROM gated_docs")
+
+
+def _media_stage_oracle() -> str:
+    """DuckDB replay of the chained spec: the doc_id-arithmetic decode
+    replay (`_MM_DECODED_SQL` — any header-layout bug on the Spark
+    side breaks the hash match), the fit-into-box resize geometry, the
+    media quality gate, the keep side of the minhash decisions
+    relation, then the per-format bottom-10 by salted hash."""
+    return f"""
+    WITH dec AS ({_MM_DECODED_SQL}),
+    geo AS (
+      SELECT doc_id, mm_format, width, height, duration_ms,
+             CASE WHEN width IS NULL OR height IS NULL THEN NULL
+                  ELSE CAST(width * 224 // greatest(width, height, 1)
+                       AS INT) END AS resized_w,
+             CASE WHEN width IS NULL OR height IS NULL THEN NULL
+                  ELSE CAST(height * 224 // greatest(width, height, 1)
+                       AS INT) END AS resized_h
+      FROM dec),
+    gate AS (SELECT * FROM geo WHERE {_MEDIA_GATE_SQL}),
+    gated_docs AS (SELECT d.* FROM documents d
+                   JOIN gate g ON d.doc_id = g.doc_id),
+    pr AS (SELECT * FROM ({_gated_prune_sql()}) q),
+    keep AS (SELECT g.* FROM gate g
+             JOIN pr ON g.doc_id = pr.doc_id WHERE pr.is_kept),
+    r AS (SELECT *,
+                 row_number() OVER (
+                   PARTITION BY mm_format
+                   ORDER BY md5(concat('sample:',
+                                       CAST(doc_id AS VARCHAR))),
+                            doc_id) AS rnk
+          FROM keep)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, mm_format,
+           width, height, resized_w, resized_h
+    FROM r WHERE rnk <= 10
+    """
+
+
+@query("pipeline_media_stage", oracle=_media_stage_oracle())
+def pipeline_media_stage(spark, sf_dir):
+    """A multimodal curation pipeline that never exits the spec DSL
+    (VERDICT r11 item 3): ``decode_media`` (real header parse +
+    quarantine drop + 224-box resize geometry, the carried ``text``
+    column riding the same Arrow batch) -> media quality gate ->
+    ``dedup_near`` (mode=filter, over the carried text) ->
+    ``sample_fixed_n`` (per-format eval cut). Step-vs-operator
+    equality for decode_media is pinned in tests/test_compiler.py; the
+    phased-pipeline wiring over examples/media_curation_pipeline.json
+    in tests/test_pipeline.py."""
+    from oracle_cassandra_migrator_spark.operators.multimodal import (
+        synthesized_payloads)
+    from oracle_cassandra_migrator_spark.plans.compiler import (
+        compile_transform)
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = synthesized_payloads(docs, extra_cols=("text",))
+    out = compile_transform(spark, {"media_docs": media}, [
+        {"op": "decode_media", "input": "media_docs",
+         "quarantine": "drop", "resize_box": 224},
+        {"op": "filter", "expr": _MEDIA_GATE_SQL},
+        {"op": "dedup_near", "text": "text", "id": "doc_id",
+         "threshold": 0.5, "n": 3, "mode": "filter"},
+        {"op": "sample_fixed_n", "id": "doc_id", "k": 10,
+         "by": "mm_format"},
+    ])
+    return out.select("doc_id", "mm_format", "width", "height",
+                      "resized_w", "resized_h")

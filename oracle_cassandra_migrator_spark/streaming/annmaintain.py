@@ -26,6 +26,23 @@ the index: the documented O(|batch|) steady state of
 ``extend_or_retrain_ivf(assume_new_ids=True, base_sums=...)``, here
 wired as a continuously-running sink.
 
+Bucketed id ledger (VERDICT r11 item 2): REBUILD version data (the
+index-sized part) is hive-partitioned by ``_idb = pmod(xxhash64(id),
+n_buckets)`` with the owned buckets recorded in the sidecar, so with
+``assume_new_ids=False`` the per-trigger replay anti-join probes only
+the rebuild leaf dirs the batch's ids hash into plus the flat
+(batch-sized, rebuild/vacuum-bounded) append versions —
+O(min(|batch|, n_buckets) x bucket_rows + appends_since_rebuild), no
+longer the full index id column (previously the ONE per-batch step
+that grew with index size). ``n_buckets`` is fixed per generation
+(bootstrap/rebuild, sized from the carried ``n_rows`` count) so
+writer and prober always hash with the same arity; pre-bucket
+generations keep the flat layout and the full-scan fallback until
+their next rebuild. Honest residuals: append versions stay flat by
+design (bucketing them measured 620 tiny files per 1000-row trigger),
+so the probe's append term is bounded by compaction cadence, not a
+constant; and the bound assumes roughly uniform id hashing.
+
 Exactly-once: the upsert/rollup marker protocol plus the content
 fingerprint ledger (``streaming/fingerprint.py``) over the (id, vec)
 projection — true replays of a committed batch are skipped exactly,
@@ -70,6 +87,64 @@ def _sidecar_key(base_dir: str, batch_id) -> str:
 
 def _index_dir(base_dir: str, batch_id) -> str:
     return posixpath.join(base_dir, f"index-v{batch_id}")
+
+
+# --- bucketed id ledger (VERDICT r11 item 2) -------------------------
+# With assume_new_ids=False the per-trigger replay anti-join was the
+# ONE step whose cost grew with index size: it scanned the id column
+# of the FULL stitched index. REBUILD versions (the index-sized part)
+# are now written hive-partitioned by _idb = pmod(xxhash64(id),
+# n_buckets) — the partitioned.py bucket recipe — and the sidecar
+# records the rebuild's owned buckets, so the anti-join reads ONLY the
+# rebuild leaf dirs the batch's ids hash into plus the (batch-sized,
+# vacuum/rebuild-bounded) flat append versions above it:
+# O(min(|batch|, n_buckets) x bucket_rows + appends_since_rebuild)
+# per trigger instead of O(index). APPEND versions deliberately stay
+# FLAT: bucketing them would shatter every O(|batch|) append into
+# ~min(|batch|, n_buckets) tiny files per trigger (measured: a
+# 1000-row append against a 1M-row/1024-bucket index wrote 620 dirs),
+# and their contribution to the probe is already small by
+# construction. n_buckets is a GENERATION property, fixed at
+# bootstrap/rebuild from the index row count (carried additively as
+# sidecar n_rows). Pre-bucket generations (sidecar without n_buckets)
+# keep the flat layout and the full-scan anti-join until their next
+# rebuild.
+ID_BUCKET_COL = "_idb"
+TARGET_BUCKET_ROWS = 1024
+MIN_ID_BUCKETS = 8
+MAX_ID_BUCKETS = 65536
+
+
+def _bucket_expr(col: str, n_buckets: int) -> str:
+    # the partitioned.py hash: engine-side xxhash64, never
+    # reimplemented driver-side, so writer and prober cannot drift
+    return f"CAST(pmod(xxhash64({col}), {n_buckets}) AS INT)"
+
+
+def _n_buckets_for(total_rows: int) -> int:
+    """Generation bucket arity: next power of two holding
+    TARGET_BUCKET_ROWS per bucket, clamped to [MIN, MAX]. Power of two
+    so arity changes re-place ids predictably; the clamp keeps tiny
+    indexes from fragmenting and bounds dir counts at the top end."""
+    need = max(1, -(-total_rows // TARGET_BUCKET_ROWS))
+    n = 1 << (need - 1).bit_length()
+    return max(MIN_ID_BUCKETS, min(MAX_ID_BUCKETS, n))
+
+
+def _owned_buckets(spark, dir_path: str) -> list[int]:
+    """The bucket ids a version dir actually wrote (ground truth from
+    the FS listing after the write — no extra Spark job, and never a
+    recorded bucket whose leaf dir does not exist)."""
+    sc = spark.sparkContext
+    path = sc._jvm.org.apache.hadoop.fs.Path(dir_path)
+    fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+    out = []
+    prefix = f"{ID_BUCKET_COL}="
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if name.startswith(prefix):
+            out.append(int(name[len(prefix):]))
+    return sorted(out)
 
 
 def _train_or_fallback(alg, df: DataFrame, prev_codebook=None):
@@ -134,20 +209,53 @@ def read_sidecar(spark, base_dir: str, batch_id) -> dict:
     return side
 
 
+def _live_ids(side: dict, ids: list[int]) -> list[int]:
+    rebuild = side["rebuild_id"]
+    return [rebuild] + [i for i in ids if i > rebuild]
+
+
+def _stitch_paths(base_dir: str, side: dict, live: list[int],
+                  touched: set[int] | None = None) -> list[str]:
+    """Read paths for the live committed versions of a bucketed
+    generation: the rebuild's ``_idb=<b>`` leaf dirs (all of them, or
+    only a touched-bucket set) plus every live append version's flat
+    dir. Resolved entirely from the latest sidecar — zero FS listing,
+    and a version whose marker was vacated contributes nothing even
+    when the bucket map still mentions it (only ``live`` ids are
+    walked)."""
+    vb = side["version_buckets"]
+    rebuild = side["rebuild_id"]
+    paths = [posixpath.join(_index_dir(base_dir, rebuild),
+                            f"{ID_BUCKET_COL}={b}")
+             for b in vb[str(rebuild)]
+             if touched is None or b in touched]
+    paths += [_index_dir(base_dir, v) for v in live if v != rebuild]
+    return paths
+
+
 def read_index(spark, base_dir: str,
                state: StateStore | None = None) -> DataFrame | None:
     """The maintained index: the latest committed REBUILD version plus
     every committed append above it, or None before the first commit.
     One sidecar read resolves the stitch (each sidecar records its
-    base ``rebuild_id``; every committed id above a rebuild is an
-    append on it by protocol)."""
+    base ``rebuild_id`` and, for bucketed generations, every live
+    version's owned bucket dirs; every committed id above a rebuild is
+    an append on it by protocol). Bucketed generations read the
+    ``_idb=<b>`` leaf dirs directly, so the bucket column never
+    appears in the returned schema; pre-bucket generations keep the
+    flat whole-dir read."""
     store = state or LocalFSStateStore()
     ids = _committed_ids(store, posixpath.join(base_dir, "markers"))
     if not ids:
         return None
-    rebuild = read_sidecar(spark, base_dir, ids[-1])["rebuild_id"]
-    live = [rebuild] + [i for i in ids if i > rebuild]
-    return spark.read.parquet(*[_index_dir(base_dir, i) for i in live])
+    side = read_sidecar(spark, base_dir, ids[-1])
+    live = _live_ids(side, ids)
+    if side.get("version_buckets") is None:
+        return spark.read.parquet(*[_index_dir(base_dir, i) for i in live])
+    paths = _stitch_paths(base_dir, side, live)
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)
 
 
 class _IvfAlgo:
@@ -227,10 +335,10 @@ def foreach_batch_ann_maintain(
     """Maintain an ANN index under ``base_dir`` from a stream of
     (id, embedding) appends. The first batch BOOTSTRAPS the index
     (train + encode = rebuild version 0); each later batch dedupes
-    against the index by exact id (skippable with
+    against the index by exact id via the bucket-pruned ledger probe
+    (O(touched buckets), skippable entirely with
     ``assume_new_ids=True`` when ids are new by construction — the
-    production steady state, since the anti-join is the one step that
-    scans the index), gates on the exact micro-cosine drift between
+    production steady state), gates on the exact micro-cosine drift between
     the CARRIED index sums and the batch, and commits an append or a
     rebuild version. Parity with the batch operator
     (``extend_or_retrain_ivf``/``_pq`` over the same appends) is
@@ -311,7 +419,8 @@ def foreach_batch_ann_maintain(
             # instead of wedging the stream on an untrainable batch
             # (review r11: codebook_literal_expr raises on an empty
             # codebook, and Spark re-delivers batch 0 forever)
-            if appended.limit(1).count() == 0:
+            n_app = appended.count()
+            if n_app == 0:
                 return
             codebook = _train_or_fallback(alg, appended)
             encoded = alg.encode(appended, codebook)
@@ -320,8 +429,11 @@ def foreach_batch_ann_maintain(
                 "codebook": codebook, "drift_micro": None,
                 "base_sums": similarity.embedding_dim_sums_micro(
                     appended, vec_col),
+                "n_rows": n_app,
+                "n_buckets": _n_buckets_for(n_app),
             }
-            _commit(spark, encoded, side, batch_id, marker, fp)
+            _commit(spark, encoded, side, batch_id, marker, fp,
+                    bucketed=True)
             return
         # Past the guards, batch_id > committed[-1] (== would have hit
         # the marker branch), so the latest committed version is the
@@ -331,21 +443,45 @@ def foreach_batch_ann_maintain(
         codebook = side["codebook"]
         index_df = None
         if not assume_new_ids:
-            index_df = read_index(spark, base_dir, store)
-            appended = appended.join(
-                index_df.select(id_col), id_col, "left_anti")
+            if side.get("version_buckets") is not None:
+                # bucketed generation: probe ONLY the rebuild leaf
+                # dirs the batch's ids hash into, plus the flat
+                # (batch-sized, rebuild/vacuum-bounded) append
+                # versions — O(touched x bucket_rows + appends), never
+                # the full index id column (VERDICT r11 item 2). The
+                # touched collect is bounded by min(|batch|,
+                # n_buckets) ints.
+                n_b = side["n_buckets"]
+                touched = {r[0] for r in appended.select(F.expr(
+                    _bucket_expr(id_col, n_b)).alias("b"))
+                    .distinct().collect()}
+                probe = _stitch_paths(
+                    base_dir, side, _live_ids(side, committed), touched)
+                if probe:
+                    appended = appended.join(
+                        spark.read.parquet(*probe).select(id_col),
+                        id_col, "left_anti")
+            else:
+                # pre-bucket generation: full-scan fallback until the
+                # next rebuild starts a bucketed one
+                index_df = read_index(spark, base_dir, store)
+                appended = appended.join(
+                    index_df.select(id_col), id_col, "left_anti")
         appended = appended.persist()
         try:
-            if appended.limit(1).count() == 0:
+            n_app = appended.count()
+            if n_app == 0:
                 # replayed-away/empty batch: commit an empty append so
                 # the marker+fp protocol stays per-batch contiguous;
-                # sums and codebook are carried unchanged
+                # sums, codebook, and the bucket ledger are carried
+                # unchanged (flat empty write — no bucket dirs)
                 new_side = {
                     "algo": algo, "kind": "append",
                     "rebuild_id": side["rebuild_id"],
                     "codebook": codebook, "drift_micro": 1_000_000,
                     "base_sums": carried,
                 }
+                _carry_ledger(new_side, side, n_app)
                 encoded = alg.encode(appended, codebook).limit(0)
                 _commit(spark, encoded, new_side, batch_id, marker, fp)
                 return
@@ -364,6 +500,7 @@ def foreach_batch_ann_maintain(
                     "codebook": codebook, "drift_micro": drift,
                     "base_sums": new_sums,
                 }
+                _carry_ledger(new_side, side, n_app)
             else:
                 # drift beyond the gate: the codebook no longer
                 # represents the data — retrain on index+batch and
@@ -378,23 +515,68 @@ def foreach_batch_ann_maintain(
                 codebook = _train_or_fallback(
                     alg, full, prev_codebook=codebook)
                 encoded = alg.encode(full, codebook)
+                # a rebuild starts a fresh bucketed generation sized
+                # to the new total; a legacy generation (no carried
+                # n_rows) pays one count of the stitched frame here —
+                # the rebuild arm is the amortized full-cost arm anyway
+                total = (side["n_rows"] + n_app
+                         if side.get("n_rows") is not None
+                         else full.count())
                 new_side = {
                     "algo": algo, "kind": "rebuild",
                     "rebuild_id": batch_id,
                     "codebook": codebook, "drift_micro": drift,
                     "base_sums": new_sums,
+                    "n_rows": total,
+                    "n_buckets": _n_buckets_for(total),
                 }
+                _commit(spark, encoded, new_side, batch_id, marker, fp,
+                        bucketed=True)
+                return
             _commit(spark, encoded, new_side, batch_id, marker, fp)
         finally:
             appended.unpersist()
 
+    def _carry_ledger(new_side: dict, side: dict, n_app: int) -> None:
+        """Append-arm sidecar carry of the bucket ledger: same
+        generation, so n_buckets and the rebuild's bucket map pass
+        through verbatim (appends own no buckets — they are flat);
+        n_rows accumulates additively (with assume_new_ids the count
+        trusts the caller's new-ids contract, same as the carried
+        sums). Legacy generations carry nothing and stay flat until
+        their next rebuild."""
+        if side.get("n_buckets") is None:
+            return
+        new_side["n_buckets"] = side["n_buckets"]
+        new_side["version_buckets"] = dict(side["version_buckets"])
+        if side.get("n_rows") is not None:
+            new_side["n_rows"] = side["n_rows"] + n_app
+
     def _commit(spark, encoded: DataFrame, side: dict, batch_id,
-                marker: str, fp: str) -> None:
+                marker: str, fp: str, bucketed: bool = False) -> None:
         from oracle_cassandra_migrator_spark.streaming.partitioned import (
             _write_text)
 
-        encoded.write.mode("overwrite").parquet(
-            _index_dir(base_dir, batch_id))
+        out_dir = _index_dir(base_dir, batch_id)
+        if bucketed:
+            # rebuild/bootstrap only: one O(|version|) shuffle
+            # clusters each bucket into one file, then hive dirs make
+            # the probe side sidecar-resolvable; the FS listing after
+            # the write is the ground-truth bucket set (never a
+            # recorded bucket whose dir does not exist). Appends stay
+            # FLAT — bucketing a batch-sized version would shatter it
+            # into ~min(|batch|, n_buckets) tiny files per trigger.
+            n_b = side["n_buckets"]
+            (encoded
+             .withColumn(ID_BUCKET_COL,
+                         F.expr(_bucket_expr(id_col, n_b)))
+             .repartition(F.col(ID_BUCKET_COL))
+             .write.mode("overwrite").partitionBy(ID_BUCKET_COL)
+             .parquet(out_dir))
+            side["version_buckets"] = {
+                str(batch_id): _owned_buckets(spark, out_dir)}
+        else:
+            encoded.write.mode("overwrite").parquet(out_dir)
         _write_text(spark, _sidecar_key(base_dir, batch_id),
                     json.dumps(side))
         store.put_marker(marker)

@@ -4,8 +4,11 @@
 O(|batch|) — independent of index size — when the stream runs the
 production steady state (``assume_new_ids=True``: no exact-id
 anti-join, drift gate fed by the CARRIED sums). The anti-join arm is
-measured alongside to show what the knob buys: it scans the index once
-per batch, so it grows with N.
+measured alongside: since the r12 bucketed id ledger it probes only
+the leaf dirs the batch's ids hash into, so its per-trigger cost is
+O(min(|batch|, n_buckets) x bucket_rows) — the probe row count is
+reported next to the index size to show the sub-linear growth
+directly (wall alone is noise-floor-flat at local scale either way).
 
 For each index size N: bootstrap an index from one N-row batch of
 synthetic dim-64 vectors, then time ONE 1,000-row append trigger under
@@ -73,6 +76,22 @@ def main():
             out[arm + "_s"] = round(time.monotonic() - t0, 2)
             side = annmaintain.read_sidecar(spark, f"{work}/ann", 1)
             assert side["kind"] == "append", side["kind"]
+            if not new_ids:
+                # replicate the sink's probe over the bootstrap
+                # sidecar to report HOW MANY index id rows the
+                # anti-join actually read (the sub-linearity evidence)
+                boot = annmaintain.read_sidecar(spark, f"{work}/ann", 0)
+                n_b = boot["n_buckets"]
+                out["n_buckets"] = n_b
+                touched = {r[0] for r in synth(spark, n, 1000)
+                           .selectExpr(annmaintain._bucket_expr(
+                               "vec_id", n_b) + " AS b")
+                           .distinct().collect()}
+                probe = annmaintain._stitch_paths(
+                    f"{work}/ann", boot, [0], touched)
+                out["probe_rows"] = (
+                    spark.read.parquet(*probe).count() if probe else 0)
+                out["probe_buckets"] = len(probe)
             shutil.rmtree(work, ignore_errors=True)
         print(json.dumps(out), flush=True)
 

@@ -391,6 +391,49 @@ def test_ann_maintain_spec_rejects_unknown_keys(spark, tmp_path):
         run_stream_pipeline(spark, spec)
 
 
+def test_antijoin_probes_only_touched_buckets(spark, tmp_path):
+    """VERDICT r11 item 2: with assume_new_ids=False the replay
+    anti-join must read ONLY the bucket leaf dirs the batch's ids hash
+    into, not the full index id column. Pinned behaviorally: corrupt a
+    parquet file in an UNTOUCHED bucket of the bootstrap version — a
+    full-scan anti-join would crash on it, the pruned probe never
+    opens it — while a duplicate id in a TOUCHED bucket still proves
+    the probe actually deduplicates."""
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "ann")
+    ckpt = str(tmp_path / "ckpt")
+    _write(spark, _vecs(range(0, 1000)), src)
+    _run(spark, src, base, ckpt)
+    boot = annmaintain.read_sidecar(spark, base, 0)
+    n_b = boot["n_buckets"]
+    assert n_b >= 8 and boot["version_buckets"]["0"]
+
+    # the next batch: two fresh ids plus duplicate id 7 — small enough
+    # to leave most of the 8+ buckets untouched
+    batch_ids = [1000, 1001, 7]
+    touched = {r[0] for r in spark.range(0).sparkSession.createDataFrame(
+        [(i,) for i in batch_ids], "vec_id LONG"
+    ).selectExpr(annmaintain._bucket_expr("vec_id", n_b) + " AS b")
+        .distinct().collect()}
+    untouched = [b for b in boot["version_buckets"]["0"]
+                 if b not in touched]
+    assert untouched, "fixture must leave at least one untouched bucket"
+    victim = glob.glob(str(
+        tmp_path / "ann" / "index-v0" / f"_idb={untouched[0]}" /
+        "*.parquet"))[0]
+    with open(victim, "wb") as fh:
+        fh.write(b"this is not a parquet file")
+
+    _write(spark, _vecs(batch_ids), src)
+    _run(spark, src, base, ckpt)  # full-scan would crash on the victim
+    side = annmaintain.read_sidecar(spark, base, 1)
+    assert side["kind"] == "append"
+    # duplicate id 7 was anti-joined away via its touched bucket
+    v1 = spark.read.parquet(str(tmp_path / "ann" / "index-v1"))
+    assert sorted(r["vec_id"] for r in v1.collect()) == batch_ids[:-1]
+    assert side["n_rows"] == 1002
+
+
 def test_ann_maintain_bootstrap_empty_and_degenerate_batches(
         spark, tmp_path):
     """Review r11: (a) an empty first micro-batch must commit nothing

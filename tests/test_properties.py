@@ -340,6 +340,12 @@ def test_multimodal_builders_roundtrip_any_geometry(
     assert mm.decode_header(mm.build_webp_vp8x(width, height,
                                                alpha=alpha)) == (
         "webp", width, height, 3 + alpha, None, None)
+    # r12: MP4 box tree — canvas from tkhd, track count -> channels,
+    # duration over the mvhd timescale
+    assert mm.decode_header(mm.build_mp4(
+        width, height, n_tracks=channels, timescale=rate,
+        duration=frames, mdat_len=frames % 64)) == (
+        "mp4", width, height, channels, None, frames * 1000 // rate)
 
 
 @settings(max_examples=100, deadline=None)
@@ -354,7 +360,10 @@ def test_decode_header_never_raises_on_fuzz(data):
                    b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a",
                    b"\xff\xd8", b"\xff\xd8\xff\xe0", b"\xff\xd8\xff\xc0",
                    b"RIFF1234WEBP", b"RIFF1234WEBPVP8 ",
-                   b"RIFF1234WEBPVP8L", b"RIFF1234WEBPVP8X"):
+                   b"RIFF1234WEBPVP8L", b"RIFF1234WEBPVP8X",
+                   b"\x00\x00\x00\x18ftyp", b"\x00\x00\x00\x18ftypisom",
+                   b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x01moov",
+                   b"\x00\x00\x00\x08ftyp\x00\x00\x00\x00moov"):
         got = mm.decode_header(prefix + data)
         assert isinstance(got, tuple) and len(got) == 6
 

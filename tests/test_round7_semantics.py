@@ -509,18 +509,28 @@ def test_decode_header_webp_variants_and_edges():
     assert mm.decode_header(patched) == ("webp", 7, 5, 3, None, None)
 
 
-def test_payload_for_doc_cycles_seven_codecs():
+def test_payload_for_doc_cycles_eight_codecs():
     """The fixture contract the multimodal oracles replay: codec =
-    doc_id % 7 across bmp/ppm/wav/png/gif/jpeg/webp, every payload
+    doc_id % 8 across bmp/ppm/wav/png/gif/jpeg/webp/mp4, every payload
     decodes to its own geometry arithmetic."""
     from oracle_cassandra_migrator_spark.operators import multimodal as mm
 
-    fmts = [mm.decode_header(mm.payload_for_doc(i))[0] for i in range(14)]
-    assert fmts == ["bmp", "ppm", "wav", "png", "gif", "jpeg", "webp"] * 2
+    fmts = [mm.decode_header(mm.payload_for_doc(i))[0] for i in range(16)]
+    assert fmts == ["bmp", "ppm", "wav", "png", "gif", "jpeg", "webp",
+                    "mp4"] * 2
     # webp sub-cycle: variant (i//5)%3, alpha (i//3)%2
-    for i in (6, 13, 20, 27, 34, 41):
+    for i in (6, 14, 22, 30, 38, 46):
         got = mm.decode_header(mm.payload_for_doc(i))
         assert got[0] == "webp"
         assert got[1] == 1 + i % 37 and got[2] == 1 + (i * 19) % 23
         v, alpha = (i // 5) % 3, (i // 3) % 2
         assert got[3] == (3 if v == 0 else 3 + alpha), (i, v, alpha, got)
+    # mp4 (r12): canvas from the video trak's tkhd, track count in the
+    # channels slot, duration over the fixed 600 timescale, and the
+    # exact box-size arithmetic for n_bytes
+    for i in (7, 15, 23, 31, 127):
+        got = mm.decode_header(mm.payload_for_doc(i))
+        assert got == ("mp4", 1 + i % 43, 1 + (i * 29) % 31,
+                       1 + i % 3, None, (1 + i % 900) * 1000 // 600)
+        assert len(mm.payload_for_doc(i)) == \
+            148 + 100 * (1 + i % 3) + i % 50

@@ -228,14 +228,75 @@ def run_pipelines(
     on_result: Callable[[PipelineResult], None] | None = None,
 ) -> list[PipelineResult]:
     """Multi-table driver loop (reference R5 ``main``, py:424-448):
-    sequential over ``config['tables']``; each table resumes from its
-    own markers independently."""
-    results = []
-    for table_spec in config["tables"]:
-        merged = {**{k: v for k, v in config.items() if k != "tables"},
-                  **table_spec}
-        res = Pipeline(spark, merged, state=state).run()
-        results.append(res)
+    sequential over ``config['tables']`` by default; each table
+    resumes from its own markers independently.
+
+    Opt-in concurrency (VERDICT r11 item 6): ``max_concurrent_tables:
+    N`` runs up to N table pipelines in parallel driver threads — the
+    reference imports ``threading`` (py:3) and never uses it, so
+    concurrency is this engine's option, not a parity requirement.
+    Safe by construction: every table's state (staging dirs, per-file
+    ``.checkpoint`` markers) is keyed under its own name/paths, so
+    concurrent tables never share a marker; Spark job submission is
+    thread-safe and PySpark 4's pinned-thread mode makes the per-table
+    ``setJobGroup`` tag thread-local, so each table's jobs carry its
+    name in the UI and can be cancelled as a group. Logs keep the
+    per-table ``[name]`` prefix. The results list stays in config
+    order and ``on_result`` fires as tables complete (serialized by a
+    lock); when a table fails, the remaining in-flight tables finish
+    their current work and the FIRST failure (config order) is
+    re-raised — a rerun then resumes exactly the unfinished tables
+    (pytest-pinned in tests/test_pipeline.py)."""
+    tables = config["tables"]
+    shared = {k: v for k, v in config.items()
+              if k not in ("tables", "max_concurrent_tables")}
+    max_conc = int(config.get("max_concurrent_tables", 1))
+
+    def run_one(table_spec: Mapping[str, Any]) -> PipelineResult:
+        merged = {**shared, **table_spec}
+        return Pipeline(spark, merged, state=state).run()
+
+    if max_conc <= 1:
+        results = []
+        for table_spec in tables:
+            res = run_one(table_spec)
+            results.append(res)
+            if on_result:
+                on_result(res)
+        return results
+
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    emit_lock = threading.Lock()
+
+    def run_tagged(table_spec: Mapping[str, Any]) -> PipelineResult:
+        name = table_spec.get("name", "pipeline")
+        # thread-local under PYSPARK_PIN_THREAD (the 4.x default):
+        # tags this table's jobs for UI attribution / group cancel
+        spark.sparkContext.setJobGroup(
+            f"table:{name}", f"pipeline table {name}")
+        res = run_one(table_spec)
         if on_result:
-            on_result(res)
-    return results
+            with emit_lock:
+                on_result(res)
+        return res
+
+    outcomes: list[PipelineResult | None] = [None] * len(tables)
+    first_err: Exception | None = None
+    with ThreadPoolExecutor(
+            max_workers=max_conc,
+            thread_name_prefix="ocm-table") as pool:
+        futures = [pool.submit(run_tagged, t) for t in tables]
+        for i, fut in enumerate(futures):
+            try:
+                outcomes[i] = fut.result()
+            except Exception as exc:  # noqa: BLE001 — re-raised below
+                logger.exception(
+                    "[%s] table pipeline failed",
+                    tables[i].get("name", "pipeline"))
+                if first_err is None:
+                    first_err = exc
+    if first_err is not None:
+        raise first_err
+    return outcomes

@@ -48,21 +48,33 @@ def normalize_rows(columns, rows):
     )
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle(spark, name):
-    result = QUERIES[name](spark, SF_DIR)
-    spark_rows = [tuple(r) for r in result.collect()]
-    spark_cols = result.columns
-
-    if name not in ORACLES:
-        # rows-only contract for approximate ops
-        assert spark_rows is not None
-        return
-
+def _run_oracle(name: str):
+    """The DuckDB half, self-contained so it can run on a worker
+    thread (connection created and consumed entirely inside)."""
     con = duck_connection(SF_DIR)
     oracle = con.sql(ORACLES[name])
-    duck_cols = [d[0] for d in oracle.description]
-    duck_rows = oracle.fetchall()
+    return [d[0] for d in oracle.description], oracle.fetchall()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, name):
+    from concurrent.futures import ThreadPoolExecutor
+
+    # Overlap the two halves (r12 suite-wall pass): DuckDB runs the
+    # oracle on a worker thread while Spark plans+collects on this
+    # one, so each test costs max(spark, duck) instead of their sum —
+    # the replica file is the suite's biggest block. Comparison
+    # semantics are untouched.
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(_run_oracle, name) if name in ORACLES else None
+        result = QUERIES[name](spark, SF_DIR)
+        spark_rows = [tuple(r) for r in result.collect()]
+        spark_cols = result.columns
+        if fut is None:
+            # rows-only contract for approximate ops
+            assert spark_rows is not None
+            return
+        duck_cols, duck_rows = fut.result()
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}")

@@ -149,12 +149,13 @@ _R04_CONFIRMED = frozenset({
 # queries re-certified green in CORRECTNESS_r11 and left _RECHECK at
 # the r12 fold.
 # r12: the fixture gains MP4/ISO-BMFF containers (VERDICT r11 item 4 —
-# payload_for_doc now cycles doc_id % 8 across bmp/ppm/wav/png/gif/
-# jpeg/webp/mp4 and decode_header walks the box tree ftyp → moov →
-# trak → tkhd/stsd to canvas dimensions), so the OUTPUT of both
-# fixture-consuming queries changes again: multimodal_decode_stats and
-# multimodal_resize_stats (it reuses _MM_DECODED_SQL). The driver must
-# re-certify both under the new contract.
+# decode_header walks the box tree ftyp → moov → trak → tkhd to
+# canvas dimensions) AND FLAC (lossless-audio STREAMINFO bit fields),
+# so payload_for_doc now cycles doc_id % 9 across bmp/ppm/wav/png/gif/
+# jpeg/webp/mp4/flac and the OUTPUT of both fixture-consuming queries
+# changes again: multimodal_decode_stats and multimodal_resize_stats
+# (it reuses _MM_DECODED_SQL). The driver must re-certify both under
+# the new contract.
 _RECHECK = frozenset({
     "multimodal_decode_stats",
     "multimodal_resize_stats",

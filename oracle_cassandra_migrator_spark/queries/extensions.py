@@ -609,7 +609,7 @@ def text_fingerprint_bottomk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 # doc_id arithmetic mirrored by operators/multimodal.payload_for_doc:
-# codec by doc_id % 8, geometry from doc_id — the oracle replays the
+# codec by doc_id % 9, geometry from doc_id — the oracle replays the
 # ARITHMETIC while Spark round-trips real container bytes through the
 # builders and the header parsers; a header-layout bug (wrong offset,
 # wrong endianness, bad row padding) breaks n_bytes or a dimension and
@@ -622,10 +622,13 @@ def text_fingerprint_bottomk(spark, sf_dir):
 # (maps to the channels slot), mdur over the fixed 600 timescale
 # gives duration_ms, and the exact box arithmetic (ftyp 24 + moov
 # header 8 + mvhd 108 + 100/trak + mdat 8 + mdat filler) gives
-# n_bytes.
+# n_bytes. FLAC (codec 8, r12): fc channels / frate sample rate /
+# fsamples total samples live in STREAMINFO's packed 64-bit field,
+# fpad is the trailing PADDING block's length — n_bytes is the exact
+# magic + two-block arithmetic 46 + fpad.
 _MM_SQL = """
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           doc_id % 8 AS codec,
+           doc_id % 9 AS codec,
            1 + doc_id % 19 AS bw, 1 + (doc_id * 7) % 13 AS bh,
            1 + doc_id % 23 AS pw, 1 + (doc_id * 5) % 11 AS ph,
            1 + doc_id % 2 AS wc,
@@ -642,7 +645,12 @@ _MM_SQL = """
            (doc_id // 5) % 3 AS wv, (doc_id // 3) % 2 AS walpha,
            1 + doc_id % 43 AS mw, 1 + (doc_id * 29) % 31 AS mh,
            1 + doc_id % 3 AS mtracks, 1 + doc_id % 900 AS mdur,
-           doc_id % 50 AS mdat
+           doc_id % 50 AS mdat,
+           1 + doc_id % 2 AS fc,
+           CASE (doc_id // 7) % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                ELSE 44100 END AS frate,
+           1 + doc_id % 2000 AS fsamples,
+           doc_id % 64 AS fpad
     FROM documents
 """
 
@@ -660,12 +668,14 @@ _MM_DECODED_SQL = f"""
                 WHEN 6 THEN CASE wv WHEN 0 THEN 30 + wk + (wk % 2)
                      WHEN 1 THEN 25 + wk + (1 - wk % 2)
                      ELSE 43 + wk + (1 - wk % 2) END
-                ELSE 148 + 100 * mtracks + mdat
+                WHEN 7 THEN 148 + 100 * mtracks + mdat
+                ELSE 46 + fpad
                 END AS BIGINT) AS n_bytes,
            CASE codec WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
                 WHEN 2 THEN 'wav' WHEN 3 THEN 'png'
                 WHEN 4 THEN 'gif' WHEN 5 THEN 'jpeg'
-                WHEN 6 THEN 'webp' ELSE 'mp4' END AS mm_format,
+                WHEN 6 THEN 'webp' WHEN 7 THEN 'mp4'
+                ELSE 'flac' END AS mm_format,
            CAST(CASE codec WHEN 0 THEN bw WHEN 1 THEN pw
                 WHEN 3 THEN ngw WHEN 4 THEN gw WHEN 5 THEN jw
                 WHEN 6 THEN ww WHEN 7 THEN mw
@@ -679,10 +689,13 @@ _MM_DECODED_SQL = f"""
                 WHEN 6 THEN CASE WHEN wv = 0 THEN 3
                             ELSE 3 + walpha END
                 WHEN 7 THEN mtracks
+                WHEN 8 THEN fc
                 END AS INT) AS channels,
-           CAST(CASE codec WHEN 2 THEN wrate END AS INT) AS sample_rate,
+           CAST(CASE codec WHEN 2 THEN wrate
+                WHEN 8 THEN frate END AS INT) AS sample_rate,
            CAST(CASE codec WHEN 2 THEN wframes * 1000 // wrate
                 WHEN 7 THEN mdur * 1000 // 600
+                WHEN 8 THEN fsamples * 1000 // frate
                 END AS BIGINT) AS duration_ms
     FROM g
 """
@@ -691,17 +704,19 @@ _MM_DECODED_SQL = f"""
 @query("multimodal_decode_stats", oracle=_MM_DECODED_SQL)
 def multimodal_decode_stats(spark, sf_dir):
     """Real container decode over Arrow-batched binary payloads: one
-    BMP / P6-PPM / RIFF-WAV / PNG / GIF / JPEG / WebP / MP4 file per
-    document (codec cycles doc_id % 8, built by ``payload_for_doc``),
-    headers parsed byte-for-byte by ``decode_header`` — width/height
-    for images (plus color-type channels for PNG, frame components
-    for JPEG, VP8/VP8L/VP8X canvas dims for WebP), channels/
-    sample-rate/duration for audio, and the ISO-BMFF box-tree walk
-    (ftyp -> moov -> mvhd/trak/tkhd) to canvas dims, track count, and
-    duration for MP4 — all from the actual bytes (PNG's IHDR CRC-32
-    is verified; JPEG's marker segments are walked to SOF0/SOF2). The
-    oracle replays the generator arithmetic, so the match certifies
-    the full encode -> parse round trip."""
+    BMP / P6-PPM / RIFF-WAV / PNG / GIF / JPEG / WebP / MP4 / FLAC
+    file per document (codec cycles doc_id % 9, built by
+    ``payload_for_doc``), headers parsed byte-for-byte by
+    ``decode_header`` — width/height for images (plus color-type
+    channels for PNG, frame components for JPEG, VP8/VP8L/VP8X canvas
+    dims for WebP), channels/sample-rate/duration for audio (WAV's
+    RIFF fmt chunk; FLAC's packed STREAMINFO bit fields), and the
+    ISO-BMFF box-tree walk (ftyp -> moov -> mvhd/trak/tkhd) to canvas
+    dims, track count, and duration for MP4 — all from the actual
+    bytes (PNG's IHDR CRC-32 is verified; JPEG's marker segments are
+    walked to SOF0/SOF2). The oracle replays the generator
+    arithmetic, so the match certifies the full encode -> parse round
+    trip."""
     docs = read_table(spark, sf_dir, "documents")
     return multimodal.decode_binary_metadata(
         multimodal.synthesized_payloads(docs))

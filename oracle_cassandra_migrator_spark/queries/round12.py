@@ -21,8 +21,12 @@ from oracle_cassandra_migrator_spark.sources.testdata import read_table
 # pipeline_media_stage — decode_media -> filter -> dedup_near -> sample
 # ---------------------------------------------------------------------------
 
-_MEDIA_GATE_SQL = ("(mm_format = 'wav' AND duration_ms >= 10) OR "
-                   "(mm_format <> 'wav' AND width >= 3 AND height >= 3)")
+# Audio containers (wav, flac) carry no canvas — they gate on
+# duration; everything else gates on decoded dimensions.
+_MEDIA_GATE_SQL = (
+    "(mm_format IN ('wav', 'flac') AND duration_ms >= 10) OR "
+    "(mm_format NOT IN ('wav', 'flac') "
+    "AND width >= 3 AND height >= 3)")
 
 
 def _gated_prune_sql() -> str:

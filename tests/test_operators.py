@@ -151,7 +151,8 @@ def test_multimodal_decode_plumbing(spark):
     real = multimodal.decode_binary_metadata(
         multimodal.synthesized_payloads(docs)).collect()
     assert {r.mm_format for r in real} <= {"bmp", "ppm", "wav", "png",
-                                           "gif", "jpeg", "webp", "mp4"}
+                                           "gif", "jpeg", "webp", "mp4",
+                                           "flac"}
     assert all(r.n_bytes > 0 for r in real)
 
 

@@ -346,6 +346,11 @@ def test_multimodal_builders_roundtrip_any_geometry(
         width, height, n_tracks=channels, timescale=rate,
         duration=frames, mdat_len=frames % 64)) == (
         "mp4", width, height, channels, None, frames * 1000 // rate)
+    # r12: FLAC STREAMINFO bit fields + exact two-block byte length
+    flac = mm.build_flac(channels, rate, frames, pad_len=frames % 64)
+    assert mm.decode_header(flac) == (
+        "flac", None, None, channels, rate, frames * 1000 // rate)
+    assert len(flac) == 46 + frames % 64
 
 
 @settings(max_examples=100, deadline=None)
@@ -363,7 +368,9 @@ def test_decode_header_never_raises_on_fuzz(data):
                    b"RIFF1234WEBPVP8L", b"RIFF1234WEBPVP8X",
                    b"\x00\x00\x00\x18ftyp", b"\x00\x00\x00\x18ftypisom",
                    b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x01moov",
-                   b"\x00\x00\x00\x08ftyp\x00\x00\x00\x00moov"):
+                   b"\x00\x00\x00\x08ftyp\x00\x00\x00\x00moov",
+                   b"fLaC", b"fLaC\x00\x00\x00\x22",
+                   b"fLaC\x80\x00\x00\x22", b"fLaC\x01\x00\x00\x00"):
         got = mm.decode_header(prefix + data)
         assert isinstance(got, tuple) and len(got) == 6
 

@@ -509,17 +509,17 @@ def test_decode_header_webp_variants_and_edges():
     assert mm.decode_header(patched) == ("webp", 7, 5, 3, None, None)
 
 
-def test_payload_for_doc_cycles_eight_codecs():
+def test_payload_for_doc_cycles_nine_codecs():
     """The fixture contract the multimodal oracles replay: codec =
-    doc_id % 8 across bmp/ppm/wav/png/gif/jpeg/webp/mp4, every payload
-    decodes to its own geometry arithmetic."""
+    doc_id % 9 across bmp/ppm/wav/png/gif/jpeg/webp/mp4/flac, every
+    payload decodes to its own geometry arithmetic."""
     from oracle_cassandra_migrator_spark.operators import multimodal as mm
 
-    fmts = [mm.decode_header(mm.payload_for_doc(i))[0] for i in range(16)]
+    fmts = [mm.decode_header(mm.payload_for_doc(i))[0] for i in range(18)]
     assert fmts == ["bmp", "ppm", "wav", "png", "gif", "jpeg", "webp",
-                    "mp4"] * 2
+                    "mp4", "flac"] * 2
     # webp sub-cycle: variant (i//5)%3, alpha (i//3)%2
-    for i in (6, 14, 22, 30, 38, 46):
+    for i in (6, 15, 24, 33, 42, 51):
         got = mm.decode_header(mm.payload_for_doc(i))
         assert got[0] == "webp"
         assert got[1] == 1 + i % 37 and got[2] == 1 + (i * 19) % 23
@@ -528,9 +528,18 @@ def test_payload_for_doc_cycles_eight_codecs():
     # mp4 (r12): canvas from the video trak's tkhd, track count in the
     # channels slot, duration over the fixed 600 timescale, and the
     # exact box-size arithmetic for n_bytes
-    for i in (7, 15, 23, 31, 127):
+    for i in (7, 16, 25, 34, 124):
         got = mm.decode_header(mm.payload_for_doc(i))
         assert got == ("mp4", 1 + i % 43, 1 + (i * 29) % 31,
                        1 + i % 3, None, (1 + i % 900) * 1000 // 600)
         assert len(mm.payload_for_doc(i)) == \
             148 + 100 * (1 + i % 3) + i % 50
+    # flac (r12): channels / 20-bit sample rate / 36-bit total samples
+    # from STREAMINFO's packed field, duration over the sample rate,
+    # and the exact two-block byte arithmetic 46 + pad
+    for i in (8, 17, 26, 35, 125):
+        got = mm.decode_header(mm.payload_for_doc(i))
+        rate = mm.WAV_RATES[(i // 7) % 3]
+        assert got == ("flac", None, None, 1 + i % 2, rate,
+                       (1 + i % 2000) * 1000 // rate)
+        assert len(mm.payload_for_doc(i)) == 46 + i % 64

@@ -41,9 +41,15 @@ from pyspark.sql.streaming import StreamingQuery
 # stateless row-wise ops only: anything needing a global order, an
 # unbounded state, or a second relation is not a stream transform step
 # (joins have their own dedicated stream operators; see
-# streaming/joins.py and streaming/enrich.py)
+# streaming/joins.py and streaming/enrich.py). decode_media qualifies
+# (r12): Arrow mapInPandas header parsing is per-row with an explicit
+# output schema, its quarantine handling is a row filter, and the
+# resize geometry is a JVM-side projection — so a streaming media
+# ingest (crawl firehose -> decode -> quality gate -> sink) never
+# exits the spec either.
 STREAM_SAFE_OPS = frozenset({
     "filter", "select", "with_columns", "drop", "alias",
+    "decode_media",
 })
 
 

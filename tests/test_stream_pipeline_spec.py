@@ -471,3 +471,61 @@ def test_streaming_examples_have_runnable_shape():
             if src.get("format") == "jsonl_dir":
                 assert "path" in (src.get("options") or {}), (
                     f"{p.name}: jsonl_dir path must live in options")
+
+
+def test_spec_stream_decode_media_equals_batch(spark, tmp_path):
+    """r12: decode_media is a stream-safe transform step — a media
+    ingest stream (two source files -> two micro-batches, one corrupt
+    payload planted) decodes, quarantine-drops, and resizes inside the
+    spec; the file sink's rows equal the batch equivalent of the same
+    spec, and the corrupt payload is gone from both."""
+    from pyspark.sql.types import (BinaryType, LongType, StructField,
+                                   StructType)
+
+    from oracle_cassandra_migrator_spark.streaming.pipeline import (
+        run_batch_equivalent, run_stream_pipeline)
+    from oracle_cassandra_migrator_spark.operators.multimodal import (
+        payload_for_doc)
+
+    schema_t = StructType([StructField("doc_id", LongType()),
+                           StructField("payload", BinaryType())])
+    rows1 = [(i, payload_for_doc(i)) for i in range(0, 9)]
+    rows2 = ([(i, payload_for_doc(i)) for i in range(9, 17)]
+             + [(99, b"corrupt-not-a-container")])
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows1, schema_t).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    spark.createDataFrame(rows2, schema_t).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    spec = {
+        "source": {"format": "parquet", "path": src,
+                   "schema": "doc_id BIGINT, payload BINARY",
+                   "options": {"maxFilesPerTrigger": "1"}},
+        "transform": [
+            {"op": "decode_media", "quarantine": "drop",
+             "resize_box": 224},
+            {"op": "filter",
+             "expr": "(mm_format IN ('wav', 'flac') AND "
+                     "duration_ms >= 0) OR width >= 1"},
+        ],
+        "sink": {"format": "parquet", "path": str(tmp_path / "out"),
+                 "marker_dir": str(tmp_path / "markers"),
+                 "checkpoint_dir": str(tmp_path / "ckpt")},
+    }
+    q = run_stream_pipeline(spark, spec)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(spec["sink"]["path"])
+    want = run_batch_equivalent(spark, spec)
+    nullsafe = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    assert sorted(map(tuple, got.select(*sorted(got.columns)).collect()),
+                  key=nullsafe) \
+        == sorted(map(tuple, want.select(*sorted(want.columns)).collect()),
+                  key=nullsafe)
+    ids = sorted(r["doc_id"] for r in got.select("doc_id").collect())
+    assert ids == list(range(17))        # corrupt doc 99 quarantined
+    assert "payload" not in got.columns  # binary projected away
+    fmts = {r["mm_format"] for r in got.select("mm_format").collect()}
+    assert fmts == {"bmp", "ppm", "wav", "png", "gif", "jpeg", "webp",
+                    "mp4", "flac"}

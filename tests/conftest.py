@@ -45,3 +45,24 @@ def catalog_plan_string(spark, name: str) -> str:
             QUERIES[name](spark, SF_SMALL)
             ._jdf.queryExecution().executedPlan().toString())
     return _PLAN_CACHE[name]
+
+
+_ROWS_CACHE: dict = {}
+
+
+def catalog_rows(spark, name: str, sf_dir: str = SF_SMALL):
+    """Memoized (columns, collected rows) for a catalog query — shared
+    by the DuckDB replica suite and the semantic suites (r12
+    suite-wall pass): dozens of semantic tests re-EXECUTE a query the
+    replica file already ran end-to-end at the same SF (the dedup
+    funnel alone costs ~50 s per execution). One execution per query
+    per session; values are deterministic (every catalog query is,
+    by the driver-hash contract), so sharing cannot mask an
+    order-dependent result. Callers must not mutate the returned rows."""
+    key = (name, sf_dir)
+    if key not in _ROWS_CACHE:
+        from oracle_cassandra_migrator_spark.queries import QUERIES
+
+        df = QUERIES[name](spark, sf_dir)
+        _ROWS_CACHE[key] = (df.columns, df.collect())
+    return _ROWS_CACHE[key]

@@ -10,7 +10,7 @@ from oracle_cassandra_migrator_spark.plans.compiler import (
 )
 from oracle_cassandra_migrator_spark.sources.testdata import load_tables
 
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_SMALL, catalog_rows
 
 
 @pytest.fixture()
@@ -507,8 +507,7 @@ def test_compiler_target_encode_step_table_and_join(spark):
          "target": "o_totalprice"},
     ]).collect()
     ref = {r["o_orderpriority"]: r["enc_micro"]
-           for r in QUERIES["encode_target_mean_smoothed"](
-               spark, SF_SMALL).collect()}
+           for r in catalog_rows(spark, "encode_target_mean_smoothed", SF_SMALL)[1]}
     assert len(table) == len(ref)
     import math
     for r in table:
@@ -561,7 +560,7 @@ def test_psi_between_operator_matches_catalog_query(spark):
     even = docs.where("doc_id % 2 = 0").select("n_chars")
     odd = docs.where("doc_id % 2 = 1").select("n_chars")
     got = psi_between(odd, even, "n_chars", bins=10, exact=True)
-    row = QUERIES["stats_psi_doclen_drift"](spark, SF_SMALL).collect()[0]
+    row = catalog_rows(spark, "stats_psi_doclen_drift", SF_SMALL)[1][0]
     assert got["psi_micro"] == row["psi_micro"]
     assert got["n_ref"] == row["n_ref"]
     assert got["n_cmp"] == row["n_cmp"]
@@ -582,8 +581,7 @@ def test_ks_binned_bounds_sandwich_exact_and_tighten(spark):
     docs = read_table(spark, SF_SMALL, "documents")
     even = docs.where("doc_id % 2 = 0").select("n_chars")
     odd = docs.where("doc_id % 2 = 1").select("n_chars")
-    exact_ppm = QUERIES["stats_ks_doclen_drift"](
-        spark, SF_SMALL).collect()[0]["ks_ppm"]
+    exact_ppm = catalog_rows(spark, "stats_ks_doclen_drift", SF_SMALL)[1][0]["ks_ppm"]
     widths = []
     for bins in (4, 16, 64):
         got = ks_binned(odd, even, "n_chars", bins=bins, exact=True)

@@ -635,6 +635,8 @@ def test_duplicate_segments_flags_planted_boilerplate(spark):
     orig = ext.read_table  # patched in ext: the query binds it by name
     ext.read_table = lambda s, d, n: docs if n == "documents" else orig(s, d, n)
     try:
+        # direct call, NOT catalog_rows: read_table is monkeypatched
+        # here, so memoizing would poison the shared result cache
         got = {r["doc_id"]: r for r in
                dedup_duplicate_segments(spark, SF_SMALL).collect()}
     finally:
@@ -657,6 +659,7 @@ def test_trigram_novelty_monotone_planted(spark):
     orig = ext.read_table
     ext.read_table = lambda s, d, n: docs if n == "documents" else orig(s, d, n)
     try:
+        # direct call, NOT catalog_rows: read_table is monkeypatched
         got = {r["doc_id"]: r for r in
                text_trigram_novelty(spark, SF_SMALL).collect()}
     finally:
@@ -720,11 +723,10 @@ def test_dedup_funnel_stage_invariants(spark):
     has all its band groups dropped and every copy kept; this corpus
     has no such group, and the cap's contract routes those to the
     linear exact_dedup pass anyway — see minhash_lsh_pairs)."""
-    from oracle_cassandra_migrator_spark.queries.extensions import (
-        corpus_dedup_funnel)
+    from tests.conftest import catalog_rows
 
-    got = {r["stage"]: r["n_kept"]
-           for r in corpus_dedup_funnel(spark, SF_SMALL).collect()}
+    _, rows = catalog_rows(spark, "corpus_dedup_funnel", SF_SMALL)
+    got = {r["stage"]: r["n_kept"] for r in rows}
     assert got["b_exact"] <= got["a_total"]
     assert got["c_prefix"] <= got["b_exact"]
     assert got["d_minhash"] <= got["b_exact"]

@@ -65,11 +65,12 @@ def test_query_matches_oracle(spark, name):
     # one, so each test costs max(spark, duck) instead of their sum —
     # the replica file is the suite's biggest block. Comparison
     # semantics are untouched.
+    from tests.conftest import catalog_rows
+
     with ThreadPoolExecutor(max_workers=1) as pool:
         fut = pool.submit(_run_oracle, name) if name in ORACLES else None
-        result = QUERIES[name](spark, SF_DIR)
-        spark_rows = [tuple(r) for r in result.collect()]
-        spark_cols = result.columns
+        spark_cols, rows = catalog_rows(spark, name, SF_DIR)
+        spark_rows = [tuple(r) for r in rows]
         if fut is None:
             # rows-only contract for approximate ops
             assert spark_rows is not None

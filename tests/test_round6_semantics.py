@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from oracle_cassandra_migrator_spark.queries import QUERIES
 
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_SMALL, catalog_rows
 
 
 def test_triangle_count_matches_bruteforce(spark):
@@ -37,7 +37,7 @@ def test_triangle_count_matches_bruteforce(spark):
             expected[b] += 1
             expected[c] += 1
     got = {r["node"]: r["n_triangles"]
-           for r in graph_triangle_count(spark, SF_SMALL).collect()}
+           for r in catalog_rows(spark, "graph_triangle_count", SF_SMALL)[1]}
     assert {k: v for k, v in got.items() if k in expected} == expected
     assert sum(got.values()) == 3 * n_tri
 
@@ -46,8 +46,7 @@ def test_transition_matrix_probabilities_sum_to_unity(spark):
     """Per prev_type, the ppm probabilities must sum to 1e6 within
     rounding slack (|next types| half-ulps), and every count must be
     positive."""
-    rows = QUERIES["events_type_transition_matrix"](
-        spark, SF_SMALL).collect()
+    rows = catalog_rows(spark, "events_type_transition_matrix", SF_SMALL)[1]
     by_prev = {}
     for r in rows:
         by_prev.setdefault(r["prev_type"], []).append(r)
@@ -64,7 +63,7 @@ def test_null_safe_join_keeps_null_group_and_plain_eq_drops_it(spark):
     group totals must cover all of orders."""
     from oracle_cassandra_migrator_spark.sources.testdata import read_table
 
-    rows = QUERIES["join_null_safe_eq"](spark, SF_SMALL).collect()
+    rows = catalog_rows(spark, "join_null_safe_eq", SF_SMALL)[1]
     by_key = {r["status_key"]: r for r in rows}
     assert None in by_key
     assert by_key[None]["n_plain_eq"] == 0
@@ -85,7 +84,7 @@ def test_word_pmi_pairs_bounded_by_unigrams(spark):
         fast_words_expr)
     from oracle_cassandra_migrator_spark.sources.testdata import read_table
 
-    rows = QUERIES["text_word_pmi"](spark, SF_SMALL).collect()
+    rows = catalog_rows(spark, "text_word_pmi", SF_SMALL)[1]
     assert len(rows) == 20
     pmis = [r["pmi"] for r in rows]
     assert pmis == sorted(pmis, reverse=True)
@@ -110,7 +109,8 @@ def test_pq_recall_headroom_after_retrain():
 
     spark = build_session(app_name="pq-recall-test")
     for name in ("sim_ann_pq_recall", "sim_ann_ivfpq_recall"):
-        row = QUERIES[name](spark, SF_SMALL).collect()[0]
+        # session-agnostic values — share the replica's execution
+        row = catalog_rows(spark, name, SF_SMALL)[1][0]
         assert row.recall_ppm >= 200000, (name, row)
         row = QUERIES[name](
             spark, "/root/testdata/sf0.01").collect()[0]
@@ -164,7 +164,7 @@ def test_mmr_matches_python_greedy_reference(spark):
             picks.append((t, best, rel[best], scores[best]))
         sel.append(best)
     got = [(r.pick_rank, r.vec_id, r.rel, r.mmr)
-           for r in sim_mmr_diversified_topk(spark, SF_SMALL).collect()]
+           for r in catalog_rows(spark, "sim_mmr_diversified_topk", SF_SMALL)[1]]
     assert got == picks
     # the picks must actually diversify: not simply the top-k by rel
     plain = sorted(rel, key=lambda i: (-rel[i], i))[:_MMR_K]
@@ -204,7 +204,7 @@ def test_containment_detects_planted_subdocument(spark):
 def test_cms_join_size_overestimates_one_sided(spark):
     """The CMS inner product must upper-bound the exact join size
     (collisions only ADD mass) and the audit row must assert it."""
-    r = QUERIES["sketch_cms_join_size"](spark, SF_SMALL).collect()[0]
+    r = catalog_rows(spark, "sketch_cms_join_size", SF_SMALL)[1][0]
     assert r["est_ge_exact"] is True
     assert r["est_pairs"] >= r["exact_pairs"] > 0
 
@@ -216,7 +216,7 @@ def test_winsorized_mean_is_pulled_toward_center(spark):
     plain mean (the clamp actually bit)."""
     from oracle_cassandra_migrator_spark.sources.testdata import read_table
 
-    rows = QUERIES["agg_winsorized_mean_price"](spark, SF_SMALL).collect()
+    rows = catalog_rows(spark, "agg_winsorized_mean_price", SF_SMALL)[1]
     li = read_table(spark, SF_SMALL, "lineitem")
     plain = {r["l_returnflag"]: r["m"] for r in li.groupBy("l_returnflag")
              .agg(F.expr("avg(l_extendedprice) AS m")).collect()}
@@ -230,7 +230,7 @@ def test_target_encoding_shrinks_toward_global_mean(spark):
     """enc must sit strictly between the category's raw mean and the
     global mean (for n_c > 0, m > 0) — the defining property of
     additive-smoothing target encoding."""
-    rows = QUERIES["encode_target_mean_smoothed"](spark, SF_SMALL).collect()
+    rows = catalog_rows(spark, "encode_target_mean_smoothed", SF_SMALL)[1]
     gmean = (sum(r["raw_mean_micro"] * r["n_orders"] for r in rows)
              / sum(r["n_orders"] for r in rows))
     for r in rows:
@@ -242,8 +242,7 @@ def test_pruning_stats_clustered_beats_hash(spark):
     """The month-clustered layout must prune a nonzero bucket share;
     the hash layout must prune nothing (every bucket spans the full
     date range) — the zone-map physics the query exists to show."""
-    rows = {r["layout"]: r for r in QUERIES["layout_minmax_pruning_stats"](
-        spark, SF_SMALL).collect()}
+    rows = {r["layout"]: r for r in catalog_rows(spark, "layout_minmax_pruning_stats", SF_SMALL)[1]}
     assert rows["hash64"]["n_prunable"] == 0
     assert rows["hash64"]["scan_ppm"] == 1_000_000
     assert rows["bymonth"]["n_prunable"] > 0
@@ -254,8 +253,8 @@ def test_session_stats_consistent_with_sessionize(spark):
     """The daily rollup must conserve the session population of
     events_sessionize: same total sessions, same total bounce count,
     same summed duration."""
-    sess = QUERIES["events_sessionize"](spark, SF_SMALL).collect()
-    daily = QUERIES["events_session_stats"](spark, SF_SMALL).collect()
+    sess = catalog_rows(spark, "events_sessionize", SF_SMALL)[1]
+    daily = catalog_rows(spark, "events_session_stats", SF_SMALL)[1]
     assert sum(r["n_sessions"] for r in daily) == len(sess)
     assert (sum(r["n_bounce"] for r in daily)
             == sum(1 for r in sess if r["n_events"] == 1))
@@ -266,7 +265,7 @@ def test_session_stats_consistent_with_sessionize(spark):
 def test_wow_delta_first_week_null_and_deltas_consistent(spark):
     """Deltas must equal the difference of consecutive ordered weekly
     counts; exactly the first week has NULL deltas."""
-    rows = sorted(QUERIES["events_wow_delta"](spark, SF_SMALL).collect(),
+    rows = sorted(catalog_rows(spark, "events_wow_delta", SF_SMALL)[1],
                   key=lambda r: r["week_start"])
     assert rows[0]["wow_delta"] is None and rows[0]["wow_ppm"] is None
     for prev, cur in zip(rows, rows[1:]):
@@ -283,7 +282,7 @@ def test_rfm_segments_partition_customers_into_quartiles(spark):
     marginals cover >= 2 distinct buckets)."""
     from oracle_cassandra_migrator_spark.sources.testdata import read_table
 
-    rows = QUERIES["orders_rfm_segments"](spark, SF_SMALL).collect()
+    rows = catalog_rows(spark, "orders_rfm_segments", SF_SMALL)[1]
     n_cust = (read_table(spark, SF_SMALL, "orders")
               .select("o_custkey").distinct().count())
     assert sum(r["n_customers"] for r in rows) == n_cust
@@ -347,7 +346,7 @@ def test_gini_zero_for_equal_counts_and_positive_for_skew(spark):
     assert gini_of([5] * 10) == 0
     skewed = gini_of([0] * 9 + [1000])
     assert abs(skewed - 900_000) <= 1  # (n-1)/n with n=10
-    real = QUERIES["events_user_gini"](spark, SF_SMALL).collect()[0]
+    real = catalog_rows(spark, "events_user_gini", SF_SMALL)[1][0]
     assert 0 <= real["gini_ppm"] < 1_000_000
 
 
@@ -372,7 +371,7 @@ def test_pareto_crossing_matches_python_reference(spark):
         n80 += 1
         if 5 * run >= 4 * total:
             break
-    row = QUERIES["parts_pareto_coverage"](spark, SF_SMALL).collect()[0]
+    row = catalog_rows(spark, "parts_pareto_coverage", SF_SMALL)[1][0]
     assert row["n_parts_p80"] == n80
     assert row["n_parts"] == len(vals)
 
@@ -392,7 +391,7 @@ def test_funnel_latency_only_counts_purchase_after_view(spark):
             if r["user_id"] not in fp or r["ts"] < fp[r["user_id"]]:
                 fp[r["user_id"]] = r["ts"]
     expected = sum(1 for u in fv if u in fp and fp[u] > fv[u])
-    row = QUERIES["events_funnel_latency"](spark, SF_SMALL).collect()[0]
+    row = catalog_rows(spark, "events_funnel_latency", SF_SMALL)[1][0]
     assert row["n_converted"] == expected
     assert row["p50_us"] <= row["p90_us"]
 
@@ -424,7 +423,7 @@ def test_auc_matches_bruteforce_pair_count(spark):
     ties = sum(1 for p in pos for q in neg if p == q)
     expected_ppm = int(
         (2 * wins + ties) * 1e6 / (2.0 * len(pos) * len(neg)) + 0.5)
-    row = QUERIES["eval_auc_doclen_lang"](spark, SF_SMALL).collect()[0]
+    row = catalog_rows(spark, "eval_auc_doclen_lang", SF_SMALL)[1][0]
     assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
     assert row["auc_ppm"] == expected_ppm
 
@@ -444,7 +443,7 @@ def test_ks_matches_python_cdf_scan(spark):
         d_scaled = max(d_scaled, abs(ca * len(b) - cb * len(a)))
     expected_ppm = int(
         d_scaled * 1e6 / (float(len(a)) * len(b)) + 0.5)
-    row = QUERIES["stats_ks_doclen_drift"](spark, SF_SMALL).collect()[0]
+    row = catalog_rows(spark, "stats_ks_doclen_drift", SF_SMALL)[1][0]
     assert row["n_even"] == len(a) and row["n_odd"] == len(b)
     assert row["ks_ppm"] == expected_ppm
 
@@ -468,7 +467,7 @@ def test_chi2_matches_direct_expected_counts_form(spark):
         (cells.get((lg, src), 0) - rows[lg] * cols[src] / tot) ** 2
         / (rows[lg] * cols[src] / tot)
         for lg in rows for src in cols)
-    row = QUERIES["stats_chi2_lang_source"](spark, SF_SMALL).collect()[0]
+    row = catalog_rows(spark, "stats_chi2_lang_source", SF_SMALL)[1][0]
     assert row["n_langs"] == len(rows) and row["n_sources"] == len(cols)
     assert abs(row["chi2_micro"] - chi2 * 1e6) <= len(cells) + 1
     # independence sanity: dof known from the marginals
@@ -505,7 +504,7 @@ def test_assoc_rules_match_bruteforce_baskets(spark):
                 + 0.5)))
     expected.sort(key=lambda t: (-t[2], t[0], t[1]))
     got = [tuple(r) for r in
-           QUERIES["assoc_rules_brand_pairs"](spark, SF_SMALL).collect()]
+           catalog_rows(spark, "assoc_rules_brand_pairs", SF_SMALL)[1]]
     assert got == expected[:20]
 
 
@@ -534,7 +533,7 @@ def test_psi_matches_python_reference(spark):
         p = max(ca.get(bk, 0), 1) / len(ref)
         q = max(cb.get(bk, 0), 1) / len(cmp_)
         psi_micro += int((p - q) * math.log(p / q) * 1e6 + 0.5)
-    row = QUERIES["stats_psi_doclen_drift"](spark, SF_SMALL).collect()[0]
+    row = catalog_rows(spark, "stats_psi_doclen_drift", SF_SMALL)[1][0]
     assert row["n_ref"] == len(ref) and row["n_cmp"] == len(cmp_)
     assert row["n_bins"] == len(buckets)
     assert row["psi_micro"] == psi_micro
@@ -554,7 +553,7 @@ def test_centroid_drift_matches_numpy_cosine(spark):
         by_label.setdefault(r["label"], [[], []])[
             r["vec_id"] % 2].append(np.array(r["embedding"], dtype=np.float64))
     got = {r["label"]: r for r in
-           QUERIES["embedding_centroid_drift"](spark, SF_SMALL).collect()}
+           catalog_rows(spark, "embedding_centroid_drift", SF_SMALL)[1]}
     assert set(got) == set(by_label)
     for lbl, (even, odd) in by_label.items():
         a, b = np.sum(even, axis=0), np.sum(odd, axis=0)
@@ -576,7 +575,7 @@ def test_auc_operator_exact_matches_catalog_and_binned_converges(spark):
 
     docs = read_table(spark, SF_SMALL, "documents")
     got = auc_exact(docs, "n_chars", "lang = 'en'")
-    row = QUERIES["eval_auc_doclen_lang"](spark, SF_SMALL).collect()[0]
+    row = catalog_rows(spark, "eval_auc_doclen_lang", SF_SMALL)[1][0]
     assert got["auc_ppm"] == row["auc_ppm"]
     assert got["n_pos"] == row["n_pos"] and got["n_neg"] == row["n_neg"]
 

@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 
 SF_SMALL = os.environ.get("OCM_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+from tests.conftest import catalog_rows  # noqa: E402
+
 
 def test_cap_by_salted_hash_identity_below_cap(spark):
     """cap >= |input| must select every row (the identity), cap <
@@ -312,7 +314,7 @@ def test_referential_integrity_audit_catches_planted_orphans(spark, tmp_path):
     from oracle_cassandra_migrator_spark.sources.testdata import read_table
 
     clean = {r["relation"]: r for r in
-             audit_referential_integrity(spark, SF_SMALL).collect()}
+             catalog_rows(spark, "audit_referential_integrity", SF_SMALL)[1]}
     assert set(clean) == {
         "lineitem->orders", "lineitem->part", "lineitem->supplier",
         "orders->customer", "customer->nation", "supplier->nation",
@@ -365,7 +367,7 @@ def test_kappa_query_perfect_and_constant_raters(spark, tmp_path):
         eval_cohens_kappa_lang_guess)
     from oracle_cassandra_migrator_spark.sources.testdata import read_table
 
-    row = eval_cohens_kappa_lang_guess(spark, SF_SMALL).collect()[0]
+    row = catalog_rows(spark, "eval_cohens_kappa_lang_guess", SF_SMALL)[1][0]
     docs = read_table(spark, SF_SMALL, "documents").selectExpr(
         "lang AS ra", f"{lang_guess_expr('text')} AS rb")
     op = cohens_kappa(docs, "ra", "rb")
@@ -413,7 +415,7 @@ def test_power_iteration_matches_numpy_on_real_covariance(spark):
     from oracle_cassandra_migrator_spark.queries.round7 import (
         EMB_DIM, embedding_covariance_matrix)
 
-    rows = embedding_covariance_matrix(spark, SF_SMALL).collect()
+    rows = catalog_rows(spark, "embedding_covariance_matrix", SF_SMALL)[1]
     cells = [{"i": r["i"], "j": r["j"], "cov": r["cov_micro2"] / 1e12}
              for r in rows]
     lam, vec = power_iteration_top_eig(cells, EMB_DIM)
@@ -438,7 +440,7 @@ def test_project_components_matches_numpy_and_plans_shuffle_free(spark):
         EMB_DIM, embedding_covariance_matrix)
     from oracle_cassandra_migrator_spark.sources.testdata import read_table
 
-    rows = embedding_covariance_matrix(spark, SF_SMALL).collect()
+    rows = catalog_rows(spark, "embedding_covariance_matrix", SF_SMALL)[1]
     cells = [{"i": r["i"], "j": r["j"], "cov": r["cov_micro2"] / 1e12}
              for r in rows]
     _, top = power_iteration_top_eig(cells, EMB_DIM)

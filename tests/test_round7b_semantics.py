@@ -14,7 +14,7 @@ from pyspark.sql import Row, functions as F
 from oracle_cassandra_migrator_spark.operators import incremental
 from oracle_cassandra_migrator_spark.queries import QUERIES
 
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_SMALL, catalog_rows
 
 
 # ---------------------------------------------------------------------------
@@ -25,7 +25,7 @@ from tests.conftest import SF_SMALL
 def test_skyline_matches_bruteforce(spark):
     import duckdb
 
-    rows = QUERIES["parts_skyline_frontier"](spark, SF_SMALL).collect()
+    rows = catalog_rows(spark, "parts_skyline_frontier", SF_SMALL)[1]
     got = {(r.price_cents, r.size): r.n_parts for r in rows}
 
     con = duckdb.connect()
@@ -199,7 +199,7 @@ def _km_reference(lifes):
 def test_km_curve_matches_python_reference(spark):
     import duckdb
 
-    rows = QUERIES["events_survival_km_curve"](spark, SF_SMALL).collect()
+    rows = catalog_rows(spark, "events_survival_km_curve", SF_SMALL)[1]
     got = {r.dur_days: (r.n_risk, r.n_deaths, r.km_log_micro)
            for r in rows}
     assert got, "KM curve must not be vacuous on the test data"
@@ -384,7 +384,7 @@ def test_spearman_catalog_sign_sanity(spark):
     # quantity and discount are independently drawn in the testdata:
     # |rho| must be far from +-1 (this catches rank-map join bugs that
     # would alias one variable onto the other)
-    r = QUERIES["corr_spearman_qty_discount"](spark, SF_SMALL).collect()[0]
+    r = catalog_rows(spark, "corr_spearman_qty_discount", SF_SMALL)[1][0]
     assert abs(r.rho_ppm) < 500_000
 
 
@@ -402,7 +402,7 @@ def test_benford_expected_ppm_literals():
 
 
 def test_calibration_bins_partition_corpus(spark):
-    rows = QUERIES["eval_calibration_doclen"](spark, SF_SMALL).collect()
+    rows = catalog_rows(spark, "eval_calibration_doclen", SF_SMALL)[1]
     import duckdb
     con = duckdb.connect()
     n_docs = con.sql(
@@ -422,7 +422,7 @@ def test_zipf_fit_matches_python_reference(spark):
     # plain Python with the same micro-quantization
     import duckdb
 
-    r = QUERIES["text_zipf_vocab_fit"](spark, SF_SMALL).collect()[0]
+    r = catalog_rows(spark, "text_zipf_vocab_fit", SF_SMALL)[1][0]
     con = duckdb.connect()
     freqs = con.sql(
         "SELECT tok, COUNT(*) FROM (SELECT unnest(list_filter("
@@ -444,7 +444,7 @@ def test_zipf_fit_matches_python_reference(spark):
 
 
 def test_seasonality_indices_average_to_one(spark):
-    rows = QUERIES["events_seasonality_dow"](spark, SF_SMALL).collect()
+    rows = catalog_rows(spark, "events_seasonality_dow", SF_SMALL)[1]
     assert {r.dow for r in rows} <= set(range(7))
     # weighted (by n_days*mean) identity: sum(n_events) based index
     # must straddle 1e6 — all-below or all-above is impossible
@@ -453,7 +453,7 @@ def test_seasonality_indices_average_to_one(spark):
 
 
 def test_l_diversity_flags_match_definition(spark):
-    rows = QUERIES["privacy_l_diversity_audit"](spark, SF_SMALL).collect()
+    rows = catalog_rows(spark, "privacy_l_diversity_audit", SF_SMALL)[1]
     for r in rows:
         assert r.is_weak == (r.l_distinct < 3)
         assert r.l_distinct <= r.n_rows
@@ -525,7 +525,7 @@ def test_maintain_matches_recompute_randomized(spark, base, ops, n_batches):
 def test_kendall_tau_matches_bruteforce(spark):
     import duckdb
 
-    r = QUERIES["corr_kendall_tau_qty_discount"](spark, SF_SMALL).collect()[0]
+    r = catalog_rows(spark, "corr_kendall_tau_qty_discount", SF_SMALL)[1][0]
     con = duckdb.connect()
     rows = con.sql(
         "SELECT CAST(floor(l_quantity + 0.5) AS BIGINT),"
@@ -560,7 +560,7 @@ def test_kendall_tau_matches_bruteforce(spark):
 def test_hodges_lehmann_matches_bruteforce(spark):
     import duckdb
 
-    r = QUERIES["agg_hodges_lehmann_quantity"](spark, SF_SMALL).collect()[0]
+    r = catalog_rows(spark, "agg_hodges_lehmann_quantity", SF_SMALL)[1][0]
     con = duckdb.connect()
     vals = [v for (v,) in con.sql(
         "SELECT CAST(floor(l_quantity + 0.5) AS BIGINT)"
@@ -608,7 +608,7 @@ def test_mase_hand_case(spark):
 
 
 def test_deseasonalized_anomaly_catalog_sanity(spark):
-    rows = QUERIES["events_anomaly_deseasonalized"](spark, SF_SMALL).collect()
+    rows = catalog_rows(spark, "events_anomaly_deseasonalized", SF_SMALL)[1]
     assert rows and sum(1 for r in rows if r.is_anomaly) >= 1
     # flagged day(s) carry the maximal |ratio - 1e6|
     mx = max(abs(r.ratio_ppm - 1_000_000) for r in rows)

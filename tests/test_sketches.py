@@ -11,7 +11,7 @@ from oracle_cassandra_migrator_spark.operators import sketches
 from oracle_cassandra_migrator_spark.queries import QUERIES
 from oracle_cassandra_migrator_spark.sources.testdata import read_table
 
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_SMALL, catalog_rows
 
 
 def plan_of(spark, name):
@@ -65,7 +65,7 @@ def test_bloom_prefilter_query_audit_invariants(spark):
     the 400 base docs exactly), hits decompose into members + false
     positives, and the 100 held-out docs bound the FP count — the
     audit row is non-vacuous in both directions."""
-    row = QUERIES["dedup_bloom_prefilter"](spark, SF_SMALL).collect()[0]
+    row = catalog_rows(spark, "dedup_bloom_prefilter", SF_SMALL)[1][0]
     assert row.n_members + row.n_false_pos == row.n_bloom_hit
     assert row.n_probed == 500
     assert row.n_members == 400  # all base docs hit — no false negatives
@@ -144,9 +144,9 @@ def test_allpairs_equals_inverted_index_join(spark):
     all-shingles inverted-index join at the same threshold — any
     missing pair is a prefix-selection bug (the theorem violated)."""
     got = {(r.doc_a, r.doc_b, r.jaccard) for r in
-           QUERIES["dedup_allpairs_prefix"](spark, SF_SMALL).collect()}
+           catalog_rows(spark, "dedup_allpairs_prefix", SF_SMALL)[1]}
     want = {(r.doc_a, r.doc_b, r.jaccard) for r in
-            QUERIES["dedup_ngram_jaccard"](spark, SF_SMALL).collect()}
+            catalog_rows(spark, "dedup_ngram_jaccard", SF_SMALL)[1]}
     assert got == want
     assert len(want) > 0
 
@@ -377,7 +377,7 @@ def test_custom_minhash_vs_spark_ml_minhashlsh(spark):
 
     docs = read_table(spark, SF_SMALL, "documents")
     exact = {(r.doc_a, r.doc_b) for r in
-             QUERIES["dedup_ngram_jaccard"](spark, SF_SMALL).collect()}
+             catalog_rows(spark, "dedup_ngram_jaccard", SF_SMALL)[1]}
     assert exact
 
     shingled = (with_shingles(docs.select("doc_id", "text"), "text", 3)
@@ -400,7 +400,7 @@ def test_custom_minhash_vs_spark_ml_minhashlsh(spark):
     # recall of both approximate front-ends
     assert len(ml_pairs & exact) >= 0.8 * len(exact)
     ours = {(r.doc_a, r.doc_b) for r in
-            QUERIES["dedup_minhash_lsh"](spark, SF_SMALL).collect()}
+            catalog_rows(spark, "dedup_minhash_lsh", SF_SMALL)[1]}
     assert len(ours & exact) >= 0.8 * len(exact)
 
 
@@ -445,9 +445,9 @@ def test_minshingle_neighbors_recall_and_precision(spark):
     must clear the floor its 1-hash collision bound implies (planted
     pairs have J >= 0.5; observed 24/28 here)."""
     got = {(r.doc_a, r.doc_b) for r in
-           QUERIES["dedup_minshingle_neighbors"](spark, SF_SMALL).collect()}
+           catalog_rows(spark, "dedup_minshingle_neighbors", SF_SMALL)[1]}
     exact = {(r.doc_a, r.doc_b) for r in
-             QUERIES["dedup_ngram_jaccard"](spark, SF_SMALL).collect()}
+             catalog_rows(spark, "dedup_ngram_jaccard", SF_SMALL)[1]}
     assert got <= exact
     assert len(got) >= 0.6 * len(exact)
 

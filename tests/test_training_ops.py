@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from oracle_cassandra_migrator_spark.queries import QUERIES
 from oracle_cassandra_migrator_spark.sources.testdata import read_table
 
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_SMALL, catalog_rows
 
 
 # --------------------------------------------------------------------------
@@ -116,7 +116,7 @@ def test_cluster_nmi_matches_python_reference(spark):
              for n in n_l.values()) / 1e9
     purity = sum(max(n for (c2, _), n in ct.items() if c2 == c)
                  for c in n_c) / n_total
-    row = QUERIES["sim_cluster_quality_nmi"](spark, SF_SMALL).collect()[0]
+    row = catalog_rows(spark, "sim_cluster_quality_nmi", SF_SMALL)[1][0]
     assert row.n_vecs == n_total
     assert row.n_cells == len(n_c) and row.n_labels == len(n_l)
     assert row.purity_ppm == math.floor(purity * 1e6 + 0.5)
@@ -134,7 +134,7 @@ def test_ewma_matches_recursive_definition_exactly(spark):
     """The closed-form prefix sum must equal the textbook recursion
     s_d = 0.5*x_d + 0.5*s_{d-1}, s_0 = x_0 — bit-for-bit, because
     every intermediate is an exact power-of-two-scaled integer."""
-    rows = QUERIES["events_daily_ewma"](spark, SF_SMALL).collect()
+    rows = catalog_rows(spark, "events_daily_ewma", SF_SMALL)[1]
     by_type = {}
     for r in sorted(rows, key=lambda r: (r.event_type, r.day)):
         by_type.setdefault(r.event_type, []).append(r)

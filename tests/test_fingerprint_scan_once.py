@@ -199,3 +199,87 @@ def test_ann_maintain_scans_source_once(spark, tmp_path, counter):
     assert annmaintain.read_index(
         spark, str(tmp_path / "ann")).count() == N_ROWS
     assert _rows_scanned(counter) == N_ROWS
+
+
+def test_rollup_replay_skip_path_scans_source_once(
+        spark, tmp_path, counter):
+    """Replay-path scan-once for the remaining three sinks (rollup
+    here, partitioned/neardedup below) — same contract as upsert/ANN:
+    a fresh-checkpoint re-delivery of a committed batch pays exactly
+    the fingerprint aggregate, so run+replay totals 2x the corpus."""
+    from oracle_cassandra_migrator_spark.streaming.rollup import (
+        foreach_batch_rollup, latest_rollup)
+
+    schema = "op STRING, k STRING, new_v INT, old_v INT"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("I", f"g{i % 4}", i, None) for i in range(N_ROWS)], schema
+    ).coalesce(1).write.parquet(src)
+    base = str(tmp_path / "roll")
+
+    def run(ckpt):
+        q = foreach_batch_rollup(
+            _counting_stage(_stream(spark, src, schema), counter),
+            base, keys=["k"], new_expr="new_v", old_expr="old_v",
+            checkpoint_dir=str(tmp_path / ckpt))
+        q.awaitTermination(180)
+
+    run("ckpt")
+    assert _rows_scanned(counter) == N_ROWS
+    run("ckpt2")  # fresh checkpoint: same batch id, same content
+    assert latest_rollup(spark, base).count() == 4
+    assert _rows_scanned(counter) == 2 * N_ROWS
+
+
+def test_partitioned_replay_skip_path_scans_source_once(
+        spark, tmp_path, counter):
+    from oracle_cassandra_migrator_spark.streaming.partitioned import (
+        foreach_batch_upsert_partitioned, latest_partitioned_snapshot)
+
+    schema = "k LONG, seq LONG, val STRING"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, i, f"v{i}") for i in range(N_ROWS)], schema
+    ).coalesce(1).write.parquet(src)
+    base = str(tmp_path / "part")
+
+    def run(ckpt):
+        q = foreach_batch_upsert_partitioned(
+            _counting_stage(_stream(spark, src, schema), counter),
+            base, keys=["k"], order_by=["seq"],
+            checkpoint_dir=str(tmp_path / ckpt), n_buckets=4)
+        q.awaitTermination(180)
+
+    run("ckpt")
+    assert _rows_scanned(counter) == N_ROWS
+    run("ckpt2")
+    assert latest_partitioned_snapshot(spark, base).count() == N_ROWS
+    assert _rows_scanned(counter) == 2 * N_ROWS
+
+
+def test_neardedup_replay_skip_path_scans_source_once(
+        spark, tmp_path, counter):
+    from oracle_cassandra_migrator_spark.streaming.neardedup import (
+        foreach_batch_near_dedup, read_state)
+
+    schema = "doc_id LONG, text STRING"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, f"wholly distinct document number {i} "
+             f"with its own trailing words {i * 7}")
+         for i in range(N_ROWS)], schema
+    ).coalesce(1).write.parquet(src)
+    base = str(tmp_path / "nd")
+
+    def run(ckpt):
+        q = foreach_batch_near_dedup(
+            _counting_stage(_stream(spark, src, schema), counter),
+            base, str(tmp_path / ckpt))
+        q.awaitTermination(180)
+
+    run("ckpt")
+    assert _rows_scanned(counter) == N_ROWS
+    run("ckpt2")
+    sigs, _ = read_state(spark, base)
+    assert sigs.count() > 0
+    assert _rows_scanned(counter) == 2 * N_ROWS

@@ -470,3 +470,61 @@ def test_ann_maintain_bootstrap_empty_and_degenerate_batches(
     _run(spark, src, base, ckpt)
     assert annmaintain.read_index(spark, base).count() == 45
     assert annmaintain.read_sidecar(spark, base, 2)["kind"] == "append"
+
+
+def test_rebuild_regeneration_changes_bucket_arity_and_replaces_ids(
+        spark, tmp_path):
+    """r12 bucket ledger, cross-generation pin: a rebuild starts a
+    FRESH bucketed generation sized to the new total — the arity must
+    grow with the index (8 -> 16 here), every pre-rebuild id must be
+    re-placed under the new arity (so a later duplicate of an OLD id
+    is still rejected through the new generation's probe), and the
+    probe must use the NEW arity (pinned behaviorally: a corrupt file
+    planted in an untouched bucket of the rebuild version never gets
+    opened)."""
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "ann")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 0: bootstrap 1,000 rows -> arity clamps to MIN (8)
+    _write(spark, _vecs(range(0, 1000)), src)
+    _run(spark, src, base, ckpt)
+    boot = annmaintain.read_sidecar(spark, base, 0)
+    assert boot["n_buckets"] == 8
+
+    # batch 1: 9,000 negated rows blow the drift gate -> rebuild of
+    # all 10,000 rows -> ceil(10000/1024)=10 -> next pow2 = 16
+    _write(spark, _vecs(range(1000, 10_000), direction=-1.0), src)
+    _run(spark, src, base, ckpt)
+    side = annmaintain.read_sidecar(spark, base, 1)
+    assert side["kind"] == "rebuild"
+    assert side["n_buckets"] == 16
+    assert side["n_rows"] == 10_000
+    assert sorted(side["version_buckets"]) == ["1"]
+
+    # corrupt an untouched NEW-generation bucket: the next batch's
+    # probe must never open it (old-arity or full-scan probing would)
+    batch_ids = [7, 10_000]  # 7 = a BOOTSTRAP-ERA id, re-placed at 16
+    touched = {r[0] for r in spark.createDataFrame(
+        [(i,) for i in batch_ids], "vec_id LONG"
+    ).selectExpr(annmaintain._bucket_expr("vec_id", 16) + " AS b")
+        .distinct().collect()}
+    untouched = [b for b in side["version_buckets"]["1"]
+                 if b not in touched]
+    assert untouched, "fixture must leave at least one untouched bucket"
+    victim = glob.glob(str(
+        tmp_path / "ann" / "index-v1" / f"_idb={untouched[0]}" /
+        "*.parquet"))[0]
+    with open(victim, "wb") as fh:
+        fh.write(b"this is not a parquet file")
+
+    _write(spark, _vecs(batch_ids, direction=-1.0), src)
+    _run(spark, src, base, ckpt)
+    v2side = annmaintain.read_sidecar(spark, base, 2)
+    assert v2side["kind"] == "append"
+    assert v2side["n_buckets"] == 16  # generation carried, not resized
+    v2 = spark.read.parquet(str(tmp_path / "ann" / "index-v2"))
+    # the bootstrap-era duplicate was rejected THROUGH the rebuilt
+    # generation; only the fresh id landed
+    assert [r["vec_id"] for r in v2.collect()] == [10_000]
+    assert v2side["n_rows"] == 10_001

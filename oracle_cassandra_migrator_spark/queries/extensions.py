@@ -609,7 +609,7 @@ def text_fingerprint_bottomk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 # doc_id arithmetic mirrored by operators/multimodal.payload_for_doc:
-# codec by doc_id % 9, geometry from doc_id — the oracle replays the
+# codec by doc_id % 11, geometry from doc_id — the oracle replays the
 # ARITHMETIC while Spark round-trips real container bytes through the
 # builders and the header parsers; a header-layout bug (wrong offset,
 # wrong endianness, bad row padding) breaks n_bytes or a dimension and
@@ -625,10 +625,19 @@ def text_fingerprint_bottomk(spark, sf_dir):
 # n_bytes. FLAC (codec 8, r12): fc channels / frate sample rate /
 # fsamples total samples live in STREAMINFO's packed 64-bit field,
 # fpad is the trailing PADDING block's length — n_bytes is the exact
-# magic + two-block arithmetic 46 + fpad.
+# magic + two-block arithmetic 46 + fpad. TIFF (codec 9, r12):
+# tw/th/tc from the IFD's ImageWidth/ImageLength/SamplesPerPixel
+# entries (byte order alternates II/LE and MM/BE on (doc_id // 2) % 2
+# — invisible to the oracle, which sees only the decoded values),
+# tdata strip bytes after the fixed 98-byte header+IFD. Ogg (codec
+# 10, r12): ov = doc_id % 2 picks Vorbis (30-byte id header, duration
+# on the stream's own rate clock) vs Opus (19-byte OpusHead, duration
+# on the FIXED 48 kHz granule clock); oc channels / orate from the
+# identification packet, og = the EOS page's granule position;
+# n_bytes is the exact two-page arithmetic 86 (vorbis) / 75 (opus).
 _MM_SQL = """
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           doc_id % 9 AS codec,
+           doc_id % 11 AS codec,
            1 + doc_id % 19 AS bw, 1 + (doc_id * 7) % 13 AS bh,
            1 + doc_id % 23 AS pw, 1 + (doc_id * 5) % 11 AS ph,
            1 + doc_id % 2 AS wc,
@@ -650,7 +659,13 @@ _MM_SQL = """
            CASE (doc_id // 7) % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
                 ELSE 44100 END AS frate,
            1 + doc_id % 2000 AS fsamples,
-           doc_id % 64 AS fpad
+           doc_id % 64 AS fpad,
+           1 + doc_id % 41 AS tw, 1 + (doc_id * 23) % 27 AS th,
+           1 + doc_id % 4 AS tc, doc_id % 97 AS tdata,
+           doc_id % 2 AS ov, 1 + doc_id % 2 AS oc,
+           CASE (doc_id // 11) % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                ELSE 44100 END AS orate,
+           1 + doc_id % 3000 AS og
     FROM documents
 """
 
@@ -669,20 +684,23 @@ _MM_DECODED_SQL = f"""
                      WHEN 1 THEN 25 + wk + (1 - wk % 2)
                      ELSE 43 + wk + (1 - wk % 2) END
                 WHEN 7 THEN 148 + 100 * mtracks + mdat
-                ELSE 46 + fpad
+                WHEN 8 THEN 46 + fpad
+                WHEN 9 THEN 98 + tdata
+                ELSE CASE ov WHEN 0 THEN 86 ELSE 75 END
                 END AS BIGINT) AS n_bytes,
            CASE codec WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
                 WHEN 2 THEN 'wav' WHEN 3 THEN 'png'
                 WHEN 4 THEN 'gif' WHEN 5 THEN 'jpeg'
                 WHEN 6 THEN 'webp' WHEN 7 THEN 'mp4'
-                ELSE 'flac' END AS mm_format,
+                WHEN 8 THEN 'flac' WHEN 9 THEN 'tiff'
+                ELSE 'ogg' END AS mm_format,
            CAST(CASE codec WHEN 0 THEN bw WHEN 1 THEN pw
                 WHEN 3 THEN ngw WHEN 4 THEN gw WHEN 5 THEN jw
-                WHEN 6 THEN ww WHEN 7 THEN mw
+                WHEN 6 THEN ww WHEN 7 THEN mw WHEN 9 THEN tw
                 END AS INT) AS width,
            CAST(CASE codec WHEN 0 THEN bh WHEN 1 THEN ph
                 WHEN 3 THEN ngh WHEN 4 THEN gh WHEN 5 THEN jh
-                WHEN 6 THEN wh WHEN 7 THEN mh
+                WHEN 6 THEN wh WHEN 7 THEN mh WHEN 9 THEN th
                 END AS INT) AS height,
            CAST(CASE codec WHEN 2 THEN wc WHEN 3 THEN 3
                 WHEN 5 THEN jc
@@ -690,12 +708,16 @@ _MM_DECODED_SQL = f"""
                             ELSE 3 + walpha END
                 WHEN 7 THEN mtracks
                 WHEN 8 THEN fc
+                WHEN 9 THEN tc WHEN 10 THEN oc
                 END AS INT) AS channels,
            CAST(CASE codec WHEN 2 THEN wrate
-                WHEN 8 THEN frate END AS INT) AS sample_rate,
+                WHEN 8 THEN frate WHEN 10 THEN orate
+                END AS INT) AS sample_rate,
            CAST(CASE codec WHEN 2 THEN wframes * 1000 // wrate
                 WHEN 7 THEN mdur * 1000 // 600
                 WHEN 8 THEN fsamples * 1000 // frate
+                WHEN 10 THEN CASE ov WHEN 0 THEN og * 1000 // orate
+                             ELSE og * 1000 // 48000 END
                 END AS BIGINT) AS duration_ms
     FROM g
 """
@@ -704,19 +726,21 @@ _MM_DECODED_SQL = f"""
 @query("multimodal_decode_stats", oracle=_MM_DECODED_SQL)
 def multimodal_decode_stats(spark, sf_dir):
     """Real container decode over Arrow-batched binary payloads: one
-    BMP / P6-PPM / RIFF-WAV / PNG / GIF / JPEG / WebP / MP4 / FLAC
-    file per document (codec cycles doc_id % 9, built by
+    BMP / P6-PPM / RIFF-WAV / PNG / GIF / JPEG / WebP / MP4 / FLAC /
+    TIFF / Ogg file per document (codec cycles doc_id % 11, built by
     ``payload_for_doc``), headers parsed byte-for-byte by
     ``decode_header`` — width/height for images (plus color-type
     channels for PNG, frame components for JPEG, VP8/VP8L/VP8X canvas
-    dims for WebP), channels/sample-rate/duration for audio (WAV's
-    RIFF fmt chunk; FLAC's packed STREAMINFO bit fields), and the
-    ISO-BMFF box-tree walk (ftyp -> moov -> mvhd/trak/tkhd) to canvas
-    dims, track count, and duration for MP4 — all from the actual
-    bytes (PNG's IHDR CRC-32 is verified; JPEG's marker segments are
-    walked to SOF0/SOF2). The oracle replays the generator
-    arithmetic, so the match certifies the full encode -> parse round
-    trip."""
+    dims for WebP, the endian-aware IFD entry walk for TIFF),
+    channels/sample-rate/duration for audio (WAV's RIFF fmt chunk;
+    FLAC's packed STREAMINFO bit fields; Ogg's BOS identification
+    packet — Vorbis or OpusHead — plus the EOS page's granule position
+    on the codec clock), and the ISO-BMFF box-tree walk (ftyp -> moov
+    -> mvhd/trak/tkhd) to canvas dims, track count, and duration for
+    MP4 — all from the actual bytes (PNG's IHDR CRC-32 is verified;
+    JPEG's marker segments are walked to SOF0/SOF2). The oracle
+    replays the generator arithmetic, so the match certifies the full
+    encode -> parse round trip."""
     docs = read_table(spark, sf_dir, "documents")
     return multimodal.decode_binary_metadata(
         multimodal.synthesized_payloads(docs))

@@ -351,6 +351,24 @@ def test_multimodal_builders_roundtrip_any_geometry(
     assert mm.decode_header(flac) == (
         "flac", None, None, channels, rate, frames * 1000 // rate)
     assert len(flac) == 46 + frames % 64
+    # r12: TIFF round-trips through BOTH byte orders — same decoded
+    # values, and the exact 98 + data_len arithmetic either way
+    for big in (False, True):
+        tiff = mm.build_tiff(width, height, channels=channels,
+                             data_len=frames % 97, big_endian=big)
+        assert mm.decode_header(tiff) == (
+            "tiff", width, height, channels, None, None)
+        assert len(tiff) == 98 + frames % 97
+    # r12: Ogg — Vorbis durations tick on the stream's own sample
+    # rate, Opus on the fixed 48 kHz granule clock
+    ogv = mm.build_ogg_vorbis(channels, rate, frames)
+    assert mm.decode_header(ogv) == (
+        "ogg", None, None, channels, rate, frames * 1000 // rate)
+    assert len(ogv) == 86
+    ogo = mm.build_ogg_opus(channels, rate, frames)
+    assert mm.decode_header(ogo) == (
+        "ogg", None, None, channels, rate, frames * 1000 // 48000)
+    assert len(ogo) == 75
 
 
 @settings(max_examples=100, deadline=None)
@@ -370,7 +388,11 @@ def test_decode_header_never_raises_on_fuzz(data):
                    b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x01moov",
                    b"\x00\x00\x00\x08ftyp\x00\x00\x00\x00moov",
                    b"fLaC", b"fLaC\x00\x00\x00\x22",
-                   b"fLaC\x80\x00\x00\x22", b"fLaC\x01\x00\x00\x00"):
+                   b"fLaC\x80\x00\x00\x22", b"fLaC\x01\x00\x00\x00",
+                   b"II*\x00", b"MM\x00*", b"II*\x00\x08\x00\x00\x00",
+                   b"MM\x00*\x00\x00\x00\x08",
+                   b"OggS", b"OggS\x00\x02", b"OggS\x00\x02" + b"\x00" * 21
+                   + b"\x01\x07\x01vorbis"):
         got = mm.decode_header(prefix + data)
         assert isinstance(got, tuple) and len(got) == 6
 

@@ -511,17 +511,17 @@ def test_decode_header_webp_variants_and_edges():
     assert mm.decode_header(patched) == ("webp", 7, 5, 3, None, None)
 
 
-def test_payload_for_doc_cycles_nine_codecs():
+def test_payload_for_doc_cycles_eleven_codecs():
     """The fixture contract the multimodal oracles replay: codec =
-    doc_id % 9 across bmp/ppm/wav/png/gif/jpeg/webp/mp4/flac, every
-    payload decodes to its own geometry arithmetic."""
+    doc_id % 11 across bmp/ppm/wav/png/gif/jpeg/webp/mp4/flac/tiff/
+    ogg, every payload decodes to its own geometry arithmetic."""
     from oracle_cassandra_migrator_spark.operators import multimodal as mm
 
-    fmts = [mm.decode_header(mm.payload_for_doc(i))[0] for i in range(18)]
+    fmts = [mm.decode_header(mm.payload_for_doc(i))[0] for i in range(22)]
     assert fmts == ["bmp", "ppm", "wav", "png", "gif", "jpeg", "webp",
-                    "mp4", "flac"] * 2
+                    "mp4", "flac", "tiff", "ogg"] * 2
     # webp sub-cycle: variant (i//5)%3, alpha (i//3)%2
-    for i in (6, 15, 24, 33, 42, 51):
+    for i in (6, 17, 28, 39, 50, 61):
         got = mm.decode_header(mm.payload_for_doc(i))
         assert got[0] == "webp"
         assert got[1] == 1 + i % 37 and got[2] == 1 + (i * 19) % 23
@@ -530,7 +530,7 @@ def test_payload_for_doc_cycles_nine_codecs():
     # mp4 (r12): canvas from the video trak's tkhd, track count in the
     # channels slot, duration over the fixed 600 timescale, and the
     # exact box-size arithmetic for n_bytes
-    for i in (7, 16, 25, 34, 124):
+    for i in (7, 18, 29, 40, 128):
         got = mm.decode_header(mm.payload_for_doc(i))
         assert got == ("mp4", 1 + i % 43, 1 + (i * 29) % 31,
                        1 + i % 3, None, (1 + i % 900) * 1000 // 600)
@@ -539,9 +539,28 @@ def test_payload_for_doc_cycles_nine_codecs():
     # flac (r12): channels / 20-bit sample rate / 36-bit total samples
     # from STREAMINFO's packed field, duration over the sample rate,
     # and the exact two-block byte arithmetic 46 + pad
-    for i in (8, 17, 26, 35, 125):
+    for i in (8, 19, 30, 41, 129):
         got = mm.decode_header(mm.payload_for_doc(i))
         rate = mm.WAV_RATES[(i // 7) % 3]
         assert got == ("flac", None, None, 1 + i % 2, rate,
                        (1 + i % 2000) * 1000 // rate)
         assert len(mm.payload_for_doc(i)) == 46 + i % 64
+    # tiff (r12): IFD ImageWidth/ImageLength/SamplesPerPixel, byte
+    # order alternating II/MM on (i//2)%2 — invisible to the decoded
+    # values — and the exact header+IFD arithmetic 98 + strip bytes
+    for i in (9, 20, 31, 42, 130):
+        got = mm.decode_header(mm.payload_for_doc(i))
+        assert got == ("tiff", 1 + i % 41, 1 + (i * 23) % 27,
+                       1 + i % 4, None, None)
+        assert len(mm.payload_for_doc(i)) == 98 + i % 97
+    # ogg (r12): i%2 picks Vorbis (duration on the stream's own rate)
+    # vs Opus (fixed 48 kHz granule clock); exact two-page byte
+    # arithmetic 86 / 75
+    for i in (10, 21, 32, 43, 131):
+        got = mm.decode_header(mm.payload_for_doc(i))
+        rate = mm.WAV_RATES[(i // 11) % 3]
+        g = 1 + i % 3000
+        clock = rate if i % 2 == 0 else 48000
+        assert got == ("ogg", None, None, 1 + i % 2, rate,
+                       g * 1000 // clock)
+        assert len(mm.payload_for_doc(i)) == (86 if i % 2 == 0 else 75)

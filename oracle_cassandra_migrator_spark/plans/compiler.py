@@ -772,3 +772,106 @@ def _op_decode_media(ns, step):
 
 
 OPS["decode_media"] = _op_decode_media
+
+
+def _op_embed_neardup(ns, step):
+    """{"op": "embed_neardup", "input": emb, "id": id_col, "vec":
+    vec_col[, "threshold": 0.45, "pairs": "lsh", "dim": 64,
+    "n_planes": 4, "mode": "decisions"]} — embedding-cosine
+    near-duplicate pruning as ONE declarative step (r12): the
+    SEMANTIC twin of ``dedup_near``, so a curation pipeline can chain
+    lexical AND embedding dedup without exiting the spec.
+
+    Pair generation is selectable, mirroring the catalog's three
+    embedding-dedup families:
+    - ``pairs="lsh"`` (default): sign-LSH bucket blocking
+      (``cosine_pairs_lsh_blocked`` — deterministic md5-parity
+      hyperplanes; knobs ``dim`` (REQUIRED: the literal hyperplanes
+      are materialized per dimension) and ``n_planes``). The 100 TB
+      path: one bucket equi-join, exact cosine verification.
+    - ``pairs="cells"``: SemDeDup cell blocking (Abbas et al. 2023)
+      — k-means codebook trained on the deterministic ``id %
+      sample_mod = 0`` sample (numeric ids; knobs ``modulus``,
+      ``iters``, ``sample_mod``, ``init_limit``), re-entering the
+      plan as an array LITERAL; candidates share a trained cell.
+    - ``pairs="exact"``: the O(n^2) baseline with the refuse valve
+      INTACT — above ``COSINE_PAIRS_MAX_ROWS`` input rows it raises
+      with routing guidance unless ``max_rows`` is explicitly set.
+
+    ``mode="decisions"`` returns (id, cluster_rep, is_kept) via
+    hash-to-min connected components over the pair graph — pinned
+    output-equal to the ``dedup_semantic_prune`` catalog query's
+    shape; ``mode="filter"`` returns the INPUT rows whose id is a
+    kept representative. Like ``dedup_near``, the step is mid-plan
+    ITERATIVE (components label-propagate eagerly at compile time;
+    pair-graph-sized shuffles only) and, for ``pairs="cells"``, the
+    <= ``modulus``-row codebook is collected driver-side — bounded,
+    never corpus-sized."""
+    from oracle_cassandra_migrator_spark.operators.dedup import (
+        connected_components,
+        dedup_decisions,
+    )
+    from oracle_cassandra_migrator_spark.operators.similarity import (
+        assign_cells_literal,
+        codebook_literal_expr,
+        cosine_pairs,
+        cosine_pairs_lsh_blocked,
+        cosine_pairs_within_cells,
+        kmeans_codebook,
+    )
+
+    df = _input(ns, step)
+    id_col, vec_col = step["id"], step["vec"]
+    threshold = float(step.get("threshold", 0.45))
+    pairs_alg = step.get("pairs", "lsh")
+    if pairs_alg == "lsh":
+        if "dim" not in step:
+            raise ValueError(
+                "embed_neardup pairs='lsh' requires 'dim' (the "
+                "hyperplane literals are materialized per dimension)")
+        pairs = cosine_pairs_lsh_blocked(
+            df, threshold=threshold, dim=int(step["dim"]),
+            n_planes=int(step.get("n_planes", 4)),
+            vec_col=vec_col, id_col=id_col)
+    elif pairs_alg == "cells":
+        sample_mod = int(step.get("sample_mod", 7))
+        cents = kmeans_codebook(
+            df.where(f"{id_col} % {sample_mod} = 0"),
+            modulus=int(step.get("modulus", 43)),
+            iters=int(step.get("iters", 2)),
+            vec_col=vec_col, id_col=id_col,
+            init_limit=(int(step["init_limit"])
+                        if step.get("init_limit") is not None else None))
+        cells = assign_cells_literal(
+            df, codebook_literal_expr(cents.collect()),
+            vec_col=vec_col, id_col=id_col)
+        pairs = cosine_pairs_within_cells(
+            cells, threshold=threshold, vec_col=vec_col, id_col=id_col)
+    elif pairs_alg == "exact":
+        # same int-coercion discipline as dedup_near's knobs; an
+        # absent max_rows keeps the refuse valve at its default bar
+        mr = step.get("max_rows", "default")
+        pairs = (cosine_pairs(df, threshold=threshold, vec_col=vec_col,
+                              id_col=id_col)
+                 if mr == "default" else
+                 cosine_pairs(df, threshold=threshold, vec_col=vec_col,
+                              id_col=id_col,
+                              max_rows=int(mr) if mr is not None else None))
+    else:
+        raise ValueError(
+            f"embed_neardup pairs must be 'lsh', 'cells' or 'exact' "
+            f"(got {pairs_alg!r})")
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    decisions = dedup_decisions(df, comp, id_col, cast_bigint=False)
+    mode = step.get("mode", "decisions")
+    if mode == "decisions":
+        return decisions
+    if mode == "filter":
+        kept = decisions.where("is_kept").select(id_col)
+        return df.join(kept, id_col, "left_semi")
+    raise ValueError(
+        f"embed_neardup mode must be 'decisions' or 'filter' "
+        f"(got {mode!r})")
+
+
+OPS["embed_neardup"] = _op_embed_neardup

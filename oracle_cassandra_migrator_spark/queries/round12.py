@@ -109,3 +109,81 @@ def pipeline_media_stage(spark, sf_dir):
     ])
     return out.select("doc_id", "mm_format", "width", "height",
                       "resized_w", "resized_h")
+
+# ---------------------------------------------------------------------------
+# pipeline_embed_stage — embed_neardup -> sample_fixed_n, never exiting the
+# spec DSL (the embedding-family twin of pipeline_media_stage)
+# ---------------------------------------------------------------------------
+
+
+def _embed_stage_oracle(dim: int = 64, n_planes: int = 3,
+                        threshold: float = 0.4, k: int = 25) -> str:
+    """DuckDB replay of the chained spec: the deterministic md5-parity
+    sign-LSH pairs (the dedup_embedding_lsh_blocked oracle
+    parameterized at this step's knobs), hash-to-min reachability to
+    the kept representatives, then the bottom-k-of-salted-hash eval
+    cut and the rounded L2 norm."""
+    from oracle_cassandra_migrator_spark.queries.extensions import (
+        _cosine_lsh_blocked_oracle)
+
+    return f"""
+    WITH RECURSIVE
+    p AS (SELECT * FROM ({_cosine_lsh_blocked_oracle(
+        dim, n_planes, threshold)}) q),
+    edges AS (SELECT id_a AS a, id_b AS b FROM p
+              UNION ALL SELECT id_b, id_a FROM p),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (SELECT a AS node, least(a, min(b)) AS component
+             FROM reach GROUP BY a),
+    keep AS (SELECT e.vec_id, e.embedding
+             FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node
+             WHERE coalesce(c.component, e.vec_id) = e.vec_id),
+    r AS (SELECT *,
+                 row_number() OVER (
+                   ORDER BY md5(concat('eval:',
+                                       CAST(vec_id AS VARCHAR))),
+                            vec_id) AS rnk
+          FROM keep)
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])), 6)
+             AS l2_norm
+    FROM r WHERE rnk <= {k}
+    """
+
+
+@query("pipeline_embed_stage", oracle=_embed_stage_oracle())
+def pipeline_embed_stage(spark, sf_dir):
+    """An embedding curation pipeline that never exits the spec DSL
+    (r12 — the semantic twin of pipeline_media_stage):
+    ``embed_neardup`` (sign-LSH blocked cosine pairs -> hash-to-min
+    components -> keep-representative filter) -> ``sample_fixed_n``
+    (bottom-k-of-salted-hash eval cut) -> a JVM-side L2-norm
+    projection. Step-vs-operator equality for embed_neardup is pinned
+    in tests/test_compiler.py; the oracle replays hyperplanes,
+    reachability, and the salted cut end-to-end.
+
+    Scale shape: one bucket equi-join for pairs (never all-pairs),
+    label-only component shuffles, TakeOrderedAndProject for the cut
+    — no corpus-sized shuffle anywhere."""
+    from oracle_cassandra_migrator_spark.plans.compiler import (
+        compile_transform)
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = compile_transform(spark, {"emb": emb}, [
+        {"op": "embed_neardup", "input": "emb", "id": "vec_id",
+         "vec": "embedding", "threshold": 0.4, "dim": 64,
+         "n_planes": 3, "mode": "filter"},
+        {"op": "sample_fixed_n", "id": "vec_id", "k": 25,
+         "salt": "eval"},
+        {"op": "select", "exprs": [
+            "CAST(vec_id AS BIGINT) AS vec_id",
+            "round(sqrt(aggregate(transform(embedding, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)), 6) "
+            "AS l2_norm"]},
+    ])
+    return out

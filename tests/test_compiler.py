@@ -918,3 +918,118 @@ def test_compiler_decode_media_step(spark):
         compile_transform(
             spark, {"m": media.withColumn("width", F.lit(1))},
             [{"op": "decode_media", "input": "m"}])
+
+
+def test_compiler_embed_neardup_lsh_and_filter(spark):
+    """embed_neardup (r12) — the semantic twin of dedup_near: the
+    pairs="lsh" step must be row-identical to the operator composition
+    cosine_pairs_lsh_blocked -> connected_components ->
+    dedup_decisions on the same input, and mode="filter" must return
+    exactly the kept representatives' input rows."""
+    from oracle_cassandra_migrator_spark.operators.dedup import (
+        connected_components, dedup_decisions)
+    from oracle_cassandra_migrator_spark.operators.similarity import (
+        cosine_pairs_lsh_blocked)
+    from oracle_cassandra_migrator_spark.plans.compiler import (
+        compile_transform)
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    from tests.conftest import SF_SMALL
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    step = compile_transform(spark, {"emb": emb}, [
+        {"op": "embed_neardup", "input": "emb", "id": "vec_id",
+         "vec": "embedding", "threshold": 0.4, "dim": 64,
+         "n_planes": 3},
+    ])
+    assert step.columns == ["vec_id", "cluster_rep", "is_kept"]
+    got = sorted(map(tuple, step.collect()))
+
+    pairs = cosine_pairs_lsh_blocked(emb, threshold=0.4, dim=64,
+                                     n_planes=3)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    want = sorted(map(tuple, dedup_decisions(
+        emb, comp, "vec_id", cast_bigint=False).collect()))
+    assert got == want and len(got) > 0
+    assert any(not kept for _, _, kept in got)  # near-dups exist
+
+    filtered = compile_transform(spark, {"emb": emb}, [
+        {"op": "embed_neardup", "input": "emb", "id": "vec_id",
+         "vec": "embedding", "threshold": 0.4, "dim": 64,
+         "n_planes": 3, "mode": "filter"},
+    ])
+    kept_ids = {r[0] for r in got if r[2]}
+    assert {r["vec_id"] for r in filtered.collect()} == kept_ids
+    assert set(filtered.columns) == set(emb.columns)
+
+
+def test_compiler_embed_neardup_cells_exact_and_guards(spark):
+    """The other two pair families + the contract guards: "cells" must
+    equal the SemDeDup composition (sampled k-means codebook ->
+    literal assignment -> within-cell pairs -> decisions) with the
+    knobs passed through; "exact" must keep cosine_pairs' refuse
+    valve INTACT (a corpus above max_rows raises with routing
+    guidance, max_rows=None forces through); bad pairs/mode/missing
+    dim raise clean ValueErrors."""
+    import pytest as _pytest
+
+    from oracle_cassandra_migrator_spark.operators.dedup import (
+        connected_components, dedup_decisions)
+    from oracle_cassandra_migrator_spark.operators.similarity import (
+        assign_cells_literal, codebook_literal_expr,
+        cosine_pairs_within_cells, kmeans_codebook)
+    from oracle_cassandra_migrator_spark.plans.compiler import (
+        compile_transform)
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    from tests.conftest import SF_SMALL
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    step = compile_transform(spark, {"emb": emb}, [
+        {"op": "embed_neardup", "input": "emb", "id": "vec_id",
+         "vec": "embedding", "threshold": 0.45, "pairs": "cells",
+         "sample_mod": "7", "modulus": 43, "iters": 2,
+         "init_limit": 64},
+    ])
+    got = sorted(map(tuple, step.collect()))
+
+    cents = kmeans_codebook(emb.where("vec_id % 7 = 0"), modulus=43,
+                            iters=2, init_limit=64)
+    cells = assign_cells_literal(emb,
+                                 codebook_literal_expr(cents.collect()))
+    pairs = cosine_pairs_within_cells(cells, threshold=0.45)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    want = sorted(map(tuple, dedup_decisions(
+        emb, comp, "vec_id", cast_bigint=False).collect()))
+    assert got == want and len(got) > 0
+
+    # exact family: the refuse valve fires above max_rows...
+    with _pytest.raises(ValueError, match="O\\(n\\^2\\)"):
+        compile_transform(spark, {"emb": emb}, [
+            {"op": "embed_neardup", "input": "emb", "id": "vec_id",
+             "vec": "embedding", "pairs": "exact", "max_rows": 10},
+        ]).collect()
+    # ...and max_rows=None (JSON null) forces the quadratic join
+    forced = compile_transform(spark, {"emb": emb.limit(50)}, [
+        {"op": "embed_neardup", "input": "emb", "id": "vec_id",
+         "vec": "embedding", "threshold": 0.45, "pairs": "exact",
+         "max_rows": None},
+    ])
+    assert forced.columns == ["vec_id", "cluster_rep", "is_kept"]
+    assert forced.count() == 50
+
+    with _pytest.raises(ValueError, match="dim"):
+        compile_transform(spark, {"emb": emb}, [
+            {"op": "embed_neardup", "input": "emb", "id": "vec_id",
+             "vec": "embedding"},
+        ])
+    with _pytest.raises(ValueError, match="pairs"):
+        compile_transform(spark, {"emb": emb}, [
+            {"op": "embed_neardup", "input": "emb", "id": "vec_id",
+             "vec": "embedding", "pairs": "hnsw"},
+        ])
+    with _pytest.raises(ValueError, match="mode"):
+        compile_transform(spark, {"emb": emb}, [
+            {"op": "embed_neardup", "input": "emb", "id": "vec_id",
+             "vec": "embedding", "dim": 64, "mode": "rank"},
+        ])

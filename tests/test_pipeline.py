@@ -589,6 +589,36 @@ def test_media_example_pipeline_e2e(spark, tmp_path):
     assert all(r["count"] <= 10 for r in sizes) and len(sizes) >= 5
 
 
+def test_embedding_example_pipeline_e2e(spark, tmp_path):
+    """examples/embedding_curation_pipeline.json end-to-end: the
+    embedding chain (embed_neardup filter -> fixed-n eval cut ->
+    L2-norm projection) runs inside the phased pipeline over the
+    embeddings parquet table and the sink holds exactly the
+    pipeline_embed_stage catalog query's rows — the PIPELINE wiring
+    pin for the r12 embed_neardup step (the semantic dedup stage no
+    longer exits the spec)."""
+    import json
+    import pathlib
+
+    from oracle_cassandra_migrator_spark.queries.round12 import (
+        pipeline_embed_stage)
+
+    cfg = json.loads(
+        (pathlib.Path(__file__).resolve().parent.parent
+         / "examples" / "embedding_curation_pipeline.json").read_text())
+    cfg["staging_dir"] = str(tmp_path / "staging")
+    table = cfg["tables"][0]
+    table["sources"]["emb"]["path"] = f"{SF_SMALL}/embeddings.parquet"
+    table["sink"]["path"] = str(tmp_path / "out")
+    results = run_pipelines(spark, cfg)
+    assert results[0].files_written >= 1
+    got = spark.read.parquet(str(tmp_path / "out"))
+    want = {tuple(r) for r in pipeline_embed_stage(
+        spark, SF_SMALL).collect()}
+    assert {tuple(r) for r in got.collect()} == want
+    assert len(want) == 25  # the fixed-n cut is exact at sf0.001
+
+
 def _tiny_table_spec(tmp_path, name, table, key):
     return {
         "name": name,

@@ -111,6 +111,7 @@ def cosine_pairs(
 def cosine_pairs_lsh_blocked(
     embeddings: DataFrame, threshold: float, dim: int, n_planes: int = 4,
     vec_col: str = "embedding", id_col: str = "vec_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs blocked by sign-LSH bucket — the scale
     composition of ``cosine_pairs``: candidates are only vectors
@@ -119,11 +120,29 @@ def cosine_pairs_lsh_blocked(
     vectors at angle θ share all ``n_planes`` sign bits with
     probability (1 - θ/π)^n_planes — tunable by lowering ``n_planes``
     or OR-ing multiple hash tables; precision is exact since every
-    candidate is verified against the true cosine."""
+    candidate is verified against the true cosine.
+
+    ``max_bucket_size`` (r12) is the embedding twin of minhash's
+    ``max_band_size`` guard: a bucket holding g vectors emits
+    g*(g-1)/2 candidates, so one pathological bucket (a mass-
+    duplicated canonical vector, all-zero embeddings) can dominate the
+    whole job. Buckets above the cap are dropped before the self-join
+    — their members are mass-duplicates whose dedup belongs to an
+    exact-hash pass, not pairwise cosine verification. The count is a
+    window over the same bucket key the join shuffles on, so it rides
+    the existing exchange. Default None preserves the uncapped
+    contract of the existing catalog oracles."""
     bucket = signbit_bucket_expr(vec_col, dim, n_planes)
     hashed = embeddings.select(
         F.expr(bucket).alias("bucket"),
         F.col(id_col), F.col(vec_col))
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+
+        hashed = (hashed.withColumn(
+            "__bsz", F.count("*").over(Window.partitionBy("bucket")))
+            .where(F.col("__bsz") <= int(max_bucket_size))
+            .drop("__bsz"))
     a = hashed.select("bucket", F.col(id_col).alias("id_a"),
                       F.col(vec_col).alias("va"))
     b = hashed.select("bucket", F.col(id_col).alias("id_b"),

@@ -787,8 +787,11 @@ def _op_embed_neardup(ns, step):
     - ``pairs="lsh"`` (default): sign-LSH bucket blocking
       (``cosine_pairs_lsh_blocked`` — deterministic md5-parity
       hyperplanes; knobs ``dim`` (REQUIRED: the literal hyperplanes
-      are materialized per dimension) and ``n_planes``). The 100 TB
-      path: one bucket equi-join, exact cosine verification.
+      are materialized per dimension), ``n_planes``, and
+      ``max_bucket_size`` — the embedding twin of minhash's band
+      cap: pathological mass-duplicate buckets are dropped before
+      the self-join). The 100 TB path: one bucket equi-join, exact
+      cosine verification.
     - ``pairs="cells"``: SemDeDup cell blocking (Abbas et al. 2023)
       — k-means codebook trained on the deterministic ``id %
       sample_mod = 0`` sample (numeric ids; knobs ``modulus``,
@@ -829,10 +832,14 @@ def _op_embed_neardup(ns, step):
             raise ValueError(
                 "embed_neardup pairs='lsh' requires 'dim' (the "
                 "hyperplane literals are materialized per dimension)")
+        # same int-coercion discipline as dedup_near's max_band_size:
+        # a JSON-string cap must not reach the Spark comparison raw
+        mbs = step.get("max_bucket_size")
         pairs = cosine_pairs_lsh_blocked(
             df, threshold=threshold, dim=int(step["dim"]),
             n_planes=int(step.get("n_planes", 4)),
-            vec_col=vec_col, id_col=id_col)
+            vec_col=vec_col, id_col=id_col,
+            max_bucket_size=int(mbs) if mbs is not None else None)
     elif pairs_alg == "cells":
         sample_mod = int(step.get("sample_mod", 7))
         cents = kmeans_codebook(

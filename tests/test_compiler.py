@@ -1033,3 +1033,31 @@ def test_compiler_embed_neardup_cells_exact_and_guards(spark):
             {"op": "embed_neardup", "input": "emb", "id": "vec_id",
              "vec": "embedding", "dim": 64, "mode": "rank"},
         ])
+
+
+def test_compiler_embed_neardup_bucket_cap(spark):
+    """max_bucket_size (r12) — the embedding twin of minhash's band
+    cap: three identical vectors share one sign-LSH bucket, so cap 2
+    drops the bucket before the self-join and every vector keeps
+    itself; the JSON-string form must coerce like the int (the
+    max_band_size discipline)."""
+    from oracle_cassandra_migrator_spark.plans.compiler import (
+        compile_transform)
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [1.0, 2.0, 3.0, 4.0]),
+         (3, [1.0, 2.0, 3.0, 4.0])],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    spec = {"op": "embed_neardup", "input": "emb", "id": "vec_id",
+            "vec": "embedding", "threshold": 0.9, "dim": 4,
+            "n_planes": 2}
+    uncapped = compile_transform(spark, {"emb": emb}, [dict(spec)])
+    assert sorted((r.vec_id, r.is_kept) for r in uncapped.collect()) \
+        == [(1, True), (2, False), (3, False)]
+    as_int = compile_transform(
+        spark, {"emb": emb}, [dict(spec, max_bucket_size=2)])
+    got_int = sorted(map(tuple, as_int.collect()))
+    as_str = compile_transform(
+        spark, {"emb": emb}, [dict(spec, max_bucket_size="2")])
+    assert sorted(map(tuple, as_str.collect())) == got_int
+    assert all(kept for _, _, kept in got_int)  # cap binds: no pairs

@@ -47,9 +47,17 @@ from pyspark.sql.streaming import StreamingQuery
 # resize geometry is a JVM-side projection — so a streaming media
 # ingest (crawl firehose -> decode -> quality gate -> sink) never
 # exits the spec either.
+# Stream-safe = stateless per-row work: no step here may aggregate,
+# join, or order across the stream. sample_stratified qualifies (r12)
+# because its rates are EXPLICIT spec constants and the survivor
+# predicate is a pure md5-bucket compare per row — the same row
+# survives in any micro-batch slicing; its siblings do NOT
+# (sample_temperature / corpus_mix derive thresholds from a
+# corpus-wide aggregate, sample_fixed_n orders across the corpus —
+# stateful shapes that belong to the dedicated streaming operators).
 STREAM_SAFE_OPS = frozenset({
     "filter", "select", "with_columns", "drop", "alias",
-    "decode_media",
+    "decode_media", "sample_stratified",
 })
 
 

@@ -529,3 +529,56 @@ def test_spec_stream_decode_media_equals_batch(spark, tmp_path):
     fmts = {r["mm_format"] for r in got.select("mm_format").collect()}
     assert fmts == {"bmp", "ppm", "wav", "png", "gif", "jpeg", "webp",
                     "mp4", "flac", "tiff", "ogg"}
+
+
+def test_spec_stream_sample_stratified_equals_batch(spark, tmp_path):
+    """r12: sample_stratified is a stream-safe transform step — its
+    rates are explicit spec constants and the survivor predicate is a
+    pure per-row md5-bucket compare, so the same rows survive under
+    any micro-batch slicing. Two source files -> two micro-batches;
+    the file sink's rows equal the batch equivalent of the same spec,
+    and per-stratum survivor sets are exactly the operator's."""
+    from oracle_cassandra_migrator_spark.operators.sampling import (
+        sample_stratified)
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+    from oracle_cassandra_migrator_spark.streaming.pipeline import (
+        run_batch_equivalent, run_stream_pipeline)
+
+    docs = read_table(spark, SF_SMALL, "documents") \
+        .select("doc_id", "lang", "source")
+    src = str(tmp_path / "src")
+    docs.where("doc_id % 2 = 0").coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    docs.where("doc_id % 2 = 1").coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    spec = {
+        "source": {"format": "parquet", "path": src,
+                   "schema": "doc_id BIGINT, lang STRING, source STRING",
+                   "options": {"maxFilesPerTrigger": "1"}},
+        "transform": [
+            {"op": "sample_stratified", "id": "doc_id",
+             "stratum": "lang",
+             "rates": {"en": 0.3, "zh": 0.8},
+             "default_rate": 0.5},
+            {"op": "select", "exprs": ["doc_id", "lang"]},
+        ],
+        "sink": {"format": "parquet", "path": str(tmp_path / "out"),
+                 "marker_dir": str(tmp_path / "markers"),
+                 "checkpoint_dir": str(tmp_path / "ckpt")},
+    }
+    q = run_stream_pipeline(spark, spec)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(spec["sink"]["path"])
+    want = run_batch_equivalent(spark, spec)
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, want.collect()))
+    # and both equal the operator applied to the whole corpus: the
+    # stream slicing changed nothing
+    op = sample_stratified(docs, "doc_id", "lang",
+                           rates={"en": 0.3, "zh": 0.8},
+                           default_rate=0.5)
+    assert sorted(r["doc_id"] for r in got.collect()) \
+        == sorted(r["doc_id"] for r in op.collect())
+    assert 0 < got.count() < docs.count()

@@ -1,6 +1,6 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The decode step is REAL for the eleven container formats whose headers
+The decode step is REAL for the twelve container formats whose headers
 need no external codec libraries — BMP (BITMAPINFOHEADER), binary PPM
 (P6), WAV (RIFF/PCM), PNG (signature + IHDR with CRC-32 verification),
 GIF (87a/89a logical screen descriptor), JPEG (marker-segment walk
@@ -11,11 +11,13 @@ count, and duration), and FLAC (metadata-block walk to the STREAMINFO
 bit fields: 20-bit sample rate, 3-bit channel count, 36-bit total
 samples), TIFF (both byte orders: the 8-byte header's II/MM order
 mark, then the IFD entry walk to ImageWidth/ImageLength/
-SamplesPerPixel with SHORT-vs-LONG value decoding), and Ogg
+SamplesPerPixel with SHORT-vs-LONG value decoding), Ogg
 (page-structure walk: the BOS page's identification packet — Vorbis
 ``\\x01vorbis`` or ``OpusHead`` — for channels and sample rate, the
-EOS page's granule position for duration) — parsed byte-for-byte
-inside the Arrow-batched
+EOS page's granule position for duration), and MP3 (MPEG-1 Layer III
+frame walk against the real bitrate/sampling-rate tables; 1152
+samples per frame give duration from the frame count) — parsed
+byte-for-byte inside the Arrow-batched
 ``mapInPandas`` path (``decode_header``). Compressed PIXEL decode
 (JPEG/PNG/WebP entropy streams, audio resampling, video frame decode)
 would slot into the same ``extract`` loop via PIL/librosa/pyav; those
@@ -25,7 +27,9 @@ half runs here — but it runs on real bytes, not a length-derived fake
 r9 item 2; WebP per VERDICT r10 item 4; MP4 per VERDICT r11 item 4;
 FLAC — lossless audio, the second audio crawl container — r12; TIFF
 and Ogg Vorbis/Opus — the scan-archive image and streaming-audio
-crawl containers — also r12).
+crawl containers — also r12; MP3 — the ubiquitous lossy-audio
+crawl container, frame-walked against the real bitrate/rate tables —
+also r12).
 
 What matters at scale is unchanged: binary columns flow through Arrow
 batches with an explicit output schema, partition sizes bounded by
@@ -343,10 +347,40 @@ def build_ogg_opus(channels: int, input_rate: int,
             + _ogg_page(0x04, granule, 1, b""))
 
 
+# MPEG-1 sampling-rate table (header bits 10-11); index 3 is reserved.
+# Bitrate is fixed at index 9 = 128 kbit/s for the fixture — the
+# parser reads the real table.
+MP3_RATES = (44100, 48000, 32000)
+_MP3_BITRATES_V1L3 = (None, 32000, 40000, 48000, 56000, 64000, 80000,
+                      96000, 112000, 128000, 160000, 192000, 224000,
+                      256000, 320000, None)
+
+
+def build_mp3(channels: int, sample_rate: int, n_frames: int,
+              fill: int = 0) -> bytes:
+    """Minimal MPEG-1 Layer III stream: ``n_frames`` back-to-back
+    frames at 128 kbit/s, no padding, no CRC, no ID3 tag. Each frame
+    is the 4-byte header (sync 0xFFFB, bitrate index 9, the rate's
+    table index, channel mode mono/stereo) plus filler to the Layer
+    III frame length floor(144 * bitrate / sample_rate). Byte length
+    is exact arithmetic the oracle replays:
+    n_frames * (144 * 128000 // sample_rate)."""
+    sr_idx = MP3_RATES.index(sample_rate)
+    mode = 0b11 if channels == 1 else 0b00  # mono / stereo
+    flen = 144 * 128000 // sample_rate
+    hdr = bytes([0xFF, 0xFB, (9 << 4) | (sr_idx << 2), mode << 6])
+    frame = hdr + bytes([fill % 256]) * (flen - 4)
+    return frame * n_frames
+
+
 def payload_for_doc(doc_id: int) -> bytes:
     """The per-document fixture: codec and geometry are pure doc_id
     arithmetic (what the DuckDB oracle replays), the bytes are real."""
-    m = doc_id % 11
+    m = doc_id % 12
+    if m == 11:
+        return build_mp3(1 + doc_id % 2,
+                         MP3_RATES[(doc_id // 13) % 3],
+                         1 + doc_id % 40, fill=doc_id)
     if m == 9:
         return build_tiff(1 + doc_id % 41, 1 + (doc_id * 23) % 27,
                           channels=1 + doc_id % 4,
@@ -788,6 +822,45 @@ def _parse_ogg(p: bytes):
     return ("ogg", None, None, channels, rate, duration_ms)
 
 
+def _parse_mp3(p: bytes):
+    """MPEG-1 Layer III frame walk (r12): each frame's 4-byte header
+    carries sync (11 set bits), version/layer bits, the bitrate and
+    sampling-rate TABLE indices (read against the real tables — a
+    reserved index quarantines), and the channel mode; frame length is
+    the Layer III formula floor(144 * bitrate / rate) + padding, so
+    the walk hops header-to-header. Samples are fixed at 1152/frame
+    for MPEG-1 Layer III, so duration needs only the frame count. A
+    partial trailing frame or a mid-stream sync loss quarantines."""
+    channels = rate = None
+    n_frames = 0
+    off = 0
+    while off + 4 <= len(p):
+        b0, b1, b2, b3 = p[off:off + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            return None
+        if (b1 >> 3) & 0x3 != 0b11 or (b1 >> 1) & 0x3 != 0b01:
+            return None  # only MPEG-1 Layer III here
+        bitrate = _MP3_BITRATES_V1L3[b2 >> 4]
+        sr_idx = (b2 >> 2) & 0x3
+        if bitrate is None or sr_idx == 3:
+            return None  # reserved table slots
+        frame_rate = MP3_RATES[sr_idx]
+        frame_channels = 1 if (b3 >> 6) == 0b11 else 2
+        if rate is None:
+            rate, channels = frame_rate, frame_channels
+        elif (frame_rate, frame_channels) != (rate, channels):
+            return None  # mid-stream parameter change
+        flen = 144 * bitrate // frame_rate + ((b2 >> 1) & 1)
+        if flen < 4 or off + flen > len(p):
+            return None  # partial trailing frame
+        n_frames += 1
+        off += flen
+    if rate is None or off != len(p):
+        return None
+    return ("mp3", None, None, channels, rate,
+            n_frames * 1152 * 1000 // rate)
+
+
 def decode_header(payload: bytes):
     """(mm_format, width, height, channels, sample_rate, duration_ms)
     from real container bytes; unrecognized/corrupt payloads come back
@@ -819,6 +892,9 @@ def decode_header(payload: bytes):
             got = _parse_tiff(payload)
         elif payload[:4] == b"OggS":
             got = _parse_ogg(payload)
+        elif (len(payload) >= 2 and payload[0] == 0xFF
+              and (payload[1] & 0xE0) == 0xE0):
+            got = _parse_mp3(payload)
     except (struct.error, IndexError, ValueError):
         # e.g. a RIFF chunk header that declares more bytes than the
         # payload carries — the contract above demands a quarantine
@@ -855,7 +931,7 @@ def decode_binary_metadata(df: DataFrame, id_col: str = "doc_id",
 def synthesized_payloads(documents: DataFrame,
                          extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Fixture source: one real BMP/PPM/WAV/PNG/GIF/JPEG/WebP/MP4/FLAC/
-    TIFF/Ogg payload per document (codec cycles doc_id % 11), built inside the same Arrow
+    TIFF/Ogg/MP3 payload per document (codec cycles doc_id % 12), built inside the same Arrow
     batches decode runs in (no driver-side materialization; the bytes
     exist only within the executor task). ``extra_cols`` ride through
     the same batch (e.g. ``text`` so a downstream dedup step still

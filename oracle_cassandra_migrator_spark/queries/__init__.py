@@ -151,10 +151,11 @@ _R04_CONFIRMED = frozenset({
 # r12: the fixture gains MP4/ISO-BMFF containers (VERDICT r11 item 4 —
 # decode_header walks the box tree ftyp → moov → trak → tkhd to
 # canvas dimensions), FLAC (lossless-audio STREAMINFO bit fields),
-# TIFF (endian-aware IFD entry walk), and Ogg Vorbis/Opus (page walk:
-# BOS identification packet + EOS granule), so payload_for_doc now
-# cycles doc_id % 11 across bmp/ppm/wav/png/gif/jpeg/webp/mp4/flac/
-# tiff/ogg and the OUTPUT of both fixture-consuming queries changes
+# TIFF (endian-aware IFD entry walk), Ogg Vorbis/Opus (page walk:
+# BOS identification packet + EOS granule), and MP3 (MPEG-1 Layer III
+# frame walk against the real bitrate/rate tables), so payload_for_doc
+# now cycles doc_id % 12 across bmp/ppm/wav/png/gif/jpeg/webp/mp4/
+# flac/tiff/ogg/mp3 and the OUTPUT of both fixture-consuming queries changes
 # again: multimodal_decode_stats and multimodal_resize_stats (it
 # reuses _MM_DECODED_SQL). pipeline_media_stage consumes the same
 # fixture but is r12-new (never green), so it is in the window by

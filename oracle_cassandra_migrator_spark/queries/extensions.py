@@ -609,7 +609,7 @@ def text_fingerprint_bottomk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 # doc_id arithmetic mirrored by operators/multimodal.payload_for_doc:
-# codec by doc_id % 11, geometry from doc_id — the oracle replays the
+# codec by doc_id % 12, geometry from doc_id — the oracle replays the
 # ARITHMETIC while Spark round-trips real container bytes through the
 # builders and the header parsers; a header-layout bug (wrong offset,
 # wrong endianness, bad row padding) breaks n_bytes or a dimension and
@@ -635,9 +635,13 @@ def text_fingerprint_bottomk(spark, sf_dir):
 # on the FIXED 48 kHz granule clock); oc channels / orate from the
 # identification packet, og = the EOS page's granule position;
 # n_bytes is the exact two-page arithmetic 86 (vorbis) / 75 (opus).
+# MP3 (codec 11, r12): p3c channels (mono/stereo mode bits) / p3rate
+# from the MPEG-1 table index / p3f back-to-back 128 kbit/s Layer III
+# frames of floor(144 * 128000 / rate) bytes each; 1152 samples per
+# frame gives duration_ms = p3f * 1152 * 1000 // p3rate.
 _MM_SQL = """
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           doc_id % 11 AS codec,
+           doc_id % 12 AS codec,
            1 + doc_id % 19 AS bw, 1 + (doc_id * 7) % 13 AS bh,
            1 + doc_id % 23 AS pw, 1 + (doc_id * 5) % 11 AS ph,
            1 + doc_id % 2 AS wc,
@@ -665,7 +669,11 @@ _MM_SQL = """
            doc_id % 2 AS ov, 1 + doc_id % 2 AS oc,
            CASE (doc_id // 11) % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
                 ELSE 44100 END AS orate,
-           1 + doc_id % 3000 AS og
+           1 + doc_id % 3000 AS og,
+           1 + doc_id % 2 AS p3c,
+           CASE (doc_id // 13) % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                ELSE 32000 END AS p3rate,
+           1 + doc_id % 40 AS p3f
     FROM documents
 """
 
@@ -686,14 +694,15 @@ _MM_DECODED_SQL = f"""
                 WHEN 7 THEN 148 + 100 * mtracks + mdat
                 WHEN 8 THEN 46 + fpad
                 WHEN 9 THEN 98 + tdata
-                ELSE CASE ov WHEN 0 THEN 86 ELSE 75 END
+                WHEN 10 THEN CASE ov WHEN 0 THEN 86 ELSE 75 END
+                ELSE p3f * (144 * 128000 // p3rate)
                 END AS BIGINT) AS n_bytes,
            CASE codec WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
                 WHEN 2 THEN 'wav' WHEN 3 THEN 'png'
                 WHEN 4 THEN 'gif' WHEN 5 THEN 'jpeg'
                 WHEN 6 THEN 'webp' WHEN 7 THEN 'mp4'
                 WHEN 8 THEN 'flac' WHEN 9 THEN 'tiff'
-                ELSE 'ogg' END AS mm_format,
+                WHEN 10 THEN 'ogg' ELSE 'mp3' END AS mm_format,
            CAST(CASE codec WHEN 0 THEN bw WHEN 1 THEN pw
                 WHEN 3 THEN ngw WHEN 4 THEN gw WHEN 5 THEN jw
                 WHEN 6 THEN ww WHEN 7 THEN mw WHEN 9 THEN tw
@@ -709,15 +718,18 @@ _MM_DECODED_SQL = f"""
                 WHEN 7 THEN mtracks
                 WHEN 8 THEN fc
                 WHEN 9 THEN tc WHEN 10 THEN oc
+                WHEN 11 THEN p3c
                 END AS INT) AS channels,
            CAST(CASE codec WHEN 2 THEN wrate
                 WHEN 8 THEN frate WHEN 10 THEN orate
+                WHEN 11 THEN p3rate
                 END AS INT) AS sample_rate,
            CAST(CASE codec WHEN 2 THEN wframes * 1000 // wrate
                 WHEN 7 THEN mdur * 1000 // 600
                 WHEN 8 THEN fsamples * 1000 // frate
                 WHEN 10 THEN CASE ov WHEN 0 THEN og * 1000 // orate
                              ELSE og * 1000 // 48000 END
+                WHEN 11 THEN p3f * 1152 * 1000 // p3rate
                 END AS BIGINT) AS duration_ms
     FROM g
 """
@@ -727,7 +739,7 @@ _MM_DECODED_SQL = f"""
 def multimodal_decode_stats(spark, sf_dir):
     """Real container decode over Arrow-batched binary payloads: one
     BMP / P6-PPM / RIFF-WAV / PNG / GIF / JPEG / WebP / MP4 / FLAC /
-    TIFF / Ogg file per document (codec cycles doc_id % 11, built by
+    TIFF / Ogg / MP3 file per document (codec cycles doc_id % 12, built by
     ``payload_for_doc``), headers parsed byte-for-byte by
     ``decode_header`` — width/height for images (plus color-type
     channels for PNG, frame components for JPEG, VP8/VP8L/VP8X canvas
@@ -735,7 +747,8 @@ def multimodal_decode_stats(spark, sf_dir):
     channels/sample-rate/duration for audio (WAV's RIFF fmt chunk;
     FLAC's packed STREAMINFO bit fields; Ogg's BOS identification
     packet — Vorbis or OpusHead — plus the EOS page's granule position
-    on the codec clock), and the ISO-BMFF box-tree walk (ftyp -> moov
+    on the codec clock; MP3's Layer III frame walk against the real
+    bitrate/rate tables), and the ISO-BMFF box-tree walk (ftyp -> moov
     -> mvhd/trak/tkhd) to canvas dims, track count, and duration for
     MP4 — all from the actual bytes (PNG's IHDR CRC-32 is verified;
     JPEG's marker segments are walked to SOF0/SOF2). The oracle

@@ -21,11 +21,12 @@ from oracle_cassandra_migrator_spark.sources.testdata import read_table
 # pipeline_media_stage — decode_media -> filter -> dedup_near -> sample
 # ---------------------------------------------------------------------------
 
-# Audio containers (wav, flac, ogg) carry no canvas — they gate on
-# duration; everything else gates on decoded dimensions.
+# Audio containers (wav, flac, ogg, mp3) carry no canvas — they gate
+# on duration; everything else gates on decoded dimensions.
 _MEDIA_GATE_SQL = (
-    "(mm_format IN ('wav', 'flac', 'ogg') AND duration_ms >= 10) OR "
-    "(mm_format NOT IN ('wav', 'flac', 'ogg') "
+    "(mm_format IN ('wav', 'flac', 'ogg', 'mp3') AND duration_ms >= 10)"
+    " OR "
+    "(mm_format NOT IN ('wav', 'flac', 'ogg', 'mp3') "
     "AND width >= 3 AND height >= 3)")
 
 

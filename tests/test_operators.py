@@ -152,7 +152,8 @@ def test_multimodal_decode_plumbing(spark):
         multimodal.synthesized_payloads(docs)).collect()
     assert {r.mm_format for r in real} <= {"bmp", "ppm", "wav", "png",
                                            "gif", "jpeg", "webp", "mp4",
-                                           "flac", "tiff", "ogg"}
+                                           "flac", "tiff", "ogg",
+                                           "mp3"}
     assert all(r.n_bytes > 0 for r in real)
 
 

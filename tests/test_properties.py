@@ -369,6 +369,15 @@ def test_multimodal_builders_roundtrip_any_geometry(
     assert mm.decode_header(ogo) == (
         "ogg", None, None, channels, rate, frames * 1000 // 48000)
     assert len(ogo) == 75
+    # r12: MP3 — frame walk against the real tables; duration from the
+    # 1152-samples-per-frame count
+    for mrate in mm.MP3_RATES:
+        nf = 1 + frames % 40
+        p3 = mm.build_mp3(channels, mrate, nf)
+        assert mm.decode_header(p3) == (
+            "mp3", None, None, channels, mrate,
+            nf * 1152 * 1000 // mrate)
+        assert len(p3) == nf * (144 * 128000 // mrate)
 
 
 @settings(max_examples=100, deadline=None)
@@ -392,7 +401,9 @@ def test_decode_header_never_raises_on_fuzz(data):
                    b"II*\x00", b"MM\x00*", b"II*\x00\x08\x00\x00\x00",
                    b"MM\x00*\x00\x00\x00\x08",
                    b"OggS", b"OggS\x00\x02", b"OggS\x00\x02" + b"\x00" * 21
-                   + b"\x01\x07\x01vorbis"):
+                   + b"\x01\x07\x01vorbis",
+                   b"\xff\xfb", b"\xff\xfb\x92\xc0", b"\xff\xe2\x00\x00",
+                   b"\xff\xfb\xf0\x00", b"\xff\xfb\x9c\x00"):
         got = mm.decode_header(prefix + data)
         assert isinstance(got, tuple) and len(got) == 6
 

@@ -511,17 +511,17 @@ def test_decode_header_webp_variants_and_edges():
     assert mm.decode_header(patched) == ("webp", 7, 5, 3, None, None)
 
 
-def test_payload_for_doc_cycles_eleven_codecs():
+def test_payload_for_doc_cycles_twelve_codecs():
     """The fixture contract the multimodal oracles replay: codec =
-    doc_id % 11 across bmp/ppm/wav/png/gif/jpeg/webp/mp4/flac/tiff/
-    ogg, every payload decodes to its own geometry arithmetic."""
+    doc_id % 12 across bmp/ppm/wav/png/gif/jpeg/webp/mp4/flac/tiff/
+    ogg/mp3, every payload decodes to its own geometry arithmetic."""
     from oracle_cassandra_migrator_spark.operators import multimodal as mm
 
-    fmts = [mm.decode_header(mm.payload_for_doc(i))[0] for i in range(22)]
+    fmts = [mm.decode_header(mm.payload_for_doc(i))[0] for i in range(24)]
     assert fmts == ["bmp", "ppm", "wav", "png", "gif", "jpeg", "webp",
-                    "mp4", "flac", "tiff", "ogg"] * 2
+                    "mp4", "flac", "tiff", "ogg", "mp3"] * 2
     # webp sub-cycle: variant (i//5)%3, alpha (i//3)%2
-    for i in (6, 17, 28, 39, 50, 61):
+    for i in (6, 18, 30, 42, 54, 66):
         got = mm.decode_header(mm.payload_for_doc(i))
         assert got[0] == "webp"
         assert got[1] == 1 + i % 37 and got[2] == 1 + (i * 19) % 23
@@ -530,7 +530,7 @@ def test_payload_for_doc_cycles_eleven_codecs():
     # mp4 (r12): canvas from the video trak's tkhd, track count in the
     # channels slot, duration over the fixed 600 timescale, and the
     # exact box-size arithmetic for n_bytes
-    for i in (7, 18, 29, 40, 128):
+    for i in (7, 19, 31, 43, 127):
         got = mm.decode_header(mm.payload_for_doc(i))
         assert got == ("mp4", 1 + i % 43, 1 + (i * 29) % 31,
                        1 + i % 3, None, (1 + i % 900) * 1000 // 600)
@@ -539,7 +539,7 @@ def test_payload_for_doc_cycles_eleven_codecs():
     # flac (r12): channels / 20-bit sample rate / 36-bit total samples
     # from STREAMINFO's packed field, duration over the sample rate,
     # and the exact two-block byte arithmetic 46 + pad
-    for i in (8, 19, 30, 41, 129):
+    for i in (8, 20, 32, 44, 128):
         got = mm.decode_header(mm.payload_for_doc(i))
         rate = mm.WAV_RATES[(i // 7) % 3]
         assert got == ("flac", None, None, 1 + i % 2, rate,
@@ -548,7 +548,7 @@ def test_payload_for_doc_cycles_eleven_codecs():
     # tiff (r12): IFD ImageWidth/ImageLength/SamplesPerPixel, byte
     # order alternating II/MM on (i//2)%2 — invisible to the decoded
     # values — and the exact header+IFD arithmetic 98 + strip bytes
-    for i in (9, 20, 31, 42, 130):
+    for i in (9, 21, 33, 45, 129):
         got = mm.decode_header(mm.payload_for_doc(i))
         assert got == ("tiff", 1 + i % 41, 1 + (i * 23) % 27,
                        1 + i % 4, None, None)
@@ -556,7 +556,7 @@ def test_payload_for_doc_cycles_eleven_codecs():
     # ogg (r12): i%2 picks Vorbis (duration on the stream's own rate)
     # vs Opus (fixed 48 kHz granule clock); exact two-page byte
     # arithmetic 86 / 75
-    for i in (10, 21, 32, 43, 131):
+    for i in (10, 22, 34, 46, 130):
         got = mm.decode_header(mm.payload_for_doc(i))
         rate = mm.WAV_RATES[(i // 11) % 3]
         g = 1 + i % 3000
@@ -564,3 +564,13 @@ def test_payload_for_doc_cycles_eleven_codecs():
         assert got == ("ogg", None, None, 1 + i % 2, rate,
                        g * 1000 // clock)
         assert len(mm.payload_for_doc(i)) == (86 if i % 2 == 0 else 75)
+    # mp3 (r12): mono/stereo from the mode bits, rate from the MPEG-1
+    # table, duration from the 1152-samples-per-frame count, and the
+    # exact back-to-back frame arithmetic nf * (144 * 128000 // rate)
+    for i in (11, 23, 35, 47, 143):
+        got = mm.decode_header(mm.payload_for_doc(i))
+        rate = mm.MP3_RATES[(i // 13) % 3]
+        nf = 1 + i % 40
+        assert got == ("mp3", None, None, 1 + i % 2, rate,
+                       nf * 1152 * 1000 // rate)
+        assert len(mm.payload_for_doc(i)) == nf * (144 * 128000 // rate)

@@ -506,7 +506,7 @@ def test_spec_stream_decode_media_equals_batch(spark, tmp_path):
             {"op": "decode_media", "quarantine": "drop",
              "resize_box": 224},
             {"op": "filter",
-             "expr": "(mm_format IN ('wav', 'flac', 'ogg') AND "
+             "expr": "(mm_format IN ('wav', 'flac', 'ogg', 'mp3') AND "
                      "duration_ms >= 0) OR width >= 1"},
         ],
         "sink": {"format": "parquet", "path": str(tmp_path / "out"),
@@ -528,7 +528,7 @@ def test_spec_stream_decode_media_equals_batch(spark, tmp_path):
     assert "payload" not in got.columns  # binary projected away
     fmts = {r["mm_format"] for r in got.select("mm_format").collect()}
     assert fmts == {"bmp", "ppm", "wav", "png", "gif", "jpeg", "webp",
-                    "mp4", "flac", "tiff", "ogg"}
+                    "mp4", "flac", "tiff", "ogg", "mp3"}
 
 
 def test_spec_stream_sample_stratified_equals_batch(spark, tmp_path):

@@ -28,7 +28,7 @@ def test_every_op_is_exercised_here():
         "anti_join_bloom", "fuzzy_join", "winsorize", "target_encode",
         "psi_gate", "dsir_select", "maintain_agg", "dedup_near",
         "sample_stratified", "sample_temperature", "sample_fixed_n",
-        "corpus_mix", "decode_media",
+        "corpus_mix", "decode_media", "embed_neardup",
     }
     assert exercised == set(OPS)
 

@@ -375,31 +375,42 @@ def build_mp3(channels: int, sample_rate: int, n_frames: int,
 
 def payload_for_doc(doc_id: int) -> bytes:
     """The per-document fixture: codec and geometry are pure doc_id
-    arithmetic (what the DuckDB oracle replays), the bytes are real."""
-    m = doc_id % 12
+    arithmetic (what the DuckDB oracle replays), the bytes are real.
+
+    Sub-variant selectors (channel counts, endianness, progressive
+    flag, Vorbis-vs-Opus, ...) derive from the CYCLE INDEX q =
+    doc_id // 12, never from doc_id % k for k sharing a factor with
+    12: within a codec slot doc_id is congruent mod 12, so any
+    doc_id % 2 / % 3 / % 4 selector would be CONSTANT there and the
+    certification would silently stop exercising the other variant
+    arms (review r12 — this exact bug froze Opus, big-endian TIFF,
+    progressive JPEG, stereo WAV/FLAC, WebP alpha, and multi-track
+    MP4 out of the fixture when the cycle moved from the odd % 9 to
+    % 12). q takes every integer value within every slot."""
+    m, q = doc_id % 12, doc_id // 12
     if m == 11:
-        return build_mp3(1 + doc_id % 2,
+        return build_mp3(1 + q % 2,
                          MP3_RATES[(doc_id // 13) % 3],
                          1 + doc_id % 40, fill=doc_id)
     if m == 9:
         return build_tiff(1 + doc_id % 41, 1 + (doc_id * 23) % 27,
-                          channels=1 + doc_id % 4,
+                          channels=1 + q % 4,
                           data_len=doc_id % 97,
-                          big_endian=bool((doc_id // 2) % 2),
+                          big_endian=bool((q // 2) % 2),
                           fill=doc_id)
     if m == 10:
         rate = WAV_RATES[(doc_id // 11) % 3]
         granule = 1 + doc_id % 3000
-        if doc_id % 2 == 0:
-            return build_ogg_vorbis(1 + doc_id % 2, rate, granule)
-        return build_ogg_opus(1 + doc_id % 2, rate, granule)
+        if q % 2 == 0:
+            return build_ogg_vorbis(1 + (q // 2) % 2, rate, granule)
+        return build_ogg_opus(1 + (q // 2) % 2, rate, granule)
     if m == 8:
-        return build_flac(1 + doc_id % 2,
+        return build_flac(1 + q % 2,
                           WAV_RATES[(doc_id // 7) % 3],
                           1 + doc_id % 2000, pad_len=doc_id % 64)
     if m == 7:
         return build_mp4(1 + doc_id % 43, 1 + (doc_id * 29) % 31,
-                         n_tracks=1 + doc_id % 3, timescale=600,
+                         n_tracks=1 + q % 3, timescale=600,
                          duration=1 + doc_id % 900,
                          mdat_len=doc_id % 50, fill=doc_id)
     if m == 0:
@@ -409,7 +420,7 @@ def payload_for_doc(doc_id: int) -> bytes:
         return build_ppm(1 + doc_id % 23, 1 + (doc_id * 5) % 11,
                          fill=doc_id)
     if m == 2:
-        return build_wav(1 + doc_id % 2, WAV_RATES[(doc_id // 3) % 3],
+        return build_wav(1 + q % 2, WAV_RATES[(doc_id // 3) % 3],
                          1 + doc_id % 500)
     if m == 3:
         return build_png(1 + doc_id % 17, 1 + (doc_id * 3) % 7,
@@ -419,12 +430,12 @@ def payload_for_doc(doc_id: int) -> bytes:
                          fill=doc_id)
     if m == 5:
         return build_jpeg(1 + doc_id % 31, 1 + (doc_id * 13) % 15,
-                          channels=1 + 2 * (doc_id % 2),
-                          progressive=bool((doc_id // 2) % 2),
+                          channels=1 + 2 * (q % 2),
+                          progressive=bool((q // 2) % 2),
                           fill=doc_id)
     w, h = 1 + doc_id % 37, 1 + (doc_id * 19) % 23
     v = (doc_id // 5) % 3
-    alpha = bool((doc_id // 3) % 2)
+    alpha = bool(q % 2)
     if v == 0:
         return build_webp_vp8(w, h, fill=doc_id)
     if v == 1:
@@ -782,11 +793,14 @@ def _parse_ogg(p: bytes):
     page's first packet identifies the codec — ``\\x01vorbis`` (channels
     u8 + rate u32 at offsets 11/12) or ``OpusHead`` (channels u8 at 9,
     informational input rate u32 at 12, granules on the fixed 48 kHz
-    Opus clock) — and the LAST page's granule position is the stream
-    length in codec-clock samples, so duration needs the whole page
-    walk, not just the header. Truncated pages or an unknown first
+    Opus clock, with OpusHead's u16 pre-skip at offset 10 subtracted
+    from the final granule per RFC 7845) — and the LAST page's granule
+    position is the stream length in codec-clock samples, so duration
+    needs the whole page walk, not just the header. Truncated pages,
+    trailing bytes after the last whole page, or an unknown first
     packet quarantine."""
     channels = rate = clock = None
+    preskip = 0
     last_granule = None
     off = 0
     while off + 27 <= len(p):
@@ -808,6 +822,9 @@ def _parse_ogg(p: bytes):
                 clock = rate
             elif body[:8] == b"OpusHead" and len(body) >= 19:
                 channels = body[9]
+                # RFC 7845: granules are 48 kHz and the PCM length is
+                # final granule MINUS the pre-skip priming samples
+                preskip = struct.unpack_from("<H", body, 10)[0]
                 rate = struct.unpack_from("<I", body, 12)[0]
                 clock = 48000
             else:
@@ -817,7 +834,11 @@ def _parse_ogg(p: bytes):
         off += 27 + nseg + body_len
     if channels is None or not rate or not clock:
         return None
-    duration_ms = (last_granule * 1000 // clock
+    if off != len(p):
+        # 1-26 trailing bytes = a truncated next page header; the
+        # contract is quarantine, same as _parse_mp3's tail check
+        return None
+    duration_ms = (max(last_granule - preskip, 0) * 1000 // clock
                    if last_granule is not None else None)
     return ("ogg", None, None, channels, rate, duration_ms)
 

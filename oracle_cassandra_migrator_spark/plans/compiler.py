@@ -594,8 +594,6 @@ def _op_dedup_near(ns, step):
         LSH_MAX_BAND_SIZE,
         LSH_ROWS,
         allpairs_jaccard_pairs,
-        connected_components,
-        dedup_decisions,
         minhash_lsh_pairs,
         simhash_hamming_pairs,
     )
@@ -605,6 +603,11 @@ def _op_dedup_near(ns, step):
     threshold = float(step.get("threshold", 0.5))
     n = int(step.get("n", 3))
     pairs_alg = step.get("pairs", "minhash")
+    if pairs_alg not in ("minhash", "jaccard", "simhash"):
+        raise ValueError(
+            f"dedup_near pairs must be 'minhash', 'jaccard' or "
+            f"'simhash' (got {pairs_alg!r})")
+    mode = _neardup_mode(step, "dedup_near")
     if pairs_alg == "minhash":
         # coerce like bands/rows/threshold: a JSON-string "500" must
         # not reach the Spark band-cap comparison raw (implicit
@@ -620,7 +623,7 @@ def _op_dedup_near(ns, step):
         pairs = allpairs_jaccard_pairs(
             df, text_col, id_col, n=n, threshold=threshold,
             strategy=step.get("strategy", "auto"))
-    elif pairs_alg == "simhash":
+    else:
         # same int-coercion discipline as max_band_size: a JSON-string
         # knob must not reach a Spark comparison raw
         mblk = step.get("max_block_size")
@@ -629,26 +632,42 @@ def _op_dedup_near(ns, step):
             max_distance=int(step.get("max_distance", 2)),
             bits=int(step.get("bits", 32)),
             max_block_size=int(mblk) if mblk is not None else None)
-    else:
-        raise ValueError(
-            f"dedup_near pairs must be 'minhash', 'jaccard' or "
-            f"'simhash' (got {pairs_alg!r})")
-    comp = connected_components(pairs, src="doc_a", dst="doc_b")
-    # cast_bigint=False: component inherits id_col's own type (labels
-    # ARE ids), so a string/UUID id survives intact — the
-    # dedup_keep_representative trap
-    decisions = dedup_decisions(df, comp, id_col, cast_bigint=False)
-    mode = step.get("mode", "decisions")
-    if mode == "decisions":
-        return decisions
-    if mode == "filter":
-        kept = decisions.where("is_kept").select(id_col)
-        return df.join(kept, id_col, "left_semi")
-    raise ValueError(
-        f"dedup_near mode must be 'decisions' or 'filter' (got {mode!r})")
+    return _neardup_decisions(df, pairs, id_col, mode,
+                              src="doc_a", dst="doc_b")
 
 
 OPS["dedup_near"] = _op_dedup_near
+
+
+def _neardup_mode(step, op: str) -> str:
+    """Validate mode BEFORE any eager pair/CC work: a typo'd mode must
+    fail in milliseconds, not after compile-time label propagation
+    over the pair graph (review r12)."""
+    mode = step.get("mode", "decisions")
+    if mode not in ("decisions", "filter"):
+        raise ValueError(
+            f"{op} mode must be 'decisions' or 'filter' (got {mode!r})")
+    return mode
+
+
+def _neardup_decisions(df, pairs, id_col, mode, src, dst):
+    """Shared tail of dedup_near / embed_neardup: pairs -> hash-to-min
+    connected components -> (id, cluster_rep, is_kept) decisions, or
+    the kept-representative semi-join filter of the input rows.
+    cast_bigint=False: component inherits id_col's own type (labels
+    ARE ids), so a string/UUID id survives intact — the
+    dedup_keep_representative trap."""
+    from oracle_cassandra_migrator_spark.operators.dedup import (
+        connected_components,
+        dedup_decisions,
+    )
+
+    comp = connected_components(pairs, src=src, dst=dst)
+    decisions = dedup_decisions(df, comp, id_col, cast_bigint=False)
+    if mode == "decisions":
+        return decisions
+    kept = decisions.where("is_kept").select(id_col)
+    return df.join(kept, id_col, "left_semi")
 
 
 def _op_sample_stratified(ns, step):
@@ -810,10 +829,6 @@ def _op_embed_neardup(ns, step):
     pair-graph-sized shuffles only) and, for ``pairs="cells"``, the
     <= ``modulus``-row codebook is collected driver-side — bounded,
     never corpus-sized."""
-    from oracle_cassandra_migrator_spark.operators.dedup import (
-        connected_components,
-        dedup_decisions,
-    )
     from oracle_cassandra_migrator_spark.operators.similarity import (
         assign_cells_literal,
         codebook_literal_expr,
@@ -827,6 +842,11 @@ def _op_embed_neardup(ns, step):
     id_col, vec_col = step["id"], step["vec"]
     threshold = float(step.get("threshold", 0.45))
     pairs_alg = step.get("pairs", "lsh")
+    if pairs_alg not in ("lsh", "cells", "exact"):
+        raise ValueError(
+            f"embed_neardup pairs must be 'lsh', 'cells' or 'exact' "
+            f"(got {pairs_alg!r})")
+    mode = _neardup_mode(step, "embed_neardup")
     if pairs_alg == "lsh":
         if "dim" not in step:
             raise ValueError(
@@ -854,7 +874,7 @@ def _op_embed_neardup(ns, step):
             vec_col=vec_col, id_col=id_col)
         pairs = cosine_pairs_within_cells(
             cells, threshold=threshold, vec_col=vec_col, id_col=id_col)
-    elif pairs_alg == "exact":
+    else:
         # same int-coercion discipline as dedup_near's knobs; an
         # absent max_rows keeps the refuse valve at its default bar
         mr = step.get("max_rows", "default")
@@ -864,21 +884,8 @@ def _op_embed_neardup(ns, step):
                  cosine_pairs(df, threshold=threshold, vec_col=vec_col,
                               id_col=id_col,
                               max_rows=int(mr) if mr is not None else None))
-    else:
-        raise ValueError(
-            f"embed_neardup pairs must be 'lsh', 'cells' or 'exact' "
-            f"(got {pairs_alg!r})")
-    comp = connected_components(pairs, src="id_a", dst="id_b")
-    decisions = dedup_decisions(df, comp, id_col, cast_bigint=False)
-    mode = step.get("mode", "decisions")
-    if mode == "decisions":
-        return decisions
-    if mode == "filter":
-        kept = decisions.where("is_kept").select(id_col)
-        return df.join(kept, id_col, "left_semi")
-    raise ValueError(
-        f"embed_neardup mode must be 'decisions' or 'filter' "
-        f"(got {mode!r})")
+    return _neardup_decisions(df, pairs, id_col, mode,
+                              src="id_a", dst="id_b")
 
 
 OPS["embed_neardup"] = _op_embed_neardup

@@ -615,7 +615,10 @@ def text_fingerprint_bottomk(spark, sf_dir):
 # wrong endianness, bad row padding) breaks n_bytes or a dimension and
 # flips the driver hash. WebP (codec 6, r11) carries its own
 # sub-cycle: variant (doc_id // 5) % 3 picks VP8/VP8L/VP8X and alpha
-# (doc_id // 3) % 2 sets the VP8L hint / VP8X flag; wk is the filler
+# (doc_id // 12) % 2 sets the VP8L hint / VP8X flag (sub-variant
+# selectors derive from the CYCLE INDEX doc_id // 12 — a doc_id % k
+# selector for k sharing a factor with 12 is CONSTANT within a codec
+# slot, review r12); wk is the filler
 # length min(255, ww*wh) the RIFF byte-length formulas depend on
 # (odd chunk sizes gain one pad byte — word alignment). MP4 (codec 7,
 # r12): mw/mh = the video trak's tkhd canvas, mtracks = trak count
@@ -627,13 +630,14 @@ def text_fingerprint_bottomk(spark, sf_dir):
 # fpad is the trailing PADDING block's length — n_bytes is the exact
 # magic + two-block arithmetic 46 + fpad. TIFF (codec 9, r12):
 # tw/th/tc from the IFD's ImageWidth/ImageLength/SamplesPerPixel
-# entries (byte order alternates II/LE and MM/BE on (doc_id // 2) % 2
+# entries (byte order alternates II/LE and MM/BE on (doc_id // 24) % 2
 # — invisible to the oracle, which sees only the decoded values),
 # tdata strip bytes after the fixed 98-byte header+IFD. Ogg (codec
-# 10, r12): ov = doc_id % 2 picks Vorbis (30-byte id header, duration
-# on the stream's own rate clock) vs Opus (19-byte OpusHead, duration
-# on the FIXED 48 kHz granule clock); oc channels / orate from the
-# identification packet, og = the EOS page's granule position;
+# 10, r12): ov = (doc_id // 12) % 2 picks Vorbis (30-byte id header,
+# duration on the stream's own rate clock) vs Opus (19-byte OpusHead,
+# duration on the FIXED 48 kHz granule clock MINUS the 312-sample
+# pre-skip, RFC 7845); oc channels / orate from the identification
+# packet, og = the EOS page's granule position;
 # n_bytes is the exact two-page arithmetic 86 (vorbis) / 75 (opus).
 # MP3 (codec 11, r12): p3c channels (mono/stereo mode bits) / p3rate
 # from the MPEG-1 table index / p3f back-to-back 128 kbit/s Layer III
@@ -644,33 +648,33 @@ _MM_SQL = """
            doc_id % 12 AS codec,
            1 + doc_id % 19 AS bw, 1 + (doc_id * 7) % 13 AS bh,
            1 + doc_id % 23 AS pw, 1 + (doc_id * 5) % 11 AS ph,
-           1 + doc_id % 2 AS wc,
+           1 + (doc_id // 12) % 2 AS wc,
            CASE (doc_id // 3) % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
                 ELSE 44100 END AS wrate,
            1 + doc_id % 500 AS wframes,
            1 + doc_id % 17 AS ngw, 1 + (doc_id * 3) % 7 AS ngh,
            1 + doc_id % 29 AS gw, 1 + (doc_id * 11) % 9 AS gh,
            1 + doc_id % 31 AS jw, 1 + (doc_id * 13) % 15 AS jh,
-           1 + 2 * (doc_id % 2) AS jc,
+           1 + 2 * ((doc_id // 12) % 2) AS jc,
            1 + doc_id % 37 AS ww, 1 + (doc_id * 19) % 23 AS wh,
            least(255, (1 + doc_id % 37) * (1 + (doc_id * 19) % 23))
              AS wk,
-           (doc_id // 5) % 3 AS wv, (doc_id // 3) % 2 AS walpha,
+           (doc_id // 5) % 3 AS wv, (doc_id // 12) % 2 AS walpha,
            1 + doc_id % 43 AS mw, 1 + (doc_id * 29) % 31 AS mh,
-           1 + doc_id % 3 AS mtracks, 1 + doc_id % 900 AS mdur,
+           1 + (doc_id // 12) % 3 AS mtracks, 1 + doc_id % 900 AS mdur,
            doc_id % 50 AS mdat,
-           1 + doc_id % 2 AS fc,
+           1 + (doc_id // 12) % 2 AS fc,
            CASE (doc_id // 7) % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
                 ELSE 44100 END AS frate,
            1 + doc_id % 2000 AS fsamples,
            doc_id % 64 AS fpad,
            1 + doc_id % 41 AS tw, 1 + (doc_id * 23) % 27 AS th,
-           1 + doc_id % 4 AS tc, doc_id % 97 AS tdata,
-           doc_id % 2 AS ov, 1 + doc_id % 2 AS oc,
+           1 + (doc_id // 12) % 4 AS tc, doc_id % 97 AS tdata,
+           (doc_id // 12) % 2 AS ov, 1 + (doc_id // 24) % 2 AS oc,
            CASE (doc_id // 11) % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
                 ELSE 44100 END AS orate,
            1 + doc_id % 3000 AS og,
-           1 + doc_id % 2 AS p3c,
+           1 + (doc_id // 12) % 2 AS p3c,
            CASE (doc_id // 13) % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
                 ELSE 32000 END AS p3rate,
            1 + doc_id % 40 AS p3f
@@ -728,7 +732,7 @@ _MM_DECODED_SQL = f"""
                 WHEN 7 THEN mdur * 1000 // 600
                 WHEN 8 THEN fsamples * 1000 // frate
                 WHEN 10 THEN CASE ov WHEN 0 THEN og * 1000 // orate
-                             ELSE og * 1000 // 48000 END
+                             ELSE greatest(og - 312, 0) * 1000 // 48000 END
                 WHEN 11 THEN p3f * 1152 * 1000 // p3rate
                 END AS BIGINT) AS duration_ms
     FROM g

@@ -366,8 +366,11 @@ def test_multimodal_builders_roundtrip_any_geometry(
         "ogg", None, None, channels, rate, frames * 1000 // rate)
     assert len(ogv) == 86
     ogo = mm.build_ogg_opus(channels, rate, frames)
+    # Opus: duration subtracts OpusHead's 312-sample pre-skip (RFC
+    # 7845) on the fixed 48 kHz granule clock
     assert mm.decode_header(ogo) == (
-        "ogg", None, None, channels, rate, frames * 1000 // 48000)
+        "ogg", None, None, channels, rate,
+        max(frames - 312, 0) * 1000 // 48000)
     assert len(ogo) == 75
     # r12: MP3 — frame walk against the real tables; duration from the
     # 1152-samples-per-frame count

@@ -520,12 +520,14 @@ def test_payload_for_doc_cycles_twelve_codecs():
     fmts = [mm.decode_header(mm.payload_for_doc(i))[0] for i in range(24)]
     assert fmts == ["bmp", "ppm", "wav", "png", "gif", "jpeg", "webp",
                     "mp4", "flac", "tiff", "ogg", "mp3"] * 2
-    # webp sub-cycle: variant (i//5)%3, alpha (i//3)%2
+    # webp sub-cycle: variant (i//5)%3, alpha (i//12)%2 (sub-variant
+    # selectors use the cycle index — i%k selectors freeze inside a
+    # %12 codec slot, review r12)
     for i in (6, 18, 30, 42, 54, 66):
         got = mm.decode_header(mm.payload_for_doc(i))
         assert got[0] == "webp"
         assert got[1] == 1 + i % 37 and got[2] == 1 + (i * 19) % 23
-        v, alpha = (i // 5) % 3, (i // 3) % 2
+        v, alpha = (i // 5) % 3, (i // 12) % 2
         assert got[3] == (3 if v == 0 else 3 + alpha), (i, v, alpha, got)
     # mp4 (r12): canvas from the video trak's tkhd, track count in the
     # channels slot, duration over the fixed 600 timescale, and the
@@ -533,16 +535,17 @@ def test_payload_for_doc_cycles_twelve_codecs():
     for i in (7, 19, 31, 43, 127):
         got = mm.decode_header(mm.payload_for_doc(i))
         assert got == ("mp4", 1 + i % 43, 1 + (i * 29) % 31,
-                       1 + i % 3, None, (1 + i % 900) * 1000 // 600)
+                       1 + (i // 12) % 3, None,
+                       (1 + i % 900) * 1000 // 600)
         assert len(mm.payload_for_doc(i)) == \
-            148 + 100 * (1 + i % 3) + i % 50
+            148 + 100 * (1 + (i // 12) % 3) + i % 50
     # flac (r12): channels / 20-bit sample rate / 36-bit total samples
     # from STREAMINFO's packed field, duration over the sample rate,
     # and the exact two-block byte arithmetic 46 + pad
     for i in (8, 20, 32, 44, 128):
         got = mm.decode_header(mm.payload_for_doc(i))
         rate = mm.WAV_RATES[(i // 7) % 3]
-        assert got == ("flac", None, None, 1 + i % 2, rate,
+        assert got == ("flac", None, None, 1 + (i // 12) % 2, rate,
                        (1 + i % 2000) * 1000 // rate)
         assert len(mm.payload_for_doc(i)) == 46 + i % 64
     # tiff (r12): IFD ImageWidth/ImageLength/SamplesPerPixel, byte
@@ -551,7 +554,7 @@ def test_payload_for_doc_cycles_twelve_codecs():
     for i in (9, 21, 33, 45, 129):
         got = mm.decode_header(mm.payload_for_doc(i))
         assert got == ("tiff", 1 + i % 41, 1 + (i * 23) % 27,
-                       1 + i % 4, None, None)
+                       1 + (i // 12) % 4, None, None)
         assert len(mm.payload_for_doc(i)) == 98 + i % 97
     # ogg (r12): i%2 picks Vorbis (duration on the stream's own rate)
     # vs Opus (fixed 48 kHz granule clock); exact two-page byte
@@ -560,10 +563,13 @@ def test_payload_for_doc_cycles_twelve_codecs():
         got = mm.decode_header(mm.payload_for_doc(i))
         rate = mm.WAV_RATES[(i // 11) % 3]
         g = 1 + i % 3000
-        clock = rate if i % 2 == 0 else 48000
-        assert got == ("ogg", None, None, 1 + i % 2, rate,
-                       g * 1000 // clock)
-        assert len(mm.payload_for_doc(i)) == (86 if i % 2 == 0 else 75)
+        vorbis = (i // 12) % 2 == 0
+        # Opus durations subtract OpusHead's 312-sample pre-skip on
+        # the 48 kHz clock (RFC 7845)
+        dur = (g * 1000 // rate if vorbis
+               else max(g - 312, 0) * 1000 // 48000)
+        assert got == ("ogg", None, None, 1 + (i // 24) % 2, rate, dur)
+        assert len(mm.payload_for_doc(i)) == (86 if vorbis else 75)
     # mp3 (r12): mono/stereo from the mode bits, rate from the MPEG-1
     # table, duration from the 1152-samples-per-frame count, and the
     # exact back-to-back frame arithmetic nf * (144 * 128000 // rate)
@@ -571,6 +577,58 @@ def test_payload_for_doc_cycles_twelve_codecs():
         got = mm.decode_header(mm.payload_for_doc(i))
         rate = mm.MP3_RATES[(i // 13) % 3]
         nf = 1 + i % 40
-        assert got == ("mp3", None, None, 1 + i % 2, rate,
+        assert got == ("mp3", None, None, 1 + (i // 12) % 2, rate,
                        nf * 1152 * 1000 // rate)
         assert len(mm.payload_for_doc(i)) == nf * (144 * 128000 // rate)
+
+
+def test_fixture_exercises_every_variant_arm():
+    """Review r12 regression pin: when the codec cycle moved from the
+    odd % 9 to % 12, every doc_id % 2/3/4-derived sub-variant selector
+    froze to a constant inside its codec slot (12 shares those
+    factors) and Opus / big-endian TIFF / progressive JPEG / stereo
+    WAV+FLAC / WebP alpha / multi-track MP4 silently left the
+    certified fixture. Selectors now derive from the cycle index
+    doc_id // 12; this test fails if any variant arm ever drops out
+    of the first 500 doc ids again."""
+    from oracle_cassandra_migrator_spark.operators import multimodal as mm
+
+    decoded = [(i, mm.decode_header(mm.payload_for_doc(i)))
+               for i in range(500)]
+    by_fmt = {}
+    for i, d in decoded:
+        by_fmt.setdefault(d[0], []).append((i, d))
+    # channel-variant spread per format
+    assert {d[3] for _, d in by_fmt["wav"]} == {1, 2}
+    assert {d[3] for _, d in by_fmt["flac"]} == {1, 2}
+    assert {d[3] for _, d in by_fmt["ogg"]} == {1, 2}
+    assert {d[3] for _, d in by_fmt["mp3"]} == {1, 2}
+    assert {d[3] for _, d in by_fmt["jpeg"]} == {1, 3}
+    assert {d[3] for _, d in by_fmt["mp4"]} == {1, 2, 3}
+    assert {d[3] for _, d in by_fmt["tiff"]} == {1, 2, 3, 4}
+    # WebP alpha: channels 4 occurs (and plain 3)
+    assert {d[3] for _, d in by_fmt["webp"]} >= {3, 4}
+    # Vorbis AND Opus both occur: byte length separates them (86/75)
+    lens = {len(mm.payload_for_doc(i)) for i, d in by_fmt["ogg"]}
+    assert lens == {86, 75}
+    # both TIFF byte orders occur
+    orders = {bytes(mm.payload_for_doc(i)[:2]) for i, _ in by_fmt["tiff"]}
+    assert orders == {b"II", b"MM"}
+    # progressive AND baseline JPEG occur (SOF2 vs SOF0 marker)
+    sofs = set()
+    for i, _ in by_fmt["jpeg"]:
+        p = mm.payload_for_doc(i)
+        sofs.add(b"\xff\xc2" in p)
+    assert sofs == {True, False}
+
+
+def test_ogg_trailing_garbage_quarantines():
+    """Review r12: a stream cut mid-way through a following page's
+    header used to decode 'successfully' with a stale duration; the
+    tail check must quarantine it (same contract as _parse_mp3)."""
+    from oracle_cassandra_migrator_spark.operators import multimodal as mm
+
+    ok = mm.build_ogg_vorbis(2, 44100, 2205)
+    assert mm.decode_header(ok)[0] == "ogg"
+    assert mm.decode_header(ok + b"OggS\x00\x04garbage")[0] == "unknown"
+    assert mm.decode_header(ok + b"\x01")[0] == "unknown"

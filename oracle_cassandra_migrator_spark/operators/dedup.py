@@ -215,24 +215,52 @@ def _minhash_candidates(
     """Shared MinHash-LSH front half: returns (exploded shingle rows,
     per-doc signature table, banded candidate pairs). Exactly the
     pipeline documented on ``minhash_lsh_pairs`` up to candidate
-    generation."""
+    generation.
+
+    Signatures are computed PER ROW with array expressions
+    (``array_min(transform(hashes, ...))``) instead of
+    explode + 13-function groupBy: the values are identical (min over
+    the same multiset), but the corpus-sized shingle->signature shuffle
+    disappears — and with it the r11 plan's duplicated signature
+    subtree (the banded self-join consumed the aggregation through
+    both sides, so the 13-fn agg + band-cap window each ran TWICE,
+    measured as 4 of the query's 6 hash exchanges at sf0.1). The
+    persist accordingly moves UP to the per-doc shingle-array table —
+    one regex pass serves the signature branch and both verification
+    explodes, and the cached rows are doc-sized, not shingle-sized.
+
+    Candidate generation under ``max_band_size`` groups each band key
+    once (one exchange) and emits the intra-group pairs with a local
+    array transform: group size is bounded by the cap, so the pair
+    array per group is at most cap^2/2 structs — bounded memory by the
+    same contract that bounds the old self-join's blow-up. With the
+    cap disabled (None) the grouped form could materialize an
+    unbounded per-key pair array, so the original streaming self-join
+    topology is kept for that path."""
     from pyspark import StorageLevel
 
     shingled = with_shingles(df.select(id_col, text_col), text_col, n)
-    # The exploded shingle table feeds three consumers (signature agg +
-    # both verification sides); persisting it runs the regex shingling
-    # pass ONCE instead of three times. MEMORY_AND_DISK so an oversized
-    # corpus spills instead of OOMing; blocks are LRU-evicted under
-    # pressure, so leaving the handle cached is safe session-wide.
-    exploded = shingled.select(
-        F.col(id_col), F.expr("size(shingles)").alias("n_sh"),
-        F.explode("shingles").alias("sh")).persist(
-            StorageLevel.MEMORY_AND_DISK)
-    hashed = exploded.withColumn("h", F.expr(BASE_HASH_SPARK))
+    arrays = (
+        shingled.where("size(shingles) > 0")
+        .select(F.col(id_col), F.expr("size(shingles)").alias("n_sh"),
+                "shingles")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    exploded = arrays.select(
+        F.col(id_col), F.col("n_sh"), F.explode("shingles").alias("sh"))
     k = bands * rows
-    sig = hashed.groupBy(id_col).agg(
-        *[F.expr(minhash_term_spark(i)).alias(f"m{i}") for i in range(k)],
-        F.first("n_sh").alias("n_sh"))
+    # one md5 per shingle, bound once as an array column; the k derived
+    # hashes are integer folds over it (same arithmetic as
+    # minhash_term_spark, so the oracle's explode+GROUP BY replay sees
+    # identical values)
+    hashed = arrays.select(
+        F.col(id_col), F.col("n_sh"),
+        F.expr(f"transform(shingles, sh -> {BASE_HASH_SPARK})").alias("hs"))
+    sig = hashed.select(
+        F.col(id_col),
+        *[F.expr(f"array_min(transform(hs, h -> "
+                 f"({HASH_A[i]} * (h % {HASH_P}) + {HASH_B[i]}) % {HASH_P}))")
+          .alias(f"m{i}") for i in range(k)],
+        F.col("n_sh"))
     band_keys = [
         F.md5(F.concat_ws(
             ":", *[F.col(f"m{band * rows + r}") for r in range(rows)]))
@@ -246,22 +274,28 @@ def _minhash_candidates(
         .alias("band_idx", "band_key"),
     )
     if max_band_size is not None:
-        # Oversized-band guard: count-over-window on the same
-        # (band_idx, band_key) distribution the self-join shuffles on,
-        # so it rides the existing exchange. Measured against two
-        # alternatives at sf0.1 (r5): a groupBy-sizes + broadcast-anti
-        # rewrite (2.16s) and an explicit repartition + reuse variant
-        # (2.44s) — both LOSE to the window (1.87s) because they split
-        # the band exchange away from the self-join and force the
-        # signature pipeline to run twice, while the window's extra
-        # cost is one sort of narrow rows. The uncapped path measures
-        # 1.99s, i.e. the guard is free in this shape.
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("band_idx", "band_key")
-        long = (long.withColumn("__band_n", F.count("*").over(w))
-                .where(F.col("__band_n") <= max_band_size)
-                .drop("__band_n"))
+        # Capped path: ONE exchange groups each (band_idx, band_key),
+        # the size gate is the HAVING-style filter the oracle replays,
+        # and pairs fan out locally from the sorted member array —
+        # no second pass over the banded table, no self-join, no
+        # band-cap window. Pair-array size per group is <= cap^2/2.
+        members = (
+            long.groupBy("band_idx", "band_key")
+            .agg(F.expr(
+                f"array_sort(collect_list(named_struct("
+                f"'id', {id_col}, 'n', n_sh))) AS members"))
+            .where(F.expr(
+                f"size(members) BETWEEN 2 AND {max_band_size}")))
+        pair_arr = (
+            "flatten(transform(members, (x, i) -> "
+            "transform(slice(members, i + 2, size(members) - i - 1), "
+            "y -> named_struct('doc_a', x.id, 'doc_b', y.id, "
+            "'n_a', x.n, 'n_b', y.n))))")
+        candidates = (
+            members.select(F.explode(F.expr(pair_arr)).alias("p"))
+            .select("p.doc_a", "p.doc_b", "p.n_a", "p.n_b")
+            .distinct())
+        return exploded, sig, candidates
     a = long.select(F.col(id_col).alias("doc_a"),
                     F.col("n_sh").alias("n_a"), "band_idx", "band_key")
     b = long.select(F.col(id_col).alias("doc_b"),

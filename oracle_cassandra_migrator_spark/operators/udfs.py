@@ -47,11 +47,28 @@ def user_gap_median(events: DataFrame) -> DataFrame:
 
 @F.pandas_udf(DoubleType())
 def l2_norm(embedding: pd.Series) -> pd.Series:
-    """Vectorized L2 norm over array<float> columns: Arrow hands the
-    batch to numpy, one BLAS-ish pass, no per-row Python."""
-    return embedding.map(
-        lambda v: float(np.sqrt(np.dot(np.asarray(v, dtype=np.float64),
-                                       np.asarray(v, dtype=np.float64)))))
+    """Vectorized L2 norm over array<float> columns: the whole Arrow
+    batch is flattened once and reduced segment-wise
+    (``np.add.reduceat``) — no per-row Python loop (the previous
+    ``Series.map`` + per-row ``np.dot`` paid ~µs of interpreter
+    dispatch per vector). reduceat sums each segment sequentially,
+    the same order as ``embedding_norms_arrow`` and the SQL fold the
+    parity pytest compares against."""
+    if len(embedding) == 0:
+        return pd.Series([], dtype="float64")
+    lens = np.fromiter((len(v) for v in embedding),
+                       dtype=np.int64, count=len(embedding))
+    if (lens == 0).any():
+        # reduceat cannot express zero-length segments; vectors are
+        # fixed-width in practice, so keep the exact slow path for the
+        # degenerate batch instead of special-casing offsets
+        return embedding.map(
+            lambda v: float(np.sqrt(np.dot(np.asarray(v, dtype=np.float64),
+                                           np.asarray(v, dtype=np.float64)))))
+    flat = np.concatenate(embedding.to_numpy()).astype(np.float64,
+                                                       copy=False)
+    offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    return pd.Series(np.sqrt(np.add.reduceat(flat * flat, offsets)))
 
 
 def embedding_norms(embeddings: DataFrame) -> DataFrame:

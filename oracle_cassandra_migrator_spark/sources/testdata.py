@@ -43,8 +43,25 @@ def _nano_ts_columns(path: str) -> tuple[str, ...]:
     )
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read ``<sf_dir>/<name>.parquet``, repairing nano-timestamps."""
+def read_table(spark: SparkSession, sf_dir: str, name: str,
+               fan_out: bool = False) -> DataFrame:
+    """Read ``<sf_dir>/<name>.parquet``, repairing nano-timestamps.
+
+    ``fan_out=True`` opts the scan into the unsplittable-input guard
+    (optimization guide §2.5): when the parquet's row-group count —
+    the hard ceiling on scan parallelism, read from the footer we
+    already stat, never from ``df.rdd`` (which costs ~50 ms of driver
+    planning per call) — is below half the session cores, round-robin
+    repartition so the downstream map work (filters, broadcast-join
+    probes, partial aggregates, regex) uses the whole machine instead
+    of one task. Identity at any real scale (inputs split into >=
+    cores row groups). Only pass it for the STREAMED side of a query:
+    under a broadcast build the exchange is pure overhead. Round-robin
+    keeps the exchange out of the hash/range shuffle budget and is
+    retry-safe (sort-before-repartition); callers must be
+    order-insensitive (joins, exact sums/counts/min/max, per-row
+    projections) — the contract ``with_shingles``'s fan-out has
+    relied on since r5."""
     path = f"{sf_dir}/{name}.parquet"
     nano_cols = _nano_ts_columns(path)
     if nano_cols:
@@ -58,7 +75,29 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 f"CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ))"
             ),
         )
+    if fan_out:
+        par = spark.sparkContext.defaultParallelism
+        if _row_group_count(path) < par // 2:
+            df = df.repartition(par)
     return df
+
+
+@lru_cache(maxsize=256)
+def _row_group_count(path: str) -> int:
+    """Parquet row-group count from the footer (cached, like
+    ``_nano_ts_columns``) — the hard ceiling on how many tasks can
+    scan the file in parallel, so the honest input to the fan-out
+    gate. Directories count the sum over part files."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        return sum(pq.ParquetFile(p).metadata.num_row_groups
+                   for p in parts) or 1
+    return pq.ParquetFile(path).metadata.num_row_groups or 1
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -30,7 +30,11 @@ SHUFFLE_BUDGET = {
     "events_sessionize": (1, 0, 0),
     "events_daily_type_counts": (1, 0, 0),
     "dedup_exact_documents": (1, 0, 0),
-    "dedup_minhash_lsh": (6, 0, 0),   # sig agg + band window + self-join + pair agg
+    # r12: per-row array-expression signatures + grouped in-band pair
+    # generation — band group agg + candidate distinct + pair agg only
+    # (was 6: the explode+groupBy signature pipeline and its band-cap
+    # window ran TWICE, once per self-join side)
+    "dedup_minhash_lsh": (3, 0, 0),
     "dedup_ngram_jaccard": (1, 0, 0),
     "sim_topk_bruteforce": (0, 0, 0),
     "sim_ann_lsh_exact": (0, 0, 0),

@@ -328,3 +328,32 @@ def test_xml_format_roundtrip(spark, tmp_path, nation):
     assert back.count() == nation.count()
     assert {(r.n_nationkey, r.n_name) for r in back.collect()} == \
         {(r.n_nationkey, r.n_name) for r in nation.collect()}
+
+
+def test_read_table_fan_out_gate(spark):
+    """r12 scan fan-out: `read_table(..., fan_out=True)` round-robin
+    repartitions ONLY when the parquet's row-group count (footer-read,
+    never df.rdd — that costs ~50 ms of driver planning inside a
+    timed query) is below half the session cores; with enough row
+    groups it is the identity, so at real scale the extra exchange
+    never exists."""
+    from oracle_cassandra_migrator_spark.sources import testdata
+    from oracle_cassandra_migrator_spark.sources.testdata import read_table
+
+    plain = read_table(spark, SF_SMALL, "lineitem")
+    assert "RoundRobinPartitioning" not in \
+        plain._jdf.queryExecution().toString()
+
+    fanned = read_table(spark, SF_SMALL, "lineitem", fan_out=True)
+    assert "RoundRobinPartitioning" in \
+        fanned._jdf.queryExecution().toString()
+
+    real = testdata._row_group_count
+    testdata._row_group_count = lambda p: 10**9
+    try:
+        split_enough = read_table(spark, SF_SMALL, "lineitem",
+                                  fan_out=True)
+        assert "RoundRobinPartitioning" not in \
+            split_enough._jdf.queryExecution().toString()
+    finally:
+        testdata._row_group_count = real

@@ -120,6 +120,26 @@ def ngram_jaccard_pairs(
     )
 
 
+def _shingle_arrays(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3,
+) -> DataFrame:
+    """Per-doc shingle-array frame ``(id, n_sh, shingles)`` — the ONE
+    canonical subtree every shingle consumer builds on. Keeping the
+    plan byte-identical across operators matters beyond tidiness:
+    when one operator in a session persists this frame (the MinHash
+    front half does), Spark's CacheManager substitutes the cached
+    blocks into every other operator whose subtree canonicalizes the
+    same way, so the regex shingling pass runs once per session, not
+    once per operator. The ``size > 0`` filter is a semantic no-op
+    for every consumer (explode drops empty arrays; empty docs have
+    no signature)."""
+    return (
+        with_shingles(df.select(id_col, text_col), text_col, n)
+        .where("size(shingles) > 0")
+        .select(F.col(id_col), F.expr("size(shingles)").alias("n_sh"),
+                "shingles"))
+
+
 def _shingle_pair_counts(
     df: DataFrame, text_col: str, id_col: str,
     n: int = 3, max_token_df: int | None = None,
@@ -130,10 +150,8 @@ def _shingle_pair_counts(
     set sizes riding along. The ``max_token_df`` guard (and its
     n_sh-before-filter semantics) lives HERE so a fix applies to every
     consumer at once."""
-    shingled = with_shingles(df.select(id_col, text_col), text_col, n)
-    exploded = shingled.select(
-        F.col(id_col), F.expr("size(shingles)").alias("n_sh"),
-        F.explode("shingles").alias("sh"))
+    exploded = _shingle_arrays(df, text_col, id_col, n).select(
+        F.col(id_col), F.col("n_sh"), F.explode("shingles").alias("sh"))
     if max_token_df is not None:
         from pyspark.sql.window import Window
 
@@ -239,12 +257,8 @@ def _minhash_candidates(
     topology is kept for that path."""
     from pyspark import StorageLevel
 
-    shingled = with_shingles(df.select(id_col, text_col), text_col, n)
-    arrays = (
-        shingled.where("size(shingles) > 0")
-        .select(F.col(id_col), F.expr("size(shingles)").alias("n_sh"),
-                "shingles")
-        .persist(StorageLevel.MEMORY_AND_DISK))
+    arrays = _shingle_arrays(df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK)
     exploded = arrays.select(
         F.col(id_col), F.col("n_sh"), F.explode("shingles").alias("sh"))
     k = bands * rows
@@ -690,11 +704,9 @@ def allpairs_jaccard_pairs(
                         and threshold < route_threshold
                         and candidate_cap_per_doc is not None)
 
-    shingled = with_shingles(df.select(id_col, text_col), text_col, n)
-    ex = (shingled
-          .select(F.col(id_col), F.expr("size(shingles)").alias("n_sh"),
+    ex = (_shingle_arrays(df, text_col, id_col, n)
+          .select(F.col(id_col), F.col("n_sh"),
                   F.explode("shingles").alias("sh"))
-          .where("n_sh > 0")
           .select(id_col, "n_sh", F.expr(BASE_HASH_SPARK).alias("sh")))
     # document frequency rides the shingle-key exchange either way;
     # under the cap it also gates the verification arms below
@@ -786,11 +798,10 @@ def minshingle_neighbor_pairs(
     from pyspark.sql.window import Window
 
     h = ("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)")
-    shingled = with_shingles(df.select(id_col, text_col), text_col, n)
-    blocks = (shingled.where("size(shingles) > 0")
-              .select(F.col(id_col),
-                      F.expr(f"array_min(transform(shingles, s -> {h}))")
-                      .alias("blk")))
+    arrays = _shingle_arrays(df, text_col, id_col, n)
+    blocks = arrays.select(
+        F.col(id_col),
+        F.expr(f"array_min(transform(shingles, s -> {h}))").alias("blk"))
     w = Window.partitionBy("blk").orderBy(id_col)
     # window exprs can't sit inside a generator's argument — compute
     # the lead columns first, explode in a second projection
@@ -803,9 +814,8 @@ def minshingle_neighbor_pairs(
         F.explode(F.array(*[F.col(f"n{k}")
                             for k in range(1, width + 1)])).alias("doc_b"))
     cand = leads.where("doc_b IS NOT NULL").distinct()
-    ex = (shingled
-          .select(F.col(id_col), F.expr("size(shingles)").alias("n_sh"),
-                  F.explode("shingles").alias("sh")))
+    ex = arrays.select(F.col(id_col), F.col("n_sh"),
+                       F.explode("shingles").alias("sh"))
     a = ex.select(F.col(id_col).alias("doc_a"),
                   F.col("n_sh").alias("n_a"), "sh")
     b = ex.select(F.col(id_col).alias("doc_b"),

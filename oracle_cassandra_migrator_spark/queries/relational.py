@@ -534,11 +534,22 @@ def topk_order_revenue(spark, sf_dir):
 def run_topk_order_revenue(t):
     """Top-k body over caller-supplied frames — the seam for the
     bucketed layout (orders/lineitem bucketed by order key skip the
-    o_orderkey = l_orderkey Exchange, the probe's 3.3x term)."""
+    o_orderkey = l_orderkey Exchange, the probe's 3.3x term).
+
+    r12: customer enters as a LEFT SEMI reduction of orders instead of
+    an inner join — exact because c_custkey is unique (the aggregate
+    never reads customer columns), and it keeps lineitem on the
+    STREAMED side: the planner previously size-mis-estimated the
+    filtered customer⋈orders result and broadcast the 600k-row pruned
+    lineitem instead (a 3-column hash relation rebuilt per run;
+    measured 1.09s -> 0.84s at sf0.1). At scale the semi output is
+    the filtered orders subset — smaller than either input, never a
+    forced broadcast, so AQE stays free to pick the join strategy."""
+    orders_f = t["orders"].join(
+        t["customer"].where("c_mktsegment = 'BUILDING'"),
+        F.expr("c_custkey = o_custkey"), "left_semi")
     return (
-        t["customer"].where("c_mktsegment = 'BUILDING'")
-        .join(t["orders"], F.expr("c_custkey = o_custkey"))
-        .join(t["lineitem"], F.expr("o_orderkey = l_orderkey"))
+        t["lineitem"].join(orders_f, F.expr("o_orderkey = l_orderkey"))
         .groupBy(F.col("l_orderkey").alias("order_key"))
         .agg(F.expr(
             "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))"

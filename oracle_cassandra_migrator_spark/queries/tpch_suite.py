@@ -23,6 +23,7 @@ the catalog also exercises that surface.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from oracle_cassandra_migrator_spark.queries.registry import query
 from oracle_cassandra_migrator_spark.queries.relational import dsum
@@ -399,12 +400,51 @@ _Q21_SQL = """
 def run_q21(spark, tables):
     """Q21 over caller-supplied frames (``{name: DataFrame}``): the
     seam that lets the SAME plan run against plain parquet or the
-    bucketed layout (``sources/bucketed.py``) — bucketing lineitem and
-    orders by order key drops the three l_orderkey Exchanges that made
-    q21 the worst scale-probe ratio (3.5x at the 10x probe)."""
-    for n, df in tables.items():
-        df.createOrReplaceTempView(n)
-    return spark.sql(_Q21_SQL)
+    bucketed layout (``sources/bucketed.py``).
+
+    r12 restructure (optimization guide §2.4/§3.3): the literal
+    EXISTS / NOT EXISTS translation scanned lineitem THREE times and
+    built two lineitem-wide broadcasts (the l2 semi and l3 anti
+    builds) — at sf0.1 that was 3 single-row-group scans plus two
+    600k-row hash relations per run; at real scale it is three full
+    passes over the biggest table. Both correlated subqueries only
+    ask per-order questions, so one pass computes them with window
+    aggregates over l_orderkey:
+
+      EXISTS other-supplier        <=>  n_supp_in_order >= 2
+      NOT EXISTS other-late-supp   <=>  n_late_supp = 1
+                                        (given this row is late, the
+                                        row's supplier IS the one)
+
+    (collect_set sizes, bounded by suppliers-per-order). Lineitem is
+    scanned ONCE and shuffled ONCE (the l_orderkey window — which the
+    bucketed layout satisfies without an exchange), replacing the two
+    broadcast builds. Output proven identical against the unchanged
+    _Q21_SQL oracle at sf0.001/sf0.01, and pinned row-identical to
+    the SQL form across both layouts by the bucketing pytests."""
+    li, o = tables["lineitem"], tables["orders"]
+    s, n = tables["supplier"], tables["nation"]
+    lo = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o.where("o_orderstatus = 'F'")
+               .select("o_orderkey", "o_orderdate"),
+              F.expr("o_orderkey = l_orderkey"))
+        .withColumn("late", F.expr(
+            "l_shipdate > o_orderdate + INTERVAL 60 DAY")))
+    w = Window.partitionBy("l_orderkey")
+    stats = lo.select(
+        "l_suppkey", "late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(F.collect_set(
+            F.expr("CASE WHEN late THEN l_suppkey END")).over(w))
+        .alias("n_late"))
+    qual = stats.where("late AND n_supp >= 2 AND n_late = 1")
+    return (
+        qual.join(s, F.expr("s_suppkey = l_suppkey"))
+        .join(F.broadcast(n.where("n_name = 'NATION_2'")),
+              F.expr("s_nationkey = n_nationkey"))
+        .groupBy(F.col("s_name").alias("supplier_name"))
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("numwait")))
 
 
 @query("tpch_q21_waiting_suppliers", oracle=_Q21_SQL)

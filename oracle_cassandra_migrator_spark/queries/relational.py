@@ -146,7 +146,8 @@ def pricing_summary(spark, sf_dir):
     """TPC-H Q1-shaped pricing summary (A2): map-side partial agg +
     final agg, all JVM-side; Catalyst plans partial/final automatically."""
     return (
-        read_table(spark, sf_dir, "lineitem", fan_out=True)
+        read_table(spark, sf_dir, "lineitem", fan_out=True,
+                   fan_out_by=("l_orderkey", "l_linenumber"))
         .where("l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(

@@ -35,7 +35,11 @@ def main() -> None:
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "plans", "r12")
     os.makedirs(out_dir, exist_ok=True)
-    spark = build_session("explain-headliners", master="local[4]")
+    # local[32] so the plans reflect the bench session (the fan-out
+    # gate keys off defaultParallelism)
+    spark = build_session("explain-headliners",
+                          master=os.environ.get("EXPLAIN_MASTER",
+                                                "local[32]"))
     spark.sparkContext.setLogLevel("ERROR")
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted")

@@ -61,11 +61,13 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from oracle_cassandra_migrator_spark.operators.dedup import (
+    HASH_A,
+    HASH_B,
+    HASH_P,
     LSH_BANDS,
     LSH_MAX_BAND_SIZE,
     LSH_ROWS,
     BASE_HASH_SPARK,
-    minhash_term_spark,
     with_shingles,
 )
 from oracle_cassandra_migrator_spark.reliability.state import (
@@ -94,23 +96,29 @@ def batch_signatures(df: DataFrame, text_col: str, id_col: str,
     other either, up to a 2^-63-per-pair full-width collision
     (negligible even against a 100 TB admitted state — the earlier
     mod-P fold left a 2^-31 birthday exposure there)."""
+    # r12: signatures are per-row array folds (array_min over the
+    # hashed shingle array) instead of explode_outer + K-function
+    # groupBy — identical values from the same hash family
+    # (min over the same multiset; empty array -> NULL -> sentinel,
+    # exactly like min-of-no-rows did), but the per-trigger
+    # batch-sized signature shuffle disappears. Mirrors the batch
+    # operators' r12 restructure so stream and batch stay the same
+    # arithmetic.
     shingled = with_shingles(df.select(id_col, text_col), text_col, n)
-    exploded = (shingled
-                .select(F.col(id_col),
-                        F.expr("size(shingles)").alias("n_sh"),
-                        F.explode_outer("shingles").alias("sh"))
-                .withColumn("h", F.expr(BASE_HASH_SPARK)))
-    sig = exploded.groupBy(id_col).agg(
-        *[F.expr(minhash_term_spark(i)).alias(f"m{i}") for i in range(K)],
-        F.first("n_sh").alias("n_sh"))
+    hashed = shingled.select(
+        F.col(id_col), F.expr("size(shingles)").alias("n_sh"),
+        F.expr(f"transform(shingles, sh -> {BASE_HASH_SPARK})").alias("hs"))
     h = F.xxhash64(F.col(id_col).cast("string"))
     # bijective fold of the full 64-bit hash into the negatives:
     # h >= 0 -> -h - 1, h < 0 -> h (never overflows, always < 0)
     sentinel = F.when(h >= 0, -h - F.lit(1)).otherwise(h)
-    return sig.select(
+    return hashed.select(
         F.col(id_col),
-        *[F.coalesce(F.col(f"m{i}"), sentinel).alias(f"m{i}")
-          for i in range(K)],
+        *[F.coalesce(
+            F.expr(f"array_min(transform(hs, h -> "
+                   f"({HASH_A[i]} * (h % {HASH_P}) + {HASH_B[i]})"
+                   f" % {HASH_P}))"),
+            sentinel).alias(f"m{i}") for i in range(K)],
         "n_sh")
 
 

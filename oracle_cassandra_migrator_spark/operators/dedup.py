@@ -49,10 +49,6 @@ BASE_HASH_SPARK = (
 BASE_HASH_SQL = "('0x' || substring(md5(tok), 1, 15))::BIGINT"
 
 
-def minhash_term_spark(i: int) -> str:
-    return f"min(({HASH_A[i]} * (h %% {HASH_P}) + {HASH_B[i]}) %% {HASH_P})".replace("%%", "%")
-
-
 def minhash_term_sql(i: int) -> str:
     return (
         f"min(({HASH_A[i]} * (({BASE_HASH_SQL}) % {HASH_P}) + {HASH_B[i]})"
@@ -263,9 +259,9 @@ def _minhash_candidates(
         F.col(id_col), F.col("n_sh"), F.explode("shingles").alias("sh"))
     k = bands * rows
     # one md5 per shingle, bound once as an array column; the k derived
-    # hashes are integer folds over it (same arithmetic as
-    # minhash_term_spark, so the oracle's explode+GROUP BY replay sees
-    # identical values)
+    # hashes are integer folds over it (the same (A_i*(h%P)+B_i)%P
+    # family as minhash_term_sql, so the oracle's explode+GROUP BY
+    # replay sees identical values)
     hashed = arrays.select(
         F.col(id_col), F.col("n_sh"),
         F.expr(f"transform(shingles, sh -> {BASE_HASH_SPARK})").alias("hs"))

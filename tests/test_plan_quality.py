@@ -74,9 +74,16 @@ def test_q17_decorrelates_to_aggregate_join(spark):
     assert plan.count("HashAggregate") >= 2  # inner avg + outer sum
 
 
-def test_q21_plans_semi_and_anti_stack(spark):
+def test_q21_one_pass_window_form(spark):
+    """r12: the EXISTS/NOT-EXISTS pair is answered by ONE l_orderkey
+    window pass (collect_set sizes) instead of a semi+anti stack that
+    scanned lineitem three times and broadcast it twice — pin the
+    single lineitem scan and the window, and that the subquery joins
+    are gone."""
     plan = plan_of(spark, "tpch_q21_waiting_suppliers")
-    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "Window" in plan
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
+    assert plan.count("lineitem.parquet") == 1
 
 
 def test_q16_not_in_plans_null_aware_anti(spark):

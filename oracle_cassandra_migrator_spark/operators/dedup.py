@@ -245,9 +245,11 @@ def _minhash_candidates(
 
     Candidate generation under ``max_band_size`` groups each band key
     once (one exchange) and emits the intra-group pairs with a local
-    array transform: group size is bounded by the cap, so the pair
-    array per group is at most cap^2/2 structs — bounded memory by the
-    same contract that bounds the old self-join's blow-up. With the
+    array transform. Oversized bands are dropped by a count-over-window
+    gate BEFORE the collect_list (riding the same exchange), so every
+    aggregation buffer — unlike a spillable shuffle partition, a
+    collect_list array lives wholly in memory — is cap-bounded, and
+    the pair array per group is at most cap^2/2 structs. With the
     cap disabled (None) the grouped form could materialize an
     unbounded per-key pair array, so the original streaming self-join
     topology is kept for that path."""
@@ -284,18 +286,32 @@ def _minhash_candidates(
         .alias("band_idx", "band_key"),
     )
     if max_band_size is not None:
-        # Capped path: ONE exchange groups each (band_idx, band_key),
-        # the size gate is the HAVING-style filter the oracle replays,
-        # and pairs fan out locally from the sorted member array —
-        # no second pass over the banded table, no self-join, no
-        # band-cap window. Pair-array size per group is <= cap^2/2.
+        # Capped path: ONE exchange groups each (band_idx, band_key)
+        # and pairs fan out locally from the sorted member array — no
+        # second pass over the banded table, no self-join. The size
+        # gate runs BEFORE the collect_list, as a count-over-window on
+        # the same (band_idx, band_key) keys (it rides the grouping
+        # exchange): a collect_list buffer is a single in-memory array
+        # that cannot spill, so gating after the aggregation would let
+        # one pathological hot band key (mass-duplicated boilerplate)
+        # build an unbounded array before the filter ever saw it.
+        # Pre-gated, every surviving group is <= cap rows, so each
+        # member array is cap-bounded and the pair array <= cap^2/2.
+        # Row count per (band_idx, band_key) == distinct docs in the
+        # band (posexplode emits one row per doc per band), so the
+        # window gate is exactly the old HAVING-style size(members)
+        # filter the oracle replays.
+        from pyspark.sql.window import Window
+
+        wband = Window.partitionBy("band_idx", "band_key")
+        gated = (
+            long.withColumn("__g", F.count("*").over(wband))
+            .where(F.col("__g").between(2, max_band_size)).drop("__g"))
         members = (
-            long.groupBy("band_idx", "band_key")
+            gated.groupBy("band_idx", "band_key")
             .agg(F.expr(
                 f"array_sort(collect_list(named_struct("
-                f"'id', {id_col}, 'n', n_sh))) AS members"))
-            .where(F.expr(
-                f"size(members) BETWEEN 2 AND {max_band_size}")))
+                f"'id', {id_col}, 'n', n_sh))) AS members")))
         pair_arr = (
             "flatten(transform(members, (x, i) -> "
             "transform(slice(members, i + 2, size(members) - i - 1), "
@@ -790,7 +806,17 @@ def minshingle_neighbor_pairs(
     doc, total output O(n * width) before verification — no self-join
     at all. Recall trades accordingly (a doc's near-dup must share the
     min shingle AND sit within the neighborhood); the pytest pins the
-    recall floor against the exact inverted-index pairs."""
+    recall floor against the exact inverted-index pairs.
+
+    Lockfile note (the r12 2->3 hash-exchange raise, adjudicated r13):
+    the old 2-exchange plan only got there by broadcasting the
+    corpus-sized exploded shingle relation into the verification join
+    (BuildRight on ``a``) — free at sf0.001, an unbroadcastable build
+    at any real scale. The r12 ``_shingle_arrays`` alignment shifted
+    the size estimate so the planner now broadcasts the BOUNDED
+    candidate list (O(n*width) rows) instead, and the pair aggregation
+    pays its own exchange of pair-sized partial rows. One more
+    exchange on paper; strictly the scale-sane build side."""
     from pyspark.sql.window import Window
 
     h = ("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)")

@@ -56,6 +56,14 @@ def l2_norm(embedding: pd.Series) -> pd.Series:
     parity pytest compares against."""
     if len(embedding) == 0:
         return pd.Series([], dtype="float64")
+    if embedding.isna().any():
+        # NULL vectors would crash len() below; the slow path's NaN
+        # placeholder round-trips through Arrow as SQL NULL (NULL in ->
+        # NULL out) and stays exact for the rest of the batch
+        return embedding.map(
+            lambda v: np.nan if v is None else
+            float(np.sqrt(np.dot(np.asarray(v, dtype=np.float64),
+                                 np.asarray(v, dtype=np.float64)))))
     lens = np.fromiter((len(v) for v in embedding),
                        dtype=np.int64, count=len(embedding))
     if (lens == 0).any():

@@ -713,6 +713,23 @@ def test_map_in_arrow_norms_match_sql_expression(spark):
     assert got == want
 
 
+def test_l2_norm_null_and_empty_vectors(spark):
+    """A NULL embedding must not crash the vectorized fast path's
+    len() scan: it routes the batch to the exact slow path, where the
+    NaN placeholder round-trips through Arrow as SQL NULL (NULL in ->
+    NULL out); empty vectors keep their 0.0 norm alongside."""
+    from oracle_cassandra_migrator_spark.operators.udfs import embedding_norms
+
+    emb = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, None), (3, []), (4, [6.0, 8.0])],
+        "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["l2_norm"] for r in embedding_norms(emb).collect()}
+    assert got[1] == 5.0
+    assert got[2] is None
+    assert got[3] == 0.0
+    assert got[4] == 10.0
+
+
 def test_dedup_funnel_stage_invariants(spark):
     """Provable orderings between funnel stages: every strategy keeps
     at most the raw count; prefix-fingerprinting merges at least as

@@ -96,6 +96,16 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        # r13 cache isolation: operators may persist() intermediates for
+        # reuse WITHIN their own plan (minhash's shingle-array table);
+        # Spark's CacheManager would substitute those blocks into LATER
+        # headliners' plans too (ngram canonicalizes onto the same
+        # subtree), making per-query numbers order-dependent. Clearing
+        # between headliners keeps each query's number a standalone
+        # cost. Within one query's best-of-3 the cache stays (ordinary
+        # warm-run behavior); nothing is precomputed outside the timed
+        # region.
+        spark.catalog.clearCache()
         runs = []
         for _ in range(3):  # best-of-3: steady-state, not JIT/GC noise
             start = time.time()
@@ -114,6 +124,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        # r13: clearCache between headliners — per-query numbers are
+        # order-independent (no cross-query InMemoryRelation reuse);
+        # earlier rounds' ngram/minhash numbers shared cached blocks.
+        "cache_isolated": True,
         "calib_sec": {"before": calib_before, "after": calib_after,
                       "quiet_host_ref": 1.0},
         "loadavg": [round(x, 2) for x in os.getloadavg()],

@@ -120,20 +120,28 @@ def _shingle_arrays(
     df: DataFrame, text_col: str, id_col: str, n: int = 3,
 ) -> DataFrame:
     """Per-doc shingle-array frame ``(id, n_sh, shingles)`` — the ONE
-    canonical subtree every shingle consumer builds on. Keeping the
-    plan byte-identical across operators matters beyond tidiness:
-    when one operator in a session persists this frame (the MinHash
-    front half does), Spark's CacheManager substitutes the cached
-    blocks into every other operator whose subtree canonicalizes the
-    same way, so the regex shingling pass runs once per session, not
-    once per operator. The ``size > 0`` filter is a semantic no-op
-    for every consumer (explode drops empty arrays; empty docs have
-    no signature)."""
+    canonical subtree every shingle consumer builds on, persisted
+    (spillable MEMORY_AND_DISK) because every consumer reads it at
+    least twice in a single plan: ngram/containment explode it into
+    BOTH sides of the inverted-index self-join, minshingle into the
+    block key and the verification explode, MinHash into the signature
+    branch and both verification explodes. One regex shingling pass
+    per plan instead of one per consumer edge — and because the
+    subtree canonicalizes identically across operators, Spark's
+    CacheManager serves any same-session operator over the same corpus
+    from the same blocks (persist on an already-cached plan is a
+    no-op, so repeated calls don't stack entries). Cached rows are
+    doc-sized (id, count, array), not exploded. The ``size > 0``
+    filter is a semantic no-op for every consumer (explode drops
+    empty arrays; empty docs have no signature)."""
+    from pyspark import StorageLevel
+
     return (
         with_shingles(df.select(id_col, text_col), text_col, n)
         .where("size(shingles) > 0")
         .select(F.col(id_col), F.expr("size(shingles)").alias("n_sh"),
-                "shingles"))
+                "shingles")
+        .persist(StorageLevel.MEMORY_AND_DISK))
 
 
 def _shingle_pair_counts(
@@ -253,10 +261,7 @@ def _minhash_candidates(
     cap disabled (None) the grouped form could materialize an
     unbounded per-key pair array, so the original streaming self-join
     topology is kept for that path."""
-    from pyspark import StorageLevel
-
-    arrays = _shingle_arrays(df, text_col, id_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK)
+    arrays = _shingle_arrays(df, text_col, id_col, n)
     exploded = arrays.select(
         F.col(id_col), F.col("n_sh"), F.explode("shingles").alias("sh"))
     k = bands * rows

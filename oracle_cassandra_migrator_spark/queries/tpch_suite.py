@@ -439,9 +439,16 @@ def run_q21(spark, tables):
             F.expr("CASE WHEN late THEN l_suppkey END")).over(w))
         .alias("n_late"))
     qual = stats.where("late AND n_supp >= 2 AND n_late = 1")
+    # no static broadcast hint on nation (the r7 let-AQE-decide rule):
+    # a 25-row dimension broadcasts by size estimate at any SF, so the
+    # hint bought nothing and cost hint-policy consistency. An r13 A/B
+    # also re-tested the aggregate+join alternative to this window
+    # form (groupBy(l_orderkey) counts joined back): interleaved mins
+    # 0.83s (window) vs 1.00s (agg+join) at sf0.1 — the join-back pays
+    # a second lineitem⋈orders pass, the window sorts once. Kept.
     return (
         qual.join(s, F.expr("s_suppkey = l_suppkey"))
-        .join(F.broadcast(n.where("n_name = 'NATION_2'")),
+        .join(n.where("n_name = 'NATION_2'"),
               F.expr("s_nationkey = n_nationkey"))
         .groupBy(F.col("s_name").alias("supplier_name"))
         .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("numwait")))

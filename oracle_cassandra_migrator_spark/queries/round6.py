@@ -623,40 +623,58 @@ def _bpe_oracle(k: int = 5) -> str:
 
 def _bpe_ctes(k: int = 5) -> str:
     """The unrolled train-loop CTE body shared by the rules oracle and
-    the encode-stats oracle; ``v{k}`` is the post-merge vocab."""
+    the encode-stats oracle; ``v{k}`` is the post-merge vocab.
+
+    Every CTE is MATERIALIZED: DuckDB's default inlines CTEs into each
+    reference site, and since every iteration references the previous
+    vocab twice (pair counting + position explode), the inlined tree —
+    and its execution — doubles per iteration, 2^k plans deep by v{k}.
+    Measured on the encode-stats oracle at sf0.001: 81.9s inlined vs
+    0.12s materialized, identical result (the r12 suite-wall item)."""
     parts = [f"""
-    w0 AS (SELECT unnest({_ext.FAST_WORDS_SQL}) AS word FROM documents),
-    v0 AS (SELECT word, count(*) AS cnt,
-                  regexp_extract_all(word, '.') AS toks
-           FROM w0 GROUP BY word)"""]
+    w0 AS MATERIALIZED (
+        SELECT unnest({_ext.FAST_WORDS_SQL}) AS word FROM documents),
+    v0 AS MATERIALIZED (
+        SELECT word, count(*) AS cnt,
+               regexp_extract_all(word, '.') AS toks
+        FROM w0 GROUP BY word)"""]
     for i in range(1, k + 1):
         p = i - 1
         parts.append(f"""
-    pc{i} AS (SELECT toks[t.j] AS a, toks[t.j + 1] AS b,
+    pc{i} AS MATERIALIZED (
+              SELECT toks[t.j] AS a, toks[t.j + 1] AS b,
                      CAST(sum(cnt) AS BIGINT) AS n
               FROM v{p}, UNNEST(generate_series(1, len(toks) - 1)) AS t(j)
               GROUP BY 1, 2),
-    m{i} AS (SELECT a, b, n FROM pc{i} ORDER BY n DESC, a, b LIMIT 1),
-    p{i} AS (SELECT word, cnt, t.j AS j, toks[t.j] AS tok
+    m{i} AS MATERIALIZED (
+        SELECT a, b, n FROM pc{i} ORDER BY n DESC, a, b LIMIT 1),
+    p{i} AS MATERIALIZED (
+             SELECT word, cnt, t.j AS j, toks[t.j] AS tok
              FROM v{p}, UNNEST(generate_series(1, len(toks))) AS t(j)),
-    q{i} AS (SELECT *, lead(tok) OVER (PARTITION BY word ORDER BY j) AS nxt
+    q{i} AS MATERIALIZED (
+             SELECT *, lead(tok) OVER (PARTITION BY word ORDER BY j) AS nxt
              FROM p{i}),
-    f{i} AS (SELECT *, coalesce(tok = (SELECT a FROM m{i})
+    f{i} AS MATERIALIZED (
+             SELECT *, coalesce(tok = (SELECT a FROM m{i})
                                 AND nxt = (SELECT b FROM m{i}),
                                 false) AS mt
              FROM q{i}),
-    g{i} AS (SELECT *, CASE WHEN mt THEN
+    g{i} AS MATERIALIZED (
+             SELECT *, CASE WHEN mt THEN
                          j - row_number() OVER (PARTITION BY word, mt
                                                 ORDER BY j) END AS grp
              FROM f{i}),
-    h{i} AS (SELECT *, CASE WHEN mt THEN
+    h{i} AS MATERIALIZED (
+             SELECT *, CASE WHEN mt THEN
                          (j - min(j) OVER (PARTITION BY word, grp)) % 2 = 0
                        ELSE false END AS mg
              FROM g{i}),
-    r{i} AS (SELECT *, coalesce(lag(mg) OVER (PARTITION BY word ORDER BY j),
+    r{i} AS MATERIALIZED (
+             SELECT *, coalesce(lag(mg) OVER (PARTITION BY word ORDER BY j),
                                 false) AS consumed
              FROM h{i}),
-    v{i} AS (SELECT word, cnt,
+    v{i} AS MATERIALIZED (
+             SELECT word, cnt,
                     list(CASE WHEN mg THEN (SELECT a || b FROM m{i})
                          ELSE tok END ORDER BY j) AS toks
              FROM r{i} WHERE NOT consumed GROUP BY word, cnt)""")

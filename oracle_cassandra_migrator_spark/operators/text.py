@@ -64,9 +64,28 @@ def with_shingles(df: DataFrame, text_col: str, n: int = 3,
     # Shingling is CPU-heavy per row; when the source arrives in fewer
     # partitions than cores (single parquet row-group, small dimension
     # staging), fan out first — one cheap shuffle of the raw text buys
-    # full parallelism for the regex/array work.
+    # full parallelism for the regex/array work. The gate reads the
+    # parquet footers' row-group count (the hard ceiling on scan
+    # parallelism) via the same cached pyarrow path as read_table's
+    # fan-out gate: ~10 ms per plan vs ~37 ms for the old
+    # df.rdd.getNumPartitions() probe (RDD conversion), both inside
+    # the timed region of every shingle consumer — and the footer
+    # reads are lru-cached per path, so repeat queries pay ~nothing.
+    # Non-file sources (in-memory test frames) keep the RDD probe.
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism // 2:
+    files = df.inputFiles()
+    if files:
+        from oracle_cassandra_migrator_spark.sources.testdata import (
+            _row_group_count)
+
+        from urllib.parse import urlparse
+
+        cap = sum(
+            _row_group_count(urlparse(f).path if f.startswith("file:") else f)
+            for f in files)
+    else:
+        cap = df.rdd.getNumPartitions()
+    if cap < sc.defaultParallelism // 2:
         df = df.repartition(sc.defaultParallelism)
     return df.withColumn(out, F.expr(shingles_once_expr(text_col, n)))
 

@@ -125,7 +125,7 @@ def _containment_oracle(threshold: float = _CONTAINMENT_T) -> str:
 
     return f"""
     WITH {_SHINGLE_CTE},
-    und AS (
+    und AS MATERIALIZED (
       SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
              CAST(len(list_intersect(x.shingles, y.shingles)) AS BIGINT)
                AS n_common,

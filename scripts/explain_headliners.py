@@ -1,9 +1,10 @@
 #!/usr/bin/env python
 """Dump the formatted physical plan of the bench headliners (and any
-extra query names given on argv) to plans/r12/<name>_<tag>.txt — the
-before/after evidence artifacts for the optimization rounds.
+extra query names given on argv) to plans/$PLANS_ROUND/<name>_<tag>.txt
+(default round dir: r13) — the before/after evidence artifacts for the
+optimization rounds.
 
-Usage: python scripts/explain_headliners.py <tag> [extra_query ...]
+Usage: [PLANS_ROUND=rNN] python scripts/explain_headliners.py <tag> [extra_query ...]
 """
 
 from __future__ import annotations
@@ -33,7 +34,8 @@ def main() -> None:
     names = HEADLINE + [n for n in sys.argv[2:] if n in QUERIES]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r12")
+        os.path.abspath(__file__))), "plans",
+        os.environ.get("PLANS_ROUND", "r13"))
     os.makedirs(out_dir, exist_ok=True)
     # local[32] so the plans reflect the bench session (the fan-out
     # gate keys off defaultParallelism)
